@@ -1,0 +1,91 @@
+"""String/URL cleaning, normalization, null-coalescing (SURVEY §2.3, §2.11).
+
+Reference parity:
+  F11 clean_string       — dexscraper/protocol.py:23-39
+  F12 printable projection — dexscraper/protocol.py:88,207 etc.
+  F14 null-free output   — dexscraper/models.py:307-344 (to_output_dict)
+  F15 url cleanup/validity — dexscraper/utils.py:171-211
+  D4  safe_divide        — dexscraper/utils.py:374-388
+  D6  normalize_symbol   — dexscraper/utils.py:391-409
+
+All built-in regexp/string expressions — no UDFs, so these fuse into the
+scan stage under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_string(c: Column) -> Column:
+    """F11: keep printable ASCII (32-126) + tab; truncate at '@' or '\\';
+    trim (trim only when no truncation happened, matching the reference)."""
+    printable = F.regexp_replace(c, r"[^\x20-\x7e\t]", "")
+    truncated = F.split(F.split(printable, "@").getItem(0), r"\\").getItem(0)
+    has_garbage = printable.contains("@") | printable.contains("\\")
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit("")) \
+            .when(has_garbage, truncated) \
+            .otherwise(F.trim(printable))
+
+
+def printable_projection(c: Column) -> Column:
+    """F12: binary/string → text with non-printables replaced by spaces."""
+    as_str = c.cast("string")
+    return F.regexp_replace(as_str, r"[^\x20-\x7e]", " ")
+
+
+def clean_url(c: Column) -> Column:
+    """F15a: strip trailing non-URL garbage and control chars."""
+    stripped = F.regexp_replace(c, r"[^\w\-_.~:/?#\[\]@!$&'()*+,;=%]+$", "")
+    return F.regexp_replace(stripped, r"[\x00-\x1f]", "")
+
+
+def is_valid_url(c: Column) -> Column:
+    """F15b: length 10-200, known TLD substring, no control bytes."""
+    lower = F.lower(c)
+    has_tld = (
+        lower.contains(".com") | lower.contains(".org") | lower.contains(".net")
+        | lower.contains(".io") | lower.contains(".me")
+    )
+    no_ctl = ~c.rlike(r"[\x00-\x05]")
+    return c.isNotNull() & (F.length(c) >= 10) & (F.length(c) <= 200) & has_tld & no_ctl
+
+
+def normalize_symbol(c: Column) -> Column:
+    """D6: uppercase, strip non-[A-Z0-9], cap 10 chars, fallback 'UNK'."""
+    norm = F.substring(F.regexp_replace(F.upper(c), "[^A-Z0-9]", ""), 1, 10)
+    return F.when(c.isNull() | (F.length(norm) == 0), F.lit("UNK")).otherwise(norm)
+
+
+def safe_divide(numerator: Column, denominator: Column, default: float = 0.0) -> Column:
+    """D4: n/d with 0-denominator → default (never NULL/Inf)."""
+    return F.when(denominator != 0, numerator / denominator).otherwise(F.lit(default))
+
+
+# Typed defaults of to_output_dict (models.py:307-344): strings → "" (chain/
+# protocol → "unknown"), counts → 0, floats → 0.0.
+_STRING_DEFAULTS = {"chain": "unknown", "protocol": "unknown"}
+
+
+def null_free(df, string_default: str = "", numeric_default: float = 0.0):
+    """F14: null-coalescing projection — no NULLs reach user payloads.
+
+    Applies per-dtype ``coalesce`` defaults; one pass, no shuffle.
+    """
+    exprs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, type(df.schema[f.name].dataType)):
+            pass
+        dt = f.dataType.simpleString()
+        if dt == "string":
+            default = _STRING_DEFAULTS.get(f.name, string_default)
+            exprs.append(F.coalesce(c, F.lit(default)).alias(f.name))
+        elif dt in ("double", "float"):
+            exprs.append(F.coalesce(c, F.lit(numeric_default)).alias(f.name))
+        elif dt in ("bigint", "int", "smallint", "tinyint"):
+            exprs.append(F.coalesce(c, F.lit(0)).cast(dt).alias(f.name))
+        else:
+            exprs.append(c)
+    return df.select(*exprs)

@@ -1,0 +1,62 @@
+"""Deterministic (order-independent) floating aggregation helpers.
+
+Summing doubles is not associative: a 1000-executor sum and a single-thread
+sum of the same column differ in the last ulps, which breaks bit-exact
+cross-engine comparison AND makes production runs non-reproducible run to
+run (shuffle order varies). The fix is the classic fixed-point trick: scale
+each value to an integer (cents for money), sum exactly in LongType, and
+divide once at the end. One extra codegen'd multiply per row — free at any
+scale, and the result is identical on 1 core or 1000 executors.
+
+``round_half_up(x, n)`` is defined as floor(x·10^n + 0.5)/10^n — the same
+bits in every engine (Spark's ROUND and DuckDB's ROUND disagree on
+half-even vs half-away; floor(+0.5) is unambiguous).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(c: Column, scale: int = 2) -> Column:
+    """Scale a money/metric double to an exact integer: floor(c·10^s + 0.5).
+
+    The per-row double multiply is IEEE-deterministic, so every engine
+    produces the identical integer.
+    """
+    return F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast("long")
+
+
+def sum_money(c: Column, scale: int = 2) -> Column:
+    """Order-independent sum of a double column, exact to ``scale`` decimals."""
+    return (F.sum(cents(c, scale)) / F.lit(float(10 ** scale))).cast("double")
+
+
+def avg_money(c: Column, scale: int = 2) -> Column:
+    """Order-independent mean, exact integer sum divided by exact count."""
+    return (
+        F.sum(cents(c, scale)).cast("double")
+        / F.count(c).cast("double")
+        / F.lit(float(10 ** scale))
+    ).cast("double")
+
+
+def round_half_up(c: Column, n: int = 2) -> Column:
+    """Engine-portable half-up rounding (see module docstring)."""
+    p = float(10 ** n)
+    return (F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)).cast("double")
+
+
+def sum_money_sql(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    """The ANSI-SQL rendering of ``sum_money`` for DuckDB oracles."""
+    p = 10 ** scale
+    s = f"(SUM(CAST(FLOOR(({expr}) * {p}.0 + 0.5) AS BIGINT)) / {p}.0)"
+    return f"CAST({s} AS DOUBLE)" + (f" AS {alias}" if alias else "")
+
+
+def avg_money_sql(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    p = 10 ** scale
+    s = (f"(CAST(SUM(CAST(FLOOR(({expr}) * {p}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+         f" / CAST(COUNT({expr}) AS DOUBLE) / {p}.0)")
+    return f"CAST({s} AS DOUBLE)" + (f" AS {alias}" if alias else "")

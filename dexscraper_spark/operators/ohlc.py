@@ -1,0 +1,84 @@
+"""OHLC bar derivation (SURVEY §2.5 A5) — the engine's flagship aggregation.
+
+Two forms, deliberately both kept (SURVEY §7.4 risk 3):
+
+* ``ohlc_windowed`` — the TRUE form the reference cannot compute: tumbling
+  event-time windows with first/max/min/last/sum/count per (symbol, window).
+* ``ohlc_snapshot`` — the reference's degenerate per-snapshot projection
+  (dexscraper/models.py:253-264): open=close=price, high=1.02·p, low=0.98·p,
+  volume=volume_24h, trades=int(volume/1000) when null (models.py:74-77).
+
+Determinism: "first/last price in window" is ill-defined under ties on ts,
+so open/close are pinned with ``min_by``/``max_by`` over the composite key
+(ts, tiebreak_id) — a total order, identical on any cluster layout. This is
+also the scale-correct plan: min_by/max_by/min/max/sum are all partial-
+aggregatable, so the map side combines before the shuffle, and the shuffle
+carries one row per (symbol, window) per partition — at 100 TB the shuffle
+volume is proportional to group count, not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dexscraper_spark.functions.exact import sum_money
+
+
+def ohlc_windowed(ticks: DataFrame, *, symbol_col: str = "symbol",
+                  ts_col: str = "ts", price_col: str = "price",
+                  qty_col: str | None = "qty", tiebreak_col: str | None = None,
+                  order_col: str | None = None, duration: str = "5 minutes",
+                  volume_scale: int = 6) -> DataFrame:
+    """True windowed OHLC: groupBy(symbol, window(ts, duration)).
+
+    Returns (symbol, bucket_start timestamp, open, high, low, close,
+    volume, trades). ``volume`` uses order-independent fixed-point summing
+    (see functions.exact) so results are bit-identical at any parallelism.
+    ``order_col`` overrides the open/close ordering key entirely (use a
+    monotone event id when the source guarantees id order == time order —
+    avoids timestamp-precision ties across engines).
+    """
+    ts = F.col(ts_col)
+    price = F.col(price_col)
+    if order_col:
+        order_key = F.col(order_col)
+    else:
+        order_key = F.struct(ts, F.col(tiebreak_col)) if tiebreak_col else ts
+    w = F.window(ts, duration)
+    vol = sum_money(F.col(qty_col), volume_scale) if qty_col else sum_money(price, volume_scale)
+    return (
+        ticks.groupBy(F.col(symbol_col).alias("symbol"), w.alias("w"))
+        .agg(
+            F.min_by(price, order_key).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order_key).alias("close"),
+            vol.alias("volume"),
+            F.count(F.lit(1)).alias("trades"),
+        )
+        .select("symbol", F.col("w.start").alias("bucket_ts"),
+                "open", "high", "low", "close", "volume", "trades")
+    )
+
+
+def ohlc_snapshot(tokens: DataFrame, *, price_col: str = "price",
+                  volume_col: str = "volume_24h", ts_col: str = "ts",
+                  symbol_col: str = "symbol") -> DataFrame:
+    """Degenerate snapshot OHLC (reference-compatibility projection).
+
+    models.py:253-264: o=c=price, h=1.02·p, l=0.98·p; trades estimated as
+    int(volume/1000) (models.py:74-77). Pure narrow projection — no shuffle.
+    """
+    p = F.col(price_col)
+    v = F.col(volume_col)
+    return tokens.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("ts"),
+        p.alias("open"),
+        (p * 1.02).alias("high"),
+        (p * 0.98).alias("low"),
+        p.alias("close"),
+        v.alias("volume"),
+        F.floor(v / 1000.0).cast("long").alias("trades"),
+    )

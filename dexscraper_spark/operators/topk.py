@@ -1,0 +1,37 @@
+"""Top-k / ranking operators (SURVEY §2.6 T1-T4).
+
+Reference parity: get_top_tokens (dexscraper/models.py:377-381) sorts by
+(confidence_score desc, field_count desc) and takes N; RankBy/Order source
+ranking (dexscraper/config.py:30-51, 268-271); result caps
+(dexscraper/protocol.py:352 etc.).
+
+Scale note: ``orderBy(...).limit(n)`` compiles to ``TakeOrderedAndProject``
+— each partition keeps an n-element heap and the driver merges
+n·numPartitions rows. No global sort, no full shuffle; this is the plan you
+want at 100 TB and Catalyst picks it automatically from the declarative
+form. Never implement top-k as sort-then-head over a collected result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, n: int, *order_cols: Column | str,
+          descending: bool = True) -> DataFrame:
+    """Generic top-k with nulls-last ordering on every key."""
+    cols = []
+    for c in order_cols:
+        col = F.col(c) if isinstance(c, str) else c
+        cols.append(col.desc_nulls_last() if descending else col.asc_nulls_last())
+    return df.orderBy(*cols).limit(n)
+
+
+def top_tokens(tokens: DataFrame, n: int = 10) -> DataFrame:
+    """T1: the reference's exact tie-breaking — (confidence_score,
+    field_count) both descending (models.py:379-381)."""
+    return tokens.orderBy(
+        F.col("confidence_score").desc_nulls_last(),
+        F.col("field_count").desc_nulls_last(),
+    ).limit(n)

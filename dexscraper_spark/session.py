@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+The defaults are chosen for the local[32] test harness but the knobs are the
+ones that matter on a real cluster:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast conversion. At 100 TB the static ``shuffle.partitions``
+  value is always wrong for *some* stage; AQE fixes it per-stage.
+* Arrow on — every pandas UDF / ``applyInPandas`` crossing is Arrow-batched.
+* Session timezone pinned to UTC — all window/bucket math is then identical
+  across engines (and across executors with different TZs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dexscraper_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created session
+    (the driver hands us its own session in ``__spark_entry__``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # non-runtime-settable on some builds; defaults are fine
+    return spark

@@ -1,0 +1,43 @@
+"""Parquet table loaders for the driver testdata.
+
+The only wrinkle: ``events.parquet`` stores ``ts`` as INT64
+TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark's vectorized reader
+rejects by default (PARQUET_TYPE_ILLEGAL). We flip
+``spark.sql.legacy.parquet.nanosAsLong`` and convert the nano longs to a
+micro-precision ``TimestampType`` ourselves (plus keep the raw nanos in
+``ts_ns`` for total-order tiebreaks). Session-tz is pinned UTC so the
+conversion is engine-portable.
+
+Scale note: this stays a plain parquet scan — pushdown/pruning still work
+on every other column, and the ts conversion is one codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dexscraper_spark.session import tune_session
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events(event_id, ts timestamp, ts_ns long, user_id, event_type,
+    value, props) — ts truncated to micros (identical to DuckDB's read)."""
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        return raw.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id", "event_type", "value", "props",
+        )
+    return raw.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * 1000).cast("long"))
