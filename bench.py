@@ -1,0 +1,65 @@
+"""Benchmark harness — times every registered query at the bench scale factor.
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Methodology: one session-warmup action first (JVM/codegen spin-up is not a
+query cost), then each query timed end-to-end including its collect() —
+result sets are top-k/grouped, i.e. small, so collect measures the plan,
+not driver I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    from dexscraper_spark.plans.registry import queries
+    from dexscraper_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footer caches with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, build in queries().items():
+        t0 = time.time()
+        try:
+            df = build(spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query must not sink the whole bench
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num if sf_num is not None else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

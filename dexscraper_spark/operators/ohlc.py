@@ -64,15 +64,18 @@ def ohlc_windowed(ticks: DataFrame, *, symbol_col: str = "symbol",
 
 def ohlc_snapshot(tokens: DataFrame, *, price_col: str = "price",
                   volume_col: str = "volume_24h", ts_col: str = "ts",
-                  symbol_col: str = "symbol") -> DataFrame:
+                  symbol_col: str = "symbol",
+                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Degenerate snapshot OHLC (reference-compatibility projection).
 
     models.py:253-264: o=c=price, h=1.02·p, l=0.98·p; trades estimated as
     int(volume/1000) (models.py:74-77). Pure narrow projection — no shuffle.
+    ``carry_cols`` pass through unchanged (e.g. a row id).
     """
     p = F.col(price_col)
     v = F.col(volume_col)
     return tokens.select(
+        *[F.col(c) for c in carry_cols],
         F.col(symbol_col).alias("symbol"),
         F.col(ts_col).alias("ts"),
         p.alias("open"),

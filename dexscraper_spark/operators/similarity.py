@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+LSH bucketing (random-hyperplane signs) so candidate generation is an
+equi-join instead of a cross product.
+
+Everything is JVM-side array arithmetic (``zip_with`` + ``aggregate``)
+— no Python in the hot path. The dot-product fold is sequential
+left-to-right, which makes the result deterministic for a given pair
+regardless of parallelism (the fold runs inside one row).
+
+Scale notes:
+* brute force: queries × corpus is a broadcast nested-loop — keep the
+  query side tiny (broadcast) and the corpus streaming; per-partition
+  top-k heaps via TakeOrderedAndProject when a global k is wanted, or a
+  per-query window rank for k-per-query.
+* LSH: ``num_planes``-bit signature per vector; candidates share a
+  signature prefix band. Hyperplanes are derived deterministically from
+  xxhash64 so executors need no broadcast state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 10,
+                round_to: int | None = 6) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query,
+    self-matches excluded. Deterministic ordering: (cosine desc,
+    neighbor_id asc).
+    """
+    q = broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("__qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    if round_to is not None:
+        p = float(10 ** round_to)
+        cos = F.floor(cos * p + F.lit(0.5)) / p
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_signature(vec_col, *, num_planes: int = 16, dim: int = 64):
+    """Random-hyperplane signature: bit p = sign(v · h_p) where
+    h_p[i] = (xxhash64(p*dim + i) mod 2001 - 1000)/1000 — a deterministic
+    pseudo-random plane, reproducible on every executor with no broadcast.
+    """
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    col_name = vec_col if isinstance(vec_col, str) else "embedding"
+    return F.expr(
+        f"aggregate(sequence(0, {num_planes - 1}), cast(0 as bigint), (acc, p) -> "
+        f"acc + shiftleft(cast(aggregate(sequence(0, {dim - 1}), cast(0.0 as double), "
+        f"(s, i) -> s + cast(element_at({col_name}, i + 1) as double) * "
+        f"(cast(pmod(xxhash64(p * {dim} + i), 2001) as double) - 1000.0) / 1000.0) > 0.0 "
+        f"as bigint), p))"
+    )
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      k: int = 10, num_planes: int = 12,
+                      dim: int = 64) -> DataFrame:
+    """ANN: candidates = same LSH signature bucket, then exact cosine rank
+    within bucket. Recall < 1 by design; bucket join is linear shuffle.
+    """
+    sig = lsh_signature(vec_col, num_planes=num_planes, dim=dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"), sig.alias("__sig"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"), sig.alias("__sig"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    scored = (
+        q.join(c, "__sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -20,11 +20,16 @@ from pyspark.sql import functions as F
 
 def top_k(df: DataFrame, n: int, *order_cols: Column | str,
           descending: bool = True) -> DataFrame:
-    """Generic top-k with nulls-last ordering on every key."""
+    """Generic top-k. String keys get desc/asc nulls-last ordering per
+    ``descending``; Column keys are used as-is (pass ``.desc()``/``.asc()``
+    yourself for mixed-direction ordering)."""
     cols = []
     for c in order_cols:
-        col = F.col(c) if isinstance(c, str) else c
-        cols.append(col.desc_nulls_last() if descending else col.asc_nulls_last())
+        if isinstance(c, str):
+            col = F.col(c)
+            cols.append(col.desc_nulls_last() if descending else col.asc_nulls_last())
+        else:
+            cols.append(c)
     return df.orderBy(*cols).limit(n)
 
 

@@ -133,3 +133,585 @@ def ohlc_1h(spark, sf_dir):
         qty_col="value", order_col="event_id", duration="1 hour",
     )
     return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — the Filters range-DSL compiled to a pushed-down predicate,
+# retargeted at lineitem (the same compiler the tokens pipeline uses).
+# Oracle SQL is rendered by the SAME compiler (Filters.to_sql) — one source
+# of truth for both engines.
+# ---------------------------------------------------------------------------
+
+_DSL_MAP = {"liquidity": "l_extendedprice", "txns_h24": "l_quantity",
+            "price_change_h24": "l_discount"}
+_DSL_FILTERS = None
+
+
+def _dsl_filters():
+    global _DSL_FILTERS
+    if _DSL_FILTERS is None:
+        from dexscraper_spark.config import Filters
+        _DSL_FILTERS = Filters(liquidity_min=20_000.0, liquidity_max=50_000.0,
+                               txns_h24_min=10, txns_h24_max=30,
+                               price_change_h24_min=0.02,
+                               price_change_h24_max=0.08)
+    return _DSL_FILTERS
+
+
+def _register_filter_dsl():
+    from dexscraper_spark.config import Filters
+    f = Filters(liquidity_min=20_000.0, liquidity_max=50_000.0,
+                txns_h24_min=10, txns_h24_max=30,
+                price_change_h24_min=0.02, price_change_h24_max=0.08)
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE {f.to_sql(_DSL_MAP)}
+    """
+
+    @register("filter_range_dsl", sql, survey_ref="F1,S2")
+    def filter_range_dsl(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return li.filter(f.to_column(_DSL_MAP)).select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount")
+
+
+_register_filter_dsl()
+
+
+# ---------------------------------------------------------------------------
+# F4 — float validity heuristic (finite, 1e-15<|v|<1e15, not 0/±1).
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_validity",
+    """
+    SELECT event_id, value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+      AND abs(value) > 1e-15 AND abs(value) < 1e15
+      AND value <> 0.0 AND value <> 1.0 AND value <> -1.0
+    """,
+    survey_ref="F4",
+)
+def filter_validity(spark, sf_dir):
+    from dexscraper_spark.functions.validity import is_valid_float
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(is_valid_float(F.col("value"))).select("event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# F7 — value-range classification CASE (price/txns/makers/volume/...),
+# first-match-wins priority exactly as the reference.
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_classify",
+    """
+    SELECT event_id, value,
+           CASE
+             WHEN value IS NULL OR isnan(value) THEN 'invalid'
+             WHEN value >= 1e-6 AND value <= 0.1 THEN 'price'
+             WHEN value >= 10.0 AND value <= 50000.0 AND value = floor(value) THEN 'txns'
+             WHEN value >= 10.0 AND value <= 15000.0 AND value = floor(value) THEN 'makers'
+             WHEN value >= 1e5 AND value <= 1e7 THEN 'volume'
+             WHEN value >= 1e4 AND value <= 1e6 THEN 'liquidity'
+             WHEN value >= 1e5 AND value <= 5e7 THEN 'market_cap'
+             WHEN value >= -100.0 AND value <= 1000.0 THEN 'percentage'
+             ELSE 'other'
+           END AS value_class
+    FROM events
+    """,
+    survey_ref="F7,W6",
+)
+def filter_classify(spark, sf_dir):
+    from dexscraper_spark.functions.validity import classify_value
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", "value",
+                     classify_value(F.col("value")).alias("value_class"))
+
+
+# ---------------------------------------------------------------------------
+# D3/D6/F11 — scalar cleaning/normalization projection on documents.
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_normalize",
+    """
+    SELECT doc_id,
+           CASE WHEN source IS NULL
+                     OR length(substr(regexp_replace(upper(source), '[^A-Z0-9]', '', 'g'), 1, 10)) = 0
+                THEN 'UNK'
+                ELSE substr(regexp_replace(upper(source), '[^A-Z0-9]', '', 'g'), 1, 10)
+           END AS sym_norm,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    survey_ref="D3,D6,F11",
+)
+def scalar_normalize(spark, sf_dir):
+    from dexscraper_spark.functions.cleaning import normalize_symbol
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_symbol(F.col("source")).alias("sym_norm"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 date/time — epoch/format math (MT5 timestamp format, K5).
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y.%m.%d %H:%M:%S') AS mt5_ts
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    survey_ref="K5,§2.11-datetime",
+)
+def scalar_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01")))
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+            F.date_format("o_orderdate", "yyyy.MM.dd HH:mm:ss").alias("mt5_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 map/json — JSON extraction from the events props payload.
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="§2.11-json",
+)
+def scalar_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("k_sum"),
+             F.count_distinct(k).alias("k_distinct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 + A2 — multi-way equi-join with broadcast dims: revenue per nation.
+# nation/region are tiny → broadcast hash join, no shuffle of the fact side
+# beyond the customer join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_revenue_by_nation",
+    """
+    SELECT n_name AS nation, r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    ORDER BY nation
+    """,
+    survey_ref="J5,A2",
+)
+def join_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             sum_money(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — range (proximity) join via the band-join trick: purchase × click
+# events of the same user within ±10 minutes, on exact microsecond ints.
+# ---------------------------------------------------------------------------
+
+_PROX_RADIUS_US = 600 * 1_000_000
+
+
+@register(
+    "join_range_proximity",
+    f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS dist_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) <= {_PROX_RADIUS_US}
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    survey_ref="J1,J4",
+)
+def join_range_proximity(spark, sf_dir):
+    from dexscraper_spark.operators.proximity import band_range_join
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("p_us"), "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("c_us"), "user_id")
+    joined = band_range_join(p, c, left_pos="p_us", right_pos="c_us",
+                             radius=_PROX_RADIUS_US, keys=["user_id"])
+    return joined.select(
+        "purchase_id", "click_id",
+        F.abs(F.col("p_us") - F.col("c_us")).cast("long").alias("dist_us"))
+
+
+# ---------------------------------------------------------------------------
+# J2/W1 — nearest-neighbor pick: the closest click per purchase within the
+# radius (rank by distance with a deterministic total order).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_nearest_click",
+    f"""
+    SELECT purchase_id, click_id, dist_us FROM (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               CAST(abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS dist_us,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))),
+                          epoch_us(CAST(c.ts AS TIMESTAMP)), c.event_id
+               ) AS rn
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) <= {_PROX_RADIUS_US}
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ) WHERE rn = 1
+    """,
+    survey_ref="J2,W1",
+)
+def join_nearest_click(spark, sf_dir):
+    from dexscraper_spark.operators.proximity import nearest_join
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("p_us"), "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("c_us"), "user_id")
+    nearest = nearest_join(p, c, left_key="purchase_id", left_pos="p_us",
+                           right_pos="c_us", radius=_PROX_RADIUS_US,
+                           keys=["user_id"], tiebreak="click_id")
+    return nearest.select("purchase_id", "click_id",
+                          F.col("distance").cast("long").alias("dist_us"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — global rank numbering (CoinGecko market_cap_rank analog).
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_global_rank",
+    """
+    SELECT c_custkey, c_acctbal,
+           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS balance_rank
+    FROM customer
+    ORDER BY balance_rank
+    LIMIT 100
+    """,
+    survey_ref="W2,K8",
+)
+def window_global_rank(spark, sf_dir):
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", "c_acctbal",
+                 F.row_number().over(w).cast("long").alias("balance_rank"))
+        .orderBy("balance_rank").limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W4 — sessionization: lag → gap flag → cumulative session id, 30-minute
+# inactivity gap per user; one row per user with session stats.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+@register(
+    "sessionize_users",
+    f"""
+    WITH stamped AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                         > {_SESSION_GAP_US}
+                    OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM stamped
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_session GROUP BY user_id
+    """,
+    survey_ref="A6,W4",
+)
+def sessionize_users(spark, sf_dir):
+    from dexscraper_spark.operators.sessionize import sessionize
+    ev = _t(spark, sf_dir, "events")
+    stamped = ev.select("user_id", "event_id",
+                        F.unix_micros(F.col("ts")).alias("us"))
+    # order by (us, event_id): total order (ts is unique, belt & braces)
+    sess = sessionize(stamped.withColumn("__ord", F.col("us") * 0 + F.col("us")),
+                      partition_cols=["user_id"], order_col="us",
+                      gap=float(_SESSION_GAP_US))
+    per_session = (sess.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n_events")))
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("n_events").alias("total_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — bounded-rows sliding frame: last-3 moving sum per user (DataBuffer
+# analog), exact via fixed-point cents.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_moving_sum",
+    """
+    SELECT event_id,
+           (SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0) AS mov3_sum
+    FROM events
+    """,
+    survey_ref="W5,R7",
+)
+def window_moving_sum(spark, sf_dir):
+    from pyspark.sql import Window
+    from dexscraper_spark.functions.exact import cents
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        (F.sum(cents(F.col("value"))).over(w) / 100.0).alias("mov3_sum"))
+
+
+# ---------------------------------------------------------------------------
+# W6/A4 — per-group first/last-wins slotting via min_by/max_by.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_first_wins",
+    """
+    SELECT user_id, event_type,
+           arg_min(value, event_id) AS first_value,
+           arg_max(value, event_id) AS last_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    survey_ref="W6,A4",
+)
+def window_first_wins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min_by("value", "event_id").alias("first_value"),
+             F.max_by("value", "event_id").alias("last_value"),
+             F.max("value").alias("max_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U4 — union of extraction passes + distinct.
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    survey_ref="U1,U4",
+)
+def set_union_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.unionByName(purchases).distinct()
+
+
+# ---------------------------------------------------------------------------
+# U3/F10/J5 — blacklist semantics: left-anti join (users with errors but
+# no purchases). The "blacklist" side is broadcast — at scale the anti-join
+# never shuffles the big side when the lookup fits in memory.
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_except_blacklist",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    survey_ref="U3,F10,J5",
+)
+def set_except_blacklist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.join(F.broadcast(buyers), "user_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# T1 — top-k with the reference's exact tie-breaking, on customer balances.
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    survey_ref="T1,T3",
+)
+def topk_customers(spark, sf_dir):
+    from dexscraper_spark.operators.topk import top_k
+    c = _t(spark, sf_dir, "customer")
+    return top_k(c.select("c_custkey", "c_name", "c_acctbal"), 10,
+                 F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc())
+
+
+# ---------------------------------------------------------------------------
+# A1 — batch stats with conditional counts (high-confidence / complete
+# analogs) per event_type.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_conditional_counts",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+           CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_value,
+           """ + sum_money_sql("value", 2, "total_value") + """,
+           """ + avg_money_sql("value", 2, "avg_value") + """
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="A1,A2,F9",
+)
+def agg_conditional_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total"),
+             F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("high_value"),
+             F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("low_value"),
+             sum_money(F.col("value")).alias("total_value"),
+             avg_money(F.col("value")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-free extension (SURVEY §2.5 note): ROLLUP grouping sets.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.5-extension",
+)
+def agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A5 compat — the reference's degenerate snapshot OHLC projection
+# (models.py:253-264): o=c=p, h=1.02p, l=0.98p, trades=floor(v/1000).
+# ---------------------------------------------------------------------------
+
+@register(
+    "ohlc_snapshot_compat",
+    """
+    SELECT event_type AS symbol,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           event_id,
+           value AS open,
+           value * 1.02 AS high,
+           value * 0.98 AS low,
+           value AS close,
+           value * 1000.0 AS volume,
+           CAST(FLOOR(value * 1000.0 / 1000.0) AS BIGINT) AS trades
+    FROM events
+    """,
+    survey_ref="A5-compat,K4",
+)
+def ohlc_snapshot_compat(spark, sf_dir):
+    from dexscraper_spark.operators.ohlc import ohlc_snapshot
+    ev = _t(spark, sf_dir, "events")
+    tokens_view = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.floor(F.unix_micros(F.col("ts")) / 1_000_000.0).cast("long").alias("snap_ts"),
+        "event_id",
+        F.col("value").alias("price"),
+        (F.col("value") * 1000.0).alias("volume_24h"),
+    )
+    bars = ohlc_snapshot(tokens_view, price_col="price", volume_col="volume_24h",
+                         ts_col="snap_ts", symbol_col="symbol",
+                         carry_cols=("event_id",))
+    return bars.withColumnRenamed("ts", "ts_s")
