@@ -7,8 +7,17 @@ the scan stage; on 100 TB of documents the cost is one codegen'd pass.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _in_list(x: Column, words: list[str]) -> Column:
+    # `Column.isin` misbehaves on lambda variables inside higher-order
+    # functions; an OR-chain of equality comparisons compiles cleanly.
+    return functools.reduce(operator.or_, [x == w for w in words])
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
 # language ID. Deliberately small and deterministic — real models are
@@ -60,7 +69,7 @@ def punct_ratio(text: Column) -> Column:
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     words = STOPWORDS[lang]
     t = tokens(F.lower(text))
-    hits = F.size(F.filter(t, lambda x: x.isin(*[F.lit(w) for w in words])))
+    hits = F.size(F.filter(t, lambda x: _in_list(x, words)))
     return F.when(F.size(t) > 0,
                   hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
 
@@ -85,7 +94,9 @@ def lang_id(text: Column) -> Column:
     when every list scores zero. One codegen'd CASE over array filters."""
     t = tokens(F.lower(text))
     scores = {
-        lang: F.size(F.filter(t, lambda x, ws=words: x.isin(*[F.lit(w) for w in ws])))
+        # single-arg lambda via closure factory: PySpark binds a Column to
+        # EVERY lambda parameter, defaults included.
+        lang: F.size(F.filter(t, (lambda ws: (lambda x: _in_list(x, ws)))(words)))
         for lang, words in STOPWORDS.items()
     }
     m = F.greatest(*scores.values())

@@ -715,3 +715,216 @@ def ohlc_snapshot_compat(spark, sf_dir):
                          ts_col="snap_ts", symbol_col="symbol",
                          carry_cols=("event_id",))
     return bars.withColumnRenamed("ts", "ts_s")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star training-data ops): per-document stats.
+# All ratios are single divisions of exact ints — engine-portable bits.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, n_chars, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) AS measured_chars,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CASE WHEN len(ts) > 0
+                THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                     / CAST(len(ts) AS DOUBLE)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio
+    FROM toks
+    """,
+    survey_ref="northstar-text,F12",
+)
+def text_stats(spark, sf_dir):
+    from dexscraper_spark.functions import textstats as tx
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.length(text).cast("long").alias("measured_chars"),
+        tx.token_count(text).cast("long").alias("n_tokens"),
+        tx.avg_token_len(text).alias("avg_token_len"),
+        tx.punct_ratio(text).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword argmax with priority tie-break) + distribution.
+# ---------------------------------------------------------------------------
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in
+                      __import__("dexscraper_spark.functions.textstats",
+                                 fromlist=["STOPWORDS"]).STOPWORDS[lang])
+    return (f"len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"t -> length(t) > 0), t -> t IN ({words})))")
+
+
+def _register_lang_id():
+    hits = {lang: _lang_hits_sql(lang) for lang in ("en", "es", "fr", "de")}
+    gr = f"greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    sql = f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN {gr} = 0 THEN 'und'
+                    WHEN {hits['en']} = {gr} THEN 'en'
+                    WHEN {hits['es']} = {gr} THEN 'es'
+                    WHEN {hits['fr']} = {gr} THEN 'fr'
+                    ELSE 'de' END AS detected_lang
+        FROM documents
+    """
+
+    @register("text_lang_id", sql, survey_ref="northstar-text")
+    def text_lang_id(spark, sf_dir):
+        from dexscraper_spark.functions.textstats import lang_id
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                           lang_id(F.col("text")).alias("detected_lang"))
+
+
+_register_lang_id()
+
+
+@register(
+    "text_lang_dist",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           (CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey_ref="northstar-text,A2",
+)
+def text_lang_dist(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"))
+             .alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (north-star + A8): one survivor per distinct content hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey_ref="A8,northstar-dedup",
+)
+def dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("first_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_distinct_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey_ref="A8,U4",
+)
+def dedup_distinct_pairs(spark, sf_dir):
+    from dexscraper_spark.operators.dedup import dedup_exact
+    ev = _t(spark, sf_dir, "events")
+    return dedup_exact(ev.select("user_id", "event_type"),
+                       ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star): brute-force cosine top-5 for the first
+# 10 vectors as queries. Dot/norm folds are sequential in both engines;
+# cosine rounded half-up to 6 dp on both sides.
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               FLOOR((
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))
+               ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+    survey_ref="northstar-similarity",
+)
+def similarity_topk(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    res = cosine_topk(emb, queries_df, id_col="vec_id", vec_col="embedding",
+                      k=5, round_to=6)
+    return res.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding norms — zip_with/aggregate arithmetic sanity (rounded 6 dp).
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, CAST(label AS INT) AS label,
+           FLOOR(sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) * 1000000.0 + 0.5)
+             / 1000000.0 AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    survey_ref="northstar-similarity",
+)
+def embedding_norms(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import _norm
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = _norm(F.col("embedding"))
+    return emb.select(
+        "vec_id", F.col("label").cast("int").alias("label"),
+        (F.floor(norm * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("l2_norm"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
