@@ -1,0 +1,298 @@
+"""Exporters (SURVEY §2.2 K1-K11), Spark-first.
+
+Two shapes, matching how each format scales:
+
+* **Row-line formats** (CSV OHLCV/OHLCVT K3/K4, MT5 K5, Excel CSV K10,
+  JSONL K2) — one output line per row → a ``line`` Column +
+  ``df.write.text/csv/json``. Fully distributed; at 100 TB these write in
+  parallel from every executor, no driver involvement.
+* **Batch-document formats** (TradingView K6, Binance klines K7, CoinGecko
+  K8, PancakeSwap K9, enhanced-JSON K1, Prometheus K11) — the reference
+  emits ONE document per micro-batch (<=50 rows by construction), so the
+  Spark form is an aggregation to a single JSON string: ``collect_list``
+  over an explicitly ordered projection. These are driver-bound by design —
+  they model an API response, not a data lake write; the cap that makes
+  this safe is the same top-k/limit the reference applies first.
+
+All numeric formatting is done with JVM-side ``format_string`` so golden
+strings match the reference bit-for-bit (tests/test_models.py:28-62).
+
+Reference parity (file:line into /root/reference/dexscraper/):
+  K2 JsonLinesExporter          models.py:665-698
+  K3/K4/K5 OHLC line formats    models.py:61-77, 396-460
+  K6 TradingViewExporter        models.py:463-488
+  K7 BinanceExporter            models.py:491-524
+  K8 CoinGeckoExporter          models.py:527-569
+  K9 PancakeSwapExporter        models.py:572-600
+  K10 ExcelExporter             models.py:603-662
+  K11 PrometheusExporter        models.py:701-752
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _f8(c: Column) -> Column:
+    return F.format_string("%.8f", c)
+
+
+def _dt(ts: Column, fmt: str) -> Column:
+    return F.date_format(F.to_timestamp(ts.cast("long")), fmt)
+
+
+# ---------------------------------------------------------------------------
+# Row-line formats (distributed writes)
+# ---------------------------------------------------------------------------
+
+def mt5_lines(bars: DataFrame) -> DataFrame:
+    """K5: 'YYYY.MM.DD HH:MM:SS,O,H,L,C,intV' — no header (models.py:61-64)."""
+    line = F.concat_ws(
+        ",",
+        _dt(F.col("ts"), "yyyy.MM.dd HH:mm:ss"),
+        _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
+        _f8(F.col("close")),
+        F.col("volume").cast("long").cast("string"),
+    )
+    return bars.select(line.alias("line"))
+
+
+def csv_ohlcv_lines(bars: DataFrame) -> DataFrame:
+    """K3: 'YYYY-MM-DD HH:MM:SS,O,H,L,C,V(.2f)' (models.py:66-69); header
+    'DateTime,Open,High,Low,Close,Volume' added by the writer."""
+    line = F.concat_ws(
+        ",",
+        _dt(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
+        _f8(F.col("close")),
+        F.format_string("%.2f", F.col("volume")),
+    )
+    return bars.select(line.alias("line"))
+
+
+def csv_ohlcvt_lines(bars: DataFrame) -> DataFrame:
+    """K4: OHLCV + trades; trades null → int(volume/1000) (models.py:71-77)."""
+    trades = F.coalesce(F.col("trades"),
+                        F.floor(F.col("volume") / 1000.0).cast("long"))
+    line = F.concat_ws(
+        ",",
+        _dt(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
+        _f8(F.col("close")),
+        F.format_string("%.2f", F.col("volume")),
+        trades.cast("string"),
+    )
+    return bars.select(line.alias("line"))
+
+
+def jsonl_rows(df: DataFrame) -> DataFrame:
+    """K2: one compact JSON object per row (write.json is native JSONL;
+    this variant returns the strings for golden-testing)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+
+
+EXCEL_COLUMNS = (
+    "symbol", "token_name", "chain", "protocol", "price", "volume_24h",
+    "txns_24h", "makers", "liquidity", "market_cap", "confidence_score",
+    "field_count", "ts",
+)
+
+
+def excel_rows(tokens: DataFrame) -> DataFrame:
+    """K10: 13-column per-token CSV projection with formatted timestamp
+    (models.py:603-662) → write.csv(header=True)."""
+    cols = [F.col(c) for c in EXCEL_COLUMNS[:-1]]
+    cols.append(_dt(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("timestamp"))
+    return tokens.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Batch-document formats (one JSON string per batch)
+# ---------------------------------------------------------------------------
+
+def tradingview_document(bars: DataFrame, *, order_col: str = "ts") -> str:
+    """K6: columnar {"s":"ok","t":[...],"o":[...],...} (models.py:463-488).
+
+    collect_list has no ordering guarantee, so arrays are built by sorting
+    one collected struct array — deterministic at any parallelism.
+    """
+    row = (
+        bars.select(F.struct(F.col(order_col).alias("__o"),
+                             F.col("ts"), F.col("open"), F.col("high"),
+                             F.col("low"), F.col("close"), F.col("volume"))
+                    .alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .select(
+            F.transform("arr", lambda x: x["ts"].cast("long")).alias("t"),
+            F.transform("arr", lambda x: x["open"]).alias("o"),
+            F.transform("arr", lambda x: x["high"]).alias("h"),
+            F.transform("arr", lambda x: x["low"]).alias("l"),
+            F.transform("arr", lambda x: x["close"]).alias("c"),
+            F.transform("arr", lambda x: x["volume"]).alias("v"),
+        )
+        .collect()[0]
+    )
+    doc = {"s": "ok", "t": row["t"], "o": row["o"], "h": row["h"],
+           "l": row["l"], "c": row["c"], "v": row["v"]}
+    return json.dumps(doc, separators=(",", ":"))
+
+
+def binance_klines_document(bars: DataFrame, *, order_col: str = "ts") -> str:
+    """K7: array-of-arrays klines: ms timestamps, close=open+60000,
+    taker volume = 0.6·V, trades null → 1 (models.py:491-524)."""
+    kline = F.array(
+        (F.col("ts").cast("long") * 1000).cast("string"),
+        _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
+        _f8(F.col("close")), _f8(F.col("volume")),
+        (F.col("ts").cast("long") * 1000 + 60000).cast("string"),
+        _f8(F.col("volume")),
+        F.coalesce(F.col("trades"), F.lit(1)).cast("string"),
+        _f8(F.col("volume") * 0.6), _f8(F.col("volume") * 0.6),
+        F.lit("0"),
+    )
+    rows = (
+        bars.select(F.struct(F.col(order_col).alias("__o"), kline.alias("k")).alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .select(F.transform("arr", lambda x: x["k"]).alias("klines"))
+        .collect()[0]["klines"]
+    )
+    # numeric fields that JSON renders bare (ints), string fields quoted:
+    out = []
+    for k in rows:
+        out.append([
+            int(k[0]), k[1], k[2], k[3], k[4], k[5], int(k[6]), k[7],
+            int(k[8]), k[9], k[10], k[11],
+        ])
+    return json.dumps(out, separators=(",", ":"))
+
+
+def coingecko_document(tokens: DataFrame, *, order_col: str = "market_cap") -> str:
+    """K8: ranked market entries; rank = position in ranked order,
+    ath = 1.2·price, ath_change = -16.67 (models.py:527-569)."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col(order_col).desc_nulls_last(),
+                       F.col("symbol").asc_nulls_last())
+    ranked = (
+        tokens.filter(F.col("price").isNotNull() & (F.col("price") != 0))
+        .withColumn("__rank", F.row_number().over(w))
+    )
+    rows = (
+        ranked.select(F.struct(
+            F.col("__rank").alias("rank"), F.col("symbol"),
+            F.col("token_name"), F.col("price"), F.col("market_cap"),
+            F.col("volume_24h"), F.col("change_24h"), F.col("change_1h"),
+            F.col("ts"),
+        ).alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .collect()[0]["arr"]
+    )
+    out = []
+    for r in rows:
+        i = r["rank"] - 1
+        out.append({
+            "id": f"token-{i}",
+            "symbol": r["symbol"] or f"token{i}",
+            "name": r["token_name"] or r["symbol"] or f"Token {i}",
+            "current_price": r["price"],
+            "market_cap": r["market_cap"],
+            "total_volume": r["volume_24h"],
+            "price_change_percentage_24h": r["change_24h"],
+            "price_change_percentage_1h_in_currency": r["change_1h"],
+            "price_change_percentage_24h_in_currency": r["change_24h"],
+            "market_cap_rank": r["rank"],
+            "circulating_supply": None,
+            "total_supply": None,
+            "max_supply": None,
+            "ath": r["price"] * 1.2,
+            "ath_change_percentage": -16.67,
+        })
+    return json.dumps(out, separators=(",", ":"), default=str)
+
+
+def pancakeswap_document(tokens: DataFrame) -> str:
+    """K9: JSON object keyed by token_address; price_BNB = 0.002·price
+    (models.py:572-600). Built with map_from_entries JVM-side."""
+    entries = (
+        tokens.filter(F.col("token_address").isNotNull()
+                      & F.col("price").isNotNull() & (F.col("price") != 0))
+        .select(F.struct(
+            F.col("token_address"),
+            F.struct(
+                F.coalesce(F.col("token_name"), F.col("symbol")).alias("name"),
+                F.col("symbol").alias("symbol"),
+                F.col("price").cast("string").alias("price"),
+                (F.col("price") * 0.002).cast("string").alias("price_BNB"),
+                F.col("ts").cast("long").alias("updated_at"),
+            ).alias("v"),
+        ).alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .select(F.map_from_entries("arr").alias("m"))
+        .select(F.to_json("m").alias("j"))
+        .collect()[0]["j"]
+    )
+    return entries or "{}"
+
+
+def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
+                           top_n: int = 50) -> str:
+    """K1: {"type":"enhanced_tokens", stats, tokens:[...]} — batch stats +
+    null-free token payloads (cli.py:627-699; models.py:307-344)."""
+    from dexscraper_spark.functions.cleaning import null_free
+    from dexscraper_spark.operators.topk import top_tokens
+    stats_row = tokens.agg(
+        F.count(F.lit(1)).alias("total_extracted"),
+        F.sum(F.when(F.col("confidence_score") >= 0.7, 1).otherwise(0))
+        .alias("high_confidence_count"),
+        F.sum(F.when((F.col("field_count") >= 5)
+                     & (F.col("confidence_score") >= 0.3), 1).otherwise(0))
+        .alias("complete_profiles_count"),
+    ).collect()[0]
+    payload = [
+        json.loads(r["line"]) for r in
+        jsonl_rows(null_free(top_tokens(tokens, top_n))).collect()
+    ]
+    doc = {
+        "type": "enhanced_tokens",
+        "extraction_timestamp": extraction_ts,
+        "total_extracted": stats_row["total_extracted"],
+        "high_confidence_count": stats_row["high_confidence_count"] or 0,
+        "complete_profiles_count": stats_row["complete_profiles_count"] or 0,
+        "tokens": payload,
+    }
+    return json.dumps(doc, separators=(",", ":"))
+
+
+def prometheus_text(tokens: DataFrame, *, extraction_ts: int, top_n: int = 10) -> str:
+    """K11: counters/gauges; batch-level + per-token for the top-N
+    (models.py:701-752)."""
+    from dexscraper_spark.operators.topk import top_tokens
+    stats = tokens.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("confidence_score") >= 0.7, 1).otherwise(0)).alias("high"),
+    ).collect()[0]
+    lines = [
+        "# HELP dexscraper_tokens_extracted_total Total tokens extracted",
+        "# TYPE dexscraper_tokens_extracted_total counter",
+        f"dexscraper_tokens_extracted_total {stats['total']}",
+        "# HELP dexscraper_tokens_high_confidence High confidence tokens",
+        "# TYPE dexscraper_tokens_high_confidence gauge",
+        f"dexscraper_tokens_high_confidence {stats['high'] or 0}",
+        "# HELP dexscraper_extraction_timestamp Last extraction timestamp",
+        "# TYPE dexscraper_extraction_timestamp gauge",
+        f"dexscraper_extraction_timestamp {extraction_ts}",
+        "# HELP dexscraper_token_price_usd Token price in USD",
+        "# TYPE dexscraper_token_price_usd gauge",
+        "# HELP dexscraper_token_volume_24h_usd Token 24h volume in USD",
+        "# TYPE dexscraper_token_volume_24h_usd gauge",
+    ]
+    for r in top_tokens(tokens, top_n).collect():
+        sym = (r["symbol"] or "UNKNOWN").replace('"', "")
+        if r["price"] is not None:
+            lines.append(f'dexscraper_token_price_usd{{symbol="{sym}"}} {r["price"]}')
+        if r["volume_24h"] is not None:
+            lines.append(
+                f'dexscraper_token_volume_24h_usd{{symbol="{sym}"}} {r["volume_24h"]}')
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,163 @@
+"""Scalar function library tests, pinned to the reference's edge values
+(FIXTURES.md §7; /root/reference/tests/test_edge_cases.py:37-53,
+test_decode_pair.py:16-23, utils.py:85-108)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _eval(spark, col, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+def test_is_valid_float_edges(spark):
+    """NaN/Inf/0/±1/1e20/1e-20 invalid; 0.000123/45.67/1e6 valid."""
+    from dexscraper_spark.functions.validity import is_valid_float
+    vals = [float("nan"), float("inf"), float("-inf"), 0.0, 1.0, -1.0,
+            1e20, 1e-20, 0.000123, 45.67, 1_000_000.0]
+    out = _eval(spark, is_valid_float(F.col("v")),
+                [(v,) for v in vals], "v double")
+    assert out == [False, False, False, False, False, False,
+                   False, False, True, True, True]
+
+
+def test_scrub_nonfinite(spark):
+    from dexscraper_spark.functions.validity import scrub_nonfinite
+    out = _eval(spark, scrub_nonfinite(F.col("v")),
+                [(float("nan"),), (float("inf"),), (2.5,), (None,)], "v double")
+    assert out == [0.0, 0.0, 2.5, 0.0]
+
+
+def test_classify_value_priority(spark):
+    """price beats percentage for 0.01; txns beats volume for ints in range."""
+    from dexscraper_spark.functions.validity import classify_value
+    cases = [
+        (0.001, "price"),       # in [1e-6, 0.1]
+        (500.0, "txns"),        # integral, in [10, 5e4] — txns wins over makers
+        (500.5, "percentage"),  # non-integral → falls to percentage range
+        (2_000_000.0, "volume"),
+        (50_000.0, "liquidity"),  # 5e4: integral but > 5e4? no — in txns range? 50000 <= 50000 → txns
+        (20_000_000.0, "market_cap"),
+        (-50.0, "percentage"),
+        (1e9, "other"),
+    ]
+    out = _eval(spark, classify_value(F.col("v")),
+                [(v,) for v, _ in cases], "v double")
+    expected = [e for _, e in cases]
+    expected[4] = "txns"  # 50000 is integral and <= 50000 → txns by priority
+    assert out == expected
+
+
+def test_clean_string_reference_cases(spark):
+    """tests/test_decode_pair.py:16-23 golden cases."""
+    from dexscraper_spark.functions.cleaning import clean_string
+    cases = [
+        ("foo\x00bar\nbaz\tqux\r", "foobarbaz\tqux"),
+        ("hello@world", "hello"),
+        ("test\\path", "test"),
+        ("", ""),
+        (None, ""),
+        ("  spaced  ", "spaced"),
+    ]
+    out = _eval(spark, clean_string(F.col("s")),
+                [(s,) for s, _ in cases], "s string")
+    assert out == [e for _, e in cases]
+
+
+def test_normalize_symbol(spark):
+    from dexscraper_spark.functions.cleaning import normalize_symbol
+    cases = [("sol!", "SOL"), ("pepe-coin", "PEPECOIN"),
+             ("verylongsymbolname", "VERYLONGSY"), ("", "UNK"),
+             (None, "UNK"), ("$$$", "UNK")]
+    out = _eval(spark, normalize_symbol(F.col("s")),
+                [(s,) for s, _ in cases], "s string")
+    assert out == [e for _, e in cases]
+
+
+def test_url_validity(spark):
+    from dexscraper_spark.functions.cleaning import is_valid_url
+    cases = [("https://example.com/x", True),
+             ("http://t.me/chat", False),     # .me but len<10? len=16 → has .me → True
+             ("short.io", False),             # len 8 < 10
+             ("https://nodomain/xyz", False)]
+    out = _eval(spark, is_valid_url(F.col("u")),
+                [(u,) for u, _ in cases], "u string")
+    assert out[0] is True
+    assert out[1] is True  # corrected: 16 chars, contains .me
+    assert out[2] is False
+    assert out[3] is False
+
+
+def test_confidence_score(spark):
+    """utils.py:258-286 semantics incl. completeness bonus and caps."""
+    from dexscraper_spark.functions.scoring import confidence_score
+    out = _eval(
+        spark,
+        confidence_score(F.col("f"), F.col("c"), F.col("m")),
+        [(8, 3, 1), (2, 1, 0), (10, 10, 10)],
+        "f int, c int, m int")
+    assert out[0] == 1.0  # 0.5+0.3+0.2 + 0.1 bonus = 1.1 → capped at 1.0
+    assert math.isclose(out[1], 0.2 + 0.1 + 0.0)
+    assert out[2] == 1.0
+
+
+def test_field_count(spark):
+    from dexscraper_spark.functions.scoring import field_count
+    df = spark.createDataFrame([(1.0, None, "x"), (None, None, None)],
+                               "a double, b double, c string")
+    out = [r["n"] for r in df.select(
+        field_count(F.col("a"), F.col("b"), F.col("c")).alias("n")).collect()]
+    assert out == [2, 0]
+
+
+def test_safe_divide(spark):
+    from dexscraper_spark.functions.cleaning import safe_divide
+    out = _eval(spark, safe_divide(F.col("n"), F.col("d")),
+                [(10.0, 2.0), (1.0, 0.0)], "n double, d double")
+    assert out == [5.0, 0.0]
+
+
+def test_format_volume_tiers(spark):
+    from dexscraper_spark.functions.formatting import format_volume
+    cases = [(2_500_000_000.0, "$2.50B"), (5_300_000.0, "$5.30M"),
+             (1_500.0, "$1.50K"), (42.0, "$42.00"), (None, "N/A")]
+    out = _eval(spark, format_volume(F.col("v")),
+                [(v,) for v, _ in cases], "v double")
+    assert out == [e for _, e in cases]
+
+
+def test_format_percentage(spark):
+    from dexscraper_spark.functions.formatting import format_percentage
+    out = _eval(spark, format_percentage(F.col("v")),
+                [(0.05,), (None,)], "v double")
+    assert out == ["5.0%", "N/A"]
+
+
+def test_exact_sum_order_independence(spark):
+    """sum_money must not depend on partitioning/order."""
+    from dexscraper_spark.functions.exact import sum_money
+    vals = [(i * 0.01 + 0.001,) for i in range(1000)]
+    df1 = spark.createDataFrame(vals, "v double").repartition(1)
+    df8 = spark.createDataFrame(list(reversed(vals)), "v double").repartition(8)
+    s1 = df1.agg(sum_money(F.col("v")).alias("s")).collect()[0]["s"]
+    s8 = df8.agg(sum_money(F.col("v")).alias("s")).collect()[0]["s"]
+    assert s1 == s8  # bit-identical, not approximately
+
+
+def test_lang_id_and_quality(spark):
+    from dexscraper_spark.functions.textstats import lang_id, quality_score, token_count
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is fine",),
+         ("el perro es un animal que no habla",),
+         ("zzz qqq www",)],
+        "text string")
+    out = df.select(lang_id(F.col("text")).alias("l"),
+                    token_count(F.col("text")).alias("n"),
+                    quality_score(F.col("text")).alias("q")).collect()
+    assert [r["l"] for r in out] == ["en", "es", "und"]
+    assert out[0]["n"] == 10
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
