@@ -928,3 +928,27 @@ def embedding_norms(spark, sf_dir):
         (F.floor(norm * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("l2_norm"),
         F.size("embedding").cast("int").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D1/S3-S5 — the binary decode kernel as a declared operator. Non-SQL-
+# expressible (driver records a rows-only check): the input is synthetic
+# wire-format frames generated deterministically, decoded by the engine's
+# single pandas stage, then aggregated relationally.
+# ---------------------------------------------------------------------------
+
+@register("decode_binary_pipeline", None, survey_ref="D1,S3,S4,S5,F3,F6")
+def decode_binary_pipeline(spark, sf_dir):
+    from dexscraper_spark.schemas import RAW_MESSAGES
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    from dexscraper_spark.sources.decode import decode_messages
+    tune_session(spark)
+    frames = [(i, make_frame(sample_pairs(4, seed=i))) for i in range(16)]
+    raw = spark.createDataFrame(frames, schema=RAW_MESSAGES)
+    decoded = decode_messages(raw)
+    return (
+        decoded.groupBy("chain", "protocol")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             sum_money(F.col("volume_h24")).alias("total_volume"))
+        .orderBy("chain", "protocol")
+    )

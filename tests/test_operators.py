@@ -1,0 +1,149 @@
+"""Operator library tests: proximity joins, sessionization/clustering,
+top-k tie-breaking, dedup, similarity — on small deterministic frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_band_range_join_matches_naive(spark):
+    """Band-join must produce exactly the naive |Δ|<=r join result."""
+    from dexscraper_spark.operators.proximity import band_range_join
+    left = spark.createDataFrame(
+        [(i, float(i * 37 % 500)) for i in range(40)], "lid int, lpos double")
+    right = spark.createDataFrame(
+        [(j, float(j * 53 % 500)) for j in range(40)], "rid int, rpos double")
+    banded = band_range_join(left, right, left_pos="lpos", right_pos="rpos",
+                             radius=25.0)
+    naive = left.crossJoin(right).filter(
+        F.abs(F.col("lpos") - F.col("rpos")) <= 25.0)
+    got = sorted((r["lid"], r["rid"]) for r in banded.collect())
+    want = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_nearest_join_distance_gates(spark):
+    """J2 semantics: nearest within radius; rows with no candidate drop."""
+    from dexscraper_spark.operators.proximity import nearest_join
+    tokens = spark.createDataFrame(
+        [(1, 100.0), (2, 5000.0)], "tok int, tpos double")
+    meta = spark.createDataFrame(
+        [(10, 150.0), (11, 90.0), (12, 120.0)], "mid int, mpos double")
+    out = nearest_join(tokens, meta, left_key="tok", left_pos="tpos",
+                       right_pos="mpos", radius=1000.0, tiebreak="mid")
+    rows = {r["tok"]: (r["mid"], r["distance"]) for r in out.collect()}
+    assert rows == {1: (11, 10.0)}  # nearest of {150(d50), 90(d10), 120(d20)}
+
+
+def test_assign_roles_order(spark):
+    """J3: token/pair/creator by distance; SOL-type → quote_address."""
+    from dexscraper_spark.operators.proximity import assign_roles
+    joined = spark.createDataFrame(
+        [
+            (1, 100.0, 130.0, "AAA", "potential_contract"),
+            (1, 100.0, 110.0, "BBB", "potential_contract"),
+            (1, 100.0, 170.0, "CCC", "unknown"),
+            (1, 100.0, 105.0, "So11111111111111111111111111111111111111112", "SOL_token"),
+            (1, 100.0, 190.0, "BBB", "potential_contract"),  # dup value, farther
+        ],
+        "tok int, tpos double, mpos double, addr string, atype string")
+    out = assign_roles(joined, left_key="tok", left_pos="tpos",
+                       right_pos="mpos", value_col="addr", type_col="atype")
+    r = out.collect()[0]
+    assert r["token_address"] == "BBB"      # nearest (d=10)
+    assert r["pair_address"] == "AAA"       # d=30
+    assert r["creator_address"] == "CCC"    # d=70
+    assert r["quote_address"].startswith("So1")
+
+
+def test_cluster_values_reference_fixture(spark):
+    """FIXTURES.md §7: [18,18,18,29,357] @ tol .001 → one 3-element cluster."""
+    from dexscraper_spark.operators.sessionize import cluster_values
+    df = spark.createDataFrame(
+        [(v,) for v in [18.0, 18.0, 18.0, 29.0, 357.0]], "v double")
+    out = cluster_values(df, value_col="v", tolerance=0.001, min_size=2).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 3
+    assert out[0]["cluster_min"] == 18.0 and out[0]["cluster_max"] == 18.0
+
+
+def test_top_tokens_tiebreak(spark, sample_token):
+    """T1: (confidence desc, field_count desc) exactly (models.py:379-381)."""
+    from dexscraper_spark.operators.topk import top_tokens
+    rows = [
+        ("A", 0.9, 3), ("B", 0.9, 7), ("C", 0.5, 9), ("D", None, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, confidence_score double, field_count int")
+    out = [r["symbol"] for r in top_tokens(df, 3).collect()]
+    assert out == ["B", "A", "C"]  # nulls last
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    from dexscraper_spark.operators.dedup import dedup_exact
+    df = spark.createDataFrame(
+        [(1, "x"), (5, "x"), (3, "x"), (2, "y")], "id int, k string")
+    out = {r["k"]: r["id"] for r in
+           dedup_exact(df, ["k"], keep_by="id").collect()}
+    assert out == {"x": 1, "y": 2}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    """Near-identical texts must collide in LSH buckets and verify by
+    Jaccard; an unrelated text must not pair with them."""
+    from dexscraper_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_candidates, minhash_signatures)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different words here entirely")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=32, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_pairs(docs, cands, id_col="doc_id", text_col="text",
+                             shingle_n=3, threshold=0.5)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert (1, 2) in vp and vp[(1, 2)] > 0.8
+    assert all(3 not in p for p in vp)
+
+
+def test_simhash_similar_texts_close(spark):
+    from dexscraper_spark.operators.dedup import simhash
+    docs = spark.createDataFrame(
+        [(1, "spark window aggregation over event streams"),
+         (2, "spark window aggregation over event streams!"),
+         (3, "zzz completely unrelated qqq material www")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, id_col="doc_id", text_col="text").collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
+
+
+def test_cosine_topk_self_consistency(spark):
+    """Neighbor list must be ordered by cosine desc and exclude self."""
+    from dexscraper_spark.operators.similarity import cosine_topk
+    import math
+    vecs = [(i, [math.sin(i * 0.7 + j * 0.3) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5, round_to=None)
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 5
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from dexscraper_spark.operators.sessionize import sessionize
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 101), (1, 300), (2, 0)], "u int, t long")
+    out = sessionize(df, partition_cols=["u"], order_col="t", gap=100.0)
+    sess = {(r["u"], r["t"]): r["session_id"] for r in out.collect()}
+    # gap=100: delta 100 is NOT > gap → same session; delta 199 > gap → new
+    assert sess[(1, 0)] == 1 and sess[(1, 100)] == 1 and sess[(1, 101)] == 1
+    assert sess[(1, 300)] == 2
+    assert sess[(2, 0)] == 1
