@@ -939,12 +939,18 @@ def embedding_norms(spark, sf_dir):
 
 @register("decode_binary_pipeline", None, survey_ref="D1,S3,S4,S5,F3,F6")
 def decode_binary_pipeline(spark, sf_dir):
-    from dexscraper_spark.schemas import RAW_MESSAGES
+    import pandas as pd
     from dexscraper_spark.sources.binary import make_frame, sample_pairs
     from dexscraper_spark.sources.decode import decode_messages
     tune_session(spark)
-    frames = [(i, make_frame(sample_pairs(4, seed=i))) for i in range(16)]
-    raw = spark.createDataFrame(frames, schema=RAW_MESSAGES)
+    # Arrow (pandas) ingestion + one partition: the row-pickle local-
+    # relation path costs ~5 s per action for binary columns; the Arrow
+    # path is ~10x faster and is what a real source would produce anyway.
+    pdf = pd.DataFrame({
+        "msg_id": range(16),
+        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(16)],
+    })
+    raw = spark.createDataFrame(pdf).coalesce(1)
     decoded = decode_messages(raw)
     return (
         decoded.groupBy("chain", "protocol")
