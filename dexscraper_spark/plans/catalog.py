@@ -958,3 +958,123 @@ def decode_binary_pipeline(spark, sf_dir):
              sum_money(F.col("volume_h24")).alias("total_volume"))
         .orderBy("chain", "protocol")
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 — ordinal assignment pivot: the reference maps the 1st..4th percentage
+# in record order onto change_5m/1h/6h/24h (scraper.py:1427-1436). Here:
+# the first 4 values per user in event order pivot onto ordinal columns.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_ordinal_pivot",
+    """
+    SELECT user_id,
+           MAX(CASE WHEN rn = 1 THEN value END) AS change_5m,
+           MAX(CASE WHEN rn = 2 THEN value END) AS change_1h,
+           MAX(CASE WHEN rn = 3 THEN value END) AS change_6h,
+           MAX(CASE WHEN rn = 4 THEN value END) AS change_24h
+    FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn <= 4
+    GROUP BY user_id
+    """,
+    survey_ref="W3",
+)
+def window_ordinal_pivot(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = (ev.select("user_id", "value", F.row_number().over(w).alias("rn"))
+              .filter(F.col("rn") <= 4))
+    return ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("change_5m"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("change_1h"),
+        F.max(F.when(F.col("rn") == 3, F.col("value"))).alias("change_6h"),
+        F.max(F.when(F.col("rn") == 4, F.col("value"))).alias("change_24h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A9 — confidence scoring + field-count arithmetic as a query: derive
+# (field_count, clusters, metadata) proxies per user, apply the exact
+# reference formula (utils.py:258-286).
+# ---------------------------------------------------------------------------
+
+@register(
+    "scoring_confidence",
+    """
+    WITH feat AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT event_type) AS INT) AS field_count,
+               CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS INT) AS clusters,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS metadata
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, field_count, clusters, metadata,
+           least(
+             least(CAST(field_count AS DOUBLE) / 10.0, 0.5)
+             + least(CAST(clusters AS DOUBLE) / 10.0, 0.3)
+             + least(CAST(metadata AS DOUBLE) / 5.0, 0.2)
+             + CASE WHEN field_count >= 5 AND clusters >= 3 AND metadata >= 1
+                    THEN 0.1 ELSE 0.0 END,
+             1.0) AS confidence_score
+    FROM feat
+    """,
+    survey_ref="A7,A9,F8,F9",
+)
+def scoring_confidence(spark, sf_dir):
+    from dexscraper_spark.functions.scoring import confidence_score
+    ev = _t(spark, sf_dir, "events")
+    feat = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").cast("int").alias("field_count"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).cast("int").alias("clusters"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("int").alias("metadata"),
+    )
+    return feat.select(
+        "user_id", "field_count", "clusters", "metadata",
+        confidence_score(F.col("field_count"), F.col("clusters"),
+                         F.col("metadata")).alias("confidence_score"))
+
+
+# ---------------------------------------------------------------------------
+# U2 — multi-strategy prefer-first fallback (protocol.py:365-423): among
+# alternative extraction strategies, the highest-priority one that yields a
+# result wins. Strategy priority: purchase > click > view per user.
+# ---------------------------------------------------------------------------
+
+@register(
+    "fallback_prefer_first",
+    """
+    SELECT user_id, event_type AS strategy, value AS picked_value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY CASE event_type WHEN 'purchase' THEN 1
+                                          WHEN 'click' THEN 2
+                                          ELSE 3 END,
+                          event_id
+               ) AS rn
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+    ) WHERE rn = 1
+    """,
+    survey_ref="U2",
+)
+def fallback_prefer_first(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    priority = (F.when(F.col("event_type") == "purchase", 1)
+                 .when(F.col("event_type") == "click", 2)
+                 .otherwise(3))
+    w = Window.partitionBy("user_id").orderBy(priority.asc(), F.col("event_id").asc())
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("strategy"),
+                F.col("value").alias("picked_value"))
+    )

@@ -1,0 +1,84 @@
+"""Filters/RankBy DSL compiler tests (mirrors the intent of the reference's
+test_config.py:82-257 — serialization goldens become predicate goldens)."""
+
+from __future__ import annotations
+
+from dexscraper_spark.config import (
+    DEX, Chain, Filters, Order, Presets, RankBy, ScrapingConfig, Timeframe,
+)
+
+
+def test_filters_to_sql_renders_all_set_bounds():
+    f = Filters(chain_ids=[Chain.SOLANA], liquidity_min=10_000,
+                volume_h24_min=50_000, txns_h24_min=100,
+                price_change_h24_max=500.0)
+    sql = f.to_sql()
+    assert "liquidity >= 10000" in sql
+    assert "volume_24h >= 50000" in sql
+    assert "txns_24h >= 100" in sql
+    assert "change_24h <= 500.0" in sql
+    assert "chain IN ('solana')" in sql
+    # unset bounds contribute nothing
+    assert "volume_6h" not in sql and "market_cap" not in sql
+
+
+def test_filters_empty_is_true():
+    assert Filters().to_sql() == "TRUE"
+
+
+def test_filters_column_map_retarget():
+    f = Filters(liquidity_min=5.0)
+    assert "l_extendedprice >= 5.0" in f.to_sql({"liquidity": "l_extendedprice"})
+
+
+def test_filters_compile_to_column_filters_rows(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(chain="solana", protocol="pumpfun", liquidity=20_000.0),
+        Row(chain="solana", protocol="orca", liquidity=1_000.0),
+        Row(chain="base", protocol="aerodrome", liquidity=99_000.0),
+    ])
+    f = Filters(chain_ids=[Chain.SOLANA], liquidity_min=10_000)
+    out = df.filter(f.to_column()).collect()
+    assert len(out) == 1 and out[0]["protocol"] == "pumpfun"
+
+
+def test_dex_membership():
+    f = Filters(dex_ids=[DEX.PUMPFUN, DEX.RAYDIUM])
+    assert "protocol IN ('pumpfun', 'raydium')" in f.to_sql()
+
+
+def test_scraping_config_apply(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(chain="solana", volume_24h=float(v), confidence_score=0.5)
+        for v in (10, 30, 20, 40)
+    ])
+    cfg = ScrapingConfig(filters=Filters(chain_ids=[Chain.SOLANA]),
+                         rank_by=RankBy.VOLUME, order=Order.DESC, limit=2)
+    out = [r["volume_24h"] for r in cfg.apply(df).collect()]
+    assert out == [40.0, 30.0]
+
+
+def test_trending_preset_tracks_timeframe():
+    cfg = Presets.trending(timeframe=Timeframe.H1)
+    assert cfg.rank_by == RankBy.TRENDING_SCORE_H1
+    assert cfg.filters.liquidity_min == 10_000
+    cfg24 = Presets.trending(timeframe=Timeframe.H24)
+    assert cfg24.rank_by == RankBy.TRENDING_SCORE_H24
+
+
+def test_gainers_preset_ranks_by_change():
+    assert Presets.gainers(timeframe=Timeframe.H6).rank_by == RankBy.PRICE_CHANGE_H6
+
+
+def test_pumpfun_preset():
+    cfg = Presets.pumpfun_trending()
+    assert DEX.PUMPFUN in cfg.filters.dex_ids
+    assert cfg.filters.max_launchpad_progress == 95.0
+    assert cfg.timeframe == Timeframe.M5
+
+
+def test_timeframe_durations():
+    assert Timeframe.M5.duration == "5 minutes"
+    assert Timeframe.H24.seconds == 86400
