@@ -1078,3 +1078,17 @@ def fallback_prefer_first(spark, sf_dir):
         .select("user_id", F.col("event_type").alias("strategy"),
                 F.col("value").alias("picked_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end tokens pipeline (SURVEY §3.1): decode → J1/J3 enrichment →
+# A7/A9 scoring → T1 top-k. Rows-only (the decode stage is not SQL-
+# expressible); the composition itself is the point.
+# ---------------------------------------------------------------------------
+
+@register("tokens_pipeline_e2e", None,
+          survey_ref="D1,S12,J1,J3,A7,A9,T1,§3.1")
+def tokens_pipeline_e2e(spark, sf_dir):
+    from dexscraper_spark.plans.tokens_pipeline import trending_top_tokens
+    tune_session(spark)
+    return trending_top_tokens(spark, n_frames=16, limit=10)
