@@ -1,0 +1,47 @@
+"""S12 — metadata pattern scan: regex-extract entities with positions from
+text, as a DataFrame operator (reference _extract_metadata_patterns,
+scraper.py:830-914).
+
+Spark-first: ``regexp_extract_all`` + ``posexplode`` emit one row per
+(entity, ordinal); dedup on (value, ordinal) mirrors the reference's
+(addr, pos) seen-set. Entirely codegen'd — on 100 TB of documents this is
+one scan pass, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+URL_PATTERN = r"(https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+)"
+BASE58_PATTERN = r"\b([1-9A-HJ-NP-Za-km-z]{32,44})\b"
+PROTOCOL_PATTERN = r"\b(pumpfun|raydium|pumpswap|orca|jupiter|meteora|uniswap|sushiswap)\b"
+AGE_PATTERN = r"\b([0-9]{1,3}[smhd])\b"
+
+
+def scan_patterns(df: DataFrame, *, id_col: str, text_col: str,
+                  kinds: dict[str, str] | None = None) -> DataFrame:
+    """Extract all pattern matches with ordinals: one output row per
+    (doc, kind, match, ordinal), deduplicated per (doc, kind, value,
+    ordinal). ``kinds`` maps kind name → regex (group 1 captured).
+    """
+    kinds = kinds or {
+        "url": URL_PATTERN,
+        "address": BASE58_PATTERN,
+        "protocol": PROTOCOL_PATTERN,
+        "age_indicator": AGE_PATTERN,
+    }
+    parts = []
+    for kind, pattern in kinds.items():
+        matches = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(kind).alias("kind"),
+                F.posexplode(matches).alias("ordinal", "value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates([id_col, "kind", "value", "ordinal"])

@@ -1092,3 +1092,111 @@ def tokens_pipeline_e2e(spark, sf_dir):
     from dexscraper_spark.plans.tokens_pipeline import trending_top_tokens
     tune_session(spark)
     return trending_top_tokens(spark, n_frames=16, limit=10)
+
+
+# ---------------------------------------------------------------------------
+# S12 — metadata pattern scan: regexp_extract_all + posexplode with
+# ordinals (the positioned-entity scan behind the proximity joins).
+# ---------------------------------------------------------------------------
+
+_SCAN_PATTERN = r"\b(spark|hash|join|merge|window)\b"
+
+
+@register(
+    "scan_metadata_patterns",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '\\b(spark|hash|join|merge|window)\\b', 1) AS l
+        FROM documents
+    ), flat AS (
+        SELECT doc_id, 'marker' AS kind, CAST(u.i - 1 AS INT) AS ordinal,
+               l[CAST(u.i AS INT)] AS value
+        FROM m, UNNEST(range(1, len(l) + 1)) AS u(i)
+    )
+    SELECT DISTINCT doc_id, kind, ordinal, value FROM flat
+    """,
+    survey_ref="S12,F12",
+)
+def scan_metadata_patterns(spark, sf_dir):
+    from dexscraper_spark.operators.metascan import scan_patterns
+    docs = _t(spark, sf_dir, "documents")
+    return scan_patterns(docs, id_col="doc_id", text_col="text",
+                         kinds={"marker": _SCAN_PATTERN}) \
+        .select("doc_id", "kind", "ordinal", "value")
+
+
+# ---------------------------------------------------------------------------
+# F10/U3/A3 — symbol extraction through the blacklist: tokenize documents,
+# normalize to uppercase symbols, drop blacklisted protocol words
+# (broadcast anti-join), frequency top-20.
+# ---------------------------------------------------------------------------
+
+def _register_blacklist_topk():
+    from dexscraper_spark.functions.lookups import SYMBOL_BLACKLIST
+    bl = ", ".join(f"'{w}'" for w in SYMBOL_BLACKLIST)
+    sql = f"""
+    WITH toks AS (
+        SELECT upper(t.tok) AS sym
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> length(x) >= 2)) AS t(tok)
+    )
+    SELECT sym, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM toks
+    WHERE sym NOT IN ({bl})
+    GROUP BY sym
+    ORDER BY occurrences DESC, sym ASC
+    LIMIT 20
+    """
+
+    @register("symbols_blacklist_topk", sql, survey_ref="F10,U3,A3,J5")
+    def symbols_blacklist_topk(spark, sf_dir):
+        from dexscraper_spark.functions.lookups import anti_join_blacklist
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.explode(F.filter(F.split(F.col("text"), r"\s+"),
+                               lambda x: F.length(x) >= 2)).alias("raw"))
+        syms = toks.select(F.upper(F.col("raw")).alias("sym"))
+        kept = anti_join_blacklist(syms, symbol_col="sym")
+        return (
+            kept.groupBy("sym")
+            .agg(F.count(F.lit(1)).alias("occurrences"))
+            .orderBy(F.col("occurrences").desc(), F.col("sym").asc())
+            .limit(20)
+        )
+
+
+_register_blacklist_topk()
+
+
+# ---------------------------------------------------------------------------
+# North-star near-dup dedup at scale: MinHash → LSH bucket candidates →
+# verified n-gram Jaccard. xxhash64-based (no DuckDB analog) → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("dedup_minhash_lsh", None, survey_ref="northstar-dedup,A8")
+def dedup_minhash_lsh(spark, sf_dir):
+    from dexscraper_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_candidates, minhash_signatures)
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=32, shingle_n=5)
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=8)
+    verified = jaccard_pairs(docs, cands, id_col="doc_id", text_col="text",
+                             shingle_n=5, threshold=0.5)
+    return verified.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# North-star ANN scale path: LSH-bucketed cosine top-k (deterministic
+# hyperplanes). Recall<1 by design → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("similarity_lsh_bucketed", None, survey_ref="northstar-similarity")
+def similarity_lsh_bucketed(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import lsh_bucketed_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, q, k=5, num_planes=8, dim=64) \
+        .select("query_id", "neighbor_id", "cosine", "rank")

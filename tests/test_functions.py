@@ -161,3 +161,35 @@ def test_lang_id_and_quality(spark):
     assert [r["l"] for r in out] == ["en", "es", "und"]
     assert out[0]["n"] == 10
     assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_base58_address_validation(spark):
+    """F13/D2: rlike pre-filter + decode-length confirmation."""
+    from dexscraper_spark.functions.lookups import (
+        base58_decodes_to_32_bytes, is_probable_base58_address)
+    sol = "So11111111111111111111111111111111111111112"
+    cases = [sol, "0OIl" + "a" * 40, "short", "J" * 43]
+    df = spark.createDataFrame([(c,) for c in cases], "addr string")
+    pre = [r["p"] for r in df.select(
+        is_probable_base58_address(F.col("addr")).alias("p")).collect()]
+    assert pre == [True, False, False, True]
+    confirmed = [r["c"] for r in df.select(
+        base58_decodes_to_32_bytes(F.col("addr")).alias("c")).collect()]
+    assert confirmed[0] is True      # the real SOL mint decodes to 32 bytes
+    assert confirmed[2] is False
+
+
+def test_blacklist_predicates(spark):
+    from dexscraper_spark.functions.lookups import (
+        is_known_symbol, not_blacklisted, not_english_word)
+    df = spark.createDataFrame(
+        [("SOL",), ("HTTP",), ("PEPE",), ("The",)], "s string")
+    rows = df.select(
+        F.col("s"), not_blacklisted(F.col("s")).alias("nb"),
+        not_english_word(F.col("s")).alias("ne"),
+        is_known_symbol(F.col("s")).alias("k")).collect()
+    got = {r["s"]: (r["nb"], r["ne"], r["k"]) for r in rows}
+    assert got["SOL"] == (True, True, True)
+    assert got["HTTP"] == (False, True, False)
+    assert got["PEPE"] == (True, True, True)
+    assert got["The"] == (True, False, False)
