@@ -1,0 +1,229 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque ``binary`` payloads + typed metadata, with decode / resize /
+frame-sample / feature-extract as Arrow-batched pandas stages.
+
+The Spark-side plumbing here is real and tested — schemas, partitioning,
+``mapInPandas`` batch shapes, exploded frame rows, feature vectors feeding
+the similarity operators. The *codec* step is pluggable: real image/audio
+libraries are not in this environment, so payloads use a deterministic
+in-repo container format (``FAKE`` header) whose decode is exact, and the
+PIL/libav paths are stubbed behind import guards that raise a clearly
+marked ``NotImplementedError``.
+
+Scale notes:
+* payloads never leave executors: every stage is mapInPandas over binary
+  columns — Arrow moves bytes zero-copy, no driver collection.
+* metadata is a typed struct column, so pruning works: a query over
+  ``meta.width`` never deserializes payload bytes (columnar parquet).
+* frame sampling is a 1→N mapInPandas (UDTF shape) — the explode happens
+  executor-side with bounded memory per batch.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),      # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+])
+
+META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("payload_bytes", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+_MAGIC = b"FAKE"
+# container header: magic | kind u8 | width u16 | height u16 | channels u8 |
+# sample_rate u32 | n_frames u16
+_HEADER = "<4sBHHBIH"
+_KINDS = {0: "image", 1: "audio", 2: "video"}
+_KIND_IDS = {v: k for k, v in _KINDS.items()}
+
+
+def encode_fake_media(kind: str, *, width: int = 0, height: int = 0,
+                      channels: int = 0, sample_rate: int = 0,
+                      n_frames: int = 1, body: bytes = b"") -> bytes:
+    return struct.pack(_HEADER, _MAGIC, _KIND_IDS[kind], width, height,
+                       channels, sample_rate, n_frames) + body
+
+
+def _parse_header(payload: bytes) -> dict | None:
+    size = struct.calcsize(_HEADER)
+    if payload is None or len(payload) < size:
+        return None
+    magic, kind_id, w, h, ch, sr, nf = struct.unpack(_HEADER, payload[:size])
+    if magic != _MAGIC:
+        return None
+    return {"format": "fake", "kind": _KINDS.get(kind_id), "width": w,
+            "height": h, "channels": ch, "sample_rate": sr, "n_frames": nf,
+            "body": payload[size:]}
+
+
+def _decode_real_image(payload: bytes) -> dict:
+    """Real-codec path — requires PIL, which is not in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "STUB: real image decode needs PIL; install pillow or use the "
+            "deterministic FAKE container format") from e
+    raise NotImplementedError("real decode wired when PIL is present")
+
+
+def synthetic_media(spark, n: int = 12) -> DataFrame:
+    """Deterministic media table: images, audio clips, and videos."""
+    import pandas as pd
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, c = 16 + i, 9 + i, 3
+            body = bytes((x * (i + 1)) % 251 for x in range(w * h * c))
+            payload = encode_fake_media(kind, width=w, height=h, channels=c,
+                                        body=body)
+        elif kind == "audio":
+            sr, samples = 8000, 160
+            body = bytes((x * (i + 3)) % 253 for x in range(samples))
+            payload = encode_fake_media(kind, sample_rate=sr, channels=1,
+                                        body=body)
+        else:
+            nf, w, h = 4 + i % 3, 8, 6
+            body = bytes((x * (i + 5)) % 249 for x in range(nf * w * h))
+            payload = encode_fake_media(kind, width=w, height=h, channels=1,
+                                        n_frames=nf, body=body)
+        rows.append((i, kind, payload))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """payload → typed metadata struct columns (+ payload passthrough)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                hdr = _parse_header(bytes(payload)) if payload is not None else None
+                out.append({
+                    "media_id": int(mid), "kind": kind,
+                    "format": hdr["format"] if hdr else None,
+                    "width": hdr["width"] if hdr else None,
+                    "height": hdr["height"] if hdr else None,
+                    "channels": hdr["channels"] if hdr else None,
+                    "sample_rate": hdr["sample_rate"] if hdr else None,
+                    "n_frames": hdr["n_frames"] if hdr else None,
+                    "payload_bytes": len(payload) if payload is not None else 0,
+                    "payload": payload,
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in META_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=META_SCHEMA)
+
+
+def resize_images(media: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Deterministic downsample of FAKE images: keep every ``factor``-th
+    pixel per axis; header rewritten with new dims. Binary→binary batch
+    stage — the shape real resize kernels plug into."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                hdr = _parse_header(bytes(payload)) if payload is not None else None
+                if not hdr or hdr["kind"] != "image":
+                    continue
+                w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+                nw, nh = max(w // factor, 1), max(h // factor, 1)
+                body = hdr["body"]
+                new_body = bytearray()
+                for y in range(0, nh * factor, factor):
+                    for x in range(0, nw * factor, factor):
+                        px = (y * w + x) * c
+                        new_body += body[px:px + c]
+                out.append({
+                    "media_id": int(mid), "kind": kind,
+                    "payload": encode_fake_media("image", width=nw, height=nh,
+                                                 channels=c, body=bytes(new_body)),
+                })
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
+    """Video → exploded frame rows (1→N mapInPandas, UDTF shape)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = _parse_header(bytes(payload)) if payload is not None else None
+                if not hdr or hdr["kind"] != "video":
+                    continue
+                w, h, nf = hdr["width"], hdr["height"], hdr["n_frames"]
+                frame_bytes = w * h * max(hdr["channels"], 1)
+                for fi in range(0, nf, every):
+                    start = fi * frame_bytes
+                    out.append({"media_id": int(mid), "frame_index": fi,
+                                "frame": hdr["body"][start:start + frame_bytes]})
+            yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
+    """payload → deterministic feature vector (byte-histogram projection) —
+    a stand-in with the exact schema/batch shape of a real embedding model;
+    output feeds operators.similarity directly."""
+    import pandas as pd
+
+    def embed(payload: bytes) -> list[float]:
+        hdr = _parse_header(payload)
+        body = hdr["body"] if hdr else (payload or b"")
+        hist = [0.0] * dim
+        for i, b in enumerate(body):
+            hist[b % dim] += 1.0
+        total = sum(hist) or 1.0
+        return [v / total for v in hist]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = [{"media_id": int(m), "kind": k,
+                    "embedding": embed(bytes(p) if p is not None else b"")}
+                   for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])]
+            yield pd.DataFrame(out, columns=["media_id", "kind", "embedding"])
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1200,3 +1200,31 @@ def similarity_lsh_bucketed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(emb, q, k=5, num_planes=8, dim=64) \
         .select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# North-star multimodal pipeline: synthetic media → metadata decode →
+# feature extraction → per-kind stats + ANN over media embeddings.
+# Binary payloads + pandas stages → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("multimodal_pipeline", None, survey_ref="northstar-multimodal,D1")
+def multimodal_pipeline(spark, sf_dir):
+    from dexscraper_spark.operators.multimodal import (
+        decode_media_meta, extract_features, synthetic_media)
+    tune_session(spark)
+    media = synthetic_media(spark, 24).coalesce(1)
+    meta = decode_media_meta(media)
+    feats = extract_features(media)
+    meta_stats = meta.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("n_frames").alias("max_frames"),
+    )
+    feat_stats = feats.select(
+        "kind", F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+        .alias("mass"))
+    feat_agg = feat_stats.groupBy("kind").agg(
+        sum_money(F.col("mass"), 6).alias("total_mass"))
+    return meta_stats.join(feat_agg, "kind").orderBy("kind")
