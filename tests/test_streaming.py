@@ -56,3 +56,35 @@ def test_streaming_ohlc_complete_mode(spark, tmp_path):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["trades"] >= 1
+
+
+def test_stateful_recent_buffer_across_batches(spark, tmp_path):
+    """R7: applyInPandasWithState keeps the last-N buffer per key across
+    micro-batches (maxFilesPerTrigger=1 → one batch per file)."""
+    from dexscraper_spark.streaming.state import recent_buffer_stats
+
+    src = str(tmp_path / "ticks")
+    # two files → two micro-batches; buffer cap 3 per key
+    spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0), ("B", 3, 5.0)],
+        "k string, o long, v double").write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("A", 4, 30.0), ("A", 5, 40.0)],
+        "k string, o long, v double").write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema("k string, o long, v double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = recent_buffer_stats(stream, key_col="k", order_col="o",
+                              value_col="v", n=3)
+    q = (out.writeStream.format("memory").queryName("buf_mem")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM buf_mem").collect()
+    # last emission for A must hold the 3 most recent of [10,20,30,40]
+    a_rows = [r for r in rows if r["key"] == "A"]
+    final_a = max(a_rows, key=lambda r: sum(r["recent_values"]))
+    assert sorted(final_a["recent_values"]) == [20.0, 30.0, 40.0]
+    assert final_a["recent_max"] == 40.0
+    b_rows = [r for r in rows if r["key"] == "B"]
+    assert b_rows and b_rows[-1]["recent_values"] == [5.0]
