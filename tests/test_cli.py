@@ -1,0 +1,45 @@
+"""CLI tests (reference parity: cli output golden substrings,
+tests/test_cli.py:294-359 style) — driven through cli.run()."""
+
+from __future__ import annotations
+
+import json
+
+
+def _run(spark, tmp_path, *argv):
+    from dexscraper_spark.cli import run
+    out = tmp_path / "out.txt"
+    rc = run([*argv, "--output", str(out), "--frames", "4"], spark=spark)
+    assert rc == 0
+    return out.read_text()
+
+
+def test_trending_json(spark, tmp_path):
+    text = _run(spark, tmp_path, "trending", "--limit", "5", "--format", "json")
+    doc = json.loads(text)
+    assert doc["type"] == "enhanced_tokens"
+    assert doc["total_extracted"] == 8  # 16 tokens, chain=solana keeps half
+    assert len(doc["tokens"]) == 5
+    tok = doc["tokens"][0]
+    assert tok["chain"] in ("solana", "base")
+    assert tok["token_address"].startswith("MINTADDR")
+
+
+def test_jsonl_format(spark, tmp_path):
+    text = _run(spark, tmp_path, "top-volume", "--limit", "3",
+                "--format", "jsonl")
+    lines = [json.loads(l) for l in text.strip().splitlines()]
+    assert len(lines) == 3
+    assert all("symbol" in l for l in lines)
+
+
+def test_prometheus_format(spark, tmp_path):
+    text = _run(spark, tmp_path, "trending", "--format", "prometheus")
+    assert "dexscraper_tokens_extracted_total 8" in text
+    assert "dexscraper_token_price_usd{" in text
+
+
+def test_table_format(spark, tmp_path):
+    text = _run(spark, tmp_path, "gainers", "--limit", "2", "--format", "table")
+    assert text.splitlines()[0].startswith("symbol")
+    assert len(text.strip().splitlines()) == 3  # header + 2 rows
