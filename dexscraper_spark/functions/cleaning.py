@@ -24,9 +24,11 @@ def clean_string(c: Column) -> Column:
     printable = F.regexp_replace(c, r"[^\x20-\x7e\t]", "")
     truncated = F.split(F.split(printable, "@").getItem(0), r"\\").getItem(0)
     has_garbage = printable.contains("@") | printable.contains("\\")
+    # Python str.strip() also removes tabs; Spark trim() is space-only
+    stripped = F.regexp_replace(printable, r"^[ \t]+|[ \t]+$", "")
     return F.when(c.isNull() | (F.length(c) == 0), F.lit("")) \
             .when(has_garbage, truncated) \
-            .otherwise(F.trim(printable))
+            .otherwise(stripped)
 
 
 def printable_projection(c: Column) -> Column:
