@@ -57,21 +57,27 @@ def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
                        char_shingles: bool = True) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy — at scale the
-    explode is the dominant cost and is purely map-side; the groupBy
-    shuffles (doc, seed) partial minima only (map-side combine).
+    xxhash64(shingle, seed=i).
 
-    Implemented without explode: min over the shingle *array* per seed via
-    array ``transform`` + ``array_min`` — zero shuffle for the signature
-    itself.
+    Implementation: explode shingles → one codegen'd ``min(xxhash64)``
+    aggregate per seed → array. The explode materializes each shingle
+    exactly once; the 32 min-aggregates are whole-stage-codegen'd and
+    partial-aggregatable (map-side combine), so the shuffle carries one
+    row per doc. The tempting zero-shuffle alternative — nested array
+    ``transform``s — evaluates higher-order functions interpreted AND
+    re-inlines the shingle expression once per seed: ~100× slower at
+    5k docs, worse at scale.
     """
     sh = _shingle_expr(text_col, shingle_n) if char_shingles \
         else word_shingles_expr(text_col, shingle_n)
-    sig = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"s -> array_min(transform({sh}, g -> xxhash64(g, s))))"
-    )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("__shingle"))
+    aggs = [F.min(F.xxhash64(F.col("__shingle"), F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature"))
 
 
 def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,

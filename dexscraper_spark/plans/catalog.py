@@ -1180,11 +1180,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     from dexscraper_spark.operators.dedup import (
         jaccard_pairs, minhash_lsh_candidates, minhash_signatures)
     docs = _t(spark, sf_dir, "documents")
+    # word 3-gram shingles + 4 bands of 8 hashes: high-similarity-only
+    # candidates (char shingles over a small shared vocabulary collide
+    # pathologically — every doc pairs with every doc)
     sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
-                              num_hashes=32, shingle_n=5)
-    cands = minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=8)
+                              num_hashes=32, shingle_n=3, char_shingles=False)
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=4)
     verified = jaccard_pairs(docs, cands, id_col="doc_id", text_col="text",
-                             shingle_n=5, threshold=0.5)
+                             shingle_n=3, char_shingles=False, threshold=0.5)
     return verified.orderBy("id_a", "id_b")
 
 
