@@ -1231,3 +1231,36 @@ def multimodal_pipeline(spark, sf_dir):
     feat_agg = feat_stats.groupBy("kind").agg(
         sum_money(F.col("mass"), 6).alias("total_mass"))
     return meta_stats.join(feat_agg, "kind").orderBy("kind")
+
+
+# ---------------------------------------------------------------------------
+# A5 × Timeframe — the m5 tumbling variant (Timeframe enum drives the
+# window duration, matching the reference's m5/h1/h6/h24 vocabulary).
+# ---------------------------------------------------------------------------
+
+@register(
+    "ohlc_5m",
+    """
+    SELECT event_type AS symbol,
+           CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_ts,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           """ + sum_money_sql("value", 6, "volume") + """,
+           CAST(COUNT(*) AS BIGINT) AS trades
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="A5,R5",
+)
+def ohlc_5m(spark, sf_dir):
+    from dexscraper_spark.config import Timeframe
+    from dexscraper_spark.operators.ohlc import ohlc_windowed
+    ev = _t(spark, sf_dir, "events")
+    bars = ohlc_windowed(
+        ev, symbol_col="event_type", ts_col="ts", price_col="value",
+        qty_col="value", order_col="event_id",
+        duration=Timeframe.M5.duration,
+    )
+    return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))

@@ -1,0 +1,45 @@
+"""Data-lake layout writers — how the engine's tables persist at 100 TB.
+
+The reference writes flat files per batch; at scale the layout IS the
+performance model:
+
+* ``write_tokens``: partition by ``chain`` (low-cardinality, the dominant
+  filter dimension — partition pruning turns chain-scoped queries into
+  directory listings), sort within files by ``confidence_score`` so
+  top-k scans stop early under parquet min/max stats.
+* ``write_ohlc``: partition by ``symbol_bucket`` (hash of symbol mod N —
+  bounded directory fan-out even with millions of symbols) + ``bar_date``;
+  time-range queries prune to day directories.
+* ``write_bucketed``: saveAsTable with ``bucketBy(key)`` — repeated joins
+  on the key (the orders⋈lineitem pattern) become shuffle-free, both
+  sides pre-clustered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_tokens(tokens: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    (tokens
+     .repartition("chain")
+     .sortWithinPartitions(F.col("confidence_score").desc_nulls_last())
+     .write.mode(mode).partitionBy("chain").parquet(path))
+
+
+def write_ohlc(bars: DataFrame, path: str, *, n_symbol_buckets: int = 64,
+               ts_col: str = "bucket_ts", mode: str = "overwrite") -> None:
+    out = (bars
+           .withColumn("symbol_bucket",
+                       F.pmod(F.xxhash64("symbol"), F.lit(n_symbol_buckets)))
+           .withColumn("bar_date", F.to_date(F.col(ts_col).cast("timestamp"))))
+    (out.repartition("symbol_bucket", "bar_date")
+     .write.mode(mode).partitionBy("symbol_bucket", "bar_date").parquet(path))
+
+
+def write_bucketed(df: DataFrame, table: str, *, key: str,
+                   n_buckets: int = 32, mode: str = "overwrite") -> None:
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))

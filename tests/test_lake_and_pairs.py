@@ -1,0 +1,61 @@
+"""Lake-layout writers + nested pairs projection tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+
+def _decoded(spark, n_frames=3):
+    import pandas as pd
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    from dexscraper_spark.sources.decode import decode_messages
+    pdf = pd.DataFrame({
+        "msg_id": range(n_frames),
+        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(n_frames)],
+    })
+    return decode_messages(spark.createDataFrame(pdf).coalesce(1))
+
+
+def test_nested_pairs_projection_and_json(spark):
+    from dexscraper_spark.plans.pairs import pairs_json, to_pairs
+    pairs = to_pairs(_decoded(spark))
+    assert pairs.schema["price"].dataType.simpleString() == \
+        "struct<current:double,usd:double,change_24h:double>"
+    doc = json.loads(pairs_json(pairs).collect()[0]["json"])
+    assert doc["price"]["usd"] > 0
+    assert doc["liquidity"]["usd"] >= 50_000
+    assert doc["volume"]["h24"] >= 1_000_000
+
+
+def test_write_tokens_partitioned_by_chain(spark, tmp_path):
+    from dexscraper_spark.sinks.lake import write_tokens
+    tokens = _decoded(spark).withColumn("confidence_score", F.lit(0.9))
+    path = str(tmp_path / "tokens_lake")
+    write_tokens(tokens, path)
+    dirs = {p.split("/")[-1] for p in glob.glob(path + "/chain=*")}
+    assert dirs == {"chain=solana", "chain=base"}
+    back = spark.read.parquet(path)
+    assert back.count() == tokens.count()
+    # partition pruning: a chain filter reads only that directory
+    plan = back.filter(F.col("chain") == "solana")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "solana" in plan
+
+
+def test_write_ohlc_partitioned_by_bucket_date(spark, tmp_path):
+    from dexscraper_spark.operators.ohlc import ohlc_windowed
+    from dexscraper_spark.sinks.lake import write_ohlc
+    from dexscraper_spark.sources.tables import load_events
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    bars = ohlc_windowed(ev, symbol_col="event_type", ts_col="ts",
+                         price_col="value", qty_col="value",
+                         order_col="event_id", duration="1 hour")
+    path = str(tmp_path / "ohlc_lake")
+    write_ohlc(bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long")),
+               path, n_symbol_buckets=8)
+    assert glob.glob(path + "/symbol_bucket=*/bar_date=*")
+    back = spark.read.parquet(path)
+    assert back.count() == bars.count()
