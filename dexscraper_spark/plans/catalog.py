@@ -144,20 +144,6 @@ def ohlc_1h(spark, sf_dir):
 
 _DSL_MAP = {"liquidity": "l_extendedprice", "txns_h24": "l_quantity",
             "price_change_h24": "l_discount"}
-_DSL_FILTERS = None
-
-
-def _dsl_filters():
-    global _DSL_FILTERS
-    if _DSL_FILTERS is None:
-        from dexscraper_spark.config import Filters
-        _DSL_FILTERS = Filters(liquidity_min=20_000.0, liquidity_max=50_000.0,
-                               txns_h24_min=10, txns_h24_max=30,
-                               price_change_h24_min=0.02,
-                               price_change_h24_max=0.08)
-    return _DSL_FILTERS
-
-
 def _register_filter_dsl():
     from dexscraper_spark.config import Filters
     f = Filters(liquidity_min=20_000.0, liquidity_max=50_000.0,
