@@ -141,3 +141,125 @@ def decode_messages(raw: DataFrame, *, payload_col: str = "payload",
             )
 
     return raw.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S6 — text-mode record scan (fallback strategy 3). Reference semantics
+# (protocol.py:203-281): printable projection → word classification
+# (protocol marker / base58-length address / UPPER symbol / name) with
+# first-wins slotting; a pair is emitted when any of name/symbol/address
+# was found.
+# ---------------------------------------------------------------------------
+
+_TEXT_PROTOCOLS = ("pumpswap", "raydium", "meteora", "jupiter", "orca", "pumpfun")
+_NAME_SKIP = ("twitter", "telegram", "website", "pump", "sol")
+
+
+def parse_text_record(chunk: bytes) -> dict | None:
+    printable = "".join(chr(b) if 32 <= b <= 126 else " " for b in chunk)
+    words = [w.strip() for w in printable.split() if len(w.strip()) >= 2]
+    if len(words) < 3:
+        return None
+    protocol = pair_address = token_name = token_symbol = token_address = ""
+    for word in words:
+        w = _clean(word)
+        if not w or len(w) < 2:
+            continue
+        lw = w.lower()
+        if any(p in lw for p in _TEXT_PROTOCOLS):
+            protocol = w
+        elif 32 <= len(w) <= 44 and w.replace("1", "").isalnum():
+            if not token_address:
+                token_address = w
+            elif not pair_address:
+                pair_address = w
+        elif w.isupper() and 2 <= len(w) <= 10 and w.isalpha():
+            if not token_symbol:
+                token_symbol = w
+        elif 3 <= len(w) <= 50 and not w.isnumeric() and not w.startswith("http"):
+            if (not token_name or len(w) > len(token_name)) \
+                    and not any(s in lw for s in _NAME_SKIP):
+                token_name = w
+    if token_name or token_symbol or len(token_address) >= 32:
+        return {
+            "chain": "solana", "protocol": protocol or "unknown",
+            "pair_address": pair_address or None,
+            "base_token_name": token_name or None,
+            "base_token_symbol": token_symbol or None,
+            "base_token_address": token_address or None,
+        }
+    return None
+
+
+# ---------------------------------------------------------------------------
+# S7/S10/S11 — sliding-window numeric cluster scan (fallback strategy 2).
+# Reference semantics (enhanced_protocol.py:78-156; scraper.py:676-754):
+# overlapping windows, unaligned f64/f32 sweeps, value-range
+# classification, keep windows with >=1 price + volume signal.
+# ---------------------------------------------------------------------------
+
+_CLS_RANGES = {
+    "price": (1e-6, 0.1),
+    "volume": (1e5, 1e7),
+    "liquidity": (1e4, 1e6),
+    "market_cap": (1e5, 5e7),
+}
+
+
+def _classify(v: float) -> str | None:
+    if not math.isfinite(v) or v == 0.0 or abs(v) in (1.0,):
+        return None
+    for name, (lo, hi) in _CLS_RANGES.items():
+        if lo <= v <= hi:
+            return name
+    return None
+
+
+def extract_numeric_clusters(payload: bytes, *, window: int = 128,
+                             step: int = 64, max_clusters: int = 20) -> list[dict]:
+    """Window scan: first qualifying value per field per window wins
+    (W6 first-wins slotting); windows qualify with both a price and a
+    volume-like signal; capped at ``max_clusters``."""
+    clusters: list[dict] = []
+    for start in range(0, max(len(payload) - window + 1, 1), step):
+        chunk = payload[start:start + window]
+        fields: dict[str, float] = {}
+        for off in range(0, len(chunk) - 7):
+            try:
+                v = struct.unpack_from("<d", chunk, off)[0]
+            except struct.error:
+                break
+            cls = _classify(v)
+            if cls and cls not in fields:
+                fields[cls] = v
+        if "price" in fields and ("volume" in fields or "liquidity" in fields):
+            clusters.append({"position": start, **fields})
+            if len(clusters) >= max_clusters:
+                break
+    return clusters
+
+
+def parse_frame_multi_strategy(payload: bytes) -> tuple[str, list[dict]]:
+    """U2 — the reference's prefer-first fallback chain
+    (protocol.py:365-423): structured records, else window clusters, else
+    text extraction. Returns (strategy, rows)."""
+    rows = parse_frame(payload)
+    if rows:
+        return "binary", rows
+    clusters = extract_numeric_clusters(payload or b"")
+    if clusters:
+        out = []
+        for c in clusters:
+            out.append({
+                "price": c.get("price"), "price_usd": c.get("price"),
+                "volume_h24": c.get("volume"),
+                "liquidity_usd": c.get("liquidity"),
+                "fdv": c.get("market_cap"),
+                "record_position": c["position"],
+            })
+        return "clusters", out
+    text = parse_text_record(payload or b"")
+    if text:
+        text["record_position"] = 0
+        return "text", [text]
+    return "none", []

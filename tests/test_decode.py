@@ -58,3 +58,52 @@ def test_zero_metrics_dropped():
               "volume_h24", "fdv", "created_at"):
         p[f] = 0.0
     assert parse_frame(make_frame([p])) == []
+
+
+def test_text_mode_fallback():
+    """S6: a pure-text frame decodes via the text strategy."""
+    from dexscraper_spark.sources.decode import parse_frame_multi_strategy
+    payload = (b"noise raydium PEPE "
+               b"7xKXtg2CW87d97TXJSDpbD5jBkheTqA83TZRuJosgAsU "
+               b"9yQNrg3DX98e08UYKTEqcE6kClifUrB94UASvKpthBtV "
+               b"SuperToken extra words here")
+    strategy, rows = parse_frame_multi_strategy(payload)
+    assert strategy == "text"
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["protocol"] == "raydium"
+    assert r["base_token_symbol"] == "PEPE"
+    assert r["base_token_address"].startswith("7xKXtg2")
+    assert r["pair_address"].startswith("9yQNrg3")
+    assert r["base_token_name"] == "SuperToken"
+
+
+def test_cluster_scan_fallback():
+    """S7/S10: raw doubles without record structure decode via window
+    clusters (price + volume in one 128-byte window)."""
+    import struct
+    from dexscraper_spark.sources.decode import parse_frame_multi_strategy
+    window = bytearray(b"\x01" * 16)            # non-text noise, kills text path
+    window += struct.pack("<d", 0.000555)       # price range
+    window += b"\x02" * 8
+    window += struct.pack("<d", 2_500_000.0)    # volume range
+    window += b"\x03" * 8
+    payload = bytes(window) + b"\x04" * 200
+    strategy, rows = parse_frame_multi_strategy(payload)
+    assert strategy == "clusters"
+    assert rows[0]["price"] == 0.000555
+    assert rows[0]["volume_h24"] == 2_500_000.0
+
+
+def test_binary_strategy_preferred():
+    """U2: structured records win over clusters/text when present."""
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    from dexscraper_spark.sources.decode import parse_frame_multi_strategy
+    strategy, rows = parse_frame_multi_strategy(make_frame(sample_pairs(2)))
+    assert strategy == "binary" and len(rows) == 2
+
+
+def test_no_strategy_yields_none():
+    from dexscraper_spark.sources.decode import parse_frame_multi_strategy
+    assert parse_frame_multi_strategy(b"\x00" * 64) == ("none", [])
+    assert parse_frame_multi_strategy(b"") == ("none", [])
