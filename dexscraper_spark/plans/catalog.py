@@ -259,7 +259,7 @@ def scalar_normalize(spark, sf_dir):
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
            strftime(o_orderdate, '%Y.%m.%d %H:%M:%S') AS mt5_ts
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
     """,
     survey_ref="K5,§2.11-datetime",
 )
@@ -267,7 +267,7 @@ def scalar_datetime(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
-                 & (F.col("o_orderdate") < F.lit("1998-01-01")))
+                 & (F.col("o_orderdate") < F.lit("1997-04-01")))
         .select(
             "o_orderkey",
             F.year("o_orderdate").cast("int").alias("order_year"),

@@ -88,3 +88,35 @@ def test_stateful_recent_buffer_across_batches(spark, tmp_path):
     assert final_a["recent_max"] == 40.0
     b_rows = [r for r in rows if r["key"] == "B"]
     assert b_rows and b_rows[-1]["recent_values"] == [5.0]
+
+
+def test_watermarked_ohlc_append_emits_closed_windows(spark, tmp_path):
+    """R6: with a watermark, append mode emits only windows the watermark
+    has closed — the final (still-open) window stays unemitted."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_ticks")
+    rows = [("X", f"2024-01-01 10:{m:02d}:00", float(m)) for m in range(0, 50, 5)]
+    rows += [("X", "2024-01-01 13:00:00", 99.0)]  # advances watermark far
+    spark.createDataFrame(rows, "sym string, ts_s string, price double") \
+        .select("sym", F.to_timestamp("ts_s").alias("ts"), "price") \
+        .write.parquet(src)
+
+    stream = spark.readStream.schema("sym string, ts timestamp, price double") \
+        .parquet(src)
+    bars = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("sym", F.window("ts", "30 minutes").alias("w"))
+        .agg(F.min("price").alias("lo"), F.max("price").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .select("sym", F.col("w.start").cast("long").alias("t0"), "lo", "hi", "n")
+    )
+    q = (bars.writeStream.format("memory").queryName("wm_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["t0"]: (r["lo"], r["hi"], r["n"])
+           for r in spark.sql("SELECT * FROM wm_mem").collect()}
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    assert base in got and got[base] == (0.0, 25.0, 6)      # 10:00-10:30 closed
+    assert base + 1800 in got and got[base + 1800] == (30.0, 45.0, 4)
+    assert base + 3600 * 3 not in got  # the 13:00 window is still open
