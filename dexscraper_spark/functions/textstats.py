@@ -48,7 +48,8 @@ def bpe_ish_token_count(text: Column) -> Column:
     subword = F.aggregate(
         pieces, F.lit(0),
         lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / 4.0).cast("int"), F.lit(1)))
-    punct = F.size(F.filter(F.split(text, ""), lambda c: c.rlike(r"[^\sA-Za-z0-9]")))
+    # punct count via length diff (a per-char HOF would run interpreted)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\sA-Za-z0-9]", ""))
     return (subword + punct).cast("int")
 
 

@@ -1250,3 +1250,100 @@ def ohlc_5m(spark, sf_dir):
         duration=Timeframe.M5.duration,
     )
     return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# North-star dedup variant: embedding-cosine near-duplicate pairs —
+# brute-force verified (the LSH-bucketed path is the scale variant of the
+# same semantics). Oracle-checked: sequential-fold dot products rounded
+# half-up to 6 dp in both engines; pairs with cosine >= threshold.
+# ---------------------------------------------------------------------------
+
+_COS_DEDUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR((
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
+           ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.label = b.label
+      AND FLOOR((
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
+           ) * 1000000.0 + 0.5) / 1000000.0 >= {_COS_DEDUP_THRESHOLD}
+    """,
+    survey_ref="northstar-dedup,northstar-similarity",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import _dot, _norm
+    emb = _t(spark, sf_dir, "embeddings")
+    # blocking on label: the classic dedup-blocking trick — the pair space
+    # shrinks by the block count and the join is a hash equi-join, not a
+    # cross product (scale path: LSH buckets give the same shape unkeyed).
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                   F.col("embedding").alias("__a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
+                   F.col("embedding").alias("__b"))
+    cos_raw = _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b")))
+    cos = F.floor(cos_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_DEDUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star text: whitespace + BPE-ish token counting per document.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    """
+    WITH pieces AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                           p -> length(p) > 0) AS ps,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> length(t) > 0) AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_tokens,
+           CAST(list_sum(list_transform(ps,
+                p -> greatest(CAST(ceil(length(p) / 4.0) AS INT), 1)))
+                + (length(text) - length(regexp_replace(text, '[^\\sA-Za-z0-9]', '', 'g')))
+                AS INT) AS n_bpe_tokens
+    FROM pieces
+    """,
+    survey_ref="northstar-text",
+)
+def text_token_counts(spark, sf_dir):
+    from dexscraper_spark.functions.textstats import (
+        bpe_ish_token_count, token_count)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
