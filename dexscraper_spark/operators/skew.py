@@ -1,0 +1,53 @@
+"""Skew mitigation (SURVEY §4 scale notes): salting for hot keys.
+
+AQE's skew-join splitting handles most cases automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py); these helpers
+cover the two patterns AQE can't fix:
+
+* ``salted_agg`` — a hot *aggregation* key: one reducer owns the whole key.
+  Two-phase: groupBy(key, salt) partial → groupBy(key) final. Works for any
+  algebraic aggregate (sum/count/min/max — pass the merge form).
+* ``salted_broadcast_left`` — a hot *join* key against a dim too large to
+  broadcast: replicate the dim side per salt so the fact side spreads the
+  hot key over ``n_salts`` reducers.
+
+Salt = deterministic hash of a tiebreak column mod n (NOT rand() — rand
+breaks retries/exactly-once: a re-run task would re-salt differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, *, n_salts: int, salt_source: str,
+              salt_col: str = "__salt") -> DataFrame:
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(salt_source)),
+                                          F.lit(n_salts)).cast("int"))
+
+
+def salted_agg(df: DataFrame, *, keys: list[str], n_salts: int,
+               salt_source: str, partial_aggs: list[Column],
+               final_aggs: list[Column]) -> DataFrame:
+    """Two-phase aggregation over (keys, salt) then keys.
+
+    ``partial_aggs`` run per (key, salt); ``final_aggs`` merge partials per
+    key (e.g. partial ``sum(x) as s`` → final ``sum(s) as s``). The hot
+    key's rows land on ``n_salts`` reducers instead of one.
+    """
+    salted = with_salt(df, n_salts=n_salts, salt_source=salt_source)
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_broadcast_left(fact: DataFrame, dim: DataFrame, *, key: str,
+                          n_salts: int, salt_source: str) -> DataFrame:
+    """fact ⋈ dim on ``key`` with the fact side salted and the dim side
+    exploded across all salts — the hot key spreads over n_salts tasks.
+    Output columns: fact columns + dim non-key columns.
+    """
+    salted_fact = with_salt(fact, n_salts=n_salts, salt_source=salt_source)
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return salted_fact.join(dim_rep, [key, "__salt"]).drop("__salt")

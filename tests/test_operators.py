@@ -147,3 +147,57 @@ def test_sessionize_gap_boundaries(spark):
     assert sess[(1, 0)] == 1 and sess[(1, 100)] == 1 and sess[(1, 101)] == 1
     assert sess[(1, 300)] == 2
     assert sess[(2, 0)] == 1
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salted two-phase aggregation must be value-identical to the plain
+    one (using exact fixed-point sums so the comparison is bit-level)."""
+    from dexscraper_spark.functions.exact import cents
+    from dexscraper_spark.operators.skew import salted_agg
+    rows = [("hot", i, float(i % 97) + 0.25) for i in range(5000)]
+    rows += [(f"k{i % 7}", i, float(i) / 3.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, id long, v double")
+    plain = {r["key"]: (r["s"], r["n"]) for r in
+             df.groupBy("key").agg(
+                 F.sum(cents(F.col("v"))).alias("s"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["key"]: (r["s"], r["n"]) for r in salted_agg(
+        df, keys=["key"], n_salts=8, salt_source="id",
+        partial_aggs=[F.sum(cents(F.col("v"))).alias("ps"),
+                      F.count(F.lit(1)).alias("pn")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+    ).collect()}
+    assert plain == salted
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    from dexscraper_spark.operators.skew import salted_broadcast_left
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [("cold", i) for i in range(50)],
+        "key string, id long")
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C")], "key string, tag string")
+    plain = sorted((r["id"], r["tag"]) for r in fact.join(dim, "key").collect())
+    salted = sorted((r["id"], r["tag"]) for r in salted_broadcast_left(
+        fact, dim, key="key", n_salts=8, salt_source="id").collect())
+    assert plain == salted
+
+
+def test_ohlc_windowed_invariants_and_partition_independence(spark):
+    """low <= open/close <= high, trades = row count, and the result is
+    IDENTICAL at different parallelism (total-order open/close + exact
+    volume sums)."""
+    from dexscraper_spark.operators.ohlc import ohlc_windowed
+    from dexscraper_spark.sources.tables import load_events
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    def run(df):
+        bars = ohlc_windowed(df, symbol_col="event_type", ts_col="ts",
+                             price_col="value", qty_col="value",
+                             order_col="event_id", duration="6 hours")
+        return sorted(tuple(r) for r in bars.withColumn(
+            "bucket_ts", F.col("bucket_ts").cast("long")).collect())
+    one = run(ev.repartition(1))
+    many = run(ev.repartition(16))
+    assert one == many
+    for (_sym, _ts, o, h, l, c, _v, n) in one:
+        assert l <= o <= h and l <= c <= h and n >= 1
