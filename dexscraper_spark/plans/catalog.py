@@ -1347,3 +1347,34 @@ def text_token_counts(spark, sf_dir):
         token_count(F.col("text")).cast("int").alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension (SURVEY §2.5 note): exact interpolated percentiles — free in
+# Spark, absent from the reference. Linear interpolation on sorted values
+# in both engines; rounded half-up 6 dp as a bit-stability guard.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           FLOOR(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+           FLOOR(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ref="§2.5-extension",
+)
+def agg_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    def q(p):
+        col = F.percentile(F.col("value"), F.lit(p))
+        return (F.floor(col * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(q(0.5).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99"))
+        .orderBy("event_type")
+    )
