@@ -1378,3 +1378,71 @@ def agg_percentiles(spark, sf_dir):
         .agg(q(0.5).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# F5 — trading-data validation predicate: price ∈ (0, 1e6], volume ∈
+# [0, 1e12] (utils.py:445-469), events.value as price / value·1000 as vol.
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_trading_valid",
+    """
+    SELECT event_id, value AS price, value * 1000.0 AS volume
+    FROM events
+    WHERE value IS NOT NULL AND value > 0.0 AND value <= 1e6
+      AND value * 1000.0 >= 0.0 AND value * 1000.0 <= 1e12
+    """,
+    survey_ref="F5",
+)
+def filter_trading_valid(spark, sf_dir):
+    from dexscraper_spark.functions.validity import is_valid_trading_data
+    ev = _t(spark, sf_dir, "events")
+    priced = ev.select("event_id", F.col("value").alias("price"),
+                       (F.col("value") * 1000.0).alias("volume"))
+    return priced.filter(is_valid_trading_data(F.col("price"), F.col("volume")))
+
+
+# ---------------------------------------------------------------------------
+# R1/R5/R8 — the streaming pipeline as a catalog entry: synthetic frames →
+# file stream → decode kernel → event-time OHLC (created_at) → memory sink,
+# bounded with availableNow. Deterministic event-time output; rows-only
+# (streaming execution is not SQL-expressible for the oracle).
+# ---------------------------------------------------------------------------
+
+@register("streaming_ohlc_pipeline", None, survey_ref="R1,R4,R5,R6,R8,S1")
+def streaming_ohlc_pipeline(spark, sf_dir):
+    import tempfile
+    import pandas as pd
+    from dexscraper_spark.schemas import RAW_MESSAGES
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    from dexscraper_spark.sources.decode import decode_messages
+    tune_session(spark)
+
+    workdir = tempfile.mkdtemp(prefix="dexstream_")
+    pdf = pd.DataFrame({
+        "msg_id": range(8),
+        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(8)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{workdir}/frames")
+
+    raw = spark.readStream.schema(RAW_MESSAGES).parquet(f"{workdir}/frames")
+    decoded = decode_messages(raw)
+    bars = (
+        decoded.withColumn("ev_ts", F.timestamp_seconds(F.col("created_at")))
+        .withWatermark("ev_ts", "10 minutes")
+        .groupBy(F.col("base_token_symbol").alias("symbol"),
+                 F.window("ev_ts", "5 minutes").alias("w"))
+        .agg(F.min("price_usd").alias("low"), F.max("price_usd").alias("high"),
+             F.count(F.lit(1)).alias("trades"))
+        .select("symbol", F.col("w.start").cast("long").alias("bucket_ts"),
+                "low", "high", "trades")
+    )
+    name = "dexstream_bars"
+    q = (bars.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", f"{workdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("symbol", "bucket_ts")
