@@ -1439,7 +1439,8 @@ def streaming_ohlc_pipeline(spark, sf_dir):
         .select("symbol", F.col("w.start").cast("long").alias("bucket_ts"),
                 "low", "high", "trades")
     )
-    name = "dexstream_bars"
+    # unique per invocation: bench/driver may run this twice in a session
+    name = "dexstream_bars_" + workdir.rsplit("dexstream_", 1)[-1]
     q = (bars.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", f"{workdir}/ckpt")
