@@ -60,7 +60,11 @@ def main() -> None:
         try:
             for _ in range(2):
                 t0 = time.time()
-                build(spark, sf_dir).collect()
+                df = build(spark, sf_dir)
+                try:
+                    df.toPandas()   # Arrow-batched result fetch
+                except Exception:
+                    df.collect()    # fallback for Arrow-unfriendly schemas
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)

@@ -63,7 +63,7 @@ def test_features_feed_similarity(spark):
     ann = cosine_topk(
         feats.withColumnRenamed("media_id", "vec_id"),
         feats.withColumnRenamed("media_id", "vec_id").filter(F.col("vec_id") == 0),
-        k=3)
+        k=3, dim=FEATURE_DIM)
     got = ann.collect()
     assert len(got) == 3 and all(r["query_id"] == 0 for r in got)
 

@@ -129,7 +129,8 @@ def test_cosine_topk_self_consistency(spark):
     import math
     vecs = [(i, [math.sin(i * 0.7 + j * 0.3) for j in range(8)]) for i in range(20)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
-    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5, round_to=None)
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5, round_to=None,
+                      dim=8)
     rows = out.orderBy("rank").collect()
     assert len(rows) == 5
     assert all(r["neighbor_id"] != 0 for r in rows)
