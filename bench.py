@@ -50,6 +50,14 @@ def main() -> None:
         df.cache().count()
     warm = spark.range(1).toDF("msg_id")
     warm.mapInPandas(lambda it: it, schema="msg_id long").count()
+    # warm the Structured Streaming machinery (state store, sink registry)
+    import tempfile
+    wdir = tempfile.mkdtemp(prefix="benchwarm_")
+    spark.range(4).write.mode("overwrite").parquet(f"{wdir}/in")
+    (spark.readStream.schema("id long").parquet(f"{wdir}/in")
+     .writeStream.format("memory").queryName("benchwarm")
+     .option("checkpointLocation", f"{wdir}/ckpt")
+     .trigger(availableNow=True).start().awaitTermination(60))
 
     # Best-of-2 per query: one-shot timings on a 32-thread local JVM are
     # noisy (GC, first-touch codegen); min-of-runs is the standard steady-
