@@ -78,8 +78,6 @@ def null_free(df, string_default: str = "", numeric_default: float = 0.0):
     exprs = []
     for f in df.schema.fields:
         c = F.col(f.name)
-        if isinstance(f.dataType, type(df.schema[f.name].dataType)):
-            pass
         dt = f.dataType.simpleString()
         if dt == "string":
             default = _STRING_DEFAULTS.get(f.name, string_default)

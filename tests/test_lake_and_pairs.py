@@ -59,3 +59,26 @@ def test_write_ohlc_partitioned_by_bucket_date(spark, tmp_path):
     assert glob.glob(path + "/symbol_bucket=*/bar_date=*")
     back = spark.read.parquet(path)
     assert back.count() == bars.count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """write_bucketed pre-clusters both sides on the join key: the join
+    plan must contain no shuffle exchange (the 100 TB repeated-join
+    pattern: orders ⋈ lineitem on orderkey)."""
+    from dexscraper_spark.sinks.lake import write_bucketed
+    # warehouse.dir is a static conf → tables land in ./spark-warehouse
+    # (gitignored); dropped at the end.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(orders, "orders_b", key="o_orderkey", n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", key="o_orderkey", n_buckets=8)
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert joined.count() == lineitem.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
