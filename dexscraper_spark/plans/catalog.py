@@ -1447,3 +1447,43 @@ def streaming_ohlc_pipeline(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     return spark.table(name).orderBy("symbol", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# North-star text: composite quality score — identical arithmetic order in
+# both engines (single exact divisions, left-assoc weighted sum).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS ws
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, n,
+               CASE WHEN n > 0 THEN
+                 CAST(n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / CAST(n AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(ws) > 0 THEN
+                 CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS atl
+        FROM t
+    )
+    SELECT doc_id,
+           least(greatest(
+             (CASE WHEN n < 50 THEN CAST(n AS DOUBLE) / 50.0
+                   WHEN n > 20000 THEN 0.25 ELSE 1.0 END) * 0.4
+             + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+             + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+             0.0), 1.0) AS quality
+    FROM feats
+    """,
+    survey_ref="northstar-text,A7",
+)
+def text_quality(spark, sf_dir):
+    from dexscraper_spark.functions.textstats import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
