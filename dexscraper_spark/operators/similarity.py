@@ -120,3 +120,79 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other scale path from the north star.
+# Coarse quantizer = MLlib KMeans (deterministic seed); each vector is
+# assigned to its nearest centroid's list; a query probes only the
+# ``nprobe`` nearest lists, then ranks candidates by exact cosine.
+#
+# Scale shape: centroid assignment is one KMeans transform (JVM); the
+# probe join is an equi-join on list id — candidates ≈ corpus·nprobe/nlist
+# instead of the full corpus. The centroid table is tiny and broadcast.
+# ---------------------------------------------------------------------------
+
+def ivf_fit_assign(corpus: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", nlist: int = 16,
+                   seed: int = 42):
+    """Fit the coarse quantizer and assign every vector to a list.
+
+    Returns (assigned_df with ``__list`` column, centroids_df
+    (list_id, centroid array<double>)).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__vec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=nlist, seed=seed, featuresCol="__vec",
+                   predictionCol="__list").fit(feats)
+    assigned = model.transform(feats).drop("__vec")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>")
+    return assigned, centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, nlist: int = 16,
+             nprobe: int = 4, seed: int = 42,
+             round_to: int | None = 6) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest lists per query, exact-rank
+    candidates. Recall < 1 by design (bounded by nprobe/nlist)."""
+    assigned, centroids = ivf_fit_assign(corpus, id_col=id_col,
+                                         vec_col=vec_col, nlist=nlist,
+                                         seed=seed)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    # rank centroids per query by cosine, keep nprobe lists
+    c_cos = _dot(F.col("__qv"), F.col("centroid")) / (
+        _norm(F.col("__qv")) * _norm(F.col("centroid")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("list_id").asc())
+    probes = (
+        q.crossJoin(broadcast(centroids))
+        .withColumn("__ccos", c_cos)
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", F.col("list_id").alias("__list"))
+    )
+    cand = probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("__cv"), "__list"),
+        "__list")
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv")))
+    if round_to is not None:
+        p = float(10 ** round_to)
+        cos = F.floor(cos * p + F.lit(0.5)) / p
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1487,3 +1487,17 @@ def text_quality(spark, sf_dir):
     from dexscraper_spark.functions.textstats import quality_score
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# North-star ANN scale path #2: IVF (KMeans coarse quantizer, nprobe
+# probing). Model-fit inside → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("similarity_ivf", None, survey_ref="northstar-similarity")
+def similarity_ivf(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=5, nlist=8, nprobe=4) \
+        .select("query_id", "neighbor_id", "cosine", "rank")

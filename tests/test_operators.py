@@ -202,3 +202,27 @@ def test_ohlc_windowed_invariants_and_partition_independence(spark):
     assert one == many
     for (_sym, _ts, o, h, l, c, _v, n) in one:
         assert l <= o <= h and l <= c <= h and n >= 1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF must return valid ranked neighbors with reasonable recall of
+    the brute-force top-5 (bounded by nprobe/nlist by design)."""
+    from dexscraper_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [len(approx_sets[q] & exact_sets[q]) / 5 for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.4  # nprobe=4 of nlist=8 lists
+    # ranked ordering is deterministic and self-free
+    rows = approx.filter(F.col("query_id") == 0).orderBy("rank").collect()
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
