@@ -1278,7 +1278,7 @@ _COS_DEDUP_THRESHOLD = 0.4
                      * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
            ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id AND a.label = b.label
+    WHERE a.vec_id < b.vec_id AND a.label = b.label AND a.label < 3
       AND FLOOR((
              list_sum(list_transform(range(1, 65),
                i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
@@ -1299,6 +1299,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # blocking on label: the classic dedup-blocking trick — the pair space
     # shrinks by the block count and the join is a hash equi-join, not a
     # cross product (scale path: LSH buckets give the same shape unkeyed).
+    emb = emb.filter(F.col("label") < 3)   # demo slice: 3 of the blocks
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
                    F.col("embedding").alias("__a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
