@@ -193,3 +193,48 @@ def test_blacklist_predicates(spark):
     assert got["HTTP"] == (False, True, False)
     assert got["PEPE"] == (True, True, True)
     assert got["The"] == (True, False, False)
+
+
+def test_cluster_confidence_and_record_confidence(spark):
+    """A7 variants: cluster score (types·10 cap 60 + 10·meta)/100 cap 1;
+    record score 0.7 + 0.05·fields cap 0.95 (scraper.py:670,1371-1392)."""
+    from dexscraper_spark.functions.scoring import (
+        cluster_confidence, record_confidence)
+    out = _eval(spark, cluster_confidence(F.col("t"), F.col("m")),
+                [(3, 1), (8, 5), (0, 0)], "t int, m int")
+    assert out == [(30.0 + 10.0) / 100.0, 1.0, 0.0]
+    out2 = _eval(spark, record_confidence(F.col("f")),
+                 [(2,), (9,)], "f int")
+    assert abs(out2[0] - 0.8) < 1e-12 and out2[1] == 0.95
+
+
+def test_meaningful_row_and_printable(spark):
+    from dexscraper_spark.functions.validity import is_meaningful_row
+    from dexscraper_spark.functions.cleaning import printable_projection
+    df = spark.createDataFrame(
+        [(0.0, 0.0, "a", "b", "c"), (1.5, 0.0, None, None, None),
+         (0.0, 0.0, None, None, None)],
+        "p double, v double, s1 string, s2 string, s3 string")
+    pred = is_meaningful_row(
+        F.col("p"), F.col("v"),
+        strings=[F.col("s1"), F.col("s2"), F.col("s3")], min_strings=3)
+    out = [r["m"] for r in df.select(pred.alias("m")).collect()]
+    assert out == [True, True, False]
+    pp = _eval(spark, printable_projection(F.col("s1")),
+               [("ab\x01cd",)], "s1 string")
+    assert pp == ["ab cd"]
+
+
+def test_clean_url_strips_garbage(spark):
+    from dexscraper_spark.functions.cleaning import clean_url
+    out = _eval(spark, clean_url(F.col("u")),
+                [("https://x.com/path>>>",), ("https://y.io/a\x00b",)],
+                "u string")
+    assert out[0] == "https://x.com/path"
+    assert "\x00" not in out[1]
+
+
+def test_filters_launchpad_progress():
+    from dexscraper_spark.config import Filters
+    f = Filters(max_launchpad_progress=95.0)
+    assert "launchpad_progress <= 95.0" in f.to_sql()

@@ -116,3 +116,41 @@ def test_excel_rows(sample_token):
     assert row["symbol"] == "TEST"
     assert row["timestamp"] == DT.strftime("%Y-%m-%d %H:%M:%S")
     assert len(row) == 13
+
+
+def test_csv_export_file_roundtrip(spark, sample_ohlc, tmp_path):
+    """K3 file export round-trip (reference test_models.py:210-243):
+    distributed write.csv with header, read back identical."""
+    from pyspark.sql import functions as F
+    from dexscraper_spark.sinks.exporters import csv_ohlcv_lines
+    out = str(tmp_path / "ohlcv_csv")
+    lines = csv_ohlcv_lines(sample_ohlc)
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    back = spark.read.text(out).collect()
+    assert len(back) == 1
+    assert back[0]["value"] == lines.collect()[0]["line"]
+
+
+def test_jsonl_export_file_roundtrip(spark, sample_token, tmp_path):
+    """K2: write.json is native JSONL; nulls dropped; read-back preserves
+    the populated fields."""
+    out = str(tmp_path / "tokens_jsonl")
+    sample_token.coalesce(1).write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    row = back.collect()[0]
+    assert row["symbol"] == "TEST"
+    assert row["price"] == 0.000123
+    assert row["field_count"] == 8
+
+
+def test_format_price_and_fixed8(spark):
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.formatting import fixed8, format_price
+    df = spark.createDataFrame(
+        [(0.000123,), (1234567.89,), (None,)], "v double")
+    rows = df.select(format_price(F.col("v")).alias("p"),
+                     fixed8(F.col("v")).alias("f8")).collect()
+    assert rows[0]["p"] == "0.000123"          # trailing zeros stripped
+    assert rows[0]["f8"] == "0.00012300"       # strict sink format
+    assert rows[1]["p"] == "1,234,567.89"      # thousands separators
+    assert rows[2]["p"] == "N/A"
