@@ -95,3 +95,27 @@ def test_band_join_equals_naive_property(spark, lpos, rpos, radius):
     want = sorted((i, j) for i, lp in enumerate(lpos)
                   for j, rp in enumerate(rpos) if abs(lp - rp) <= radius)
     assert got == want
+
+
+@given(seeds=st.lists(st.integers(min_value=0, max_value=1000),
+                      min_size=1, max_size=6))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spark_decode_equals_python_decode(spark, seeds):
+    """The mapInPandas kernel must produce exactly parse_frame's rows —
+    the Arrow crossing adds/loses nothing."""
+    import pandas as pd
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    from dexscraper_spark.sources.decode import decode_messages, parse_frame
+    frames = [make_frame(sample_pairs(3, seed=s)) for s in seeds]
+    pdf = pd.DataFrame({"msg_id": range(len(frames)), "payload": frames})
+    out = decode_messages(spark.createDataFrame(pdf).coalesce(1)).collect()
+    got = sorted(
+        (r["msg_id"], r["record_position"], r["base_token_symbol"], r["price"])
+        for r in out)
+    want = []
+    for i, f in enumerate(frames):
+        for rec in parse_frame(f):
+            want.append((i, rec["record_position"],
+                         rec.get("base_token_symbol"), rec.get("price")))
+    assert got == sorted(want)
