@@ -61,11 +61,13 @@ def cluster_values(df: DataFrame, *, value_col: str, tolerance: float = 0.05,
         F.sum(new_cluster).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    from dexscraper_spark.functions.exact import avg_money
     return (
         clustered.groupBy(*parts, "cluster_id")
         .agg(
             F.min(v).alias("cluster_min"),
             F.max(v).alias("cluster_max"),
+            avg_money(v, 6).alias("cluster_avg"),
             F.count(F.lit(1)).alias("cluster_size"),
         )
         .filter(F.col("cluster_size") >= min_size)

@@ -40,6 +40,16 @@ def _f8(c: Column) -> Column:
     return F.format_string("%.8f", c)
 
 
+def _iso8601(ts) -> str | None:
+    """models.py:562: datetime.fromtimestamp(ts).isoformat(); pinned to UTC
+    so output is host-TZ-independent."""
+    from datetime import datetime, timezone
+    if ts is None:
+        return None
+    return (datetime.fromtimestamp(int(ts), tz=timezone.utc)
+            .isoformat().replace("+00:00", ""))
+
+
 def _dt(ts: Column, fmt: str) -> Column:
     return F.date_format(F.to_timestamp(ts.cast("long")), fmt)
 
@@ -208,6 +218,8 @@ def coingecko_document(tokens: DataFrame, *, order_col: str = "market_cap") -> s
             "max_supply": None,
             "ath": r["price"] * 1.2,
             "ath_change_percentage": -16.67,
+            # models.py:562-565: ISO-8601 of token.timestamp
+            "last_updated": _iso8601(r["ts"]),
         })
     return json.dumps(out, separators=(",", ":"), default=str)
 

@@ -8,9 +8,12 @@ Layout per record (reference dexscraper/protocol.py:75-137, 42-72):
     8 × little-endian float64:
         price, priceUsd, priceChangeH24, liquidityUsd, volumeH24, fdv,
         timestamp(epoch s), reserved
-Frame layout (protocol.py:381-417; scraper.py:266-273):
-    magic b"\\x00\\n1.3.0\\n" + b"pairs" marker + 20 filler bytes +
+Frame layout (protocol.py:378-391):
+    magic b"\\x00\\n1.3.0\\n" + b"pairs" marker + 4-byte header +
     fixed-size record chunks (RECORD_SIZE each, zero-padded).
+    (protocol.py:388 parses at marker+5+4; scraper.py:272's enhanced path
+    uses marker+20 — we standardize on the protocol.py framing, the one
+    the reference's own parse_message applies to every frame.)
 
 This module only *generates* test frames (the real system would receive
 them from a socket); the decoder lives in decode.py. Malformed variants
@@ -23,7 +26,7 @@ import struct
 
 MAGIC = b"\x00\n1.3.0\n"
 PAIRS_MARKER = b"pairs"
-HEADER_SKIP = 20          # scraper.py:266-273 skips marker+20
+HEADER_SKIP = 4           # protocol.py:388: pos = pairs_start + 5 + 4
 RECORD_SIZE = 512         # largest of the reference's 512/256/128 chunk sizes
 
 STRING_FIELDS = ("chain", "protocol", "pair_address", "base_token_name",

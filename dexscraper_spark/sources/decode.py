@@ -15,11 +15,19 @@ Scale notes:
   decode columns end-to-end.
 
 Parser behavior mirrors the reference semantics (not its code):
-  frame framing   protocol.py:362-428 (magic check, b"pairs"+20 skip,
-                  512/256/128 adaptive chunking keeping the max-yield split)
+  frame framing   protocol.py:378-391 (startswith-magic gate, b"pairs"+4
+                  header skip, 512/256/128 adaptive chunking keeping the
+                  max-yield split)
   record decode   protocol.py:75-200 (len-prefixed strings, clean_string,
                   >=2-char fields, 8-align, <8d metric block, non-finite →
-                  drop, meaningful-row gate, timestamp sanity < 4102444800)
+                  drop, meaningful-row gate = (price AND priceUsd) OR
+                  volumeH24 OR liquidityUsd, timestamp sanity < 4102444800)
+
+Intentional deviation: reference decode_pair (protocol.py:88-93) routes any
+chunk whose printable text contains solana/pump/raydium to text-mode parsing
+BEFORE attempting structured decode; this engine always structured-parses
+first and falls back (parse_frame_multi_strategy) — structured records carry
+strictly more information, and the inversion is deliberate, not an oversight.
 """
 
 from __future__ import annotations
@@ -84,9 +92,10 @@ def parse_record(chunk: bytes) -> dict | None:
             metrics[name] = v
     if not metrics or len(strings) < 3:
         return None
-    # meaningful-row gate (protocol.py:188-196)
-    if not any(metrics.get(k) for k in
-               ("price", "price_usd", "volume_h24", "liquidity_usd")):
+    # meaningful-row gate (protocol.py:142-147, 188-196): price_data exists
+    # only when BOTH price and priceUsd decoded; else volume or liquidity.
+    if not (("price" in metrics and "price_usd" in metrics)
+            or "volume_h24" in metrics or "liquidity_usd" in metrics):
         return None
     created = metrics.pop("created_at", None)
     created_at = int(created) if created is not None \
@@ -97,12 +106,12 @@ def parse_record(chunk: bytes) -> dict | None:
 def parse_frame(payload: bytes) -> list[dict]:
     """Frame → records, with the reference's adaptive chunking: try each
     chunk size, keep the split that yields the most valid records."""
-    if not payload or len(payload) < len(MAGIC):
+    if not payload or not payload.startswith(MAGIC):  # protocol.py:379
         return []
     idx = payload.find(PAIRS_MARKER)
     if idx < 0:
         return []
-    body = payload[idx + len(PAIRS_MARKER) + HEADER_SKIP:]
+    body = payload[idx + len(PAIRS_MARKER) + HEADER_SKIP:]  # marker+5+4
     best: list[dict] = []
     for size in CHUNK_SIZES:
         rows = []

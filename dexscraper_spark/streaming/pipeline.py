@@ -40,22 +40,35 @@ def rate_frame_stream(spark: SparkSession, *, rows_per_second: int = 4,
     synthetic wire frames through the decode kernel (R2: the 4 req/s
     reference rate limit becomes ``rowsPerSecond=4``).
 
-    The frame bytes are generated executor-side by the same pandas stage
-    that decodes them downstream in real deployments; here we synthesize
-    via a deterministic UDF on the rate value.
+    The frame bytes are generated executor-side by an Arrow-batched
+    ``mapInPandas`` stage (same batch shape as the decode kernel) — keeping
+    the engine's "decode is the only row-at-a-time Python" audit honest:
+    this stage is batch-at-a-time too, never a per-row Python UDF.
     """
-    from pyspark.sql.types import BinaryType
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
     from dexscraper_spark.sources.binary import make_frame, sample_pairs
 
-    @F.udf(BinaryType())
-    def frame_for(v: int) -> bytes:
-        return make_frame(sample_pairs(pairs_per_frame, seed=int(v) % 13))
+    out_schema = StructType([StructField("msg_id", LongType()),
+                             StructField("payload", BinaryType())])
+
+    def frame_batches(batches):
+        for pdf in batches:
+            vals = pdf["value"].astype("int64")
+            yield pd.DataFrame({
+                "msg_id": vals,
+                "payload": [
+                    make_frame(sample_pairs(pairs_per_frame, seed=int(v) % 13))
+                    for v in vals
+                ],
+            })
 
     raw = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
         .load()
-        .select(F.col("value").alias("msg_id"), frame_for("value").alias("payload"))
+        .select("value")
+        .mapInPandas(frame_batches, schema=out_schema)
     )
     return raw
 
@@ -69,17 +82,25 @@ def decoded_stream(raw: DataFrame) -> DataFrame:
 def streaming_ohlc(decoded: DataFrame, *, timeframe: Timeframe = Timeframe.M5,
                    watermark: str = "10 minutes",
                    ts_col: str = "extraction_ts") -> DataFrame:
-    """R5/R6: watermarked event-time tumbling OHLC over the decoded stream."""
+    """R5/R6: watermarked event-time tumbling OHLC over the decoded stream.
+
+    open/close ordering uses a composite key — extraction_ts is assigned
+    per micro-batch (every row in a batch ties), so (ts, msg_id,
+    record_position) provides the deterministic total order, same rule as
+    ohlc_windowed's tiebreak_col.
+    """
     price = F.col("price_usd")
+    order_key = F.struct(F.col(ts_col), F.col("msg_id"),
+                         F.col("record_position"))
     return (
         decoded.withWatermark(ts_col, watermark)
         .groupBy(F.col("base_token_symbol").alias("symbol"),
                  F.window(F.col(ts_col), timeframe.duration).alias("w"))
         .agg(
-            F.min_by(price, F.col(ts_col)).alias("open"),
+            F.min_by(price, order_key).alias("open"),
             F.max(price).alias("high"),
             F.min(price).alias("low"),
-            F.max_by(price, F.col(ts_col)).alias("close"),
+            F.max_by(price, order_key).alias("close"),
             F.sum(F.col("volume_h24")).alias("volume"),
             F.count(F.lit(1)).alias("trades"),
         )

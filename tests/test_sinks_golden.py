@@ -80,6 +80,8 @@ def test_coingecko_document(sample_token):
     assert e["market_cap_rank"] == 1
     assert abs(e["ath"] - 0.000123 * 1.2) < 1e-18
     assert e["ath_change_percentage"] == -16.67
+    # models.py:562-565: ISO-8601 of token.timestamp (UTC-pinned here)
+    assert e["last_updated"] == DT.strftime("%Y-%m-%dT%H:%M:%S")
 
 
 def test_pancakeswap_document(spark, sample_token):
