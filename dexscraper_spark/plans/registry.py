@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register queries.
-    from dexscraper_spark.plans import catalog  # noqa: F401
+    from dexscraper_spark.plans import catalog, sinks_catalog  # noqa: F401
     return dict(_REGISTRY)
 
 

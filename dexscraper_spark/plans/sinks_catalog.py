@@ -1,0 +1,229 @@
+"""Oracle-checked sink row-projections (SURVEY §2.2): the K3/K4/K5/K10 line
+formats plus the K6/K7 per-bar row shapes, registered as queries with DuckDB
+oracles so the sink layer has green CORRECTNESS rows, not only golden tests.
+
+Input bars: 1-hour OHLC over events (same derivation as ``ohlc_1h``) with
+volume at 2-decimal fixed point — %.2f of a value that is an exact multiple
+of 0.01 can never land on a round-half tie, so Java's HALF_UP
+(format_string) and DuckDB's printf round identically. Raw event doubles
+were empirically verified tie-free for %.8f/%.2f at sf0.01 and sf0.1.
+
+Reference parity: line shapes are models.py:61-77 (K3/K4/K5),
+models.py:463-524 (K6/K7 row fields), models.py:603-662 (K10 projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dexscraper_spark.functions.exact import sum_money_sql
+from dexscraper_spark.plans.registry import register
+from dexscraper_spark.session import tune_session
+
+
+def _bars(spark, sf_dir: str):
+    """Deterministic 1h OHLC bars from events, sink-ready column names."""
+    from dexscraper_spark.operators.ohlc import ohlc_windowed
+    from dexscraper_spark.sources.tables import load_table
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlc_windowed(
+        ev, symbol_col="event_type", ts_col="ts", price_col="value",
+        qty_col="value", order_col="event_id", duration="1 hour",
+        volume_scale=2,
+    )
+    return bars.withColumn("ts", F.col("bucket_ts").cast("long"))
+
+
+_BARS_CTE = f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ts,
+               arg_min(value, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, event_id) AS close,
+               {sum_money_sql('value', 2)} AS volume,
+               CAST(COUNT(*) AS BIGINT) AS trades
+        FROM events
+        GROUP BY 1, 2
+    )
+"""
+
+_STRF = {"mt5": "%Y.%m.%d %H:%M:%S", "iso": "%Y-%m-%d %H:%M:%S"}
+
+
+def _line_sql(fmt_key: str, *tail: str) -> str:
+    parts = [f"strftime(epoch_ms(ts * 1000), '{_STRF[fmt_key]}')",
+             "printf('%.8f', open)", "printf('%.8f', high)",
+             "printf('%.8f', low)", "printf('%.8f', close)", *tail]
+    return "concat_ws(',', " + ", ".join(parts) + ")"
+
+
+@register(
+    "sink_mt5",
+    _BARS_CTE + f"""
+    SELECT symbol, ts AS ts_s,
+           {_line_sql('mt5', "CAST(CAST(FLOOR(volume) AS BIGINT) AS VARCHAR)")} AS line
+    FROM bars
+    """,
+    survey_ref="K5,A5",
+)
+def sink_mt5(spark, sf_dir):
+    from dexscraper_spark.sinks.exporters import mt5_line
+    bars = _bars(spark, sf_dir)
+    return bars.select("symbol", F.col("ts").alias("ts_s"),
+                       mt5_line().alias("line"))
+
+
+@register(
+    "sink_csv_ohlcv",
+    _BARS_CTE + f"""
+    SELECT symbol, ts AS ts_s,
+           {_line_sql('iso', "printf('%.2f', volume)")} AS line
+    FROM bars
+    """,
+    survey_ref="K3,A5",
+)
+def sink_csv_ohlcv(spark, sf_dir):
+    from dexscraper_spark.sinks.exporters import csv_ohlcv_line
+    bars = _bars(spark, sf_dir)
+    return bars.select("symbol", F.col("ts").alias("ts_s"),
+                       csv_ohlcv_line().alias("line"))
+
+
+@register(
+    "sink_csv_ohlcvt",
+    _BARS_CTE + f"""
+    SELECT symbol, ts AS ts_s,
+           {_line_sql('iso', "printf('%.2f', volume)",
+                      "CAST(COALESCE(trades, CAST(FLOOR(volume / 1000.0) AS BIGINT)) AS VARCHAR)")} AS line
+    FROM bars
+    """,
+    survey_ref="K4,A5",
+)
+def sink_csv_ohlcvt(spark, sf_dir):
+    from dexscraper_spark.sinks.exporters import csv_ohlcvt_line
+    bars = _bars(spark, sf_dir)
+    return bars.select("symbol", F.col("ts").alias("ts_s"),
+                       csv_ohlcvt_line().alias("line"))
+
+
+@register(
+    "sink_tradingview_rows",
+    _BARS_CTE + """
+    SELECT symbol, ts AS t, open AS o, high AS h, low AS l, close AS c,
+           volume AS v
+    FROM bars
+    """,
+    survey_ref="K6,A5",
+)
+def sink_tradingview_rows(spark, sf_dir):
+    """K6 row shape: the per-bar fields the columnar {t,o,h,l,c,v} document
+    is assembled from (models.py:463-488)."""
+    bars = _bars(spark, sf_dir)
+    return bars.select(
+        "symbol", F.col("ts").alias("t"), F.col("open").alias("o"),
+        F.col("high").alias("h"), F.col("low").alias("l"),
+        F.col("close").alias("c"), F.col("volume").alias("v"),
+    )
+
+
+@register(
+    "sink_binance_rows",
+    _BARS_CTE + """
+    SELECT symbol,
+           ts * 1000 AS open_ms,
+           printf('%.8f', open) AS open_p,
+           printf('%.8f', high) AS high_p,
+           printf('%.8f', low) AS low_p,
+           printf('%.8f', close) AS close_p,
+           printf('%.8f', volume) AS vol_p,
+           ts * 1000 + 60000 AS close_ms,
+           printf('%.8f', volume) AS quote_vol,
+           COALESCE(trades, 1) AS n_trades,
+           printf('%.8f', volume * 0.6) AS taker_base,
+           printf('%.8f', volume * 0.6) AS taker_quote
+    FROM bars
+    """,
+    survey_ref="K7,A5",
+)
+def sink_binance_rows(spark, sf_dir):
+    """K7 row shape: one kline per bar — ms interval, %.8f price/volume
+    strings, taker volume = 0.6·V, trades null → 1 (models.py:491-524)."""
+    bars = _bars(spark, sf_dir)
+    f8 = lambda c: F.format_string("%.8f", c)  # noqa: E731
+    return bars.select(
+        "symbol",
+        (F.col("ts") * 1000).alias("open_ms"),
+        f8(F.col("open")).alias("open_p"),
+        f8(F.col("high")).alias("high_p"),
+        f8(F.col("low")).alias("low_p"),
+        f8(F.col("close")).alias("close_p"),
+        f8(F.col("volume")).alias("vol_p"),
+        (F.col("ts") * 1000 + 60000).alias("close_ms"),
+        f8(F.col("volume")).alias("quote_vol"),
+        F.coalesce(F.col("trades"), F.lit(1)).alias("n_trades"),
+        f8(F.col("volume") * 0.6).alias("taker_base"),
+        f8(F.col("volume") * 0.6).alias("taker_quote"),
+    )
+
+
+@register(
+    "sink_excel",
+    f"""
+    WITH tokens AS (
+        SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+               'User ' || CAST(user_id AS VARCHAR) AS token_name,
+               'solana' AS chain,
+               'raydium' AS protocol,
+               arg_max(value, event_id) AS price,
+               {sum_money_sql('value', 2)} AS volume_24h,
+               CAST(COUNT(*) AS BIGINT) AS txns_24h,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS makers,
+               MAX(value) AS liquidity,
+               MIN(value) AS market_cap,
+               CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(*) + 1 AS DOUBLE)
+                   AS confidence_score,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS field_count,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS ts
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT symbol, token_name, chain, protocol, price, volume_24h, txns_24h,
+           makers, liquidity, market_cap, confidence_score, field_count,
+           strftime(epoch_ms(ts * 1000), '%Y-%m-%d %H:%M:%S') AS timestamp
+    FROM tokens
+    """,
+    survey_ref="K10,A1",
+)
+def sink_excel(spark, sf_dir):
+    """K10: the 13-column Excel CSV projection (models.py:603-662) over a
+    deterministic per-user token frame derived from events."""
+    from dexscraper_spark.functions.exact import sum_money
+    from dexscraper_spark.sinks.exporters import excel_rows
+    from dexscraper_spark.sources.tables import load_table
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    tokens = ev.groupBy("user_id").agg(
+        F.max_by(F.col("value"), F.col("event_id")).alias("price"),
+        sum_money(F.col("value"), 2).alias("volume_24h"),
+        n.alias("txns_24h"),
+        F.count_distinct("event_type").cast("long").alias("makers"),
+        F.max("value").alias("liquidity"),
+        F.min("value").alias("market_cap"),
+        (n.cast("double") / (n + F.lit(1)).cast("double"))
+        .alias("confidence_score"),
+        F.count_distinct("event_type").cast("long").alias("field_count"),
+        F.max(F.unix_seconds(F.col("ts"))).alias("ts"),
+    ).select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("symbol"),
+        F.concat(F.lit("User "), F.col("user_id").cast("string"))
+        .alias("token_name"),
+        F.lit("solana").alias("chain"),
+        F.lit("raydium").alias("protocol"),
+        "price", "volume_24h", "txns_24h", "makers", "liquidity",
+        "market_cap", "confidence_score", "field_count", "ts",
+    )
+    return excel_rows(tokens)

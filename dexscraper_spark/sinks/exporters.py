@@ -58,36 +58,44 @@ def _dt(ts: Column, fmt: str) -> Column:
 # Row-line formats (distributed writes)
 # ---------------------------------------------------------------------------
 
-def mt5_lines(bars: DataFrame) -> DataFrame:
-    """K5: 'YYYY.MM.DD HH:MM:SS,O,H,L,C,intV' — no header (models.py:61-64)."""
-    line = F.concat_ws(
+def mt5_line() -> Column:
+    """K5 line Column: 'YYYY.MM.DD HH:MM:SS,O,H,L,C,intV' (models.py:61-64)."""
+    return F.concat_ws(
         ",",
         _dt(F.col("ts"), "yyyy.MM.dd HH:mm:ss"),
         _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
         _f8(F.col("close")),
         F.col("volume").cast("long").cast("string"),
     )
-    return bars.select(line.alias("line"))
 
 
-def csv_ohlcv_lines(bars: DataFrame) -> DataFrame:
-    """K3: 'YYYY-MM-DD HH:MM:SS,O,H,L,C,V(.2f)' (models.py:66-69); header
-    'DateTime,Open,High,Low,Close,Volume' added by the writer."""
-    line = F.concat_ws(
+def mt5_lines(bars: DataFrame) -> DataFrame:
+    """K5: no header; one line per bar — distributed write."""
+    return bars.select(mt5_line().alias("line"))
+
+
+def csv_ohlcv_line() -> Column:
+    """K3 line Column: 'YYYY-MM-DD HH:MM:SS,O,H,L,C,V(.2f)' (models.py:66-69)."""
+    return F.concat_ws(
         ",",
         _dt(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
         _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
         _f8(F.col("close")),
         F.format_string("%.2f", F.col("volume")),
     )
-    return bars.select(line.alias("line"))
 
 
-def csv_ohlcvt_lines(bars: DataFrame) -> DataFrame:
-    """K4: OHLCV + trades; trades null → int(volume/1000) (models.py:71-77)."""
+def csv_ohlcv_lines(bars: DataFrame) -> DataFrame:
+    """K3; header 'DateTime,Open,High,Low,Close,Volume' added by the writer."""
+    return bars.select(csv_ohlcv_line().alias("line"))
+
+
+def csv_ohlcvt_line() -> Column:
+    """K4 line Column: OHLCV + trades; trades null → int(volume/1000)
+    (models.py:71-77)."""
     trades = F.coalesce(F.col("trades"),
                         F.floor(F.col("volume") / 1000.0).cast("long"))
-    line = F.concat_ws(
+    return F.concat_ws(
         ",",
         _dt(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
         _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
@@ -95,7 +103,10 @@ def csv_ohlcvt_lines(bars: DataFrame) -> DataFrame:
         F.format_string("%.2f", F.col("volume")),
         trades.cast("string"),
     )
-    return bars.select(line.alias("line"))
+
+
+def csv_ohlcvt_lines(bars: DataFrame) -> DataFrame:
+    return bars.select(csv_ohlcvt_line().alias("line"))
 
 
 def jsonl_rows(df: DataFrame) -> DataFrame:
