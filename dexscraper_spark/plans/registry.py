@@ -40,7 +40,9 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register queries.
-    from dexscraper_spark.plans import catalog, sinks_catalog  # noqa: F401
+    from dexscraper_spark.plans import (  # noqa: F401
+        catalog, scalars_catalog, sinks_catalog,
+    )
     return dict(_REGISTRY)
 
 
