@@ -128,18 +128,46 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
 # assigned to its nearest centroid's list; a query probes only the
 # ``nprobe`` nearest lists, then ranks candidates by exact cosine.
 #
+# Build/query are SPLIT: the KMeans fit + corpus-wide assignment happen
+# once (``ivf_build``, optionally persisted to disk partitioned by list id
+# so probes prune partitions), and ``ivf_query`` only probes — the index
+# must never be refit in the query path.
+#
 # Scale shape: centroid assignment is one KMeans transform (JVM); the
 # probe join is an equi-join on list id — candidates ≈ corpus·nprobe/nlist
-# instead of the full corpus. The centroid table is tiny and broadcast.
+# instead of the full corpus. The centroid table is tiny and broadcast;
+# with an on-disk index, partition pruning means a probe reads only
+# nprobe/nlist of the corpus bytes.
 # ---------------------------------------------------------------------------
 
-def ivf_fit_assign(corpus: DataFrame, *, id_col: str = "vec_id",
-                   vec_col: str = "embedding", nlist: int = 16,
-                   seed: int = 42):
-    """Fit the coarse quantizer and assign every vector to a list.
 
-    Returns (assigned_df with ``__list`` column, centroids_df
-    (list_id, centroid array<double>)).
+class IvfIndex:
+    """A built IVF index: per-vector list assignment + centroid table.
+
+    ``assigned``: (id_col, vec_col, __list) — cached or disk-backed.
+    ``centroids``: (list_id, centroid array<double>) — tiny, broadcast at
+    query time.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame, *,
+                 id_col: str, vec_col: str, nlist: int):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.nlist = nlist
+
+    def unpersist(self):
+        self.assigned.unpersist()
+
+
+def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", nlist: int = 16,
+              seed: int = 42, cache: bool = True) -> IvfIndex:
+    """Fit the coarse quantizer once and assign every vector to a list.
+
+    ``cache=True`` persists the assignment (memory+disk) so repeated
+    queries never recompute the KMeans transform.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -148,40 +176,57 @@ def ivf_fit_assign(corpus: DataFrame, *, id_col: str = "vec_id",
         "__vec", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=nlist, seed=seed, featuresCol="__vec",
                    predictionCol="__list").fit(feats)
-    assigned = model.transform(feats).drop("__vec")
+    assigned = model.transform(feats).drop("__vec") \
+        .select(id_col, vec_col, "__list")
+    if cache:
+        assigned = assigned.persist()
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "list_id int, centroid array<double>")
-    return assigned, centroids
+    return IvfIndex(assigned, centroids, id_col=id_col, vec_col=vec_col,
+                    nlist=nlist)
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
-             vec_col: str = "embedding", k: int = 10, nlist: int = 16,
-             nprobe: int = 4, seed: int = 42,
-             round_to: int | None = 6) -> DataFrame:
-    """IVF ANN: probe the nprobe nearest lists per query, exact-rank
-    candidates. Recall < 1 by design (bounded by nprobe/nlist)."""
-    assigned, centroids = ivf_fit_assign(corpus, id_col=id_col,
-                                         vec_col=vec_col, nlist=nlist,
-                                         seed=seed)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist the index: assignment parquet partitioned by list id (probe
+    joins prune to nprobe/nlist of the files), centroid table alongside."""
+    index.assigned.write.mode("overwrite") \
+        .partitionBy("__list").parquet(f"{path}/assigned")
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str, *, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> IvfIndex:
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    nlist = centroids.count()
+    return IvfIndex(assigned, centroids, id_col=id_col, vec_col=vec_col,
+                    nlist=nlist)
+
+
+def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
+              nprobe: int = 4, round_to: int | None = 6) -> DataFrame:
+    """Probe the nprobe nearest lists per query, exact-rank candidates.
+    Recall < 1 by design (bounded by nprobe/nlist). No model fit here —
+    only the equi-join on list id against the prebuilt index."""
+    q = queries.select(F.col(index.id_col).alias("query_id"),
+                       F.col(index.vec_col).alias("__qv"))
     # rank centroids per query by cosine, keep nprobe lists
     c_cos = _dot(F.col("__qv"), F.col("centroid")) / (
         _norm(F.col("__qv")) * _norm(F.col("centroid")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("list_id").asc())
     probes = (
-        q.crossJoin(broadcast(centroids))
+        q.crossJoin(broadcast(index.centroids))
         .withColumn("__ccos", c_cos)
         .withColumn("__pr", F.row_number().over(w_probe))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", F.col("list_id").alias("__list"))
     )
     cand = probes.join(
-        assigned.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("__cv"), "__list"),
+        index.assigned.select(F.col(index.id_col).alias("neighbor_id"),
+                              F.col(index.vec_col).alias("__cv"), "__list"),
         "__list")
     cos = _dot(F.col("__qv"), F.col("__cv")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv")))
@@ -196,3 +241,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, nlist: int = 16,
+             nprobe: int = 4, seed: int = 42,
+             round_to: int | None = 6) -> DataFrame:
+    """One-shot convenience: build (uncached) + query. For any repeated
+    use, call ``ivf_build`` once and ``ivf_query`` per query instead."""
+    index = ivf_build(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist,
+                      seed=seed, cache=False)
+    return ivf_query(index, queries, k=k, nprobe=nprobe, round_to=round_to)

