@@ -1161,7 +1161,33 @@ _register_blacklist_topk()
 # verified n-gram Jaccard. xxhash64-based (no DuckDB analog) → rows-only.
 # ---------------------------------------------------------------------------
 
-@register("dedup_minhash_lsh", None, survey_ref="northstar-dedup,A8")
+@register(
+    "dedup_minhash_lsh",
+    # Oracle = EXACT all-pairs word-3-gram Jaccard >= 0.5 (DuckDB list
+    # functions). The Spark side is MinHash+LSH candidates -> verified
+    # Jaccard; on this data every qualifying pair shares at least one
+    # LSH band (recall 1.0, deterministic given fixed xxhash64 seeds), so
+    # approximate candidates + exact verification == the exact answer.
+    # The oracle is O(n^2) — fine at the driver's sf0.01 (500 docs); the
+    # Spark plan is the linear-shuffle one that survives 100 TB.
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              for i in range(1, greatest(len(words) - 2, 1) + 1)])
+                   AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+    survey_ref="northstar-dedup,A8",
+)
 def dedup_minhash_lsh(spark, sf_dir):
     from dexscraper_spark.operators.dedup import (
         jaccard_pairs, minhash_lsh_candidates, minhash_signatures)
