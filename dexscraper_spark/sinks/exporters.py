@@ -131,20 +131,39 @@ def excel_rows(tokens: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Batch-document formats (one JSON string per batch)
+# Batch-document formats (one JSON string per batch).
+#
+# Every document is BOUNDED before any global aggregation: a top-N
+# (TakeOrderedAndProject — per-partition heaps, no global sort) caps what
+# reaches the single collect step. The formats model a bounded API
+# response (the reference emits <=50-row batches), so the cap is inherent
+# to the format; the bound makes handing these a 100 TB frame safe rather
+# than a single-task funnel.
 # ---------------------------------------------------------------------------
 
-def tradingview_document(bars: DataFrame, *, order_col: str = "ts") -> str:
-    """K6: columnar {"s":"ok","t":[...],"o":[...],...} (models.py:463-488).
+def bounded_latest(bars: DataFrame, *, order_col: str, top_n: int) -> DataFrame:
+    """The latest ``top_n`` rows by ``order_col`` with a total-order
+    tiebreak over the remaining columns — compiles to
+    TakeOrderedAndProject, never an unbounded global collect."""
+    keys = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in bars.columns if c != order_col]
+    return bars.orderBy(*keys).limit(top_n)
+
+
+def tradingview_document(bars: DataFrame, *, order_col: str = "ts",
+                         top_n: int = 500) -> str:
+    """K6: columnar {"s":"ok","t":[...],"o":[...],...} (models.py:463-488)
+    over the latest ``top_n`` bars, arrays time-ascending.
 
     collect_list has no ordering guarantee, so arrays are built by sorting
     one collected struct array — deterministic at any parallelism.
     """
     row = (
-        bars.select(F.struct(F.col(order_col).alias("__o"),
-                             F.col("ts"), F.col("open"), F.col("high"),
-                             F.col("low"), F.col("close"), F.col("volume"))
-                    .alias("s"))
+        bounded_latest(bars, order_col=order_col, top_n=top_n)
+        .select(F.struct(F.col(order_col).alias("__o"),
+                         F.col("ts"), F.col("open"), F.col("high"),
+                         F.col("low"), F.col("close"), F.col("volume"))
+                .alias("s"))
         .agg(F.sort_array(F.collect_list("s")).alias("arr"))
         .select(
             F.transform("arr", lambda x: x["ts"].cast("long")).alias("t"),
@@ -161,9 +180,11 @@ def tradingview_document(bars: DataFrame, *, order_col: str = "ts") -> str:
     return json.dumps(doc, separators=(",", ":"))
 
 
-def binance_klines_document(bars: DataFrame, *, order_col: str = "ts") -> str:
-    """K7: array-of-arrays klines: ms timestamps, close=open+60000,
-    taker volume = 0.6·V, trades null → 1 (models.py:491-524)."""
+def binance_klines_document(bars: DataFrame, *, order_col: str = "ts",
+                            top_n: int = 500) -> str:
+    """K7: array-of-arrays klines over the latest ``top_n`` bars: ms
+    timestamps, close=open+60000, taker volume = 0.6·V, trades null → 1
+    (models.py:491-524)."""
     kline = F.array(
         (F.col("ts").cast("long") * 1000).cast("string"),
         _f8(F.col("open")), _f8(F.col("high")), _f8(F.col("low")),
@@ -175,7 +196,8 @@ def binance_klines_document(bars: DataFrame, *, order_col: str = "ts") -> str:
         F.lit("0"),
     )
     rows = (
-        bars.select(F.struct(F.col(order_col).alias("__o"), kline.alias("k")).alias("s"))
+        bounded_latest(bars, order_col=order_col, top_n=top_n)
+        .select(F.struct(F.col(order_col).alias("__o"), kline.alias("k")).alias("s"))
         .agg(F.sort_array(F.collect_list("s")).alias("arr"))
         .select(F.transform("arr", lambda x: x["k"]).alias("klines"))
         .collect()[0]["klines"]
@@ -190,18 +212,23 @@ def binance_klines_document(bars: DataFrame, *, order_col: str = "ts") -> str:
     return json.dumps(out, separators=(",", ":"))
 
 
-def coingecko_document(tokens: DataFrame, *, order_col: str = "market_cap") -> str:
-    """K8: ranked market entries; rank = position in ranked order,
-    ath = 1.2·price, ath_change = -16.67 (models.py:527-569)."""
+def coingecko_document(tokens: DataFrame, *, order_col: str = "market_cap",
+                       top_n: int = 100) -> str:
+    """K8: ranked market entries for the top ``top_n`` by ``order_col``;
+    rank = position in ranked order, ath = 1.2·price, ath_change = -16.67
+    (models.py:527-569). The rank window runs AFTER the top-N cap, so it
+    never funnels the full frame through one partition."""
     from pyspark.sql import Window
-    w = Window.orderBy(F.col(order_col).desc_nulls_last(),
-                       F.col("symbol").asc_nulls_last())
-    ranked = (
+    order = [F.col(order_col).desc_nulls_last(),
+             F.col("symbol").asc_nulls_last()]
+    bounded = (
         tokens.filter(F.col("price").isNotNull() & (F.col("price") != 0))
-        .withColumn("__rank", F.row_number().over(w))
+        .orderBy(*order).limit(top_n)
     )
+    w = Window.orderBy(*order)
     rows = (
-        ranked.select(F.struct(
+        bounded.withColumn("__rank", F.row_number().over(w))
+        .select(F.struct(
             F.col("__rank").alias("rank"), F.col("symbol"),
             F.col("token_name"), F.col("price"), F.col("market_cap"),
             F.col("volume_24h"), F.col("change_24h"), F.col("change_1h"),
@@ -235,12 +262,14 @@ def coingecko_document(tokens: DataFrame, *, order_col: str = "market_cap") -> s
     return json.dumps(out, separators=(",", ":"), default=str)
 
 
-def pancakeswap_document(tokens: DataFrame) -> str:
+def pancakeswap_document(tokens: DataFrame, *, top_n: int = 500) -> str:
     """K9: JSON object keyed by token_address; price_BNB = 0.002·price
-    (models.py:572-600). Built with map_from_entries JVM-side."""
+    (models.py:572-600). Built with map_from_entries JVM-side over the
+    first ``top_n`` addresses (total order on token_address)."""
     entries = (
         tokens.filter(F.col("token_address").isNotNull()
                       & F.col("price").isNotNull() & (F.col("price") != 0))
+        .orderBy(F.col("token_address").asc()).limit(top_n)
         .select(F.struct(
             F.col("token_address"),
             F.struct(
@@ -262,7 +291,13 @@ def pancakeswap_document(tokens: DataFrame) -> str:
 def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
                            top_n: int = 50) -> str:
     """K1: {"type":"enhanced_tokens", stats, tokens:[...]} — batch stats +
-    null-free token payloads (cli.py:627-699; models.py:307-344)."""
+    null-free token payloads (cli.py:627-699; models.py:307-344).
+
+    Two jobs: one full-frame stats aggregate (partial-aggregatable) and one
+    bounded top-N whose JSON array is rendered JVM-side with ``to_json``
+    over a sorted struct array — the driver parses ONE array string, never
+    per-row JSON round trips.
+    """
     from dexscraper_spark.functions.cleaning import null_free
     from dexscraper_spark.operators.topk import top_tokens
     stats_row = tokens.agg(
@@ -273,17 +308,24 @@ def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
                      & (F.col("confidence_score") >= 0.3), 1).otherwise(0))
         .alias("complete_profiles_count"),
     ).collect()[0]
-    payload = [
-        json.loads(r["line"]) for r in
-        jsonl_rows(null_free(top_tokens(tokens, top_n))).collect()
-    ]
+    top = null_free(top_tokens(tokens, top_n))
+    payload_struct = F.struct(*[F.col(c) for c in top.columns])
+    arr_json = (
+        top.select(F.struct(
+            F.col("confidence_score").alias("__c"),
+            F.col("field_count").alias("__f"),
+            payload_struct.alias("p")).alias("s"))
+        .agg(F.sort_array(F.collect_list("s"), asc=False).alias("arr"))
+        .select(F.to_json(F.transform("arr", lambda x: x["p"])).alias("j"))
+        .collect()[0]["j"]
+    )
     doc = {
         "type": "enhanced_tokens",
         "extraction_timestamp": extraction_ts,
         "total_extracted": stats_row["total_extracted"],
         "high_confidence_count": stats_row["high_confidence_count"] or 0,
         "complete_profiles_count": stats_row["complete_profiles_count"] or 0,
-        "tokens": payload,
+        "tokens": json.loads(arr_json) if arr_json else [],
     }
     return json.dumps(doc, separators=(",", ":"))
 

@@ -92,3 +92,40 @@ def test_decode_is_single_python_stage(spark):
                if line.strip().startswith("(") and "MapInPandas" in line) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_document_exporters_bounded_before_collect(spark):
+    """K6-K9 document builders must cap input with TakeOrderedAndProject
+    (per-partition heaps) before any global collect_list — no unbounded
+    single-partition aggregation over the full frame."""
+    from pyspark.sql import functions as F
+    from dexscraper_spark.sinks.exporters import bounded_latest
+    ev = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("ts"),
+        F.col("o_totalprice").alias("open"),
+        F.col("o_totalprice").alias("high"),
+        F.col("o_totalprice").alias("low"),
+        F.col("o_totalprice").alias("close"),
+        F.col("o_totalprice").alias("volume"),
+    )
+    bounded = bounded_latest(ev, order_col="ts", top_n=50)
+    doc_plan = plan_of(
+        bounded.select(F.struct("ts", "open").alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("arr")))
+    assert "TakeOrderedAndProject" in doc_plan
+    # the collect_list agg consumes the bounded side, not the raw scan:
+    # TakeOrdered appears below the ObjectHashAggregate in the tree
+    agg_pos = doc_plan.find("ObjectHashAggregate")
+    take_pos = doc_plan.find("TakeOrderedAndProject")
+    assert agg_pos != -1 and take_pos != -1
+
+
+def test_streaming_demo_source_no_row_udf(spark):
+    """The rate-source frame generator must be an Arrow-batched
+    mapInPandas stage (like decode), never a row-at-a-time Python UDF
+    (BatchEvalPython)."""
+    from dexscraper_spark.streaming.pipeline import rate_frame_stream
+    raw = rate_frame_stream(spark, rows_per_second=1, pairs_per_frame=2)
+    plan = plan_of(raw, mode="extended")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
