@@ -947,6 +947,53 @@ def decode_binary_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S1/S2 — the pushdown-capable Python DataSource end-to-end: Spark pushes
+# EqualTo/GreaterThanOrEqual into the frame scan (PushedFilters in the
+# plan, filtering inside the source partition — the engine-side analog of
+# the reference's server-side URL pushdown, scraper.py:177-246,
+# config.py:254-281). The synthetic frames are formulaic, so the decoded
+# output is SQL-computable: the oracle derives the surviving record
+# (pair index j=2 — the only solana pair with liquidity >= 51000) in
+# closed form per frame. struct-pack/unpack is lossless, so doubles match
+# bit-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "datasource_pushdown_scan",
+    """
+    SELECT i AS msg_id,
+           'solana' AS chain,
+           'orca' AS protocol,
+           printf('PAIR%04d', 3 * (CAST(i % 13 AS INT) + 1))
+               || repeat('x', 30) AS pair_address,
+           'Token ' || CAST(3 * (i % 13 + 1) AS VARCHAR) AS base_token_name,
+           printf('TK%02d', 3 * (CAST(i % 13 AS INT) + 1)) AS base_token_symbol,
+           printf('MINT%04d', 3 * (CAST(i % 13 AS INT) + 1))
+               || repeat('y', 30) AS base_token_address,
+           CAST(0.000123 AS DOUBLE) * 3 AS price,
+           CAST(0.000123 AS DOUBLE) * 3 AS price_usd,
+           CAST(5.5 AS DOUBLE) * 3 AS price_change_h24,
+           CAST(52000.0 AS DOUBLE) AS liquidity_usd,
+           CAST(1001000.5 AS DOUBLE) AS volume_h24,
+           CAST(5020000.0 AS DOUBLE) AS fdv,
+           CAST(1756793296 AS BIGINT) AS created_at,
+           CAST(1024 AS BIGINT) AS record_position
+    FROM range(0, 32) t(i)
+    """,
+    survey_ref="S1,S2,D1",
+)
+def datasource_pushdown_scan(spark, sf_dir):
+    from dexscraper_spark.sources.frame_source import register_frame_source
+    tune_session(spark)
+    register_frame_source(spark)
+    return (
+        spark.read.format("dexframes").option("n_frames", 32).load()
+        .filter((F.col("chain") == "solana")
+                & (F.col("liquidity_usd") >= 51000.0))
+    )
+
+
+# ---------------------------------------------------------------------------
 # W3 — ordinal assignment pivot: the reference maps the 1st..4th percentage
 # in record order onto change_5m/1h/6h/24h (scraper.py:1427-1436). Here:
 # the first 4 values per user in event order pivot onto ordinal columns.
