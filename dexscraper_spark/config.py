@@ -94,9 +94,11 @@ class DEX(str, Enum):
 
 
 # Column each RankBy key sorts on, in the canonical `tokens` schema.
-# trendingScore* keys fall back to confidence_score (the engine's own
-# trending proxy); the reference normalizes them onto the h24 endpoint
-# (config.py:256-264) — same one-rule normalization, expressed here.
+# trendingScore* keys rank on the engine-DERIVED trending_score (a
+# volume×change×activity blend, functions/scoring.py) — the reference can
+# only request the server-computed value (config.py:30-45), never compute
+# it; ScrapingConfig.apply derives the column on the fly when absent,
+# using the timeframe's change column (TRENDING_CHANGE_COLUMN).
 RANK_COLUMN = {
     RankBy.VOLUME: "volume_24h",
     RankBy.TRANSACTIONS: "txns_24h",
@@ -106,10 +108,18 @@ RANK_COLUMN = {
     RankBy.PRICE_CHANGE_H24: "change_24h",
     RankBy.PRICE_CHANGE_H6: "change_6h",
     RankBy.PRICE_CHANGE_H1: "change_1h",
-    RankBy.TRENDING_SCORE_M5: "confidence_score",
-    RankBy.TRENDING_SCORE_H1: "confidence_score",
-    RankBy.TRENDING_SCORE_H6: "confidence_score",
-    RankBy.TRENDING_SCORE_H24: "confidence_score",
+    RankBy.TRENDING_SCORE_M5: "trending_score",
+    RankBy.TRENDING_SCORE_H1: "trending_score",
+    RankBy.TRENDING_SCORE_H6: "trending_score",
+    RankBy.TRENDING_SCORE_H24: "trending_score",
+}
+
+# Which change column feeds the derived trending score per trending key.
+TRENDING_CHANGE_COLUMN = {
+    RankBy.TRENDING_SCORE_M5: "change_5m",
+    RankBy.TRENDING_SCORE_H1: "change_1h",
+    RankBy.TRENDING_SCORE_H6: "change_6h",
+    RankBy.TRENDING_SCORE_H24: "change_24h",
 }
 
 
@@ -259,6 +269,11 @@ class ScrapingConfig:
     def apply(self, df: DataFrame, column_map: dict[str, str] | None = None,
               rank_column: str | None = None) -> DataFrame:
         rank = rank_column or self.rank_column()
+        if rank == "trending_score" and "trending_score" not in df.columns:
+            from dexscraper_spark.functions.scoring import trending_score
+            change_col = TRENDING_CHANGE_COLUMN[self.rank_by]
+            df = df.withColumn("trending_score", trending_score(
+                F.col("volume_24h"), F.col(change_col), F.col("txns_24h")))
         c = F.col(rank)
         ordering = c.desc_nulls_last() if self.order == Order.DESC else c.asc_nulls_last()
         return df.filter(self.filters.to_column(column_map)).orderBy(ordering).limit(self.limit)

@@ -45,3 +45,35 @@ def field_count(*cols: Column) -> Column:
     return sum(
         (F.when(c.isNotNull(), 1).otherwise(0) for c in cols), start=F.lit(0)
     ).cast("int")
+
+
+def trending_score(volume: Column, change: Column, txns: Column) -> Column:
+    """Derived trending metric replacing the server-computed trendingScore*
+    the reference can only request, never compute (config.py:30-45).
+
+    Saturating rational blend — volume momentum, price change, activity:
+        0.5·v/(v+1e5) + 0.3·clamp(change/100, [-1, 1]) + 0.2·t/(t+1000)
+    Pure arithmetic (no ln/exp): bit-identical across engines and at any
+    parallelism; each term is bounded so no single metric dominates.
+    NULL metrics contribute 0.
+    """
+    v = F.coalesce(volume.cast("double"), F.lit(0.0))
+    c = F.coalesce(change.cast("double"), F.lit(0.0))
+    t = F.coalesce(txns.cast("double"), F.lit(0.0))
+    vol_term = F.when(v > 0, v / (v + F.lit(100_000.0))).otherwise(F.lit(0.0))
+    chg_term = F.greatest(F.least(c / F.lit(100.0), F.lit(1.0)), F.lit(-1.0))
+    txn_term = F.when(t > 0, t / (t + F.lit(1000.0))).otherwise(F.lit(0.0))
+    return (F.lit(0.5) * vol_term + F.lit(0.3) * chg_term
+            + F.lit(0.2) * txn_term)
+
+
+def trending_score_sql(volume: str, change: str, txns: str) -> str:
+    """DuckDB rendering of ``trending_score`` (same bits)."""
+    v = f"COALESCE(CAST({volume} AS DOUBLE), 0.0)"
+    c = f"COALESCE(CAST({change} AS DOUBLE), 0.0)"
+    t = f"COALESCE(CAST({txns} AS DOUBLE), 0.0)"
+    return (
+        f"(0.5 * (CASE WHEN {v} > 0 THEN {v} / ({v} + 100000.0) ELSE 0.0 END)"
+        f" + 0.3 * greatest(least({c} / 100.0, 1.0), -1.0)"
+        f" + 0.2 * (CASE WHEN {t} > 0 THEN {t} / ({t} + 1000.0) ELSE 0.0 END))"
+    )

@@ -332,3 +332,67 @@ def scalar_formatting(spark, sf_dir):
         # where Java HALF_UP and C half-even disagree.
         format_large_number(v * 9999991.0).alias("vol_b_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived trending score (RankBy.TRENDING_*): the volume×change×activity
+# blend the reference can only request server-side (config.py:30-45).
+# Tokens derived per user from events: volume = fixed-point day sum,
+# change = (last-first)/first·100 on the event_id order, txns = count.
+# ---------------------------------------------------------------------------
+
+def _register_rank_trending():
+    from dexscraper_spark.functions.exact import sum_money_sql
+    from dexscraper_spark.functions.scoring import trending_score_sql
+    sql = f"""
+    WITH tokens AS (
+        SELECT user_id,
+               {sum_money_sql('value', 2)} AS volume_24h,
+               arg_min(value, event_id) AS first_v,
+               arg_max(value, event_id) AS last_v,
+               CAST(COUNT(*) AS BIGINT) AS txns_24h
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, volume_24h, txns_24h,
+               CASE WHEN first_v != 0.0
+                    THEN (last_v - first_v) / first_v * 100.0
+                    ELSE 0.0 END AS change_24h
+        FROM tokens
+    )
+    SELECT user_id, volume_24h, change_24h, txns_24h,
+           {trending_score_sql('volume_24h', 'change_24h', 'txns_24h')}
+               AS trending_score
+    FROM scored
+    ORDER BY trending_score DESC, user_id ASC
+    LIMIT 20
+    """
+
+    @register("rank_trending", sql, survey_ref="T2,A7,config-trending")
+    def rank_trending(spark, sf_dir):
+        from dexscraper_spark.functions.exact import sum_money
+        from dexscraper_spark.functions.scoring import trending_score
+        ev = _t(spark, sf_dir, "events")
+        tokens = ev.groupBy("user_id").agg(
+            sum_money(F.col("value"), 2).alias("volume_24h"),
+            F.min_by(F.col("value"), F.col("event_id")).alias("first_v"),
+            F.max_by(F.col("value"), F.col("event_id")).alias("last_v"),
+            F.count(F.lit(1)).alias("txns_24h"),
+        )
+        scored = tokens.select(
+            "user_id", "volume_24h", "txns_24h",
+            F.when(F.col("first_v") != 0.0,
+                   (F.col("last_v") - F.col("first_v")) / F.col("first_v")
+                   * 100.0)
+             .otherwise(F.lit(0.0)).alias("change_24h"),
+        )
+        return (
+            scored.select(
+                "user_id", "volume_24h", "change_24h", "txns_24h",
+                trending_score(F.col("volume_24h"), F.col("change_24h"),
+                               F.col("txns_24h")).alias("trending_score"))
+            .orderBy(F.col("trending_score").desc(), F.col("user_id").asc())
+            .limit(20)
+        )
+
+
+_register_rank_trending()

@@ -103,3 +103,29 @@ def test_sql_api_matches_dataframe_api(spark):
     # top-15 by a unique-ish double; compare as sorted sets (ties possible)
     assert sorted(sql_rows) == sorted(df_rows)
     assert len(sql_rows) == 15
+
+
+def test_apply_derives_trending_score(spark):
+    """RankBy.TRENDING_* derives the volume×change×activity blend on the
+    fly (the reference can only request the server's trendingScore;
+    config.py:30-45) and ranks by it."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(chain="solana", symbol="A", volume_24h=1_000_000.0,
+            change_1h=50.0, txns_24h=5000),
+        Row(chain="solana", symbol="B", volume_24h=1_000.0,
+            change_1h=-20.0, txns_24h=10),
+        Row(chain="solana", symbol="C", volume_24h=200_000.0,
+            change_1h=900.0, txns_24h=800),
+    ])
+    cfg = ScrapingConfig(filters=Filters(chain_ids=[Chain.SOLANA]),
+                         rank_by=RankBy.TRENDING_SCORE_H1,
+                         order=Order.DESC, limit=3)
+    rows = cfg.apply(df).collect()
+    assert [r["symbol"] for r in rows] == ["A", "C", "B"]
+    # the blend: 0.5·v/(v+1e5) + 0.3·clamp(chg/100) + 0.2·t/(t+1e3)
+    a = rows[0]["trending_score"]
+    assert abs(a - (0.5 * (1e6 / 1.1e6) + 0.3 * 0.5 + 0.2 * (5000 / 6000))) < 1e-12
+    # change clamps at +100%
+    c = rows[1]["trending_score"]
+    assert abs(c - (0.5 * (2e5 / 3e5) + 0.3 * 1.0 + 0.2 * (800 / 1800))) < 1e-12
