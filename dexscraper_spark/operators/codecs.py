@@ -1,0 +1,222 @@
+"""Pure-Python image codecs for the multimodal stages — REAL formats,
+no external libraries.
+
+* BMP: uncompressed 24/32-bit BITMAPINFOHEADER (bottom-up or top-down
+  rows, 4-byte row padding).
+* PNG: 8-bit greyscale/RGB/RGBA, non-interlaced — full zlib inflate
+  (stdlib) + all five scanline filters (None/Sub/Up/Average/Paeth).
+
+Decoded output is canonical row-major top-down pixel bytes, so
+``decode_image`` gives the multimodal operators a real-codec path next to
+the deterministic FAKE container; only formats that genuinely need
+external codecs (JPEG etc.) remain behind ``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_format(data: bytes) -> str | None:
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:8] == PNG_SIGNATURE:
+        return "png"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> dict:
+    """Uncompressed 24/32-bit BMP → {width, height, channels, pixels}
+    (pixels: row-major top-down, per-pixel RGB(A) byte order)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height_raw = struct.unpack_from("<iI", data, 18)[0], \
+        struct.unpack_from("<i", data, 22)[0]
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    channels = bpp // 8
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    row_stride = (width * channels + 3) & ~3
+    out = bytearray()
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        start = pixel_off + src_row * row_stride
+        line = data[start:start + width * channels]
+        # BMP stores BGR(A); canonicalize to RGB(A)
+        for px in range(width):
+            p = px * channels
+            out.append(line[p + 2])
+            out.append(line[p + 1])
+            out.append(line[p])
+            if channels == 4:
+                out.append(line[p + 3])
+    return {"format": "bmp", "width": width, "height": height,
+            "channels": channels, "pixels": bytes(out)}
+
+
+def encode_bmp(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Canonical RGB top-down pixels → 24-bit uncompressed BMP
+    (bottom-up, padded rows) — the standard layout other tools emit."""
+    if channels != 3:
+        raise ValueError("encoder emits 24-bit BMP only")
+    row_stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in range(height - 1, -1, -1):
+        line = bytearray()
+        for px in range(width):
+            p = (row * width + px) * 3
+            line += bytes((pixels[p + 2], pixels[p + 1], pixels[p]))  # BGR
+        line += b"\x00" * (row_stride - len(line))
+        body += line
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> dict:
+    """8-bit non-interlaced PNG → {width, height, channels, pixels}
+    (top-down RGB(A)/grey bytes). Full inflate + scanline unfiltering."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG file")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if depth != 8:
+                raise ValueError(f"only 8-bit depth supported, got {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for row in range(height):
+        off = row * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:      # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up_left = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out += line
+        prev = line
+    return {"format": "png", "width": width, "height": height,
+            "channels": channels, "pixels": bytes(out)}
+
+
+def encode_png(width: int, height: int, pixels: bytes, *, channels: int = 3,
+               filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit, one filter type for all rows) — used to
+    produce real test files whose expected pixels are known independently
+    of the decoder."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for row in range(height):
+        line = bytearray(pixels[row * stride:(row + 1) * stride])
+        enc = bytearray(line)
+        if filter_type == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (line[i] - line[i - channels]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up_left = prev[i - channels] if i >= channels else 0
+                enc[i] = (line[i] - _paeth(left, prev[i], up_left)) & 0xFF
+        raw.append(filter_type)
+        raw += enc
+        prev = line
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_image(data: bytes) -> dict:
+    """Dispatch: real BMP/PNG decode; anything else raises (JPEG and
+    friends genuinely need external codecs)."""
+    fmt = sniff_format(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "png":
+        return decode_png(data)
+    raise NotImplementedError(
+        "STUB: only BMP/PNG have pure-Python decoders; JPEG etc. need a "
+        "real codec library")

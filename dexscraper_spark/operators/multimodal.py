@@ -4,11 +4,12 @@ frame-sample / feature-extract as Arrow-batched pandas stages.
 
 The Spark-side plumbing here is real and tested — schemas, partitioning,
 ``mapInPandas`` batch shapes, exploded frame rows, feature vectors feeding
-the similarity operators. The *codec* step is pluggable: real image/audio
-libraries are not in this environment, so payloads use a deterministic
-in-repo container format (``FAKE`` header) whose decode is exact, and the
-PIL/libav paths are stubbed behind import guards that raise a clearly
-marked ``NotImplementedError``.
+the similarity operators. The *codec* step has two real paths: the
+deterministic in-repo container format (``FAKE`` header) whose decode is
+exact, and pure-Python BMP/PNG decoders (operators/codecs.py — full zlib
+inflate + scanline unfiltering, no PIL needed). Only formats that
+genuinely need external codec libraries (JPEG, real audio/video) raise a
+clearly marked ``NotImplementedError``.
 
 Scale notes:
 * payloads never leave executors: every stage is mapInPandas over binary
@@ -87,15 +88,21 @@ def _parse_header(payload: bytes) -> dict | None:
             "body": payload[size:]}
 
 
-def _decode_real_image(payload: bytes) -> dict:
-    """Real-codec path — requires PIL, which is not in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "STUB: real image decode needs PIL; install pillow or use the "
-            "deterministic FAKE container format") from e
-    raise NotImplementedError("real decode wired when PIL is present")
+def _decode_real_image(payload: bytes) -> dict | None:
+    """Real-codec path: pure-Python BMP/PNG decode (operators/codecs.py —
+    full zlib inflate + scanline unfiltering, no PIL). Returns the same
+    dict shape as ``_parse_header`` with decoded pixels as the body, or
+    None if the payload is neither format. JPEG and other formats that
+    genuinely need external codec libraries raise NotImplementedError
+    inside ``codecs.decode_image``."""
+    from dexscraper_spark.operators.codecs import decode_image, sniff_format
+    if sniff_format(payload) is None:
+        return None
+    img = decode_image(payload)
+    return {"format": img["format"], "kind": "image",
+            "width": img["width"], "height": img["height"],
+            "channels": img["channels"], "sample_rate": 0, "n_frames": 1,
+            "body": img["pixels"]}
 
 
 def synthetic_media(spark, n: int = 12) -> DataFrame:
@@ -134,6 +141,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 hdr = _parse_header(bytes(payload)) if payload is not None else None
+                if hdr is None and payload is not None:
+                    hdr = _decode_real_image(bytes(payload))
                 out.append({
                     "media_id": int(mid), "kind": kind,
                     "format": hdr["format"] if hdr else None,

@@ -68,10 +68,19 @@ def test_features_feed_similarity(spark):
     assert len(got) == 3 and all(r["query_id"] == 0 for r in got)
 
 
-def test_real_codec_path_is_marked_stub():
+def test_real_codec_path_decodes_bmp_and_stubs_jpeg():
+    """BMP/PNG now decode for real (pure-Python, tests/test_codecs.py);
+    only formats needing external codec libs stay stubbed."""
+    from dexscraper_spark.operators.codecs import encode_bmp
+    px = bytes(range(2 * 2 * 3))
+    img = _decode_real_image(encode_bmp(2, 2, px))
+    assert img["format"] == "bmp" and img["body"] == px
+    # non-image bytes (the FAKE container) are not the real-codec path
+    assert _decode_real_image(encode_fake_media(
+        "image", width=2, height=2, channels=1, body=b"abcd")) is None
     with pytest.raises(NotImplementedError, match="STUB"):
-        _decode_real_image(encode_fake_media("image", width=2, height=2,
-                                             channels=1, body=b"abcd"))
+        from dexscraper_spark.operators.codecs import decode_image
+        decode_image(b"\xff\xd8\xff\xe0jpegbytes")
 
 
 def test_malformed_payload_yields_null_meta(spark):
