@@ -132,6 +132,39 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
     )
 
 
+def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
+                       shingle_n: int = 3, num_bands: int = 4,
+                       max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs at scale: candidates share any 16-bit band
+    of the 64-bit fingerprint (equi-join on (band_id, band_value) — linear
+    shuffle, no cross product), verified by Hamming distance
+    (bit_count(xor)) <= ``max_hamming``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bits_per = 64 // num_bands
+    fps = simhash(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {num_bands - 1}), "
+            f"b -> (simhash >> (b * {bits_per})) & {(1 << bits_per) - 1})"
+        )).alias("band_id", "band_value"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("fp_a"), "band_id", "band_value")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("fp_b"), "band_id", "band_value")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
             shingle_n: int = 3, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: for each bit b, sum ±1 over shingle hashes'

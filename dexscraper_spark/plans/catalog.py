@@ -846,6 +846,56 @@ def dedup_distinct_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Document fingerprinting (north star): 64-bit content id per doc over the
+# normalized 30-char prefix (prefix fingerprint — catches shared-boilerplate
+# leads); docs sharing a fingerprint form dup groups. Oracle equivalence:
+# xxhash64 is injective on the distinct prefixes present, so grouping by
+# fingerprint == grouping by prefix (which DuckDB can do directly). The
+# 30-char key makes the result non-trivial at sf0.01 (23 collision groups).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_fingerprint_dups",
+    """
+    WITH keys AS (
+        SELECT doc_id, substr(lower(trim(text)), 1, 30) AS k FROM documents
+    ), groups AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM keys GROUP BY k
+    )
+    SELECT d.doc_id, g.group_size
+    FROM keys d JOIN groups g USING (k)
+    WHERE g.group_size > 1
+    """,
+    survey_ref="northstar-text,A8",
+)
+def text_fingerprint_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 30)
+    fps = docs.select("doc_id", F.xxhash64(key).alias("fp"))
+    groups = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        fps.join(groups, "fp")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (north star): 16-bit prefix-band candidates →
+# Hamming-verified. xxhash64-based fingerprints have no DuckDB analog →
+# rows-only.
+# ---------------------------------------------------------------------------
+
+@register("dedup_simhash", None, survey_ref="northstar-dedup,A8")
+def dedup_simhash(spark, sf_dir):
+    from dexscraper_spark.operators.dedup import simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, id_col="doc_id", text_col="text",
+                              max_hamming=8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (north star): brute-force cosine top-5 for the first
 # 10 vectors as queries. Dot/norm folds are sequential in both engines;
 # cosine rounded half-up to 6 dp on both sides.
@@ -923,7 +973,30 @@ def embedding_norms(spark, sf_dir):
 # single pandas stage, then aggregated relationally.
 # ---------------------------------------------------------------------------
 
-@register("decode_binary_pipeline", None, survey_ref="D1,S3,S4,S5,F3,F6")
+@register(
+    "decode_binary_pipeline",
+    # Closed-form oracle: the synthetic frames are formulaic (16 frames x
+    # 4 pairs; chain/protocol/volume depend only on the pair index j), and
+    # struct-pack/unpack round-trips doubles losslessly, so the decoded
+    # aggregate is computable without a decoder.
+    f"""
+    WITH pairs AS (
+        SELECT f.i AS msg_id, j.j AS j
+        FROM range(0, 16) f(i), range(0, 4) j(j)
+    ), rows_in AS (
+        SELECT CASE WHEN j % 2 = 0 THEN 'solana' ELSE 'base' END AS chain,
+               CASE CAST(j AS INT) WHEN 0 THEN 'pumpfun' WHEN 1 THEN 'raydium'
+                    WHEN 2 THEN 'orca' ELSE 'meteora' END AS protocol,
+               CAST(1000000.5 AS DOUBLE) + 500.0 * j AS volume_h24
+        FROM pairs
+    )
+    SELECT chain, protocol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {{sum_vol}} AS total_volume
+    FROM rows_in GROUP BY chain, protocol
+    ORDER BY chain, protocol
+    """.format(sum_vol=sum_money_sql("volume_h24", 2)),
+    survey_ref="D1,S3,S4,S5,F3,F6",
+)
 def decode_binary_pipeline(spark, sf_dir):
     import pandas as pd
     from dexscraper_spark.sources.binary import make_frame, sample_pairs

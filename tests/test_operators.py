@@ -123,6 +123,39 @@ def test_simhash_similar_texts_close(spark):
     assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
 
 
+def test_simhash_near_pairs_precision_and_pigeonhole_recall(spark):
+    """simhash_near_pairs must equal brute-force verification on the pairs
+    it returns (exact precision: every returned pair re-checks under the
+    same fingerprints), and the banding guarantees recall for pairs with
+    Hamming < num_bands (pigeonhole: <4 differing bits over 4 bands means
+    some 16-bit band is identical)."""
+    from dexscraper_spark.operators.dedup import simhash, simhash_near_pairs
+    texts = [
+        "spark window aggregation over event streams",
+        "spark window aggregation over event streams!",
+        "spark window aggregation over event streams!!",
+        "zzz completely unrelated qqq material www",
+        "another disjoint vocabulary entirely different",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(docs, id_col="doc_id", text_col="text",
+                                       num_bands=4, max_hamming=8).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, id_col="doc_id", text_col="text").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for (a, b), h in got.items():
+        assert h == hamming(fps[a], fps[b]) and h <= 8  # exact precision
+    for a in fps:
+        for b in fps:
+            if a < b and hamming(fps[a], fps[b]) < 4:  # pigeonhole recall
+                assert (a, b) in got
+
+
 def test_cosine_topk_self_consistency(spark):
     """Neighbor list must be ordered by cosine desc and exclude self."""
     from dexscraper_spark.operators.similarity import cosine_topk
