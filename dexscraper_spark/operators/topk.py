@@ -33,10 +33,17 @@ def top_k(df: DataFrame, n: int, *order_cols: Column | str,
     return df.orderBy(*cols).limit(n)
 
 
-def top_tokens(tokens: DataFrame, n: int = 10) -> DataFrame:
+def top_tokens(tokens: DataFrame, n: int = 10,
+               tiebreak: str | None = None) -> DataFrame:
     """T1: the reference's exact tie-breaking — (confidence_score,
-    field_count) both descending (models.py:379-381)."""
-    return tokens.orderBy(
+    field_count) both descending (models.py:379-381). The reference keeps
+    arrival order among full ties; pass ``tiebreak`` (a unique column) for
+    a deterministic total order instead — required for reproducible LIMITs
+    under distributed execution."""
+    order = [
         F.col("confidence_score").desc_nulls_last(),
         F.col("field_count").desc_nulls_last(),
-    ).limit(n)
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return tokens.orderBy(*order).limit(n)

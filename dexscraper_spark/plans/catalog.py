@@ -1188,16 +1188,69 @@ def fallback_prefer_first(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # End-to-end tokens pipeline (SURVEY §3.1): decode → J1/J3 enrichment →
-# A7/A9 scoring → T1 top-k. Rows-only (the decode stage is not SQL-
-# expressible); the composition itself is the point.
+# A7/A9 scoring → T1 top-k. Closed-form oracle: the synthetic frames are
+# formulaic (sample_pairs — k=(rec+1)*(msg+1); struct-pack round-trips
+# doubles losslessly) and the enrichment is re-derived relationally in
+# DuckDB from the same synthetic_metadata formulas: addresses of records
+# r-2..r+1 fall inside the ±1000 band around tpos=rec*512, rank by
+# (distance, mpos, value) assigns token/pair roles, the SOL row maps to
+# quote_address. All 64 tokens tie at confidence 0.95 / field_count 9, so
+# the LIMIT needs the token_address tiebreak for a total order.
 # ---------------------------------------------------------------------------
 
-@register("tokens_pipeline_e2e", None,
-          survey_ref="D1,S12,J1,J3,A7,A9,T1,§3.1")
+@register(
+    "tokens_pipeline_e2e",
+    """
+    WITH recs AS (
+        SELECT f.i AS msg, r.j AS rec FROM range(0, 16) f(i), range(0, 4) r(j)
+    ), meta AS (  -- non-quote positioned addresses (synthetic_metadata)
+        SELECT msg, rec,
+               printf('MINTADDR%02d%02d', msg, rec) || repeat('m', 24) AS addr,
+               rec * 512 + 40 AS mpos
+        FROM recs
+        UNION ALL
+        SELECT msg, rec,
+               printf('PAIRADDR%02d%02d', msg, rec) || repeat('p', 24) AS addr,
+               rec * 512 + 120 AS mpos
+        FROM recs
+    ), cand AS (  -- J1 band join: same msg, |tpos - mpos| <= 1000
+        SELECT t.msg, t.rec, m.addr, m.mpos,
+               abs(t.rec * 512 - m.mpos) AS dist
+        FROM recs t JOIN meta m ON t.msg = m.msg
+        WHERE abs(t.rec * 512 - m.mpos) <= 1000
+    ), ranked AS (  -- J3 role ranking: (distance, position, value)
+        SELECT msg, rec, addr,
+               row_number() OVER (PARTITION BY msg, rec
+                                  ORDER BY dist, mpos, addr) AS rn
+        FROM cand
+    ), tokens AS (
+        SELECT printf('TK%02d', (recs.rec + 1) * (recs.msg + 1)) AS symbol,
+               CASE WHEN recs.rec % 2 = 0 THEN 'solana' ELSE 'base' END AS chain,
+               CASE CAST(recs.rec AS INT) WHEN 0 THEN 'pumpfun' WHEN 1 THEN 'raydium'
+                    WHEN 2 THEN 'orca' ELSE 'meteora' END AS protocol,
+               0.000123 * (recs.rec + 1) AS price_usd,
+               CAST(1000000.5 AS DOUBLE) + 500.0 * recs.rec AS volume_h24,
+               CAST(50000.0 AS DOUBLE) + 1000.0 * recs.rec AS liquidity_usd,
+               ta.addr AS token_address,
+               pa.addr AS pair_address,
+               'So11111111111111111111111111111111111111112' AS quote_address,
+               LEAST(0.7 + 0.05 * 9, 0.95) AS confidence_score,
+               CAST(9 AS INT) AS field_count
+        FROM recs
+        JOIN ranked ta ON ta.msg = recs.msg AND ta.rec = recs.rec AND ta.rn = 1
+        JOIN ranked pa ON pa.msg = recs.msg AND pa.rec = recs.rec AND pa.rn = 2
+    )
+    SELECT * FROM tokens
+    ORDER BY confidence_score DESC, field_count DESC, token_address ASC
+    LIMIT 10
+    """,
+    survey_ref="D1,S12,J1,J3,A7,A9,T1,§3.1",
+)
 def tokens_pipeline_e2e(spark, sf_dir):
     from dexscraper_spark.plans.tokens_pipeline import trending_top_tokens
     tune_session(spark)
-    return trending_top_tokens(spark, n_frames=16, limit=10)
+    return trending_top_tokens(spark, n_frames=16, limit=10,
+                               tiebreak="token_address")
 
 
 # ---------------------------------------------------------------------------
@@ -1340,10 +1393,39 @@ def similarity_lsh_bucketed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # North-star multimodal pipeline: synthetic media → metadata decode →
 # feature extraction → per-kind stats + ANN over media embeddings.
-# Binary payloads + pandas stages → rows-only.
+# Closed-form oracle: synthetic_media is formulaic — 24 items cycling
+# image/audio/video; FAKE header is 16 bytes (<4sBHHBIH); image body
+# (16+i)(9+i)*3, audio 160, video 6*8*6; header nf defaults to 1 for
+# image/audio, width to 0 for audio. Each embedding is a normalized byte
+# histogram whose fold-sum ("mass") rounds to exactly 1.0 at 6 dp, so
+# per-kind total_mass = n_items under the same fixed-point sum.
 # ---------------------------------------------------------------------------
 
-@register("multimodal_pipeline", None, survey_ref="northstar-multimodal,D1")
+@register(
+    "multimodal_pipeline",
+    f"""
+    WITH m AS (
+        SELECT i,
+               CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE CAST(i % 3 AS INT)
+                    WHEN 0 THEN 16 + (16 + i) * (9 + i) * 3
+                    WHEN 1 THEN 16 + 160 ELSE 16 + 6 * 8 * 6 END AS payload_bytes,
+               CAST(CASE CAST(i % 3 AS INT) WHEN 0 THEN 16 + i
+                    WHEN 1 THEN 0 ELSE 8 END AS INT) AS width,
+               CAST(CASE CAST(i % 3 AS INT) WHEN 2 THEN 6 ELSE 1 END AS INT)
+                   AS n_frames,
+               CAST(1.0 AS DOUBLE) AS mass
+        FROM range(0, 24) t(i)
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
+           MAX(width) AS max_width, MAX(n_frames) AS max_frames,
+           {sum_money_sql("mass", 6, "total_mass")}
+    FROM m GROUP BY kind ORDER BY kind
+    """,
+    survey_ref="northstar-multimodal,D1",
+)
 def multimodal_pipeline(spark, sf_dir):
     from dexscraper_spark.operators.multimodal import (
         decode_media_meta, extract_features, synthetic_media)
@@ -1553,11 +1635,33 @@ def filter_trading_valid(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R1/R5/R8 — the streaming pipeline as a catalog entry: synthetic frames →
 # file stream → decode kernel → event-time OHLC (created_at) → memory sink,
-# bounded with availableNow. Deterministic event-time output; rows-only
-# (streaming execution is not SQL-expressible for the oracle).
+# bounded with availableNow. Closed-form oracle: frames are formulaic
+# (sample_pairs: symbol TK{(rec+1)*(msg+1)}, price 0.000123*(rec+1),
+# created_at 1756793176+60*rec) and every created_at falls in the single
+# 5-minute window starting 1756793100, so the streaming aggregate equals a
+# batch group-by computable without a decoder or a stream.
 # ---------------------------------------------------------------------------
 
-@register("streaming_ohlc_pipeline", None, survey_ref="R1,R4,R5,R6,R8,S1")
+@register(
+    "streaming_ohlc_pipeline",
+    """
+    WITH recs AS (
+        SELECT f.i AS msg, r.j AS rec FROM range(0, 8) f(i), range(0, 4) r(j)
+    ), rows_in AS (
+        SELECT printf('TK%02d', (rec + 1) * (msg + 1)) AS symbol,
+               0.000123 * (rec + 1) AS price_usd,
+               1756793176 + 60 * rec AS created_at
+        FROM recs
+    )
+    SELECT symbol,
+           CAST(floor(created_at / 300) * 300 AS BIGINT) AS bucket_ts,
+           MIN(price_usd) AS low, MAX(price_usd) AS high,
+           CAST(COUNT(*) AS BIGINT) AS trades
+    FROM rows_in GROUP BY symbol, bucket_ts
+    ORDER BY symbol, bucket_ts
+    """,
+    survey_ref="R1,R4,R5,R6,R8,S1",
+)
 def streaming_ohlc_pipeline(spark, sf_dir):
     import tempfile
     import pandas as pd
@@ -1588,11 +1692,21 @@ def streaming_ohlc_pipeline(spark, sf_dir):
     )
     # unique per invocation: bench/driver may run this twice in a session
     name = "dexstream_bars_" + workdir.rsplit("dexstream_", 1)[-1]
-    q = (bars.writeStream.format("memory").queryName(name)
-         .outputMode("complete")
-         .option("checkpointLocation", f"{workdir}/ckpt")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # State-store partition count is pinned by shuffle.partitions at the
+    # first trigger (checkpoint-sticky) and AQE cannot coalesce stateful
+    # shuffles — size it to the session's parallelism instead of the 200
+    # default (on a real cluster: executors × cores). Scoped + restored.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (bars.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{workdir}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("symbol", "bucket_ts")
 
 
@@ -1664,4 +1778,48 @@ def similarity_ivf(spark, sf_dir):
     index = _ivf_index(spark, sf_dir, nlist=8, seed=42)
     q = emb.filter(F.col("vec_id") < 10)
     return ivf_query(index, q, k=5, nprobe=4) \
+        .select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF exactness invariant: probing ALL lists must reproduce brute-force
+# top-k bit-exactly (the standard ANN sanity gate) — same oracle SQL as
+# similarity_topk. This puts the IVF probe path itself (centroid ranking,
+# list equi-join, re-rank, tie order) under the DuckDB gate; the
+# nprobe<nlist entry above stays rows-only because recall<1 is by design.
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_ivf_full_probe",
+    """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               FLOOR((
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))
+               ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+    survey_ref="northstar-similarity",
+)
+def similarity_ivf_full_probe(spark, sf_dir):
+    from dexscraper_spark.operators.similarity import ivf_query
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf_index(spark, sf_dir, nlist=8, seed=42)
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_query(index, q, k=5, nprobe=index.nlist) \
         .select("query_id", "neighbor_id", "cosine", "rank")

@@ -84,7 +84,8 @@ def extract_tokens(raw_frames: DataFrame, metadata: DataFrame) -> DataFrame:
 
 
 def trending_top_tokens(spark: SparkSession, *, n_frames: int = 16,
-                        limit: int = 10) -> DataFrame:
+                        limit: int = 10,
+                        tiebreak: str | None = None) -> DataFrame:
     """Full pipeline on synthetic frames → top-N trending tokens."""
     import pandas as pd
     from dexscraper_spark.sources.binary import make_frame, sample_pairs
@@ -94,7 +95,7 @@ def trending_top_tokens(spark: SparkSession, *, n_frames: int = 16,
     })
     raw = spark.createDataFrame(pdf).coalesce(1)
     tokens = extract_tokens(raw, synthetic_metadata(spark, n_frames))
-    return top_tokens(tokens, limit).select(
+    return top_tokens(tokens, limit, tiebreak=tiebreak).select(
         "symbol", "chain", "protocol", "price_usd", "volume_h24",
         "liquidity_usd", "token_address", "pair_address", "quote_address",
         "confidence_score", "field_count",
