@@ -134,16 +134,27 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
 
 def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
                        shingle_n: int = 3, num_bands: int = 4,
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8,
+                       persist_fingerprints: bool = True) -> DataFrame:
     """SimHash near-dup pairs at scale: candidates share any 16-bit band
     of the 64-bit fingerprint (equi-join on (band_id, band_value) — linear
     shuffle, no cross product), verified by Hamming distance
     (bit_count(xor)) <= ``max_hamming``.
 
+    Recall: complete for ``max_hamming < num_bands`` (pigeonhole — fewer
+    differing bits than bands means some band matches exactly); above
+    that, approximate by design.
+
+    ``persist_fingerprints`` materializes the (id, simhash) table so the
+    self-join's two branches don't recompute the shingle aggregation —
+    16 bytes/doc, the same thing you'd write to disk at corpus scale.
+
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     bits_per = 64 // num_bands
     fps = simhash(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    if persist_fingerprints:
+        fps = fps.persist()
     banded = fps.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.expr(
@@ -160,21 +171,45 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
         a.join(b, ["band_id", "band_value"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # verify BEFORE dedup:
+        .distinct()                               # only near pairs shuffle
     )
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
             shingle_n: int = 3, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: for each bit b, sum ±1 over shingle hashes'
-    bit b; fingerprint bit = sign. All array expressions, zero shuffle.
+    bit b; fingerprint bit = sign.
+
+    Shape: explode shingles → hash each shingle ONCE → ``bits``
+    codegen'd SUM aggregates (partial-aggregatable, map-side combine) →
+    one projection folds the signs into the fingerprint. The interpreted
+    nested-HOF variant (re-hashing every shingle per bit) measured ~100×
+    slower at sf0.1 — same lesson as the MinHash rewrite.
     """
     sh = _shingle_expr(text_col, shingle_n)
-    fp = F.expr(
-        "aggregate(sequence(0, {bits_m1}), cast(0 as bigint), (acc, b) -> "
-        "acc + shiftleft(cast(aggregate(transform({sh}, g -> "
-        "  case when ((xxhash64(g) >> b) & 1) = 1 then 1 else -1 end), 0, "
-        "  (s, x) -> s + x) > 0 as bigint), b))".format(bits_m1=bits - 1, sh=sh)
+    # hash each shingle exactly once in a projection — putting xxhash64
+    # inside the 64 aggregate expressions re-evaluates it per bit
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(F.expr(sh)).alias("__g")
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__g").isNotNull(), F.xxhash64(F.col("__g"))).alias("__h"),
     )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    # ±1 sign-sum for bit b == 2·ones_b − n, so the aggregates are
+    # branch-free 0/1 sums (bit b via arithmetic shift+mask; b=63 = sign
+    # bit works because &1 strips the sign extension)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.coalesce(
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))),
+            F.lit(0),
+        ).alias(f"__o{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.shiftleft(
+            (2 * F.col(f"__o{b}") > F.col("__n")).cast("bigint"), b)
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))

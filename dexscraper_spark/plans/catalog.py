@@ -882,8 +882,10 @@ def text_fingerprint_dups(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs (north star): 16-bit prefix-band candidates →
-# Hamming-verified. xxhash64-based fingerprints have no DuckDB analog →
+# SimHash near-dup pairs (north star): 16-bit band candidates → Hamming-
+# verified. max_hamming=3 < num_bands=4 makes the banding COMPLETE
+# (pigeonhole), so this is the exact Hamming≤3 pair set, not an
+# approximation. xxhash64-based fingerprints have no DuckDB analog →
 # rows-only.
 # ---------------------------------------------------------------------------
 
@@ -892,7 +894,7 @@ def dedup_simhash(spark, sf_dir):
     from dexscraper_spark.operators.dedup import simhash_near_pairs
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, id_col="doc_id", text_col="text",
-                              max_hamming=8).orderBy("id_a", "id_b")
+                              max_hamming=3).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
