@@ -156,6 +156,27 @@ def test_simhash_near_pairs_precision_and_pigeonhole_recall(spark):
                 assert (a, b) in got
 
 
+def test_lsh_banded_recall_vs_brute_force(spark):
+    """Banded hyperplane LSH must recover most brute-force top-5 neighbors
+    (single-bucket LSH measured 0.0 recall here — banding is load-bearing),
+    dedup pairs colliding in several bands, and stay deterministic."""
+    from dexscraper_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    ann_df = lsh_bucketed_topk(emb, queries, k=5, num_planes=24,
+                               num_bands=8, dim=64)
+    ann_rows = ann_df.collect()
+    ann = {(r["query_id"], r["neighbor_id"]) for r in ann_rows}
+    assert len(ann_rows) == len(ann)  # band dedup: no repeated pairs
+    assert len(exact & ann) / len(exact) >= 0.7  # measured 0.84
+    # deterministic across runs (plane cache + pure per-row signature)
+    again = {(r["query_id"], r["neighbor_id"]) for r in ann_df.collect()}
+    assert again == ann
+
+
 def test_cosine_topk_self_consistency(spark):
     """Neighbor list must be ordered by cosine desc and exclude self."""
     from dexscraper_spark.operators.similarity import cosine_topk
