@@ -68,10 +68,26 @@ def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
     re-inlines the shingle expression once per seed: ~100× slower at
     5k docs, worse at scale.
     """
-    sh = _shingle_expr(text_col, shingle_n) if char_shingles \
-        else word_shingles_expr(text_col, shingle_n)
-    exploded = df.select(
-        F.col(id_col), F.explode(F.expr(sh)).alias("__shingle"))
+    # Signature-path shingles skip ``array_distinct`` (duplicate shingles
+    # can't change a min) and hoist the word split into a projection —
+    # leaving ``split()`` inside the transform lambda re-splits the text
+    # once per SHINGLE (measured 2.5x the signature stage).
+    if char_shingles:
+        exploded = df.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - "
+                f"{shingle_n - 1}, 1)), i -> substring({text_col}, i, "
+                f"{shingle_n}))")).alias("__shingle"))
+    else:
+        exploded = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+        ).select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(size(__w) - "
+                f"{shingle_n - 1}, 1)), i -> array_join(slice(__w, i, "
+                f"{shingle_n}), ' '))")).alias("__shingle"))
     aggs = [F.min(F.xxhash64(F.col("__shingle"), F.lit(s))).alias(f"h{s}")
             for s in range(num_hashes)]
     per_doc = exploded.groupBy(id_col).agg(*aggs)
@@ -110,16 +126,33 @@ def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
                   text_col: str, shingle_n: int = 3,
                   char_shingles: bool = True,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  persist_candidates: bool = True) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Join texts onto the (small) candidate set, compute
     |A∩B| / |A∪B| with array intersect/union — JVM-side, per-pair cost
     bounded by shingle count.
+
+    ``persist_candidates`` materializes the candidate pairs once — they
+    feed BOTH the id semi-join and the verify join, and recomputing them
+    means running the whole MinHash pipeline twice. Two longs per pair;
+    at corpus scale this is the candidate table you'd checkpoint anyway.
     """
+    if persist_candidates:
+        candidates = candidates.persist()
     sh = _shingle_expr(text_col, shingle_n) if char_shingles \
         else word_shingles_expr(text_col, shingle_n)
-    docs = df.select(F.col(id_col), F.expr(sh).alias("__sh"))
+    # shingle ONLY the docs that appear in a candidate pair — the candidate
+    # set is tiny relative to the corpus (that's the point of LSH), so a
+    # broadcast semi-join prunes the corpus before the interpreted shingle
+    # HOF runs (measured 10x on the verify stage: corpus-wide shingling
+    # on both join branches dominated)
+    ids = (candidates.select(F.col("id_a").alias(id_col))
+           .union(candidates.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    needed = df.join(F.broadcast(ids), id_col, "left_semi")
+    docs = needed.select(F.col(id_col), F.expr(sh).alias("__sh"))
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
