@@ -33,11 +33,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        # Spark <=3.x with nanosAsLong: raw INT64 nanos.
         return raw.select(
             "event_id",
             F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
             F.col("ts").alias("ts_ns"),
             "user_id", "event_type", "value", "props",
         )
-    return raw.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * 1000).cast("long"))
+    # Spark 4.x reads TIMESTAMP(NANOS, adjUTC=false) as TIMESTAMP_NTZ,
+    # already micro-truncated. Cast to TimestampType (identity under the
+    # UTC-pinned session) so both branches emit an identical schema.
+    ts = F.col("ts").cast("timestamp")
+    return raw.select(
+        "event_id",
+        ts.alias("ts"),
+        (F.unix_micros(ts) * 1000).cast("long").alias("ts_ns"),
+        "user_id", "event_type", "value", "props",
+    )
