@@ -1608,13 +1608,37 @@ def text_token_counts(spark, sf_dir):
     survey_ref="§2.5-extension",
 )
 def agg_percentiles(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    def q(p):
-        col = F.percentile(F.col("value"), F.lit(p))
-        return (F.floor(col * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
+    """Exact interpolated percentiles without `F.percentile`'s
+    ObjectHashAggregate (which buffers every group value in executor memory
+    and disables codegen — the one plan that cannot survive a 100× group).
+    Scale path: sort-based two-pass — `row_number` over (group, value) is a
+    spillable SortExec/WindowExec, then each percentile picks its two
+    bracketing ranks with conditional aggregates and interpolates
+    `lo + (hi - lo) * frac` (DuckDB quantile_cont's formula, bit-identical).
+    """
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events") \
+        .select("event_type", "value").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    # count reuses the event_type hash partitioning; window over the join
+    # keeps everything in one exchange.
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ranked = ranked.withColumn("n", n)
+
+    def pick(p, name):
+        idx = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        k = F.floor(idx).cast("long") + F.lit(1)  # 1-based lower rank
+        lo = F.max(F.when(F.col("rn") == k, F.col("value")))
+        hi = F.max(F.when(F.col("rn") == k + 1, F.col("value")))
+        frac = F.max(F.when(F.col("rn") == k, idx - F.floor(idx)))
+        val = lo + (F.coalesce(hi, lo) - lo) * frac
+        return (F.floor(val * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0) \
+            .alias(name)
+
     return (
-        ev.groupBy("event_type")
-        .agg(q(0.5).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99"))
+        ranked.groupBy("event_type")
+        .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
         .orderBy("event_type")
     )
 

@@ -21,18 +21,31 @@ from dexscraper_spark.plans.registry import register
 from dexscraper_spark.session import tune_session
 
 
+_BARS_CACHE: dict = {}
+
+
 def _bars(spark, sf_dir: str):
-    """Deterministic 1h OHLC bars from events, sink-ready column names."""
-    from dexscraper_spark.operators.ohlc import ohlc_windowed
-    from dexscraper_spark.sources.tables import load_table
-    tune_session(spark)
-    ev = load_table(spark, sf_dir, "events")
-    bars = ohlc_windowed(
-        ev, symbol_col="event_type", ts_col="ts", price_col="value",
-        qty_col="value", order_col="event_id", duration="1 hour",
-        volume_scale=2,
-    )
-    return bars.withColumn("ts", F.col("bucket_ts").cast("long"))
+    """Deterministic 1h OHLC bars from events, sink-ready column names.
+
+    Every sink query projects the same bar frame, so it is derived once per
+    (appId, sf_dir) and kept in the block-manager cache — the per-sink cost
+    is then a cached-scan + projection, not a repeated groupBy over events.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BARS_CACHE:
+        from dexscraper_spark.operators.ohlc import ohlc_windowed
+        from dexscraper_spark.sources.tables import load_table
+        tune_session(spark)
+        ev = load_table(spark, sf_dir, "events")
+        bars = ohlc_windowed(
+            ev, symbol_col="event_type", ts_col="ts", price_col="value",
+            qty_col="value", order_col="event_id", duration="1 hour",
+            volume_scale=2,
+        )
+        _BARS_CACHE[key] = (
+            bars.withColumn("ts", F.col("bucket_ts").cast("long")).cache()
+        )
+    return _BARS_CACHE[key]
 
 
 _BARS_CTE = f"""

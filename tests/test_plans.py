@@ -129,3 +129,14 @@ def test_streaming_demo_source_no_row_udf(spark):
     plan = plan_of(raw, mode="extended")
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_percentiles_no_object_hash_aggregate(spark):
+    """agg_percentiles must stay on the sort-based two-pass plan — a
+    spillable WindowExec + codegen'd HashAggregate — never the
+    ObjectHashAggregate full-group buffer F.percentile compiles to."""
+    from dexscraper_spark.plans.registry import queries
+    plan = plan_of(queries()["agg_percentiles"](spark, SF_DIR))
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan and "partial_" in plan

@@ -1,0 +1,69 @@
+"""Runtime-drift guard: pin every table's loader-visible schema.
+
+Round 3 lesson: PySpark 4 changed how TIMESTAMP(NANOS) parquet reads
+resolve (``timestamp_ntz`` instead of the ``nanosAsLong`` bigint path),
+which silently broke 21 driver queries through one loader line. This test
+loads every table at sf0.001 through the same ``load_table`` path the
+queries use and asserts the exact dtypes, so the next runtime bump fails
+here — in one obvious place — instead of across the query catalog.
+"""
+
+from __future__ import annotations
+
+from dexscraper_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The loader contract under the current runtime (PySpark 4.x). The
+# driver-facing invariants that matter most: events.ts is a session-tz
+# TimestampType (NOT timestamp_ntz — downstream unix_micros/window calls
+# require it) and ts_ns is the bigint total-order tiebreak.
+EXPECTED = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp_ntz"),
+               ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp_ntz")],
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("ts_ns", "bigint"), ("user_id", "bigint"),
+               ("event_type", "string"), ("value", "double"),
+               ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+}
+
+
+def test_all_table_schemas_pinned(spark):
+    for name, expected in EXPECTED.items():
+        got = load_table(spark, SF_DIR, name).dtypes
+        assert got == expected, f"{name}: {got} != {expected}"
+
+
+def test_events_ts_is_utc_micro_truncated(spark):
+    """The ts/ts_ns relationship the oracle depends on: ts is the
+    micro-truncation of ts_ns under the UTC-pinned session."""
+    import pyspark.sql.functions as F
+    ev = load_table(spark, SF_DIR, "events")
+    bad = ev.filter(
+        F.unix_micros(F.col("ts")) != F.expr("ts_ns div 1000")).count()
+    assert bad == 0
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
