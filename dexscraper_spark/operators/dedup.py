@@ -165,10 +165,31 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
     )
 
 
+def md5_le64(c):
+    """Portable 64-bit shingle hash: the little-endian int64 of md5 bytes
+    8..15 — bit-identical to DuckDB's ``md5_number_lower`` (signed vs
+    unsigned display differs; the bit pattern is the same), so simhash
+    fingerprints built on it are cross-engine verifiable. Slower than
+    xxhash64 (md5 + 8 conv/shift terms) — use for oracle-checked paths;
+    the default xxhash64 is the production hash.
+    """
+    parts = [
+        F.shiftleft(
+            F.conv(F.substring(F.md5(c), 17 + 2 * j, 2), 16, 10)
+            .cast("long"), 8 * j)
+        for j in range(8)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
 def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
                        shingle_n: int = 3, num_bands: int = 4,
                        max_hamming: int = 8,
-                       persist_fingerprints: bool = True) -> DataFrame:
+                       persist_fingerprints: bool = True,
+                       hash_fn=None) -> DataFrame:
     """SimHash near-dup pairs at scale: candidates share any 16-bit band
     of the 64-bit fingerprint (equi-join on (band_id, band_value) — linear
     shuffle, no cross product), verified by Hamming distance
@@ -185,7 +206,8 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     bits_per = 64 // num_bands
-    fps = simhash(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    fps = simhash(df, id_col=id_col, text_col=text_col,
+                  shingle_n=shingle_n, hash_fn=hash_fn)
     if persist_fingerprints:
         fps = fps.persist()
     banded = fps.select(
@@ -210,7 +232,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
-            shingle_n: int = 3, bits: int = 64) -> DataFrame:
+            shingle_n: int = 3, bits: int = 64, hash_fn=None) -> DataFrame:
     """SimHash fingerprint: for each bit b, sum ±1 over shingle hashes'
     bit b; fingerprint bit = sign.
 
@@ -227,7 +249,8 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
         F.col(id_col), F.explode_outer(F.expr(sh)).alias("__g")
     ).select(
         F.col(id_col),
-        F.when(F.col("__g").isNotNull(), F.xxhash64(F.col("__g"))).alias("__h"),
+        F.when(F.col("__g").isNotNull(),
+               (hash_fn or F.xxhash64)(F.col("__g"))).alias("__h"),
     )
     # ±1 sign-sum for bit b == 2·ones_b − n, so the aggregates are
     # branch-free 0/1 sums (bit b via arithmetic shift+mask; b=63 = sign

@@ -84,21 +84,33 @@ def agg_pricing_summary(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "agg_frequency_topk",
+    "agg_event_stats",
     """
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occurrences
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS occurrences,
+           CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+           CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_value,
+           """ + sum_money_sql("value", 2, "total_value") + """,
+           """ + avg_money_sql("value", 2, "avg_value") + """
     FROM events
     GROUP BY event_type
     ORDER BY occurrences DESC, event_type ASC
     LIMIT 20
     """,
-    survey_ref="A3,T3",
+    survey_ref="A1,A2,A3,T3,F9",
 )
-def agg_frequency_topk(spark, sf_dir):
+def agg_event_stats(spark, sf_dir):
+    """A1 batch stats + A3 frequency top-k in one grouped pass: conditional
+    counts (high-confidence / complete analogs) and fixed-point rollups per
+    event_type, ranked by frequency with a capped result (T3)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .agg(F.count(F.lit(1)).alias("occurrences"),
+             F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("high_value"),
+             F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("low_value"),
+             sum_money(F.col("value")).alias("total_value"),
+             avg_money(F.col("value")).alias("avg_value"))
         .orderBy(F.col("occurrences").desc(), F.col("event_type").asc())
         .limit(20)
     )
@@ -109,11 +121,11 @@ def agg_frequency_topk(spark, sf_dir):
 # windows per event_type (ts returned as epoch seconds).
 # ---------------------------------------------------------------------------
 
-@register(
-    "ohlc_1h",
-    """
-    SELECT event_type AS symbol,
-           CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+def _ohlc_frame_sql(frame: str, seconds: int) -> str:
+    return f"""
+    SELECT '{frame}' AS frame,
+           event_type AS symbol,
+           CAST(FLOOR(epoch(ts) / {seconds}) * {seconds} AS BIGINT) AS bucket_ts,
            arg_min(value, event_id) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
@@ -121,18 +133,37 @@ def agg_frequency_topk(spark, sf_dir):
            """ + sum_money_sql("value", 6, "volume") + """,
            CAST(COUNT(*) AS BIGINT) AS trades
     FROM events
-    GROUP BY 1, 2
-    """,
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "ohlc_bars",
+    _ohlc_frame_sql("h1", 3600) + "UNION ALL" + _ohlc_frame_sql("m5", 300),
     survey_ref="A5,R5",
 )
-def ohlc_1h(spark, sf_dir):
+def ohlc_bars(spark, sf_dir):
+    """A5 × Timeframe (R5 m5/h1/h6/h24 vocabulary): tumbling OHLC bars at
+    two frame widths in one result, tagged by the `frame` column — the
+    Timeframe enum drives the window duration exactly as the reference's
+    timeframe parameter does."""
+    from dexscraper_spark.config import Timeframe
     from dexscraper_spark.operators.ohlc import ohlc_windowed
     ev = _t(spark, sf_dir, "events")
-    bars = ohlc_windowed(
-        ev, symbol_col="event_type", ts_col="ts", price_col="value",
-        qty_col="value", order_col="event_id", duration="1 hour",
-    )
-    return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
+
+    def bars(frame: str, duration: str):
+        b = ohlc_windowed(
+            ev, symbol_col="event_type", ts_col="ts", price_col="value",
+            qty_col="value", order_col="event_id", duration=duration,
+        )
+        return b.select(
+            F.lit(frame).alias("frame"), "symbol",
+            F.col("bucket_ts").cast("long").alias("bucket_ts"),
+            "open", "high", "low", "close", "volume", "trades",
+        )
+
+    return bars("h1", Timeframe.H1.duration) \
+        .unionByName(bars("m5", Timeframe.M5.duration))
 
 
 # ---------------------------------------------------------------------------
@@ -171,29 +202,7 @@ _register_filter_dsl()
 # ---------------------------------------------------------------------------
 
 @register(
-    "filter_validity",
-    """
-    SELECT event_id, value
-    FROM events
-    WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
-      AND abs(value) > 1e-15 AND abs(value) < 1e15
-      AND value <> 0.0 AND value <> 1.0 AND value <> -1.0
-    """,
-    survey_ref="F4",
-)
-def filter_validity(spark, sf_dir):
-    from dexscraper_spark.functions.validity import is_valid_float
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter(is_valid_float(F.col("value"))).select("event_id", "value")
-
-
-# ---------------------------------------------------------------------------
-# F7 — value-range classification CASE (price/txns/makers/volume/...),
-# first-match-wins priority exactly as the reference.
-# ---------------------------------------------------------------------------
-
-@register(
-    "filter_classify",
+    "filter_suite",
     """
     SELECT event_id, value,
            CASE
@@ -206,43 +215,30 @@ def filter_validity(spark, sf_dir):
              WHEN value >= 1e5 AND value <= 5e7 THEN 'market_cap'
              WHEN value >= -100.0 AND value <= 1000.0 THEN 'percentage'
              ELSE 'other'
-           END AS value_class
+           END AS value_class,
+           CAST(CASE WHEN value > 0.0 AND value <= 1e6
+                          AND value * 1000.0 >= 0.0 AND value * 1000.0 <= 1e12
+                THEN 1 ELSE 0 END AS INT) AS trading_valid
     FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+      AND abs(value) > 1e-15 AND abs(value) < 1e15
+      AND value <> 0.0 AND value <> 1.0 AND value <> -1.0
     """,
-    survey_ref="F7,W6",
+    survey_ref="F4,F5,F7,W6",
 )
-def filter_classify(spark, sf_dir):
-    from dexscraper_spark.functions.validity import classify_value
+def filter_suite(spark, sf_dir):
+    """The row-level validation family in one pass: F4 float-validity as a
+    real WHERE (pushed to the scan), F7 first-match-wins range
+    classification, F5 trading validation (price ∈ (0, 1e6], volume ∈
+    [0, 1e12]) as a flag over the surviving rows."""
+    from dexscraper_spark.functions.validity import (
+        classify_value, is_valid_float, is_valid_trading_data)
     ev = _t(spark, sf_dir, "events")
-    return ev.select("event_id", "value",
-                     classify_value(F.col("value")).alias("value_class"))
-
-
-# ---------------------------------------------------------------------------
-# D3/D6/F11 — scalar cleaning/normalization projection on documents.
-# ---------------------------------------------------------------------------
-
-@register(
-    "scalar_normalize",
-    """
-    SELECT doc_id,
-           CASE WHEN source IS NULL
-                     OR length(substr(regexp_replace(upper(source), '[^A-Z0-9]', '', 'g'), 1, 10)) = 0
-                THEN 'UNK'
-                ELSE substr(regexp_replace(upper(source), '[^A-Z0-9]', '', 'g'), 1, 10)
-           END AS sym_norm,
-           md5(text) AS content_md5
-    FROM documents
-    """,
-    survey_ref="D3,D6,F11",
-)
-def scalar_normalize(spark, sf_dir):
-    from dexscraper_spark.functions.cleaning import normalize_symbol
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        normalize_symbol(F.col("source")).alias("sym_norm"),
-        F.md5(F.col("text")).alias("content_md5"),
+    return ev.filter(is_valid_float(F.col("value"))).select(
+        "event_id", "value",
+        classify_value(F.col("value")).alias("value_class"),
+        is_valid_trading_data(F.col("value"), F.col("value") * 1000.0)
+        .cast("int").alias("trading_valid"),
     )
 
 
@@ -420,28 +416,6 @@ def join_nearest_click(spark, sf_dir):
 # W2 — global rank numbering (CoinGecko market_cap_rank analog).
 # ---------------------------------------------------------------------------
 
-@register(
-    "window_global_rank",
-    """
-    SELECT c_custkey, c_acctbal,
-           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS balance_rank
-    FROM customer
-    ORDER BY balance_rank
-    LIMIT 100
-    """,
-    survey_ref="W2,K8",
-)
-def window_global_rank(spark, sf_dir):
-    from pyspark.sql import Window
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        c.select("c_custkey", "c_acctbal",
-                 F.row_number().over(w).cast("long").alias("balance_rank"))
-        .orderBy("balance_rank").limit(100)
-    )
-
-
 # ---------------------------------------------------------------------------
 # A6/W4 — sessionization: lag → gap flag → cumulative session id, 30-minute
 # inactivity gap per user; one row per user with session stats.
@@ -558,41 +532,56 @@ def window_first_wins(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "set_union_distinct",
+    "set_ops",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    UNION
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT 'union' AS op, user_id, NULL AS event_type FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'except' AS op, user_id, NULL AS event_type FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND user_id % 3 <> 0
+    )
+    UNION ALL
+    SELECT 'distinct' AS op, user_id, event_type
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
     """,
-    survey_ref="U1,U4",
+    survey_ref="U1,U3,U4,F10,J5,A8",
 )
-def set_union_distinct(spark, sf_dir):
+def set_ops(spark, sf_dir):
+    """The set-operator family in one tagged result:
+    * `union`    — U1/U4 distinct union of two filtered passes;
+    * `except`   — U3/F10 blacklist anti-join. The broadcast side is the
+      blacklist (purchasing users outside the user_id%3==0 cohort — the
+      cohort carve-out keeps the result non-empty so the anti-join is
+      actually exercised); at scale the big side never shuffles.
+    * `distinct` — A8/U4 exact dedup over (user_id, event_type) pairs via
+      the dedup_exact operator.
+    """
+    from dexscraper_spark.operators.dedup import dedup_exact
     ev = _t(spark, sf_dir, "events")
+    null_et = F.lit(None).cast("string").alias("event_type")
+
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.unionByName(purchases).distinct()
+    union = clicks.unionByName(purchases).distinct() \
+        .select(F.lit("union").alias("op"), "user_id", null_et)
 
-
-# ---------------------------------------------------------------------------
-# U3/F10/J5 — blacklist semantics: left-anti join (users with errors but
-# no purchases). The "blacklist" side is broadcast — at scale the anti-join
-# never shuffles the big side when the lookup fits in memory.
-# ---------------------------------------------------------------------------
-
-@register(
-    "set_except_blacklist",
-    """
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    survey_ref="U3,F10,J5",
-)
-def set_except_blacklist(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return err.join(F.broadcast(buyers), "user_id", "left_anti")
+    blacklist = ev.filter((F.col("event_type") == "purchase")
+                          & (F.col("user_id") % 3 != 0)).select("user_id")
+    except_ = err.join(F.broadcast(blacklist), "user_id", "left_anti") \
+        .select(F.lit("except").alias("op"), "user_id", null_et)
+
+    pairs = dedup_exact(ev.select("user_id", "event_type"),
+                        ["user_id", "event_type"]) \
+        .select(F.lit("distinct").alias("op"), "user_id", "event_type")
+
+    return union.unionByName(except_).unionByName(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -602,49 +591,28 @@ def set_except_blacklist(spark, sf_dir):
 @register(
     "topk_customers",
     """
-    SELECT c_custkey, c_name, c_acctbal
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS BIGINT) AS balance_rank
     FROM customer
-    ORDER BY c_acctbal DESC, c_custkey ASC
-    LIMIT 10
+    ORDER BY balance_rank
+    LIMIT 100
     """,
-    survey_ref="T1,T3",
+    survey_ref="T1,T3,W2,K8",
 )
 def topk_customers(spark, sf_dir):
+    """T1 top-k with the reference's tie-breaking, plus the W2 global rank
+    column. Scale shape: TakeOrderedAndProject (per-partition heaps) bounds
+    the frame to k rows FIRST, then the single-partition rank window runs
+    over only those k — ranks 1..k equal the global ranks by construction,
+    and the unbounded global sort W2 would naively need never happens."""
+    from pyspark.sql import Window
     from dexscraper_spark.operators.topk import top_k
     c = _t(spark, sf_dir, "customer")
-    return top_k(c.select("c_custkey", "c_name", "c_acctbal"), 10,
-                 F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc())
-
-
-# ---------------------------------------------------------------------------
-# A1 — batch stats with conditional counts (high-confidence / complete
-# analogs) per event_type.
-# ---------------------------------------------------------------------------
-
-@register(
-    "agg_conditional_counts",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS total,
-           CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
-           CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_value,
-           """ + sum_money_sql("value", 2, "total_value") + """,
-           """ + avg_money_sql("value", 2, "avg_value") + """
-    FROM events
-    GROUP BY event_type
-    """,
-    survey_ref="A1,A2,F9",
-)
-def agg_conditional_counts(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("total"),
-             F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("high_value"),
-             F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("low_value"),
-             sum_money(F.col("value")).alias("total_value"),
-             avg_money(F.col("value")).alias("avg_value"))
-    )
+    top = top_k(c.select("c_custkey", "c_name", "c_acctbal"), 100,
+                F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc())
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return top.withColumn("balance_rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -709,40 +677,66 @@ def ohlc_snapshot_compat(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "text_stats",
+    "text_metrics",
     """
-    WITH toks AS (
-        SELECT doc_id, n_chars, text,
-               list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts
+    WITH t AS (
+        SELECT doc_id, n_chars, text, length(text) AS n,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS ws,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                           p -> length(p) > 0) AS ps
         FROM documents
+    ), feats AS (
+        SELECT doc_id, n_chars, n, ws, ps,
+               CASE WHEN n > 0
+                    THEN CAST(n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(ws) > 0
+                    THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END AS atl,
+               CAST(list_sum(list_transform(ps,
+                    p -> greatest(CAST(ceil(length(p) / 4.0) AS INT), 1)))
+                    + (n - length(regexp_replace(text, '[^\\sA-Za-z0-9]', '', 'g')))
+                    AS INT) AS n_bpe_tokens
+        FROM t
     )
     SELECT doc_id,
            CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(length(text) AS BIGINT) AS measured_chars,
-           CAST(len(ts) AS BIGINT) AS n_tokens,
-           CASE WHEN len(ts) > 0
-                THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
-                     / CAST(len(ts) AS DOUBLE)
-                ELSE 0.0 END AS avg_token_len,
-           CASE WHEN length(text) > 0
-                THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE)
-                ELSE 0.0 END AS punct_ratio
-    FROM toks
+           CAST(n AS BIGINT) AS measured_chars,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           atl AS avg_token_len,
+           punct_ratio,
+           n_bpe_tokens,
+           least(greatest(
+             (CASE WHEN n < 50 THEN CAST(n AS DOUBLE) / 50.0
+                   WHEN n > 20000 THEN 0.25 ELSE 1.0 END) * 0.4
+             + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+             + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+             0.0), 1.0) AS quality
+    FROM feats
     """,
-    survey_ref="northstar-text,F12",
+    survey_ref="northstar-text,F12,A7",
 )
-def text_stats(spark, sf_dir):
+def text_metrics(spark, sf_dir):
+    """The per-document text-analysis family in one scan: length/token
+    stats, whitespace + BPE-ish token counts, punctuation ratio, and the
+    blended quality score — every column a codegen'd JVM expression."""
     from dexscraper_spark.functions import textstats as tx
+    from dexscraper_spark.functions.textstats import (
+        bpe_ish_token_count, quality_score, token_count)
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
     return docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.length(text).cast("long").alias("measured_chars"),
-        tx.token_count(text).cast("long").alias("n_tokens"),
+        token_count(text).cast("long").alias("n_tokens"),
         tx.avg_token_len(text).alias("avg_token_len"),
         tx.punct_ratio(text).alias("punct_ratio"),
+        bpe_ish_token_count(text).cast("int").alias("n_bpe_tokens"),
+        quality_score(text).alias("quality"),
     )
 
 
@@ -767,44 +761,32 @@ def _register_lang_id():
                     WHEN {hits['en']} = {gr} THEN 'en'
                     WHEN {hits['es']} = {gr} THEN 'es'
                     WHEN {hits['fr']} = {gr} THEN 'fr'
-                    ELSE 'de' END AS detected_lang
+                    ELSE 'de' END AS detected_lang,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS lang_n_docs,
+               CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_total_chars
         FROM documents
     """
 
-    @register("text_lang_id", sql, survey_ref="northstar-text")
-    def text_lang_id(spark, sf_dir):
+    @register("text_lang", sql, survey_ref="northstar-text,A2")
+    def text_lang(spark, sf_dir):
+        """Language-ID (stopword-argmax n-gram heuristic) per document,
+        plus the per-language corpus distribution (n_docs / total_chars)
+        as window aggregates over the labeled language — the lang_id
+        detector and the distribution rollup in one scan."""
+        from pyspark.sql import Window
         from dexscraper_spark.functions.textstats import lang_id
         docs = _t(spark, sf_dir, "documents")
-        return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
-                           lang_id(F.col("text")).alias("detected_lang"))
+        w = Window.partitionBy("lang")
+        return docs.select(
+            "doc_id", F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("detected_lang"),
+            F.count(F.lit(1)).over(w).cast("long").alias("lang_n_docs"),
+            F.sum("n_chars").over(w).cast("long").alias("lang_total_chars"),
+        )
 
 
 _register_lang_id()
-
-
-@register(
-    "text_lang_dist",
-    """
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           (CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_chars
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang
-    """,
-    survey_ref="northstar-text,A2",
-)
-def text_lang_dist(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum("n_chars").alias("total_chars"),
-             (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"))
-             .alias("avg_chars"))
-        .orderBy("lang")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -829,20 +811,6 @@ def dedup_exact_docs(spark, sf_dir):
         .agg(F.min("doc_id").alias("first_doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
     )
-
-
-@register(
-    "dedup_distinct_pairs",
-    """
-    SELECT DISTINCT user_id, event_type FROM events
-    """,
-    survey_ref="A8,U4",
-)
-def dedup_distinct_pairs(spark, sf_dir):
-    from dexscraper_spark.operators.dedup import dedup_exact
-    ev = _t(spark, sf_dir, "events")
-    return dedup_exact(ev.select("user_id", "event_type"),
-                       ["user_id", "event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -884,17 +852,54 @@ def text_fingerprint_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs (north star): 16-bit band candidates → Hamming-
 # verified. max_hamming=3 < num_bands=4 makes the banding COMPLETE
-# (pigeonhole), so this is the exact Hamming≤3 pair set, not an
-# approximation. xxhash64-based fingerprints have no DuckDB analog →
-# rows-only.
+# (pigeonhole — fewer differing bits than bands forces some band to match
+# exactly), so the banded plan's output EQUALS the exact all-pairs
+# Hamming≤3 set — which is what the DuckDB oracle computes brute-force.
+# Cross-engine fingerprints: shingles are hashed with the portable
+# md5-le64 hash (≡ DuckDB md5_number_lower bit-for-bit), so both engines
+# derive identical 64-bit fingerprints; only (id_a, id_b, hamming) rows
+# cross the comparison boundary. The oracle is O(n²) — fine at the
+# driver's sf0.01; the Spark side stays the linear-shuffle banded plan.
 # ---------------------------------------------------------------------------
 
-@register("dedup_simhash", None, survey_ref="northstar-dedup,A8")
+def _simhash_oracle_sql(max_hamming: int = 3, shingle_n: int = 3) -> str:
+    ones = ",\n               ".join(
+        f"SUM((hv >> {b}) & 1) AS o{b}" for b in range(64))
+    ham = "\n               + ".join(
+        f"(CASE WHEN (2*a.o{b} > a.n) != (2*b.o{b} > b.n) THEN 1 ELSE 0 END)"
+        for b in range(64))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([substr(text, CAST(i AS INT), {shingle_n})
+                              for i in range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1)])
+                   AS gs
+        FROM documents
+    ), h AS (
+        SELECT doc_id, md5_number_lower(g) AS hv
+        FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+    ), bits AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {ones}
+        FROM h GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({ham} AS INT) AS hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql(max_hamming=3),
+          survey_ref="northstar-dedup,A8")
 def dedup_simhash(spark, sf_dir):
-    from dexscraper_spark.operators.dedup import simhash_near_pairs
+    from dexscraper_spark.operators.dedup import md5_le64, simhash_near_pairs
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, id_col="doc_id", text_col="text",
-                              max_hamming=3).orderBy("id_a", "id_b")
+                              max_hamming=3, hash_fn=md5_le64) \
+        .withColumn("hamming", F.col("hamming").cast("int")) \
+        .orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1454,39 +1459,6 @@ def multimodal_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# A5 × Timeframe — the m5 tumbling variant (Timeframe enum drives the
-# window duration, matching the reference's m5/h1/h6/h24 vocabulary).
-# ---------------------------------------------------------------------------
-
-@register(
-    "ohlc_5m",
-    """
-    SELECT event_type AS symbol,
-           CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_ts,
-           arg_min(value, event_id) AS open,
-           MAX(value) AS high,
-           MIN(value) AS low,
-           arg_max(value, event_id) AS close,
-           """ + sum_money_sql("value", 6, "volume") + """,
-           CAST(COUNT(*) AS BIGINT) AS trades
-    FROM events
-    GROUP BY 1, 2
-    """,
-    survey_ref="A5,R5",
-)
-def ohlc_5m(spark, sf_dir):
-    from dexscraper_spark.config import Timeframe
-    from dexscraper_spark.operators.ohlc import ohlc_windowed
-    ev = _t(spark, sf_dir, "events")
-    bars = ohlc_windowed(
-        ev, symbol_col="event_type", ts_col="ts", price_col="value",
-        qty_col="value", order_col="event_id",
-        duration=Timeframe.M5.duration,
-    )
-    return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
-
-
-# ---------------------------------------------------------------------------
 # North-star dedup variant: embedding-cosine near-duplicate pairs —
 # brute-force verified (the LSH-bucketed path is the scale variant of the
 # same semantics). Oracle-checked: sequential-fold dot products rounded
@@ -1556,38 +1528,6 @@ def dedup_embedding_cosine(spark, sf_dir):
 # North-star text: whitespace + BPE-ish token counting per document.
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_token_counts",
-    """
-    WITH pieces AS (
-        SELECT doc_id, text,
-               list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
-                           p -> length(p) > 0) AS ps,
-               list_filter(regexp_split_to_array(text, '\\s+'),
-                           t -> length(t) > 0) AS ws
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(ws) AS INT) AS n_tokens,
-           CAST(list_sum(list_transform(ps,
-                p -> greatest(CAST(ceil(length(p) / 4.0) AS INT), 1)))
-                + (length(text) - length(regexp_replace(text, '[^\\sA-Za-z0-9]', '', 'g')))
-                AS INT) AS n_bpe_tokens
-    FROM pieces
-    """,
-    survey_ref="northstar-text",
-)
-def text_token_counts(spark, sf_dir):
-    from dexscraper_spark.functions.textstats import (
-        bpe_ish_token_count, token_count)
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).cast("int").alias("n_tokens"),
-        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Extension (SURVEY §2.5 note): exact interpolated percentiles — free in
 # Spark, absent from the reference. Linear interpolation on sorted values
@@ -1641,29 +1581,6 @@ def agg_percentiles(spark, sf_dir):
         .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
         .orderBy("event_type")
     )
-
-
-# ---------------------------------------------------------------------------
-# F5 — trading-data validation predicate: price ∈ (0, 1e6], volume ∈
-# [0, 1e12] (utils.py:445-469), events.value as price / value·1000 as vol.
-# ---------------------------------------------------------------------------
-
-@register(
-    "filter_trading_valid",
-    """
-    SELECT event_id, value AS price, value * 1000.0 AS volume
-    FROM events
-    WHERE value IS NOT NULL AND value > 0.0 AND value <= 1e6
-      AND value * 1000.0 >= 0.0 AND value * 1000.0 <= 1e12
-    """,
-    survey_ref="F5",
-)
-def filter_trading_valid(spark, sf_dir):
-    from dexscraper_spark.functions.validity import is_valid_trading_data
-    ev = _t(spark, sf_dir, "events")
-    priced = ev.select("event_id", F.col("value").alias("price"),
-                       (F.col("value") * 1000.0).alias("volume"))
-    return priced.filter(is_valid_trading_data(F.col("price"), F.col("volume")))
 
 
 # ---------------------------------------------------------------------------
@@ -1748,41 +1665,6 @@ def streaming_ohlc_pipeline(spark, sf_dir):
 # North-star text: composite quality score — identical arithmetic order in
 # both engines (single exact divisions, left-assoc weighted sum).
 # ---------------------------------------------------------------------------
-
-@register(
-    "text_quality",
-    """
-    WITH t AS (
-        SELECT doc_id, text, length(text) AS n,
-               list_filter(regexp_split_to_array(text, '\\s+'),
-                           x -> length(x) > 0) AS ws
-        FROM documents
-    ), feats AS (
-        SELECT doc_id, n,
-               CASE WHEN n > 0 THEN
-                 CAST(n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                 / CAST(n AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-               CASE WHEN len(ws) > 0 THEN
-                 CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-                 / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS atl
-        FROM t
-    )
-    SELECT doc_id,
-           least(greatest(
-             (CASE WHEN n < 50 THEN CAST(n AS DOUBLE) / 50.0
-                   WHEN n > 20000 THEN 0.25 ELSE 1.0 END) * 0.4
-             + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
-             + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
-             0.0), 1.0) AS quality
-    FROM feats
-    """,
-    survey_ref="northstar-text,A7",
-)
-def text_quality(spark, sf_dir):
-    from dexscraper_spark.functions.textstats import quality_score
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
 
 # ---------------------------------------------------------------------------
 # North-star ANN scale path #2: IVF (KMeans coarse quantizer, nprobe

@@ -74,52 +74,28 @@ def _line_sql(fmt_key: str, *tail: str) -> str:
 
 
 @register(
-    "sink_mt5",
+    "sink_csv_lines",
     _BARS_CTE + f"""
     SELECT symbol, ts AS ts_s,
-           {_line_sql('mt5', "CAST(CAST(FLOOR(volume) AS BIGINT) AS VARCHAR)")} AS line
-    FROM bars
-    """,
-    survey_ref="K5,A5",
-)
-def sink_mt5(spark, sf_dir):
-    from dexscraper_spark.sinks.exporters import mt5_line
-    bars = _bars(spark, sf_dir)
-    return bars.select("symbol", F.col("ts").alias("ts_s"),
-                       mt5_line().alias("line"))
-
-
-@register(
-    "sink_csv_ohlcv",
-    _BARS_CTE + f"""
-    SELECT symbol, ts AS ts_s,
-           {_line_sql('iso', "printf('%.2f', volume)")} AS line
-    FROM bars
-    """,
-    survey_ref="K3,A5",
-)
-def sink_csv_ohlcv(spark, sf_dir):
-    from dexscraper_spark.sinks.exporters import csv_ohlcv_line
-    bars = _bars(spark, sf_dir)
-    return bars.select("symbol", F.col("ts").alias("ts_s"),
-                       csv_ohlcv_line().alias("line"))
-
-
-@register(
-    "sink_csv_ohlcvt",
-    _BARS_CTE + f"""
-    SELECT symbol, ts AS ts_s,
+           {_line_sql('mt5', "CAST(CAST(FLOOR(volume) AS BIGINT) AS VARCHAR)")} AS line_mt5,
+           {_line_sql('iso', "printf('%.2f', volume)")} AS line_ohlcv,
            {_line_sql('iso', "printf('%.2f', volume)",
-                      "CAST(COALESCE(trades, CAST(FLOOR(volume / 1000.0) AS BIGINT)) AS VARCHAR)")} AS line
+                      "CAST(COALESCE(trades, CAST(FLOOR(volume / 1000.0) AS BIGINT)) AS VARCHAR)")} AS line_ohlcvt
     FROM bars
     """,
-    survey_ref="K4,A5",
+    survey_ref="K3,K4,K5,A5",
 )
-def sink_csv_ohlcvt(spark, sf_dir):
-    from dexscraper_spark.sinks.exporters import csv_ohlcvt_line
+def sink_csv_lines(spark, sf_dir):
+    """The three line-format sinks (K5 MT5, K3 CSV-OHLCV, K4 CSV-OHLCVT)
+    as side-by-side formatted columns over the shared cached bar frame —
+    each column is the exact line the corresponding exporter writes."""
+    from dexscraper_spark.sinks.exporters import (
+        csv_ohlcv_line, csv_ohlcvt_line, mt5_line)
     bars = _bars(spark, sf_dir)
     return bars.select("symbol", F.col("ts").alias("ts_s"),
-                       csv_ohlcvt_line().alias("line"))
+                       mt5_line().alias("line_mt5"),
+                       csv_ohlcv_line().alias("line_ohlcv"),
+                       csv_ohlcvt_line().alias("line_ohlcvt"))
 
 
 @register(
@@ -240,3 +216,138 @@ def sink_excel(spark, sf_dir):
         "market_cap", "confidence_score", "field_count", "ts",
     )
     return excel_rows(tokens)
+
+
+# ---------------------------------------------------------------------------
+# K8/K9 row shapes — the per-token rows the CoinGecko (models.py:527-569)
+# and PancakeSwap (models.py:572-600) documents are assembled from,
+# registered as oracle-checked queries like the other sink projections.
+# Input: the same deterministic per-user token frame sink_excel uses,
+# extended with change/address lanes.
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = f"""
+    WITH tokens AS (
+        SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+               'User ' || CAST(user_id AS VARCHAR) AS token_name,
+               'A' || CAST(user_id AS VARCHAR) AS token_address,
+               arg_max(value, event_id) AS price,
+               MIN(value) AS market_cap,
+               {sum_money_sql('value', 2)} AS volume_24h,
+               CASE WHEN arg_min(value, event_id) != 0.0
+                    THEN (arg_max(value, event_id) - arg_min(value, event_id))
+                         / arg_min(value, event_id) * 100.0
+                    ELSE 0.0 END AS change_24h,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS ts
+        FROM events
+        GROUP BY user_id
+    )
+"""
+
+
+def _tokens(spark, sf_dir: str):
+    from dexscraper_spark.functions.exact import sum_money
+    from dexscraper_spark.sources.tables import load_table
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    return ev.groupBy("user_id").agg(
+        F.max_by(F.col("value"), F.col("event_id")).alias("price"),
+        F.min("value").alias("market_cap"),
+        sum_money(F.col("value"), 2).alias("volume_24h"),
+        F.min_by(F.col("value"), F.col("event_id")).alias("first_v"),
+        F.max_by(F.col("value"), F.col("event_id")).alias("last_v"),
+        F.max(F.unix_seconds(F.col("ts"))).alias("ts"),
+    ).select(
+        F.concat(F.lit("U"), uid).alias("symbol"),
+        F.concat(F.lit("User "), uid).alias("token_name"),
+        F.concat(F.lit("A"), uid).alias("token_address"),
+        "price", "market_cap", "volume_24h",
+        F.when(F.col("first_v") != 0.0,
+               (F.col("last_v") - F.col("first_v")) / F.col("first_v")
+               * 100.0).otherwise(F.lit(0.0)).alias("change_24h"),
+        "ts",
+    )
+
+
+@register(
+    "sink_coingecko_rows",
+    _TOKENS_CTE + """
+    , ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY market_cap DESC, symbol ASC) AS BIGINT) AS rank
+        FROM tokens WHERE price IS NOT NULL AND price != 0.0
+    )
+    SELECT rank,
+           'token-' || CAST(rank - 1 AS VARCHAR) AS id,
+           symbol, token_name AS name,
+           price AS current_price, market_cap,
+           volume_24h AS total_volume,
+           change_24h AS price_change_percentage_24h,
+           change_24h / 24.0 AS price_change_percentage_1h,
+           price * 1.2 AS ath,
+           -16.67 AS ath_change_percentage,
+           ts AS last_updated_s
+    FROM ranked WHERE rank <= 100
+    """,
+    survey_ref="K8,A5",
+)
+def sink_coingecko_rows(spark, sf_dir):
+    """K8 row shape (models.py:527-569): top-100 by market cap, rank after
+    the cap (TakeOrderedAndProject bounds the frame before the rank window
+    — same shape as coingecko_document), ath = 1.2·price,
+    ath_change = -16.67."""
+    from pyspark.sql import Window
+    from dexscraper_spark.operators.topk import top_k
+    t = _tokens(spark, sf_dir).filter(
+        F.col("price").isNotNull() & (F.col("price") != 0.0))
+    order = [F.col("market_cap").desc_nulls_last(), F.col("symbol").asc()]
+    bounded = top_k(t, 100, *order)
+    w = Window.orderBy(*order)
+    rank = F.row_number().over(w).cast("long")
+    return bounded.withColumn("rank", rank).select(
+        "rank",
+        F.concat(F.lit("token-"), (F.col("rank") - 1).cast("string")).alias("id"),
+        "symbol", F.col("token_name").alias("name"),
+        F.col("price").alias("current_price"), "market_cap",
+        F.col("volume_24h").alias("total_volume"),
+        F.col("change_24h").alias("price_change_percentage_24h"),
+        (F.col("change_24h") / 24.0).alias("price_change_percentage_1h"),
+        (F.col("price") * 1.2).alias("ath"),
+        F.lit(-16.67).alias("ath_change_percentage"),
+        F.col("ts").alias("last_updated_s"),
+    )
+
+
+@register(
+    "sink_pancakeswap_rows",
+    _TOKENS_CTE + """
+    SELECT token_address,
+           COALESCE(token_name, symbol) AS name,
+           symbol,
+           price,
+           price * 0.002 AS price_bnb,
+           CAST(ts AS BIGINT) AS updated_at
+    FROM tokens
+    WHERE token_address IS NOT NULL AND price IS NOT NULL AND price != 0.0
+    ORDER BY token_address ASC
+    LIMIT 500
+    """,
+    survey_ref="K9,A5",
+)
+def sink_pancakeswap_rows(spark, sf_dir):
+    """K9 row shape (models.py:572-600): one entry per token_address,
+    price_BNB = 0.002·price, bounded by the same total order on address
+    the document builder uses."""
+    from dexscraper_spark.operators.topk import top_k
+    t = _tokens(spark, sf_dir).filter(
+        F.col("token_address").isNotNull()
+        & F.col("price").isNotNull() & (F.col("price") != 0.0))
+    bounded = top_k(t, 500, F.col("token_address").asc())
+    return bounded.select(
+        "token_address",
+        F.coalesce(F.col("token_name"), F.col("symbol")).alias("name"),
+        "symbol", "price",
+        (F.col("price") * 0.002).alias("price_bnb"),
+        F.col("ts").cast("long").alias("updated_at"),
+    )

@@ -77,7 +77,7 @@ def test_whole_stage_codegen_scalars(spark):
     """Scalar pipelines (classification CASE etc.) stay inside
     WholeStageCodegen — no Python evaluation nodes."""
     from dexscraper_spark.plans.registry import queries
-    plan = plan_of(queries()["filter_classify"](spark, SF_DIR))
+    plan = plan_of(queries()["filter_suite"](spark, SF_DIR))
     assert "codegen id" in plan  # formatted mode's WholeStageCodegen marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
