@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -150,9 +151,125 @@ class FrameDataSource(DataSource):
     def reader(self, schema) -> FrameDataSourceReader:
         return FrameDataSourceReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "FrameSimpleStreamReader":
+        return FrameSimpleStreamReader(self.options)
+
 
 def register_frame_source(spark) -> None:
     """Idempotent registration of the ``dexframes`` format (and the conf
     gate Python-source pushdown sits behind)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FrameDataSource)
+
+
+# ---------------------------------------------------------------------------
+# S1 — the live ingestion path: a streaming variant of the same connector.
+#
+# The reference's entry point is a WebSocket subscription whose filter/rank
+# parameters are compiled into the connect URL, so the SERVER filters the
+# stream before bytes arrive (scraper.py:177-246). The streaming reader
+# models that exactly: a Filters DSL spec arrives as an option at stream
+# definition time ("subscription time"), and rows failing it are dropped
+# inside the source scan — never entering the engine. Offsets are frame
+# ids; frame payloads are deterministic functions of the frame id, so
+# readBetweenOffsets replays any committed range bit-identically
+# (exactly-once on restart, like re-reading a Kafka range).
+#
+# SimpleDataSourceStreamReader reads on the driver — matching the
+# reference's single-socket ingestion. At fleet scale, shard subscriptions
+# across a partitioned DataSourceStreamReader (one socket per partition);
+# the decode/filter path below is shared either way.
+# ---------------------------------------------------------------------------
+
+# Filters-DSL → decoded-frame column names (subset the frame can serve;
+# predicates on absent columns are dropped, as the reference's server
+# ignores params it cannot apply).
+FRAME_COLUMN_MAP = {
+    "liquidity": "liquidity_usd",
+    "volume_h24": "volume_h24",
+    "price_change_h24": "price_change_h24",
+    "market_cap": "fdv",
+    "chain": "chain",
+    "dex": "protocol",
+}
+_FRAME_COLS = {"liquidity_usd", "volume_h24", "price_change_h24", "fdv",
+               "chain", "protocol"}
+
+
+class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader for ``spark.readStream.format("dexframes")``."""
+
+    def __init__(self, options):
+        import json
+
+        self.pairs_per_frame = int(options.get("pairs_per_frame", 4) or 4)
+        self.frames_per_batch = int(options.get("frames_per_batch", 4) or 4)
+        # 0 = unbounded; a bound lets Trigger.AvailableNow drain and stop.
+        self.max_frames = int(options.get("max_frames", 0) or 0)
+        self._triples: list[tuple[str, str, object]] = []
+        self._chains: list[str] | None = None
+        self._dexes: list[str] | None = None
+        spec = options.get("filters_json")
+        if spec:
+            from dexscraper_spark.config import Filters
+            flt = Filters(**json.loads(spec))
+            self._triples = [
+                (col, op, value)
+                for col, op, value in flt.range_predicates(FRAME_COLUMN_MAP)
+                if col in _FRAME_COLS
+            ]
+            if flt.chain_ids:
+                self._chains = [c.value for c in flt.chain_ids]
+            if flt.dex_ids:
+                self._dexes = [d.value for d in flt.dex_ids]
+
+    # -- offset protocol ----------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"frame": 0}
+
+    def read(self, start: dict):
+        s = int(start["frame"])
+        e = s + self.frames_per_batch
+        if self.max_frames:
+            e = min(e, self.max_frames)
+            if e <= s:
+                return iter(()), {"frame": s}
+        # list iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator it hands to the batch planner.
+        return iter(list(self._scan(s, e))), {"frame": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Frames are pure functions of the frame id → any committed range
+        # replays bit-identically after a restart.
+        return iter(list(self._scan(int(start["frame"]), int(end["frame"]))))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge: the generator is stateless
+
+    # -- scan ---------------------------------------------------------------
+    def _keep(self, rec: dict) -> bool:
+        for col, op, value in self._triples:
+            v = rec.get(col)
+            if v is None:
+                return False
+            if op == ">=" and not v >= value:
+                return False
+            if op == "<=" and not v <= value:
+                return False
+        if self._chains is not None and rec.get("chain") not in self._chains:
+            return False
+        if self._dexes is not None and rec.get("protocol") not in self._dexes:
+            return False
+        return True
+
+    def _scan(self, start_id: int, end_id: int):
+        from dexscraper_spark.sources.binary import make_frame, sample_pairs
+
+        out_cols = [f.name for f in DECODED_SCHEMA.fields]
+        for i in range(start_id, end_id):
+            payload = make_frame(sample_pairs(self.pairs_per_frame,
+                                              seed=i % 13))
+            for rec in parse_frame(payload):
+                rec["msg_id"] = i
+                if self._keep(rec):
+                    yield tuple(rec.get(c) for c in out_cols)

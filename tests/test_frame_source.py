@@ -75,3 +75,63 @@ def test_source_matches_decode_kernel(spark):
     a = sorted(tuple(r) for r in kernel.select(*cols).collect())
     b = sorted(tuple(r) for r in src.select(*cols).collect())
     assert a == b
+
+
+def test_streaming_source_with_subscription_filters(spark, tmp_path):
+    """S1 end-to-end: the streaming frame source with a Filters DSL spec
+    pushed at subscription time (the reference's URL-param pushdown,
+    scraper.py:177-246) must equal the batch source with the same
+    predicate applied — and the filter must act inside the source (every
+    surfaced row already satisfies it)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from dexscraper_spark.sources.frame_source import register_frame_source
+
+    register_frame_source(spark)
+    spec = {"liquidity_min": 51_500.0}
+    q = (
+        spark.readStream.format("dexframes")
+        .option("pairs_per_frame", 4)
+        .option("frames_per_batch", 3)
+        .option("max_frames", 9)
+        .option("filters_json", json.dumps(spec))
+        .load()
+        .writeStream.format("memory").queryName("frame_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # max_frames bounds the source, so this drains to frame 9 and returns.
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM frame_stream")
+    rows = got.collect()
+    assert rows, "stream produced no rows"
+    assert all(r.liquidity_usd >= 51_500.0 for r in rows)
+
+    batch = (
+        spark.read.format("dexframes")
+        .option("pairs_per_frame", 4).option("n_frames", 9).load()
+        .filter(F.col("liquidity_usd") >= 51_500.0)
+    )
+    cols = sorted(batch.columns)
+    a = sorted(tuple(r) for r in got.select(*cols).collect())
+    b = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert a == b
+
+
+def test_streaming_source_replay_is_deterministic(spark):
+    """readBetweenOffsets must regenerate a committed range bit-identically
+    (exactly-once restart semantics)."""
+    from dexscraper_spark.sources.frame_source import FrameSimpleStreamReader
+
+    r = FrameSimpleStreamReader({"pairs_per_frame": "4",
+                                 "frames_per_batch": "5"})
+    it, end = r.read(r.initialOffset())
+    first = list(it)
+    assert end == {"frame": 5}
+    replay = list(r.readBetweenOffsets({"frame": 0}, {"frame": 5}))
+    assert first == replay
+    it2, end2 = r.read(end)
+    assert end2 == {"frame": 10}
+    assert list(it2) != first  # frames advance with the offset
