@@ -85,3 +85,96 @@ def ohlc_snapshot(tokens: DataFrame, *, price_col: str = "price",
         v.alias("volume"),
         F.floor(v / 1000.0).cast("long").alias("trades"),
     )
+
+
+def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
+                         ts_col: str = "ts", price_col: str = "price",
+                         qty_col: str | None = "qty",
+                         order_col: str | None = None,
+                         frames: tuple[tuple[str, int], ...] = (
+                             ("m5", 300), ("h1", 3600),
+                             ("h6", 21600), ("h24", 86400)),
+                         volume_scale: int = 6) -> DataFrame:
+    """Hierarchical multi-frame OHLC (hypertable-style rollup cascade).
+
+    The raw ticks are aggregated ONCE at the finest frame; every coarser
+    frame rolls up from the previous level (m5 → h1 → h6 → h24), which at
+    100 TB means one scan + one tick-volume shuffle total, then shuffles
+    over bar counts (orders of magnitude smaller) — instead of one full
+    scan/shuffle per frame. Each ``frames`` entry is (name, seconds);
+    frames must ascend and each must divide the next.
+
+    Bit-exactness of the cascade vs direct aggregation at each width:
+    * open/close pin to the min/max ``order_col`` key; the bar holding the
+      coarse bucket's min order key contributes its open via
+      ``min_by(open, min_ord)`` — identical to the direct ``min_by`` over
+      raw ticks (order keys are unique).
+    * high/low/trades are max/min/sum — associative.
+    * volume carries the INTEGER fixed-point sum (``cents``) between
+      levels and divides only at the output boundary, so per-level double
+      division never re-rounds.
+
+    Returns frame-tagged bars: (frame, symbol, bucket_ts, open, high,
+    low, close, volume, trades).
+    """
+    from dexscraper_spark.functions.exact import cents
+
+    for (_, a), (_, b) in zip(frames, frames[1:]):
+        if b % a != 0:
+            raise ValueError(f"frame {b}s is not a multiple of {a}s")
+
+    ts = F.col(ts_col)
+    price = F.col(price_col)
+    order_key = F.col(order_col) if order_col else ts
+    qty = F.col(qty_col) if qty_col else price
+
+    name0, secs0 = frames[0]
+    level = (
+        ticks.groupBy(F.col(symbol_col).alias("symbol"),
+                      F.window(ts, f"{secs0} seconds").alias("w"))
+        .agg(
+            F.min_by(price, order_key).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order_key).alias("close"),
+            F.sum(cents(qty, volume_scale)).alias("vol_cents"),
+            F.count(F.lit(1)).alias("trades"),
+            F.min(order_key).alias("min_ord"),
+            F.max(order_key).alias("max_ord"),
+        )
+        .select("symbol", F.col("w.start").alias("bucket_ts"),
+                "open", "high", "low", "close", "vol_cents", "trades",
+                "min_ord", "max_ord")
+    ).persist()  # feeds both the output union and the next rollup level
+
+    def out(level_df: DataFrame, name: str) -> DataFrame:
+        return level_df.select(
+            F.lit(name).alias("frame"), "symbol", "bucket_ts",
+            "open", "high", "low", "close",
+            (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
+            .cast("double").alias("volume"),
+            "trades",
+        )
+
+    result = out(level, name0)
+    for name, secs in frames[1:]:
+        level = (
+            level.groupBy("symbol",
+                          F.window(F.col("bucket_ts"),
+                                   f"{secs} seconds").alias("w"))
+            .agg(
+                F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by(F.col("close"), F.col("max_ord")).alias("close"),
+                F.sum("vol_cents").alias("vol_cents"),
+                F.sum("trades").alias("trades"),
+                F.min("min_ord").alias("min_ord"),
+                F.max("max_ord").alias("max_ord"),
+            )
+            .select("symbol", F.col("w.start").alias("bucket_ts"),
+                    "open", "high", "low", "close", "vol_cents", "trades",
+                    "min_ord", "max_ord")
+        ).persist()
+        result = result.unionByName(out(level, name))
+    return result

@@ -139,31 +139,29 @@ def _ohlc_frame_sql(frame: str, seconds: int) -> str:
 
 @register(
     "ohlc_bars",
-    _ohlc_frame_sql("h1", 3600) + "UNION ALL" + _ohlc_frame_sql("m5", 300),
+    " UNION ALL ".join(_ohlc_frame_sql(n, s) for n, s in
+                       (("m5", 300), ("h1", 3600),
+                        ("h6", 21600), ("h24", 86400))),
     survey_ref="A5,R5",
 )
 def ohlc_bars(spark, sf_dir):
-    """A5 × Timeframe (R5 m5/h1/h6/h24 vocabulary): tumbling OHLC bars at
-    two frame widths in one result, tagged by the `frame` column — the
-    Timeframe enum drives the window duration exactly as the reference's
-    timeframe parameter does."""
+    """A5 × Timeframe: the full R5 m5/h1/h6/h24 frame vocabulary in one
+    frame-tagged result, computed as a hierarchical rollup cascade — the
+    raw events aggregate ONCE at m5 and every coarser frame rolls up from
+    the previous level (see ohlc_windowed_frames for the bit-exactness
+    argument). The DuckDB oracle computes each frame directly from the
+    raw events, so the driver check proves cascade ≡ direct."""
     from dexscraper_spark.config import Timeframe
-    from dexscraper_spark.operators.ohlc import ohlc_windowed
+    from dexscraper_spark.operators.ohlc import ohlc_windowed_frames
     ev = _t(spark, sf_dir, "events")
-
-    def bars(frame: str, duration: str):
-        b = ohlc_windowed(
-            ev, symbol_col="event_type", ts_col="ts", price_col="value",
-            qty_col="value", order_col="event_id", duration=duration,
-        )
-        return b.select(
-            F.lit(frame).alias("frame"), "symbol",
-            F.col("bucket_ts").cast("long").alias("bucket_ts"),
-            "open", "high", "low", "close", "volume", "trades",
-        )
-
-    return bars("h1", Timeframe.H1.duration) \
-        .unionByName(bars("m5", Timeframe.M5.duration))
+    bars = ohlc_windowed_frames(
+        ev, symbol_col="event_type", ts_col="ts", price_col="value",
+        qty_col="value", order_col="event_id",
+        frames=tuple((tf.value, tf.seconds)
+                     for tf in (Timeframe.M5, Timeframe.H1,
+                                Timeframe.H6, Timeframe.H24)),
+    )
+    return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
 
 
 # ---------------------------------------------------------------------------

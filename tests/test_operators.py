@@ -306,3 +306,26 @@ def test_ivf_build_query_split_and_disk_index(spark, tmp_path):
                    ivf_query(index, queries, k=5, nprobe=4).collect())
     assert again == mem
     index.unpersist()
+
+
+def test_ohlc_frames_cascade_equals_direct(spark):
+    """The hierarchical rollup cascade (m5 -> h1 -> h6) must be
+    bit-identical to aggregating the raw ticks directly at each width —
+    open/close pinning, fixed-point volume and counts all survive the
+    re-aggregation."""
+    from dexscraper_spark.operators.ohlc import (
+        ohlc_windowed, ohlc_windowed_frames)
+    from dexscraper_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              qty_col="value", order_col="event_id")
+    cascade = ohlc_windowed_frames(
+        ev, frames=(("m5", 300), ("h1", 3600), ("h6", 21600)), **kw)
+    for frame, duration in (("m5", "5 minutes"), ("h1", "1 hour"),
+                            ("h6", "6 hours")):
+        direct = ohlc_windowed(ev, duration=duration, **kw)
+        a = sorted(tuple(r) for r in cascade.filter(f"frame = '{frame}'")
+                   .drop("frame").collect())
+        b = sorted(tuple(r) for r in direct.collect())
+        assert a == b, f"cascade != direct at {frame}"
