@@ -34,6 +34,37 @@ from dexscraper_spark.config import Timeframe
 from dexscraper_spark.sources.decode import decode_messages
 
 
+def frame_stream(spark: SparkSession, *, pairs_per_frame: int = 4,
+                 frames_per_batch: int = 4, max_frames: int = 0,
+                 filters: dict | None = None) -> DataFrame:
+    """S1 live ingestion path: the ``dexframes`` streaming source (offset
+    protocol, deterministic replay, subscription-time Filters pushdown —
+    the reference's WebSocket URL-param contract, scraper.py:177-246)
+    surfaced as the engine-facing decoded stream with an event-time
+    column ready for watermarked OHLC (``ts_col="event_ts"``).
+
+    ``filters`` is a Filters-DSL kwargs dict (e.g. {"liquidity_min": 5e4})
+    applied INSIDE the source scan, before rows enter the engine —
+    exactly where the reference's server applies them.
+    """
+    import json
+
+    from dexscraper_spark.sources.frame_source import register_frame_source
+
+    register_frame_source(spark)
+    reader = (
+        spark.readStream.format("dexframes")
+        .option("pairs_per_frame", pairs_per_frame)
+        .option("frames_per_batch", frames_per_batch)
+    )
+    if max_frames:
+        reader = reader.option("max_frames", max_frames)
+    if filters:
+        reader = reader.option("filters_json", json.dumps(filters))
+    return reader.load().withColumn(
+        "event_ts", F.timestamp_seconds(F.col("created_at")))
+
+
 def rate_frame_stream(spark: SparkSession, *, rows_per_second: int = 4,
                       pairs_per_frame: int = 4) -> DataFrame:
     """Demo/test source: the built-in ``rate`` source drives deterministic

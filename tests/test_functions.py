@@ -238,3 +238,25 @@ def test_filters_launchpad_progress():
     from dexscraper_spark.config import Filters
     f = Filters(max_launchpad_progress=95.0)
     assert "launchpad_progress <= 95.0" in f.to_sql()
+
+
+def test_md5_le64_matches_duckdb_md5_number_lower(spark):
+    """The portable simhash shingle hash must equal DuckDB's
+    md5_number_lower bit-for-bit (signed two's-complement view) — this is
+    the cross-engine contract dedup_simhash's oracle stands on."""
+    import duckdb
+    from dexscraper_spark.operators.dedup import md5_le64
+
+    samples = ["", "a", "abc", "hello world", "ρython unicode ☃",
+               "tab\tnewline\n", " " * 50, "0123456789" * 30,
+               "ümlaut-Ärger", "\x01\x02", "the quick brown fox"]
+    got = [r.h for r in spark.createDataFrame(
+        [(s,) for s in samples], ["s"]).select(
+        md5_le64(__import__("pyspark.sql.functions", fromlist=["col"])
+                 .col("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    want = []
+    for s in samples:
+        (u,) = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()
+        want.append(u - (1 << 64) if u >= (1 << 63) else u)
+    assert got == want

@@ -181,3 +181,53 @@ def test_processing_time_trigger_checkpoint_restart(spark, tmp_path):
     assert final.count() == 24              # no loss
     assert final.select("msg_id", "record_position").distinct().count() == 24  # no dupes
     assert final.select("msg_id").distinct().count() == 6
+
+
+def test_frame_stream_end_to_end_ohlc(spark, tmp_path):
+    """S1 closed end-to-end: dexframes streaming source (filters pushed at
+    subscription time) -> event-time watermarked OHLC -> memory sink,
+    equal to the identical aggregation over the batch source."""
+    from pyspark.sql import functions as F
+    from dexscraper_spark.streaming.pipeline import frame_stream, streaming_ohlc
+
+    decoded = frame_stream(spark, pairs_per_frame=4, frames_per_batch=3,
+                           max_frames=9, filters={"liquidity_min": 50_500.0})
+    bars = streaming_ohlc(decoded, ts_col="event_ts")
+    # complete mode: the synthetic frames' event-times all land inside one
+    # 5-minute window, which append-mode would hold open forever awaiting
+    # the watermark; complete emits the full aggregate every micro-batch,
+    # so the final table equals the batch aggregation over all frames.
+    q = (bars.writeStream.format("memory").queryName("frame_ohlc")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT * FROM frame_ohlc").collect())
+
+    # batch twin: same source options, same aggregation expressions
+    from dexscraper_spark.sources.frame_source import register_frame_source
+    register_frame_source(spark)
+    batch = (
+        spark.read.format("dexframes")
+        .option("pairs_per_frame", 4).option("n_frames", 9).load()
+        .filter(F.col("liquidity_usd") >= 50_500.0)
+        .withColumn("event_ts", F.timestamp_seconds(F.col("created_at")))
+    )
+    price = F.col("price_usd")
+    order_key = F.struct(F.col("event_ts"), F.col("msg_id"),
+                         F.col("record_position"))
+    expected = sorted(tuple(r) for r in (
+        batch.groupBy(F.col("base_token_symbol").alias("symbol"),
+                      F.window("event_ts", "5 minutes").alias("w"))
+        .agg(F.min_by(price, order_key).alias("open"),
+             F.max(price).alias("high"),
+             F.min(price).alias("low"),
+             F.max_by(price, order_key).alias("close"),
+             F.sum(F.col("volume_h24")).alias("volume"),
+             F.count(F.lit(1)).alias("trades"))
+        .select("symbol", F.col("w.start").alias("bucket_ts"),
+                "open", "high", "low", "close", "volume", "trades")
+    ).collect())
+    assert got and got == expected
