@@ -289,11 +289,15 @@ def scalar_datetime(spark, sf_dir):
 )
 def scalar_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # hoist the JSON parse into a projection: referencing the extract
+    # expression from both aggregates would parse the props string twice
+    # per row
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
     return (
-        ev.groupBy("event_type")
-        .agg(F.sum(k).alias("k_sum"),
-             F.count_distinct(k).alias("k_distinct"))
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"),
+             F.count_distinct("k").alias("k_distinct"))
     )
 
 

@@ -135,3 +135,41 @@ def test_streaming_source_replay_is_deterministic(spark):
     it2, end2 = r.read(end)
     assert end2 == {"frame": 10}
     assert list(it2) != first  # frames advance with the offset
+
+
+def test_streaming_source_checkpoint_restart_no_dupes_no_gaps(spark, tmp_path):
+    """Stop the stream mid-source and restart from the same checkpoint:
+    the offset log must resume exactly where it left off — no duplicated
+    and no skipped frames (R3 reconnect semantics on the S1 source)."""
+    from dexscraper_spark.sources.frame_source import register_frame_source
+
+    register_frame_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(max_frames: int) -> dict[int, int]:
+        q = (
+            spark.readStream.format("dexframes")
+            .option("pairs_per_frame", 2)
+            .option("frames_per_batch", 2)
+            .option("max_frames", max_frames)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.read.parquet(out).groupBy("msg_id").count().collect()
+        return {r.msg_id: r["count"] for r in rows}
+
+    first = run(6)
+    assert sorted(first) == [0, 1, 2, 3, 4, 5]
+
+    # restart from the same checkpoint with more frames available: the
+    # query must resume at frame 6 — every frame present exactly once
+    # (row counts for frames 0-5 unchanged: nothing re-read), no gaps.
+    second = run(12)
+    assert sorted(second) == list(range(12))
+    assert all(second[m] == first[m] for m in first)
