@@ -269,3 +269,67 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
             (2 * F.col(f"__o{b}") > F.col("__n")).cast("bigint"), b)
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def split_assignment(key, *, train_pct: int = 80, valid_pct: int = 10):
+    """Deterministic train/valid/test split for training-data pipelines:
+    bucket = portable-hash(key) mod 100, so the assignment is stable
+    across runs, engines and cluster layouts (md5_le64 ≡ DuckDB
+    md5_number_lower — the split is oracle-checkable, unlike rand()).
+    """
+    bucket = F.pmod(md5_le64(key.cast("string")), F.lit(100))
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → canonical-document
+    assignment: every doc in a duplicate cluster gets the cluster's
+    minimum id as its component label (the survivor the pipeline keeps).
+
+    Min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors; converges in O(graph diameter) rounds
+    — near-dup clusters are shallow (diameter ≲ a few), so this is a
+    handful of shuffles over the PAIR set (tiny relative to the corpus;
+    the same reason LSH verification is cheap). Each round is one
+    equi-join + one groupBy — linear shuffle volume, no cross products;
+    the driver-side loop only checks the scalar convergence count, it
+    never collects data rows.
+
+    Returns (node, component) — component = min id reachable.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"),
+                       "dst")
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh.select(F.col("src").alias("node"), "nlabel"),
+                        "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nlabel"), F.col("label")))
+                    .alias("label"),
+                    (F.coalesce(F.col("nlabel"), F.col("label"))
+                     < F.col("label")).cast("int").alias("changed"))
+            .persist()
+        )
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        new_labels = updated.select("node", "label").persist()
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

@@ -208,14 +208,27 @@ def scalar_events_suite(spark, sf_dir):
                 THEN 'UNK'
                 ELSE substr(regexp_replace(upper(source), '[^A-Z0-9]', '', 'g'), 1, 10)
            END AS sym_norm,
-           md5(text) AS content_md5
-    FROM staged
+           md5(text) AS content_md5,
+           CASE WHEN hb < 80 THEN 'train'
+                WHEN hb < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               -- signed two's-complement view of md5_number_lower, then
+               -- positive mod — matches Spark pmod(md5_le64(key), 100)
+               ((((CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) >= 9223372036854775808
+                        THEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) - 18446744073709551616
+                        ELSE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) END)
+                  % 100) + 100) % 100) AS hb
+        FROM staged
+    )
     """,
-    survey_ref="F11,F15,D3,D6",
+    survey_ref="F11,F15,D3,D6,northstar-split",
 )
 def scalar_docs_suite(spark, sf_dir):
     from dexscraper_spark.functions.cleaning import (
         clean_string, clean_url, is_valid_url, normalize_symbol)
+    from dexscraper_spark.operators.dedup import split_assignment
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
     raw = F.concat(
@@ -243,6 +256,7 @@ def scalar_docs_suite(spark, sf_dir):
         is_valid_url(url).cast("int").alias("valid"),
         normalize_symbol(F.col("source")).alias("sym_norm"),
         F.md5(F.col("text")).alias("content_md5"),
+        split_assignment(F.col("doc_id")).alias("split"),
     )
 
 

@@ -329,3 +329,46 @@ def test_ohlc_frames_cascade_equals_direct(spark):
                    .drop("frame").collect())
         b = sorted(tuple(r) for r in direct.collect())
         assert a == b, f"cascade != direct at {frame}"
+
+
+def test_dedup_components_chain_converges_to_min(spark):
+    """A chain a-b-c-d (diameter 3) must collapse to one component labeled
+    by the minimum id, exercising multi-round propagation."""
+    from dexscraper_spark.operators.dedup import dedup_components
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in dedup_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+
+
+def test_dedup_components_matches_union_find_on_simhash_pairs(spark):
+    """Components over real near-dup pairs (simhash at sf0.001) must equal
+    a driver-side union-find over the same pair list."""
+    from dexscraper_spark.operators.dedup import (
+        dedup_components, md5_le64, simhash_near_pairs)
+    from dexscraper_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = simhash_near_pairs(docs, id_col="doc_id", text_col="text",
+                               max_hamming=3, hash_fn=md5_le64)
+    pair_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_list, "need at least one near-dup pair for a real test"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    got = {r.node: r.component
+           for r in dedup_components(pairs).collect()}
+    assert got == expected
