@@ -70,15 +70,22 @@ def safe_divide(numerator: Column, denominator: Column, default: float = 0.0) ->
 _STRING_DEFAULTS = {"chain": "unknown", "protocol": "unknown"}
 
 
-def null_free(df, string_default: str = "", numeric_default: float = 0.0):
+def null_free(df, string_default: str = "", numeric_default: float = 0.0,
+              columns: list[str] | None = None):
     """F14: null-coalescing projection — no NULLs reach user payloads.
 
     Applies per-dtype ``coalesce`` defaults; one pass, no shuffle.
+    With ``columns``, only the named columns are rewritten — the rest pass
+    through untouched (so raw inputs carried alongside a payload
+    projection keep their NULLs).
     """
     exprs = []
     for f in df.schema.fields:
         c = F.col(f.name)
         dt = f.dataType.simpleString()
+        if columns is not None and f.name not in columns:
+            exprs.append(c)
+            continue
         if dt == "string":
             default = _STRING_DEFAULTS.get(f.name, string_default)
             exprs.append(F.coalesce(c, F.lit(default)).alias(f.name))

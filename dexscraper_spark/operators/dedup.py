@@ -277,6 +277,11 @@ def split_assignment(key, *, train_pct: int = 80, valid_pct: int = 10):
     across runs, engines and cluster layouts (md5_le64 ≡ DuckDB
     md5_number_lower — the split is oracle-checkable, unlike rand()).
     """
+    if not (0 < train_pct and 0 <= valid_pct
+            and train_pct + valid_pct <= 100):
+        raise ValueError(
+            f"split percentages must satisfy 0 < train and "
+            f"train + valid <= 100, got train={train_pct} valid={valid_pct}")
     bucket = F.pmod(md5_le64(key.cast("string")), F.lit(100))
     return (
         F.when(bucket < train_pct, F.lit("train"))
@@ -308,6 +313,7 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
 
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).persist())
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"),
@@ -323,13 +329,22 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                     .alias("label"),
                     (F.coalesce(F.col("nlabel"), F.col("label"))
                      < F.col("label")).cast("int").alias("changed"))
-            .persist()
         )
-        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        # persist ONLY the label frame that survives the iteration; the
+        # convergence count re-evaluates the (cheap, label-scale) join
+        # once rather than pinning a second cached frame per round.
         new_labels = updated.select("node", "label").persist()
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — "
+            f"the pair graph's diameter exceeds max_iter; raise max_iter "
+            f"(rounds needed ≈ graph diameter)")
     return labels.select("node", F.col("label").alias("component"))

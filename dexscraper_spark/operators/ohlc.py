@@ -98,11 +98,11 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
     """Hierarchical multi-frame OHLC (hypertable-style rollup cascade).
 
     The raw ticks are aggregated ONCE at the finest frame; every coarser
-    frame rolls up from the previous level (m5 → h1 → h6 → h24), which at
-    100 TB means one scan + one tick-volume shuffle total, then shuffles
-    over bar counts (orders of magnitude smaller) — instead of one full
+    frame rolls up from the persisted finest level, which at 100 TB means
+    one scan + one tick-volume shuffle total, then shuffles over bar
+    counts (orders of magnitude smaller) — instead of one full
     scan/shuffle per frame. Each ``frames`` entry is (name, seconds);
-    frames must ascend and each must divide the next.
+    every coarser width must be a multiple of the finest.
 
     Bit-exactness of the cascade vs direct aggregation at each width:
     * open/close pin to the min/max ``order_col`` key; the bar holding the
@@ -114,14 +114,21 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
       levels and divides only at the output boundary, so per-level double
       division never re-rounds.
 
+    Only the finest level is persisted (it feeds its own output plus
+    every coarser rollup); coarser levels are each consumed exactly once,
+    so they stay pure lineage — one cached bar frame per call, not one
+    per frame width.
+
     Returns frame-tagged bars: (frame, symbol, bucket_ts, open, high,
     low, close, volume, trades).
     """
     from dexscraper_spark.functions.exact import cents
 
-    for (_, a), (_, b) in zip(frames, frames[1:]):
-        if b % a != 0:
-            raise ValueError(f"frame {b}s is not a multiple of {a}s")
+    for _, secs in frames[1:]:
+        if secs % frames[0][1] != 0:
+            raise ValueError(
+                f"frame {secs}s is not a multiple of the finest "
+                f"{frames[0][1]}s")
 
     ts = F.col(ts_col)
     price = F.col(price_col)
@@ -129,7 +136,7 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
     qty = F.col(qty_col) if qty_col else price
 
     name0, secs0 = frames[0]
-    level = (
+    fine = (
         ticks.groupBy(F.col(symbol_col).alias("symbol"),
                       F.window(ts, f"{secs0} seconds").alias("w"))
         .agg(
@@ -145,7 +152,7 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
         .select("symbol", F.col("w.start").alias("bucket_ts"),
                 "open", "high", "low", "close", "vol_cents", "trades",
                 "min_ord", "max_ord")
-    ).persist()  # feeds both the output union and the next rollup level
+    ).persist()  # feeds its own output plus every coarser rollup
 
     def out(level_df: DataFrame, name: str) -> DataFrame:
         return level_df.select(
@@ -156,12 +163,12 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
             "trades",
         )
 
-    result = out(level, name0)
+    result = out(fine, name0)
     for name, secs in frames[1:]:
-        level = (
-            level.groupBy("symbol",
-                          F.window(F.col("bucket_ts"),
-                                   f"{secs} seconds").alias("w"))
+        rolled = (
+            fine.groupBy("symbol",
+                         F.window(F.col("bucket_ts"),
+                                  f"{secs} seconds").alias("w"))
             .agg(
                 F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
                 F.max("high").alias("high"),
@@ -175,6 +182,6 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
             .select("symbol", F.col("w.start").alias("bucket_ts"),
                     "open", "high", "low", "close", "vol_cents", "trades",
                     "min_ord", "max_ord")
-        ).persist()
-        result = result.unionByName(out(level, name))
+        )
+        result = result.unionByName(out(rolled, name))
     return result

@@ -199,28 +199,47 @@ _register_filter_dsl()
 # F4 — float validity heuristic (finite, 1e-15<|v|<1e15, not 0/±1).
 # ---------------------------------------------------------------------------
 
+_CLASSIFY_CASE = """CASE
+             WHEN {v} IS NULL OR isnan({v}) THEN 'invalid'
+             WHEN {v} >= 1e-6 AND {v} <= 0.1 THEN 'price'
+             WHEN {v} >= 10.0 AND {v} <= 50000.0 AND {v} = floor({v}) THEN 'txns'
+             WHEN {v} >= 10.0 AND {v} <= 15000.0 AND {v} = floor({v}) THEN 'makers'
+             WHEN {v} >= 1e5 AND {v} <= 1e7 THEN 'volume'
+             WHEN {v} >= 1e4 AND {v} <= 1e6 THEN 'liquidity'
+             WHEN {v} >= 1e5 AND {v} <= 5e7 THEN 'market_cap'
+             WHEN {v} >= -100.0 AND {v} <= 1000.0 THEN 'percentage'
+             ELSE 'other'
+           END"""
+
+
 @register(
     "filter_suite",
-    """
+    f"""
+    WITH suite AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    WHEN event_id % 7 = 1 THEN CAST('NaN' AS DOUBLE)
+                    WHEN event_id % 7 = 2 THEN 0.0
+                    WHEN event_id % 7 = 3 THEN 1.0
+                    WHEN event_id % 7 = 4 THEN -1.0
+                    ELSE value END AS dirty
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+          AND abs(value) > 1e-15 AND abs(value) < 1e15
+          AND value <> 0.0 AND value <> 1.0 AND value <> -1.0
+    )
     SELECT event_id, value,
-           CASE
-             WHEN value IS NULL OR isnan(value) THEN 'invalid'
-             WHEN value >= 1e-6 AND value <= 0.1 THEN 'price'
-             WHEN value >= 10.0 AND value <= 50000.0 AND value = floor(value) THEN 'txns'
-             WHEN value >= 10.0 AND value <= 15000.0 AND value = floor(value) THEN 'makers'
-             WHEN value >= 1e5 AND value <= 1e7 THEN 'volume'
-             WHEN value >= 1e4 AND value <= 1e6 THEN 'liquidity'
-             WHEN value >= 1e5 AND value <= 5e7 THEN 'market_cap'
-             WHEN value >= -100.0 AND value <= 1000.0 THEN 'percentage'
-             ELSE 'other'
-           END AS value_class,
+           {_CLASSIFY_CASE.format(v='value')} AS value_class,
            CAST(CASE WHEN value > 0.0 AND value <= 1e6
                           AND value * 1000.0 >= 0.0 AND value * 1000.0 <= 1e12
-                THEN 1 ELSE 0 END AS INT) AS trading_valid
-    FROM events
-    WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
-      AND abs(value) > 1e-15 AND abs(value) < 1e15
-      AND value <> 0.0 AND value <> 1.0 AND value <> -1.0
+                THEN 1 ELSE 0 END AS INT) AS trading_valid,
+           {_CLASSIFY_CASE.format(v='dirty')} AS dirty_class,
+           CAST(CASE WHEN dirty IS NOT NULL AND NOT isnan(dirty)
+                          AND NOT isinf(dirty)
+                          AND abs(dirty) > 1e-15 AND abs(dirty) < 1e15
+                          AND dirty <> 0.0 AND dirty <> 1.0 AND dirty <> -1.0
+                THEN 1 ELSE 0 END AS INT) AS dirty_valid
+    FROM suite
     """,
     survey_ref="F4,F5,F7,W6",
 )
@@ -228,15 +247,27 @@ def filter_suite(spark, sf_dir):
     """The row-level validation family in one pass: F4 float-validity as a
     real WHERE (pushed to the scan), F7 first-match-wins range
     classification, F5 trading validation (price ∈ (0, 1e6], volume ∈
-    [0, 1e12]) as a flag over the surviving rows."""
+    [0, 1e12]) as a flag over the surviving rows. The ``dirty`` lanes run
+    classification and validity over a synthesized NULL/NaN/0/±1 mix so
+    the 'invalid' branch and the sentinel exclusions — unreachable through
+    rows the WHERE admits — stay oracle-verified."""
     from dexscraper_spark.functions.validity import (
         classify_value, is_valid_float, is_valid_trading_data)
     ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    dirty = (F.when(eid % 7 == 0, F.lit(None).cast("double"))
+              .when(eid % 7 == 1, F.lit(float("nan")))
+              .when(eid % 7 == 2, F.lit(0.0))
+              .when(eid % 7 == 3, F.lit(1.0))
+              .when(eid % 7 == 4, F.lit(-1.0))
+              .otherwise(F.col("value")))
     return ev.filter(is_valid_float(F.col("value"))).select(
         "event_id", "value",
         classify_value(F.col("value")).alias("value_class"),
         is_valid_trading_data(F.col("value"), F.col("value") * 1000.0)
         .cast("int").alias("trading_valid"),
+        classify_value(dirty).alias("dirty_class"),
+        is_valid_float(dirty).cast("int").alias("dirty_valid"),
     )
 
 
@@ -1559,13 +1590,16 @@ def agg_percentiles(spark, sf_dir):
     `lo + (hi - lo) * frac` (DuckDB quantile_cont's formula, bit-identical).
     """
     from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events") \
-        .select("event_type", "value").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("value")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # NULLs sort last and n counts only non-null values, so null rows get
+    # rn > n and never match a bracketing rank — quantile_cont semantics
+    # (nulls ignored, all-null groups kept with NULL percentiles: n=0
+    # makes k=0 match nothing and the interpolation collapse to NULL)
+    # without a pre-filter that would drop all-null groups entirely.
+    w = Window.partitionBy("event_type") \
+        .orderBy(F.col("value").asc_nulls_last())
     ranked = ev.withColumn("rn", F.row_number().over(w))
-    # count reuses the event_type hash partitioning; window over the join
-    # keeps everything in one exchange.
-    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    n = F.count(F.col("value")).over(Window.partitionBy("event_type"))
     ranked = ranked.withColumn("n", n)
 
     def pick(p, name):

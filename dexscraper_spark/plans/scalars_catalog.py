@@ -125,7 +125,11 @@ def scalar_events_suite(spark, sf_dir):
         F.when(eid % 7 == 0, F.lit(None).cast("long"))
          .otherwise(F.col("user_id")).alias("txns"),
     )
-    nf = null_free(staged)  # F14: per-dtype defaults (chain → 'unknown')
+    # F14: per-dtype defaults (chain → 'unknown') on the payload columns
+    # ONLY — the raw value/event_type/user_id carried for the other lanes
+    # must keep their NULLs, or the lanes diverge from the oracle (which
+    # reads the raw columns) on NULL-bearing inputs.
+    nf = null_free(staged, columns=["chain", "price", "txns"])
 
     v = (F.when(eid % 7 == 0, F.lit(float("nan")))
           .when(eid % 11 == 0, F.lit(float("inf")))

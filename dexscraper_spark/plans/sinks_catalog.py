@@ -2,7 +2,8 @@
 formats plus the K6/K7 per-bar row shapes, registered as queries with DuckDB
 oracles so the sink layer has green CORRECTNESS rows, not only golden tests.
 
-Input bars: 1-hour OHLC over events (same derivation as ``ohlc_1h``) with
+Input bars: 1-hour OHLC over events (``ohlc_windowed``, the h1 frame of
+the ``ohlc_bars`` catalog query) with
 volume at 2-decimal fixed point — %.2f of a value that is an exact multiple
 of 0.01 can never land on a round-half tie, so Java's HALF_UP
 (format_string) and DuckDB's printf round identically. Raw event doubles
@@ -21,7 +22,16 @@ from dexscraper_spark.plans.registry import register
 from dexscraper_spark.session import tune_session
 
 
+# One cached bar frame per (appId, sf_dir) for the session lifetime —
+# bounded by the handful of sf_dirs a process touches. clear_bars_cache()
+# releases the block-manager storage for long-lived multi-dataset apps.
 _BARS_CACHE: dict = {}
+
+
+def clear_bars_cache() -> None:
+    for df in _BARS_CACHE.values():
+        df.unpersist()
+    _BARS_CACHE.clear()
 
 
 def _bars(spark, sf_dir: str):

@@ -57,6 +57,17 @@ class FramePartition(InputPartition):
     end_id: int = 0
 
 
+def synthetic_payloads(start_id: int, end_id: int, pairs_per_frame: int):
+    """The ONE recipe for synthetic wire frames: frame i is
+    make_frame(sample_pairs(pairs_per_frame, seed=i % 13)). Batch
+    partitions AND streaming offsets both read through this function, so
+    the documented stream == batch parity (and the streaming reader's
+    bit-identical offset replay) cannot drift between the two paths."""
+    from dexscraper_spark.sources.binary import make_frame, sample_pairs
+    for i in range(start_id, end_id):
+        yield i, make_frame(sample_pairs(pairs_per_frame, seed=i % 13))
+
+
 def _passes(row: dict, pushed: list[Filter]) -> bool:
     for f in pushed:
         col = f.attribute[0]
@@ -125,11 +136,9 @@ class FrameDataSourceReader(DataSourceReader):
                 payloads = [(hash(os.path.basename(partition.path)) & 0x7FFFFFFF,
                              fh.read())]
         else:
-            from dexscraper_spark.sources.binary import make_frame, sample_pairs
-            payloads = [
-                (i, make_frame(sample_pairs(self.pairs_per_frame, seed=i % 13)))
-                for i in range(partition.start_id, partition.end_id)
-            ]
+            payloads = synthetic_payloads(partition.start_id,
+                                          partition.end_id,
+                                          self.pairs_per_frame)
         for msg_id, payload in payloads:
             for rec in parse_frame(payload):
                 rec["msg_id"] = msg_id
@@ -263,12 +272,9 @@ class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
         return True
 
     def _scan(self, start_id: int, end_id: int):
-        from dexscraper_spark.sources.binary import make_frame, sample_pairs
-
         out_cols = [f.name for f in DECODED_SCHEMA.fields]
-        for i in range(start_id, end_id):
-            payload = make_frame(sample_pairs(self.pairs_per_frame,
-                                              seed=i % 13))
+        for i, payload in synthetic_payloads(start_id, end_id,
+                                             self.pairs_per_frame):
             for rec in parse_frame(payload):
                 rec["msg_id"] = i
                 if self._keep(rec):

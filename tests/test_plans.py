@@ -140,3 +140,29 @@ def test_percentiles_no_object_hash_aggregate(spark):
     assert "ObjectHashAggregate" not in plan
     assert "Window" in plan
     assert "HashAggregate" in plan and "partial_" in plan
+
+
+def test_percentiles_keep_all_null_groups(spark, tmp_path):
+    """quantile_cont semantics: NULL values are ignored inside a group,
+    but a group whose values are ALL NULL stays in the result with NULL
+    percentiles — the sort-based rewrite must not pre-filter it away."""
+    import datetime
+
+    import duckdb
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [(i, t0, i, et, v, "{}") for i, (et, v) in enumerate(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", None)])]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    # reuse the registered builder against the synthetic table dir
+    from dexscraper_spark.plans.registry import all_queries
+    q = all_queries()["agg_percentiles"]
+    got = {r.event_type: (r.p50, r.p95, r.p99)
+           for r in q.build(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+    assert got["b"] == (None, None, None)
