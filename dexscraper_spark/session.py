@@ -44,6 +44,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime-settable: externally-created sessions otherwise run the
+        # 200-partition default, which at local test scale is pure
+        # scheduling overhead (AQE coalesces, but the initial fan-out and
+        # the non-AQE streaming stages still pay it)
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       os.environ.get("SPARK_GRAFT_CPUS", "32"))
     except Exception:
         pass  # non-runtime-settable on some builds; defaults are fine
     return spark
