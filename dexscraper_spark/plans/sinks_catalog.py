@@ -30,7 +30,10 @@ _BARS_CACHE: dict = {}
 
 def clear_bars_cache() -> None:
     for df in _BARS_CACHE.values():
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped; entry is dead anyway
     _BARS_CACHE.clear()
 
 

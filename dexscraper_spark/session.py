@@ -47,9 +47,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # runtime-settable: externally-created sessions otherwise run the
         # 200-partition default, which at local test scale is pure
         # scheduling overhead (AQE coalesces, but the initial fan-out and
-        # the non-AQE streaming stages still pay it)
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # the non-AQE streaming stages still pay it). Only replace the
+        # untouched default — an explicitly configured value (get_spark
+        # parameter, cluster tuning) is never clobbered.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           os.environ.get("SPARK_GRAFT_CPUS", "32"))
     except Exception:
         pass  # non-runtime-settable on some builds; defaults are fine
     return spark

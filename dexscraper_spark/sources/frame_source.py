@@ -195,6 +195,7 @@ def register_frame_source(spark) -> None:
 # ignores params it cannot apply).
 FRAME_COLUMN_MAP = {
     "liquidity": "liquidity_usd",
+    "fdv": "fdv",
     "volume_h24": "volume_h24",
     "price_change_h24": "price_change_h24",
     "market_cap": "fdv",
