@@ -173,3 +173,22 @@ def test_streaming_source_checkpoint_restart_no_dupes_no_gaps(spark, tmp_path):
     second = run(12)
     assert sorted(second) == list(range(12))
     assert all(second[m] == first[m] for m in first)
+
+
+def test_streaming_fdv_filter_is_applied(spark):
+    """fdv_min must filter on the decoded fdv column (it was silently
+    dropped when the DSL base mapped to an absent market_cap column)."""
+    import json
+
+    from dexscraper_spark.sources.frame_source import FrameSimpleStreamReader
+
+    r = FrameSimpleStreamReader({
+        "pairs_per_frame": "4", "frames_per_batch": "2",
+        "filters_json": json.dumps({"fdv_min": 5_015_000.0}),
+    })
+    rows = list(r.readBetweenOffsets({"frame": 0}, {"frame": 2}))
+    assert rows, "filter should keep the high-fdv pairs"
+    unfiltered = list(FrameSimpleStreamReader(
+        {"pairs_per_frame": "4", "frames_per_batch": "2"})
+        .readBetweenOffsets({"frame": 0}, {"frame": 2}))
+    assert len(rows) < len(unfiltered)

@@ -67,3 +67,19 @@ def test_events_ts_is_utc_micro_truncated(spark):
         F.unix_micros(F.col("ts")) != F.expr("ts_ns div 1000")).count()
     assert bad == 0
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_tune_session_respects_explicit_shuffle_partitions(spark):
+    """tune_session replaces only the untouched 200 default — a caller's
+    explicit shuffle-partition setting must survive catalog calls."""
+    from dexscraper_spark.session import tune_session
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "123")
+        tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
