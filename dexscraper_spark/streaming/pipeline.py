@@ -140,6 +140,21 @@ def streaming_ohlc(decoded: DataFrame, *, timeframe: Timeframe = Timeframe.M5,
     )
 
 
+def streaming_dedup(decoded: DataFrame, *, keys: list[str] | None = None,
+                    ts_col: str = "event_ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Cross-batch seen-set dedup — the reference's ``seen`` sets
+    (utils.py:136,168; scraper.py:847-867) as a stateful streaming
+    operator: the first row per key survives, replays and re-sends are
+    dropped, and the watermark bounds how long a key is remembered so
+    state does not grow forever (the reference's unbounded in-process
+    set, made 100 TB-safe). ``dropDuplicatesWithinWatermark`` keys state
+    by the dedup columns only; at scale the state store shards by key
+    hash, so the dedup is a linear shuffle."""
+    keyed = decoded.withWatermark(ts_col, watermark)
+    return keyed.dropDuplicatesWithinWatermark(keys or ["pair_address"])
+
+
 def snapshot_stats(decoded: DataFrame) -> DataFrame:
     """R6 snapshot mode: per-batch stats identical to the reference's
     ``ExtractedTokenBatch`` derivation (models.py:369-375). Used with

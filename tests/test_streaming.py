@@ -231,3 +231,27 @@ def test_frame_stream_end_to_end_ohlc(spark, tmp_path):
                 "open", "high", "low", "close", "volume", "trades")
     ).collect())
     assert got and got == expected
+
+
+def test_streaming_dedup_drops_cross_batch_repeats(spark, tmp_path):
+    """The synthetic frame cycle repeats every 13 seeds, so 26 frames
+    contain every pair twice in different micro-batches; the seen-set
+    dedup must keep exactly one row per pair_address across batches."""
+    from dexscraper_spark.streaming.pipeline import frame_stream, streaming_dedup
+
+    decoded = frame_stream(spark, pairs_per_frame=4, frames_per_batch=5,
+                           max_frames=26)
+    deduped = streaming_dedup(decoded, keys=["pair_address"])
+    q = (deduped.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT pair_address FROM dedup_stream").collect()
+    addrs = [r.pair_address for r in rows]
+    assert addrs, "dedup stream produced no rows"
+    assert len(addrs) == len(set(addrs)), "duplicate pair_address survived"
+    # and it actually dropped something: raw stream has each pair twice
+    raw_count = 26 * 4
+    assert len(addrs) < raw_count
