@@ -372,3 +372,34 @@ def test_dedup_components_matches_union_find_on_simhash_pairs(spark):
     got = {r.node: r.component
            for r in dedup_components(pairs).collect()}
     assert got == expected
+
+
+def test_batch_ops_perf_gate(spark):
+    """Reference parity (test_edge_cases.py:312-338): top-k + snapshot-OHLC
+    conversion + CSV line export of 100 tokens must finish in bounded
+    time. The reference gates <1 s single-thread CPython; here the bound
+    is 5 s on a warm session — generous for Spark's scheduling overhead
+    but still catches a plan regression (e.g. an accidental cartesian or
+    a Python-row-UDF sneaking into the export path)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from dexscraper_spark.operators.ohlc import ohlc_snapshot
+    from dexscraper_spark.operators.topk import top_k
+    from dexscraper_spark.sinks.exporters import mt5_line
+
+    tokens = spark.range(100).select(
+        F.concat(F.lit("TK"), F.col("id")).alias("symbol"),
+        (0.000123 * (F.col("id") + 1)).alias("price"),
+        (1_000_000.5 + F.col("id")).alias("volume_24h"),
+        (F.lit(1756793176) + F.col("id")).alias("ts"),
+    )
+    t0 = time.time()
+    ranked = top_k(tokens, 10, F.col("volume_24h").desc(),
+                   F.col("symbol").asc())
+    bars = ohlc_snapshot(ranked, price_col="price", volume_col="volume_24h",
+                         ts_col="ts", symbol_col="symbol")
+    lines = bars.select("symbol", mt5_line().alias("line")).collect()
+    elapsed = time.time() - t0
+    assert len(lines) == 10 and all("," in r.line for r in lines)
+    assert elapsed < 5.0, f"batch ops took {elapsed:.2f}s"
