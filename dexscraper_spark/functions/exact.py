@@ -29,14 +29,23 @@ def cents(c: Column, scale: int = 2) -> Column:
 
 
 def sum_money(c: Column, scale: int = 2) -> Column:
-    """Order-independent sum of a double column, exact to ``scale`` decimals."""
-    return (F.sum(cents(c, scale)) / F.lit(float(10 ** scale))).cast("double")
+    """Order-independent sum of a double column, exact to ``scale`` decimals.
+
+    The integer cents accumulate in DECIMAL(38,0), not BIGINT: a 100 TB
+    group of 6-dp cents overflows int64 (1e12 rows x 1e6 avg value x 1e6
+    scale ~ 1e24), and DuckDB's SUM(BIGINT) is already 128-bit HUGEINT —
+    matching widths keeps the cross-engine comparison exact AND the sum
+    overflow-proof. Partial aggregation still applies (decimal sums are
+    map-side combinable).
+    """
+    wide = F.sum(cents(c, scale).cast("decimal(38,0)"))
+    return (wide / F.lit(float(10 ** scale))).cast("double")
 
 
 def avg_money(c: Column, scale: int = 2) -> Column:
     """Order-independent mean, exact integer sum divided by exact count."""
     return (
-        F.sum(cents(c, scale)).cast("double")
+        F.sum(cents(c, scale).cast("decimal(38,0)")).cast("double")
         / F.count(c).cast("double")
         / F.lit(float(10 ** scale))
     ).cast("double")

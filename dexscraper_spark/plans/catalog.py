@@ -739,8 +739,8 @@ def ohlc_snapshot_compat(spark, sf_dir):
                     THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
                          / CAST(len(ws) AS DOUBLE)
                     ELSE 0.0 END AS atl,
-               CAST(list_sum(list_transform(ps,
-                    p -> greatest(CAST(ceil(length(p) / 4.0) AS INT), 1)))
+               CAST(COALESCE(list_sum(list_transform(ps,
+                    p -> greatest(CAST(ceil(length(p) / 4.0) AS INT), 1))), 0)
                     + (n - length(regexp_replace(text, '[^\\sA-Za-z0-9]', '', 'g')))
                     AS INT) AS n_bpe_tokens
         FROM t
@@ -1577,13 +1577,22 @@ def dedup_embedding_cosine(spark, sf_dir):
 # in both engines; rounded half-up 6 dp as a bit-stability guard.
 # ---------------------------------------------------------------------------
 
+def _round6_sql(q: str) -> str:
+    # round to 6 dp only where a 1e-6 step is representable; beyond ~4e9
+    # the scaled intermediate overflows the bigint FLOOR path (and the
+    # rounding would be sub-ulp noise anyway) — both engines must branch
+    # identically or the comparison diverges at extreme magnitudes
+    return (f"CASE WHEN abs({q}) < 4e9 "
+            f"THEN FLOOR({q} * 1000000.0 + 0.5) / 1000000.0 ELSE {q} END")
+
+
 @register(
     "agg_percentiles",
-    """
+    f"""
     SELECT event_type,
-           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
-           FLOOR(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
-           FLOOR(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+           {_round6_sql('quantile_cont(value, 0.5)')} AS p50,
+           {_round6_sql('quantile_cont(value, 0.95)')} AS p95,
+           {_round6_sql('quantile_cont(value, 0.99)')} AS p99
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -1619,8 +1628,10 @@ def agg_percentiles(spark, sf_dir):
         hi = F.max(F.when(F.col("rn") == k + 1, F.col("value")))
         frac = F.max(F.when(F.col("rn") == k, idx - F.floor(idx)))
         val = lo + (F.coalesce(hi, lo) - lo) * frac
-        return (F.floor(val * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0) \
-            .alias(name)
+        rounded = F.floor(val * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        # mirror _round6_sql: round only below the bigint-FLOOR overflow
+        # magnitude; pass extreme values through un-rounded (sub-ulp)
+        return F.when(F.abs(val) < 4e9, rounded).otherwise(val).alias(name)
 
     return (
         ranked.groupBy("event_type")

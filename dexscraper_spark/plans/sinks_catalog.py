@@ -90,7 +90,7 @@ def _line_sql(fmt_key: str, *tail: str) -> str:
     "sink_csv_lines",
     _BARS_CTE + f"""
     SELECT symbol, ts AS ts_s,
-           {_line_sql('mt5', "CAST(CAST(FLOOR(volume) AS BIGINT) AS VARCHAR)")} AS line_mt5,
+           {_line_sql('mt5', "CAST(CAST(TRUNC(volume) AS BIGINT) AS VARCHAR)")} AS line_mt5,
            {_line_sql('iso', "printf('%.2f', volume)")} AS line_ohlcv,
            {_line_sql('iso', "printf('%.2f', volume)",
                       "CAST(COALESCE(trades, CAST(FLOOR(volume / 1000.0) AS BIGINT)) AS VARCHAR)")} AS line_ohlcvt
@@ -299,7 +299,7 @@ def _tokens(spark, sf_dir: str):
            change_24h AS price_change_percentage_24h,
            change_24h / 24.0 AS price_change_percentage_1h,
            price * 1.2 AS ath,
-           -16.67 AS ath_change_percentage,
+           CAST(-16.67 AS DOUBLE) AS ath_change_percentage,
            ts AS last_updated_s
     FROM ranked WHERE rank <= 100
     """,

@@ -260,3 +260,24 @@ def test_md5_le64_matches_duckdb_md5_number_lower(spark):
         (u,) = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()
         want.append(u - (1 << 64) if u >= (1 << 63) else u)
     assert got == want
+
+
+def test_sum_money_survives_int64_overflow_scale(spark):
+    """The fixed-point accumulator must be 128-bit: a group whose 6-dp
+    cents sum exceeds int64 (the 100 TB regime) must aggregate without
+    overflow instead of throwing/wrapping."""
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.exact import sum_money
+    # 2000 rows x 9e12 -> 1.8e16 money -> 1.8e22 cents at scale 6 >> 2^63
+    df = spark.range(2000).select(F.lit(9e12).alias("v"))
+    (total,) = df.agg(sum_money(F.col("v"), 6).alias("s")).collect()[0]
+    assert total == 2000 * 9e12
+
+
+def test_difftest_adversarial_corpus_is_clean(spark):
+    """The differential harness (edge-input corpus, Spark vs DuckDB) must
+    report zero divergences — guards the oracle parity beyond the
+    generated testdata."""
+    from tools.difftest import run
+    lines: list[str] = []
+    assert run(out=lines.append) == 0, "\n".join(lines)

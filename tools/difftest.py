@@ -1,0 +1,177 @@
+"""Differential test harness — the oracle gate on an ADVERSARIAL corpus.
+
+`tools/check_oracle.py` proves Spark ≡ DuckDB on the driver's generated
+testdata; this harness re-runs the same cross-check on a synthetic corpus
+full of edge inputs the generated data never exercises — unicode, empty
+and whitespace-only text, duplicate documents, extreme magnitudes,
+grid-tie values, NULL-bearing nullable columns, missing JSON keys — so a
+latent engine-semantics divergence (regex unicode classes, printf
+rounding, NULL propagation) surfaces here instead of in production.
+
+The corpus stays INSIDE the table contract (TESTDATA.md): columns that
+the generated data never leaves NULL (event value, document text) stay
+non-NULL here too; adversarial ≠ impossible.
+
+Usage: python tools/difftest.py [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose inputs are only events/documents (the two synthesized
+# tables) and whose semantics are deterministic row/group-local.
+DEFAULT_QUERIES = [
+    "agg_event_stats", "agg_percentiles", "ohlc_bars", "filter_suite",
+    "scalar_events_suite", "scalar_docs_suite", "scalar_json", "set_ops",
+    "sessionize_users", "window_moving_sum", "window_first_wins",
+    "text_metrics", "text_lang", "text_fingerprint_dups",
+    "dedup_exact_docs", "dedup_simhash", "rank_trending",
+    "sink_csv_lines", "sink_tradingview_rows", "sink_binance_rows",
+    "sink_excel", "sink_coingecko_rows", "sink_pancakeswap_rows",
+]
+
+T0 = datetime.datetime(2025, 3, 1, 0, 0, 0)
+
+
+def adversarial_events():
+    """Edge-value events: extremes, grid ties, dense duplicates, sparse
+    users/types, NULL props — value stays non-NULL per the contract."""
+    rows = []
+    # NOT included, deliberately (documented engine-vs-DuckDB printf
+    # divergences, out of the generated-data contract):
+    #  * exact X.XX5 printf ties (e.g. 2.675, 1.005) — Java HALF_UP vs
+    #    C half-even disagree at the tie, see scalars_catalog docstring;
+    #  * magnitudes > ~4.5e7 through %.8f lanes — Java pads the shortest
+    #    decimal repr while C expands exact binary, diverging once
+    #    ulp(v) exceeds the printed precision.
+    values = [
+        0.5, 1.5, 2.0, 100.0, 99.999999, 1e-6, 9.99e-2, 0.1, 10.0,
+        49999.0, 50000.0, 50001.0, 1e5, 1e7, 1e4, 1e6, -100.0,
+        1000.0, 1000.5, -99.5, 9.9e6, 1.1e-14, 123456.789, 0.005,
+        2.67, 1.013, 0.125, 3.0, 7.0,
+    ]
+    props = ['{"k": 1}', '{"k": 42}', '{"nope": 1}', "{}", None,
+             '{"k": null}', '{"k": 7}']
+    types = ["click", "purchase", "error", "view"]
+    for i, v in enumerate(values):
+        rows.append((
+            i,
+            T0 + datetime.timedelta(minutes=7 * i, seconds=i % 50),
+            i % 5,
+            types[i % len(types)],
+            v,
+            props[i % len(props)],
+        ))
+    # a user with a single event (sessionize edge) and one far-future
+    # event (gap > session timeout, new session)
+    rows.append((100, T0 + datetime.timedelta(days=2), 99, "click", 2.5,
+                 '{"k": 3}'))
+    rows.append((101, T0 + datetime.timedelta(days=2, hours=3), 99,
+                 "purchase", 3.5, '{"k": 4}'))
+    return rows
+
+
+def adversarial_documents():
+    """Edge-text documents: unicode, empty, whitespace, punctuation-only,
+    exact duplicates, shared 30-char prefixes, long repetitive text."""
+    texts = [
+        "",                                   # empty
+        "   \t  ",                            # whitespace only
+        "!!! ??? ;;; ///",                    # punctuation only
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "ümlaut Ärger straße çédille ñandú",  # unicode
+        "el rápido zorro marrón salta sobre el perro perezoso",
+        "le renard brun rapide saute par dessus le chien paresseux",
+        "der schnelle braune fuchs springt über den faulen hund",
+        "a" * 500,                            # long single-token
+        ("word " * 200).strip(),              # long many-token
+        "the quick brown fox jumps differently this time entirely",
+        "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG",    # case variant
+        "12345 67890 numbers only 54321",
+        "mixed ünïcode and ascii tökens here",
+    ]
+    langs = ["en", "es", "fr", "de", "en"]
+    sources = ["web", None, "", "Wiki-Source!", "x" * 40]
+    return [
+        (i, t, langs[i % len(langs)], sources[i % len(sources)], len(t))
+        for i, t in enumerate(texts)
+    ]
+
+
+def build_corpus(spark, out_dir: str) -> None:
+    spark.createDataFrame(
+        adversarial_events(),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    spark.createDataFrame(
+        adversarial_documents(),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+
+
+def run(queries=None, out=print) -> int:
+    import duckdb
+
+    from dexscraper_spark.plans.registry import all_queries
+    from dexscraper_spark.session import get_spark
+    from tools.check_oracle import normalize
+
+    spark = get_spark("difftest")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = all_queries()
+    names = queries or DEFAULT_QUERIES
+    failures = 0
+    with tempfile.TemporaryDirectory() as d:
+        build_corpus(spark, d)
+        con = duckdb.connect()
+        for t in ("events", "documents"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet/*.parquet')")
+        for name in names:
+            q = reg[name]
+            if q.oracle is None:
+                continue
+            try:
+                sdf = q.build(spark, d)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+                res = con.execute(q.oracle)
+                dcols = [c[0] for c in res.description]
+                drows = res.fetchall()
+            except Exception as e:  # noqa: BLE001
+                out(f"[ERR ] {name}: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:150]}")
+                failures += 1
+                continue
+            if sorted(scols) != sorted(dcols):
+                out(f"[COLS] {name}: spark={sorted(scols)} "
+                    f"duck={sorted(dcols)}")
+                failures += 1
+                continue
+            a, _ = normalize(srows, scols)
+            b, _ = normalize(drows, dcols)
+            if len(a) != len(b):
+                out(f"[ROWS] {name}: spark={len(a)} duck={len(b)}")
+                failures += 1
+            elif a != b:
+                diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                out(f"[VALS] {name}: first diff at row {diff}:")
+                out(f"        spark={a[diff]}")
+                out(f"        duck ={b[diff]}")
+                failures += 1
+            else:
+                out(f"[OK  ] {name} rows={len(a)}")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if run(sys.argv[1:] or None) else 0)
