@@ -49,6 +49,14 @@ def _norm(a, dim: int = DEFAULT_DIM):
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _safe_div(num, denom):
+    """Cosine convention for degenerate vectors: a zero-norm embedding has
+    no direction, so its similarity to anything is 0 — and Spark 4's ANSI
+    mode turns the naive 0/0 into a runtime DIVIDE_BY_ZERO that would kill
+    the whole job on one bad row (a real hazard in scraped corpora)."""
+    return F.when(denom != 0.0, num / denom).otherwise(F.lit(0.0))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
                 vec_col: str = "embedding", k: int = 10,
                 round_to: int | None = 6, dim: int = DEFAULT_DIM) -> DataFrame:
@@ -69,8 +77,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id"
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),
                       _norm(F.col(vec_col), dim).alias("__cn"))
-    cos = _dot(F.col("__qv"), F.col("__cv"), dim) / (
-        F.col("__qn") * F.col("__cn"))
+    cos = _safe_div(_dot(F.col("__qv"), F.col("__cv"), dim),
+                    F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         p = float(10 ** round_to)
         cos = F.floor(cos * p + F.lit(0.5)) / p
@@ -207,8 +215,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
 
     q = banded(queries, "query_id")
     c = banded(corpus, "neighbor_id")
-    cos = _dot(F.col("__query_id_v"), F.col("__neighbor_id_v"), dim) / (
-        F.col("__query_id_n") * F.col("__neighbor_id_n"))
+    cos = _safe_div(_dot(F.col("__query_id_v"), F.col("__neighbor_id_v"), dim),
+                    F.col("__query_id_n") * F.col("__neighbor_id_n"))
     scored = (
         q.join(c, ["__band", "__bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -317,8 +325,8 @@ def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
                        F.col(index.vec_col).alias("__qv"),
                        _norm(F.col(index.vec_col)).alias("__qn"))
     # rank centroids per query by cosine, keep nprobe lists
-    c_cos = _dot(F.col("__qv"), F.col("centroid")) / (
-        F.col("__qn") * _norm(F.col("centroid")))
+    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
+                      F.col("__qn") * _norm(F.col("centroid")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("list_id").asc())
     probes = (
@@ -335,8 +343,8 @@ def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
         "__list")
     # norms come precomputed from each side (index.__vnorm, probe.__qn):
     # one fold per pair, same dot/(qn*cn) association → bit-identical
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (
-        F.col("__qn") * F.col("__cn"))
+    cos = _safe_div(_dot(F.col("__qv"), F.col("__cv")),
+                    F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         p = float(10 ** round_to)
         cos = F.floor(cos * p + F.lit(0.5)) / p

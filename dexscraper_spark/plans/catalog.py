@@ -951,22 +951,27 @@ def dedup_simhash(spark, sf_dir):
 # cosine rounded half-up to 6 dp on both sides.
 # ---------------------------------------------------------------------------
 
+def _cos6_sql(x: str, y: str) -> str:
+    """Guarded 6-dp cosine between two embedding table aliases — mirrors
+    operators.similarity._safe_div: zero-norm vectors score 0."""
+    def _n(v: str) -> str:
+        return (f"sqrt(list_sum(list_transform(range(1, 65), "
+                f"i -> CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE)"
+                f" * CAST({v}.embedding[CAST(i AS INT)] AS DOUBLE))))")
+    dot = (f"list_sum(list_transform(range(1, 65), "
+           f"i -> CAST({x}.embedding[CAST(i AS INT)] AS DOUBLE)"
+           f" * CAST({y}.embedding[CAST(i AS INT)] AS DOUBLE)))")
+    denom = f"({_n(x)} * {_n(y)})"
+    raw = f"(CASE WHEN {denom} != 0.0 THEN {dot} / {denom} ELSE 0.0 END)"
+    return f"FLOOR({raw} * 1000000.0 + 0.5) / 1000000.0"
+
+
 @register(
     "similarity_topk",
-    """
+    f"""
     WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               FLOOR((
-                 list_sum(list_transform(range(1, 65),
-                   i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-                      * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(range(1, 65),
-                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-                         * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
-                      i -> CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
-                         * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))
-               ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+               {_cos6_sql('q', 'c')} AS cosine
         FROM embeddings q, embeddings c
         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
     )
@@ -1515,35 +1520,15 @@ _COS_DEDUP_THRESHOLD = 0.4
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           FLOOR((
-             list_sum(list_transform(range(1, 65),
-               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-                     * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
-                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
-           ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+           {_cos6_sql('a', 'b')} AS cosine
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id AND a.label = b.label AND a.label < 3
-      AND FLOOR((
-             list_sum(list_transform(range(1, 65),
-               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-                     * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
-                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))))
-           ) * 1000000.0 + 0.5) / 1000000.0 >= {_COS_DEDUP_THRESHOLD}
+      AND {_cos6_sql('a', 'b')} >= {_COS_DEDUP_THRESHOLD}
     """,
     survey_ref="northstar-dedup,northstar-similarity",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    from dexscraper_spark.operators.similarity import _dot, _norm
+    from dexscraper_spark.operators.similarity import _dot, _norm, _safe_div
     emb = _t(spark, sf_dir, "embeddings")
     # blocking on label: the classic dedup-blocking trick — the pair space
     # shrinks by the block count and the join is a hash equi-join, not a
@@ -1557,7 +1542,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
                    F.col("embedding").alias("__b"),
                    _norm(F.col("embedding")).alias("__bn"))
-    cos_raw = _dot(F.col("__a"), F.col("__b")) / (F.col("__an") * F.col("__bn"))
+    cos_raw = _safe_div(_dot(F.col("__a"), F.col("__b")),
+                        F.col("__an") * F.col("__bn"))
     cos = F.floor(cos_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
     return (
         a.join(b, "label")

@@ -34,6 +34,7 @@ DEFAULT_QUERIES = [
     "dedup_exact_docs", "dedup_simhash", "rank_trending",
     "sink_csv_lines", "sink_tradingview_rows", "sink_binance_rows",
     "sink_excel", "sink_coingecko_rows", "sink_pancakeswap_rows",
+    "similarity_topk", "embedding_norms", "dedup_embedding_cosine",
 ]
 
 T0 = datetime.datetime(2025, 3, 1, 0, 0, 0)
@@ -105,6 +106,31 @@ def adversarial_documents():
     ]
 
 
+def adversarial_embeddings():
+    """Edge vectors: near-zero norm, exact duplicates, orthogonal pairs,
+    negated pairs, one-hot, constant — the cases cosine math trips on."""
+    import math
+    dim = 64
+    def vec(f):
+        return [float(f(i)) for i in range(dim)]
+    vecs = [
+        vec(lambda i: 1.0 if i == 0 else 0.0),          # one-hot e0
+        vec(lambda i: 1.0 if i == 1 else 0.0),          # one-hot e1 (orthogonal)
+        vec(lambda i: -1.0 if i == 0 else 0.0),         # -e0 (cosine -1 with e0)
+        vec(lambda i: 0.5),                             # constant
+        vec(lambda i: 0.5),                             # exact duplicate
+        vec(lambda i: 1e-6),                            # near-zero norm
+        vec(lambda i: 0.0),                             # exact zero (0/0 cosine)
+        vec(lambda i: math.sin(i + 1)),                 # generic
+        vec(lambda i: math.sin(i + 1)),                 # duplicate of generic
+        vec(lambda i: math.cos(i + 1)),
+        vec(lambda i: (i % 5) - 2.0),
+        vec(lambda i: (-1) ** i * (i + 1) / dim),
+        vec(lambda i: 1.0 / (i + 1)),
+    ]
+    return [(i, v, i % 3) for i, v in enumerate(vecs)]
+
+
 def build_corpus(spark, out_dir: str) -> None:
     spark.createDataFrame(
         adversarial_events(),
@@ -116,6 +142,11 @@ def build_corpus(spark, out_dir: str) -> None:
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.mode("overwrite") \
         .parquet(f"{out_dir}/documents.parquet")
+    spark.createDataFrame(
+        adversarial_embeddings(),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/embeddings.parquet")
 
 
 def run(queries=None, out=print) -> int:
@@ -133,7 +164,7 @@ def run(queries=None, out=print) -> int:
     with tempfile.TemporaryDirectory() as d:
         build_corpus(spark, d)
         con = duckdb.connect()
-        for t in ("events", "documents"):
+        for t in ("events", "documents", "embeddings"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{d}/{t}.parquet/*.parquet')")
         for name in names:
