@@ -1750,20 +1750,10 @@ def similarity_ivf(spark, sf_dir):
 
 @register(
     "similarity_ivf_full_probe",
-    """
+    f"""
     WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               FLOOR((
-                 list_sum(list_transform(range(1, 65),
-                   i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-                      * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(range(1, 65),
-                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-                         * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
-                      i -> CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
-                         * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))
-               ) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+               {_cos6_sql('q', 'c')} AS cosine
         FROM embeddings q, embeddings c
         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
     )

@@ -35,6 +35,13 @@ DEFAULT_QUERIES = [
     "sink_csv_lines", "sink_tradingview_rows", "sink_binance_rows",
     "sink_excel", "sink_coingecko_rows", "sink_pancakeswap_rows",
     "similarity_topk", "embedding_norms", "dedup_embedding_cosine",
+    "similarity_ivf_full_probe",
+    "join_range_proximity", "join_nearest_click", "window_ordinal_pivot",
+    "scoring_confidence", "fallback_prefer_first", "ohlc_snapshot_compat",
+    "symbols_blacklist_topk", "scan_metadata_patterns", "dedup_minhash_lsh",
+    "topk_customers", "scalar_datetime", "agg_pricing_summary",
+    "agg_rollup", "filter_range_dsl", "flagship_topk_revenue",
+    "join_revenue_by_nation",
 ]
 
 T0 = datetime.datetime(2025, 3, 1, 0, 0, 0)
@@ -131,7 +138,66 @@ def adversarial_embeddings():
     return [(i, v, i % 3) for i, v in enumerate(vecs)]
 
 
+def adversarial_tpch():
+    """Tiny relational tables with the classic edge rows: tie balances,
+    NULL-able columns left NULL, boundary dates/discounts, one-row
+    groups, dangling foreign keys."""
+    import datetime as dt
+    region = [(0, "AMERICA"), (1, "ASIA")]
+    nation = [(0, "BRAZIL", 0), (1, "CANADA", 0), (2, "JAPAN", 1),
+              (3, "INDIA", 1)]
+    customer = [
+        (1, "cust one", 0, 100.0, "BUILDING"),
+        (2, "cust two", 1, 100.0, "AUTOMOBILE"),   # tie with 1
+        (3, "cust three", 2, -5.5, "BUILDING"),    # negative balance
+        (4, "cust four", 3, 0.0, "MACHINERY"),
+        (5, "cust five", 0, None, "BUILDING"),     # NULL balance
+        (6, "cust six", 1, 100.0, "FURNITURE"),    # triple tie
+    ]
+    d = dt.datetime
+    orders = [
+        (10, 1, "O", 1000.0, d(1996, 12, 31, 23, 59, 59), "1-URGENT"),
+        (11, 2, "F", 2000.0, d(1997, 1, 1, 0, 0, 0), "2-HIGH"),   # boundary in
+        (12, 3, "O", 2000.0, d(1997, 3, 31, 23, 59, 59), "3-MEDIUM"),
+        (13, 4, "F", 500.0, d(1997, 4, 1, 0, 0, 0), "4-NOT SPEC"),  # boundary out
+        (14, 5, "O", 750.0, d(1995, 6, 15, 12, 0, 0), "5-LOW"),
+        (15, 1, "O", 750.0, d(1997, 2, 2, 2, 2, 2), "1-URGENT"),
+    ]
+    lineitem = [
+        # orderkey, partkey, suppkey, linenum, qty, extprice, discount,
+        # tax, returnflag, linestatus, shipdate
+        (10, 1, 1, 1, 5.0, 1000.0, 0.0, 0.0, "N", "O", d(1996, 1, 10)),
+        (10, 2, 1, 2, 10.0, 2000.0, 0.1, 0.05, "N", "O", d(1996, 2, 10)),
+        (11, 3, 2, 1, 45.0, 45000.0, 0.05, 0.08, "R", "F", d(1995, 3, 1)),
+        (12, 1, 2, 1, 50.0, 500.0, 1.0, 0.0, "A", "F", d(1994, 12, 31)),  # 100% discount
+        (13, 2, 3, 1, 1.0, 0.01, 0.0, 0.0, "R", "O", d(1997, 6, 1)),      # one-row group
+        (14, 3, 3, 1, 30.0, 30000.0, 0.02, 0.01, "N", "F", d(1996, 7, 4)),
+        (15, 1, 1, 1, 25.0, 12500.0, 0.04, 0.02, "N", "O", d(1996, 8, 8)),
+    ]
+    return region, nation, customer, orders, lineitem
+
+
 def build_corpus(spark, out_dir: str) -> None:
+    region, nation, customer, orders, lineitem = adversarial_tpch()
+    spark.createDataFrame(region, "r_regionkey int, r_name string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/region.parquet")
+    spark.createDataFrame(
+        nation, "n_nationkey int, n_name string, n_regionkey int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/nation.parquet")
+    spark.createDataFrame(
+        customer, "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     spark.createDataFrame(
         adversarial_events(),
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -164,7 +230,8 @@ def run(queries=None, out=print) -> int:
     with tempfile.TemporaryDirectory() as d:
         build_corpus(spark, d)
         con = duckdb.connect()
-        for t in ("events", "documents", "embeddings"):
+        for t in ("events", "documents", "embeddings", "region", "nation",
+                  "customer", "orders", "lineitem"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{d}/{t}.parquet/*.parquet')")
         for name in names:
