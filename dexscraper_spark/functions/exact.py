@@ -19,13 +19,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# |value| bound under which floor(v·10^s + 0.5) stays inside int64 —
+# beyond it Spark's Floor(double)->long SATURATES silently (and DuckDB's
+# BIGINT cast raises), so the wide path must branch BEFORE the floor.
+def _cents_bound(scale: int) -> float:
+    return 9e18 / float(10 ** scale)
+
+
 def cents(c: Column, scale: int = 2) -> Column:
     """Scale a money/metric double to an exact integer: floor(c·10^s + 0.5).
 
     The per-row double multiply is IEEE-deterministic, so every engine
-    produces the identical integer.
+    produces the identical integer. Returned as DECIMAL(38,0): magnitudes
+    whose scaled value would overflow the int64 floor path take the wide
+    branch — there the double's ulp already exceeds 1, the value is an
+    exact integer, and floor(+0.5) is the identity, so a plain decimal
+    cast is the same number with no saturation.
     """
-    return F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast("long")
+    p = F.lit(float(10 ** scale))
+    narrow = F.floor(c * p + F.lit(0.5)).cast("decimal(38,0)")
+    wide = (c * p).cast("decimal(38,0)")
+    return F.when(F.abs(c) < F.lit(_cents_bound(scale)), narrow)         .otherwise(wide)
 
 
 def sum_money(c: Column, scale: int = 2) -> Column:
@@ -38,14 +52,14 @@ def sum_money(c: Column, scale: int = 2) -> Column:
     overflow-proof. Partial aggregation still applies (decimal sums are
     map-side combinable).
     """
-    wide = F.sum(cents(c, scale).cast("decimal(38,0)"))
-    return (wide / F.lit(float(10 ** scale))).cast("double")
+    return (F.sum(cents(c, scale)) / F.lit(float(10 ** scale))) \
+        .cast("double")
 
 
 def avg_money(c: Column, scale: int = 2) -> Column:
     """Order-independent mean, exact integer sum divided by exact count."""
     return (
-        F.sum(cents(c, scale).cast("decimal(38,0)")).cast("double")
+        F.sum(cents(c, scale)).cast("double")
         / F.count(c).cast("double")
         / F.lit(float(10 ** scale))
     ).cast("double")
@@ -57,15 +71,24 @@ def round_half_up(c: Column, n: int = 2) -> Column:
     return (F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)).cast("double")
 
 
+def _cents_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of ``cents`` — identical per-row branch, HUGEINT typed."""
+    p = 10 ** scale
+    bound = repr(_cents_bound(scale))
+    return (f"(CASE WHEN abs({expr}) < {bound} "
+            f"THEN CAST(FLOOR(({expr}) * {p}.0 + 0.5) AS HUGEINT) "
+            f"ELSE CAST(({expr}) * {p}.0 AS HUGEINT) END)")
+
+
 def sum_money_sql(expr: str, scale: int = 2, alias: str | None = None) -> str:
     """The ANSI-SQL rendering of ``sum_money`` for DuckDB oracles."""
     p = 10 ** scale
-    s = f"(SUM(CAST(FLOOR(({expr}) * {p}.0 + 0.5) AS BIGINT)) / {p}.0)"
+    s = f"(SUM({_cents_sql(expr, scale)}) / {p}.0)"
     return f"CAST({s} AS DOUBLE)" + (f" AS {alias}" if alias else "")
 
 
 def avg_money_sql(expr: str, scale: int = 2, alias: str | None = None) -> str:
     p = 10 ** scale
-    s = (f"(CAST(SUM(CAST(FLOOR(({expr}) * {p}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    s = (f"(CAST(SUM({_cents_sql(expr, scale)}) AS DOUBLE)"
          f" / CAST(COUNT({expr}) AS DOUBLE) / {p}.0)")
     return f"CAST({s} AS DOUBLE)" + (f" AS {alias}" if alias else "")

@@ -272,6 +272,11 @@ def test_sum_money_survives_int64_overflow_scale(spark):
     df = spark.range(2000).select(F.lit(9e12).alias("v"))
     (total,) = df.agg(sum_money(F.col("v"), 6).alias("s")).collect()[0]
     assert total == 2000 * 9e12
+    # and the PER-ROW wide branch: one value whose scaled cents exceed
+    # int64 must not saturate inside the floor
+    one = spark.range(1).select(F.lit(1e15).alias("v"))
+    (t1,) = one.agg(sum_money(F.col("v"), 6).alias("s")).collect()[0]
+    assert t1 == 1e15
 
 
 def test_difftest_adversarial_corpus_is_clean(spark):

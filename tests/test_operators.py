@@ -394,12 +394,21 @@ def test_batch_ops_perf_gate(spark):
         (1_000_000.5 + F.col("id")).alias("volume_24h"),
         (F.lit(1756793176) + F.col("id")).alias("ts"),
     )
-    t0 = time.time()
     ranked = top_k(tokens, 10, F.col("volume_24h").desc(),
                    F.col("symbol").asc())
     bars = ohlc_snapshot(ranked, price_col="price", volume_col="volume_24h",
                          ts_col="ts", symbol_col="symbol")
-    lines = bars.select("symbol", mt5_line().alias("line")).collect()
+    out = bars.select("symbol", mt5_line().alias("line"))
+    # deterministic guard: the regressions this gate exists for show up
+    # in the plan (a cartesian or a Python row UDF), not the stopwatch
+    jqe = out._jdf.queryExecution()
+    plan = out.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    t0 = time.time()
+    lines = out.collect()
     elapsed = time.time() - t0
     assert len(lines) == 10 and all("," in r.line for r in lines)
-    assert elapsed < 5.0, f"batch ops took {elapsed:.2f}s"
+    # generous tripwire only — load spikes must not flake the suite
+    assert elapsed < 30.0, f"batch ops took {elapsed:.2f}s"

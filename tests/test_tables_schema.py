@@ -69,10 +69,11 @@ def test_events_ts_is_utc_micro_truncated(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
-def test_tune_session_respects_explicit_shuffle_partitions(spark):
+def test_tune_session_respects_explicit_shuffle_partitions(spark, monkeypatch):
     """tune_session replaces only the untouched 200 default — a caller's
     explicit shuffle-partition setting must survive catalog calls."""
     from dexscraper_spark.session import tune_session
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")  # decouple from host env
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "123")
@@ -80,6 +81,6 @@ def test_tune_session_respects_explicit_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         tune_session(spark)
-        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -220,12 +220,16 @@ def run(queries=None, out=print) -> int:
 
     from dexscraper_spark.plans.registry import all_queries
     from dexscraper_spark.session import get_spark
-    from tools.check_oracle import normalize
+    from tools.check_oracle import normalize, values_equal
 
     spark = get_spark("difftest")
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_queries()
     names = queries or DEFAULT_QUERIES
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; "
+                         f"valid: {sorted(reg)}")
     failures = 0
     with tempfile.TemporaryDirectory() as d:
         build_corpus(spark, d)
@@ -257,11 +261,17 @@ def run(queries=None, out=print) -> int:
                 continue
             a, _ = normalize(srows, scols)
             b, _ = normalize(drows, dcols)
+
+            def rows_eq(x, y):
+                return len(x) == len(y) and all(
+                    values_equal(u, v) for u, v in zip(x, y))
+
             if len(a) != len(b):
                 out(f"[ROWS] {name}: spark={len(a)} duck={len(b)}")
                 failures += 1
-            elif a != b:
-                diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            elif not all(rows_eq(x, y) for x, y in zip(a, b)):
+                diff = next(i for i, (x, y) in enumerate(zip(a, b))
+                            if not rows_eq(x, y))
                 out(f"[VALS] {name}: first diff at row {diff}:")
                 out(f"        spark={a[diff]}")
                 out(f"        duck ={b[diff]}")
