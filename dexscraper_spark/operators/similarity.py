@@ -95,6 +95,82 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id"
     )
 
 
+def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               block_col: str = "label",
+                               threshold: float = 0.4,
+                               margin: float = 1e-4,
+                               round_to: int = 6,
+                               chunk: int = 1024) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold within each block — BLAS filter,
+    exact verify.
+
+    The naive plan (self equi-join on the block key, fold per pair) does
+    the O(n²/blocks) dot products one interpreted 64-term HOF at a time;
+    measured 64× super-linear when the data grows 10× (block sizes grow
+    with the corpus). Phase 1 here does the same flops as one numpy
+    matmul per block inside ``applyInPandas`` (float64, rows
+    unit-normalized, chunked so peak memory is ``chunk × block_rows``
+    doubles, not block_rows²) and emits only pairs scoring ≥
+    ``threshold − margin``. Phase 2 joins the surviving pairs back to
+    the vectors and re-scores them with the same sequential fold +
+    half-up rounding as the brute-force plan, so the output is
+    bit-identical to the all-pairs join (and its DuckDB oracle): the
+    margin only has to cover float summation-order drift (~1e-15) —
+    1e-4 means a true pair cannot be dropped and a false candidate
+    cannot survive the exact filter.
+
+    Scale: phase 1's flops are inherent to the *exact* contract; what
+    this buys is BLAS speed and candidate-only shuffle. Blocks must fit
+    one pandas group (~100k × dim floats); beyond that, use the LSH
+    path (``lsh_bucketed_topk``) — approximate candidates, same exact
+    verify idea.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold) - float(margin)
+
+    def gen(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero-norm → cosine 0 (excluded by thr>0)
+        u = m / norms[:, None]
+        out_a, out_b = [], []
+        n = u.shape[0]
+        for c0 in range(0, n, chunk):
+            g = u[c0:c0 + chunk] @ u.T
+            ii, jj = np.nonzero(g >= thr)
+            gi = ii + c0
+            keep = gi < jj  # i < j in global row order
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cands = emb.groupBy(block_col).applyInPandas(gen, "id_a long, id_b long")
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("__a"),
+                   _norm(F.col(vec_col)).alias("__an"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("__b"),
+                   _norm(F.col(vec_col)).alias("__bn"))
+    cos_raw = _safe_div(_dot(F.col("__a"), F.col("__b")),
+                        F.col("__an") * F.col("__bn"))
+    p = float(10 ** round_to)
+    cos = F.floor(cos_raw * p + F.lit(0.5)) / p
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 _LSH_PLANES_CACHE: dict = {}
 
 

@@ -412,3 +412,43 @@ def test_batch_ops_perf_gate(spark):
     assert len(lines) == 10 and all("," in r.line for r in lines)
     # generous tripwire only — load spikes must not flake the suite
     assert elapsed < 30.0, f"batch ops took {elapsed:.2f}s"
+
+
+def test_exact_cosine_pairs_blocked_equals_naive_join(spark):
+    """BLAS-filter + exact-verify ≡ the naive all-pairs equi-join, including
+    zero-norm vectors and pairs straddling the threshold; also exercises
+    chunking (chunk < block size) and unsorted ids within a block."""
+    import math
+    from dexscraper_spark.operators.similarity import (
+        _dot, _norm, _safe_div, exact_cosine_pairs_blocked)
+    rows = []
+    for i in range(60):
+        vec = [math.sin(i * 0.37 + j * 0.21) + (0.4 if i % 7 == 0 else 0.0)
+               for j in range(8)]
+        rows.append((997 - i * 13 % 61, i % 3, vec))   # unsorted, unique ids
+    rows.append((5000, 0, [0.0] * 8))                  # zero-norm vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+    got = exact_cosine_pairs_blocked(
+        df, threshold=0.4, chunk=16).collect()
+
+    a = df.select(F.col("vec_id").alias("id_a"), "label",
+                  F.col("embedding").alias("__a"),
+                  _norm(F.col("embedding")).alias("__an"))
+    b = df.select(F.col("vec_id").alias("id_b"), "label",
+                  F.col("embedding").alias("__b"),
+                  _norm(F.col("embedding")).alias("__bn"))
+    cos = F.floor(_safe_div(_dot(F.col("__a"), F.col("__b")),
+                            F.col("__an") * F.col("__bn"))
+                  * 1e6 + F.lit(0.5)) / 1e6
+    want = (a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.4)).collect()
+
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 5  # non-trivial corpus
+    gm = {key(r): r["cosine"] for r in got}
+    for r in want:
+        assert gm[key(r)] == r["cosine"]  # bit-identical scores
