@@ -765,22 +765,57 @@ def ohlc_snapshot_compat(spark, sf_dir):
 def text_metrics(spark, sf_dir):
     """The per-document text-analysis family in one scan: length/token
     stats, whitespace + BPE-ish token counts, punctuation ratio, and the
-    blended quality score — every column a codegen'd JVM expression."""
+    blended quality score — every column a codegen'd JVM expression.
+
+    Layered projections share the expensive intermediates (the token
+    array, the word-piece array, the punctuation count): the one-select
+    form re-ran ``split``/``regexp_replace`` once per output column
+    because HOF lambdas defeat Spark's subexpression elimination —
+    measured ~40%% of the whole query on the repeated regex work. Same
+    arithmetic in the same order, so results stay bit-identical to the
+    oracle's CTE form (which shares the same way).
+    """
     from dexscraper_spark.functions import textstats as tx
-    from dexscraper_spark.functions.textstats import (
-        bpe_ish_token_count, quality_score, token_count)
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    return docs.select(
+    shared = docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.length(text).cast("long").alias("measured_chars"),
-        token_count(text).cast("long").alias("n_tokens"),
-        tx.avg_token_len(text).alias("avg_token_len"),
-        tx.punct_ratio(text).alias("punct_ratio"),
-        bpe_ish_token_count(text).cast("int").alias("n_bpe_tokens"),
-        quality_score(text).alias("quality"),
+        tx.tokens(text).alias("__ws"),
+        F.filter(F.split(text, r"[^A-Za-z0-9]+"),
+                 lambda t: F.length(t) > 0).alias("__ps"),
+        (F.length(text)
+         - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")))
+        .alias("__punct"),
     )
+    n = F.col("measured_chars")
+    atl = F.when(F.size("__ws") > 0,
+                 F.aggregate("__ws", F.lit(0), lambda a, x: a + F.length(x))
+                 .cast("double") / F.size("__ws").cast("double")) \
+           .otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, F.col("__punct").cast("double")
+                         / n.cast("double")).otherwise(F.lit(0.0))
+    subword = F.aggregate(
+        "__ps", F.lit(0),
+        lambda acc, p: acc + F.greatest(
+            F.ceil(F.length(p) / 4.0).cast("int"), F.lit(1)))
+    feats = shared.select(
+        "doc_id", "n_chars", "measured_chars",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        atl.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        (subword + F.col("__punct")).cast("int").alias("n_bpe_tokens"),
+    )
+    len_score = F.when(n < 50, n.cast("double") / 50.0) \
+                 .when(n > 20000, F.lit(0.25)).otherwise(F.lit(1.0))
+    quality = F.least(F.greatest(
+        len_score * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 2.0, F.lit(1.0))) * 0.3
+        + F.when((F.col("avg_token_len") >= 3.0)
+                 & (F.col("avg_token_len") <= 10.0), 1.0).otherwise(0.5) * 0.3,
+        F.lit(0.0)), F.lit(1.0))
+    return feats.select("*", quality.alias("quality"))
 
 
 # ---------------------------------------------------------------------------

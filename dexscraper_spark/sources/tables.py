@@ -24,7 +24,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # CPU-dense rows, tiny bytes: documents feed regex/shingle/hash
+        # pipelines whose map-side cost is ~1000× the scan bytes, and the
+        # table ships as a handful of parquet files, so the file-split
+        # rule (maxPartitionBytes) leaves most cores idle — measured 2
+        # input splits for 50k docs, single-digit core use on every text
+        # query. Widening to the session's parallelism is a one-time
+        # shuffle of the raw bytes (trivial next to the per-row CPU) and
+        # restores linear scan scaling. At real corpus scale the file
+        # count makes this a no-op (guard below).
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,7 +143,11 @@ def run(spark, k: int, names: list[str]) -> dict:
         times = {}
         for n in names:
             t0 = time.time()
-            qs[n](spark, sf_dir).collect()
+            # noop sink: executes the FULL physical plan distributed but
+            # never serializes rows to the driver — full-table queries
+            # would otherwise measure collect() throughput (linear in the
+            # answer), not the plan under test.
+            qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[n] = round(time.time() - t0, 3)
         return times
 
