@@ -84,3 +84,12 @@ def test_tune_session_respects_explicit_shuffle_partitions(spark, monkeypatch):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_documents_scan_widened_to_parallelism(spark):
+    """CPU-dense guard: the documents loader must hand text pipelines at
+    least the session's parallelism (the table ships as 1-2 parquet files;
+    the byte-based file-split rule alone would serialize regex/shingle
+    stages onto 2 cores — measured 4-7x on every text/dedup query)."""
+    df = load_table(spark, SF_DIR, "documents")
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
