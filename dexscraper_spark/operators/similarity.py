@@ -101,7 +101,7 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
                                threshold: float = 0.4,
                                margin: float = 1e-4,
                                round_to: int = 6,
-                               chunk: int = 1024) -> DataFrame:
+                               chunk: int | None = None) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold within each block — BLAS filter,
     exact verify.
 
@@ -139,8 +139,10 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
         u = m / norms[:, None]
         out_a, out_b = [], []
         n = u.shape[0]
-        for c0 in range(0, n, chunk):
-            g = u[c0:c0 + chunk] @ u.T
+        # bound the Gram slab at ~25M doubles (~200 MB) per task
+        step = chunk or max(64, min(4096, 25_000_000 // max(n, 1)))
+        for c0 in range(0, n, step):
+            g = u[c0:c0 + step] @ u.T
             ii, jj = np.nonzero(g >= thr)
             gi = ii + c0
             keep = gi < jj  # i < j in global row order
@@ -244,10 +246,47 @@ def _lsh_signature_udf(planes: list):
     return F.pandas_udf(sig, "bigint")
 
 
+def _lsh_probe_udf(planes: list, width: int, num_bands: int, multiprobe: int):
+    """Query-side multiprobe expansion: per band, the exact bucket PLUS
+    ``multiprobe`` alternates with the weakest bit flipped (ascending
+    |v·h_p| margin — the bits most likely to differ for a true neighbor
+    that just missed the bucket). Standard multiprobe LSH: recall rises
+    as if B·(1+multiprobe) bands were used, but the CORPUS side still
+    explodes to only B rows — zero extra shuffle on the big side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(planes, dtype=np.float64).T          # dim × P
+    P = W.shape[1]
+    pows = (np.int64(1) << np.arange(P, dtype=np.int64))
+    mask = (1 << width) - 1
+
+    def probes(s):
+        M = np.vstack(s.to_numpy()).astype(np.float64)  # n × dim
+        D = M @ W                                       # n × P margins
+        sig = (D > 0.0) @ pows
+        out = []
+        for r in range(M.shape[0]):
+            row = []
+            for b in range(num_bands):
+                bits = int((sig[r] >> (b * width)) & mask)
+                row.append({"band": b, "bits": bits})
+                margins = np.abs(D[r, b * width:(b + 1) * width])
+                for j in np.argsort(margins, kind="stable")[:multiprobe]:
+                    row.append({"band": b, "bits": bits ^ (1 << int(j))})
+            out.append(row)
+        return pd.Series(out)
+
+    probes.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(probes, "array<struct<band:int,bits:bigint>>")
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       k: int = 10, num_planes: int = 16,
-                      num_bands: int = 4, dim: int = 64) -> DataFrame:
+                      num_bands: int = 4, dim: int = 64,
+                      multiprobe: int = 0) -> DataFrame:
     """Banded (OR-amplified) hyperplane LSH: the ``num_planes``-bit
     signature is split into ``num_bands`` bands of ``num_planes/num_bands``
     bits; candidates share ANY band (a single equi-join on
@@ -289,7 +328,21 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
                 for b in range(num_bands)])).alias("__band", "__bits"),
         )
 
-    q = banded(queries, "query_id")
+    if multiprobe:
+        pudf = _lsh_probe_udf(planes, width, num_bands, multiprobe)
+        vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            vc.alias("__query_id_v"),
+            _norm(vc, dim).alias("__query_id_n"),
+            F.explode(pudf(vc)).alias("__p"),
+        ).select(
+            "query_id", "__query_id_v", "__query_id_n",
+            F.col("__p.band").alias("__band"),
+            F.col("__p.bits").alias("__bits"),
+        )
+    else:
+        q = banded(queries, "query_id")
     c = banded(corpus, "neighbor_id")
     cos = _safe_div(_dot(F.col("__query_id_v"), F.col("__neighbor_id_v"), dim),
                     F.col("__query_id_n") * F.col("__neighbor_id_n"))

@@ -1476,11 +1476,14 @@ def similarity_lsh_bucketed(spark, sf_dir):
     from dexscraper_spark.operators.similarity import lsh_bucketed_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    # 8 bands × 3 bits: recall@5 ≈ 0.85-0.9 vs brute force here (measured);
-    # at corpus scale, widen the band (more bits → smaller buckets) and
-    # keep the band count for recall — candidates stay a linear equi-join.
+    # 8 bands × 3 bits + query-side multiprobe=2 (flip the two
+    # weakest-margin bits per band): recall@5 = 1.00 vs brute force here
+    # (0.84 single-probe, measured). Multiprobe expands only the tiny
+    # query side; the corpus still explodes to 8 rows/vector, so the
+    # shuffle stays corpus-linear. At corpus scale, widen the band (more
+    # bits → smaller buckets) and lean on multiprobe for recall.
     return lsh_bucketed_topk(emb, q, k=5, num_planes=24, num_bands=8,
-                             dim=64) \
+                             dim=64, multiprobe=2) \
         .select("query_id", "neighbor_id", "cosine", "rank")
 
 

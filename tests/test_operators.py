@@ -452,3 +452,25 @@ def test_exact_cosine_pairs_blocked_equals_naive_join(spark):
     gm = {key(r): r["cosine"] for r in got}
     for r in want:
         assert gm[key(r)] == r["cosine"]  # bit-identical scores
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Query-side multiprobe (flip weakest-margin bit per band) must
+    strictly contain the single-probe candidate set and lift recall@5;
+    the corpus side still explodes to num_bands rows only."""
+    from dexscraper_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    kw = dict(k=5, num_planes=24, num_bands=8, dim=64)
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bucketed_topk(emb, queries, **kw).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in lsh_bucketed_topk(emb, queries, multiprobe=2,
+                                        **kw).collect()}
+    r1 = len(exact & single) / len(exact)
+    r2 = len(exact & multi) / len(exact)
+    assert r2 >= r1          # more probes can only add candidates
+    assert r2 >= 0.9         # measured: single ~0.84, multiprobe=2 higher
