@@ -166,3 +166,26 @@ def test_percentiles_keep_all_null_groups(spark, tmp_path):
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q.oracle).fetchall()}
     assert got == want
     assert got["b"] == (None, None, None)
+
+
+def test_exact_cosine_pairs_plan_shape(spark):
+    """BLAS-filter cosine dedup: exactly one Python stage (the per-block
+    Gram candidate generator) and equi-joins for the verify step — never
+    a cartesian pair product."""
+    from dexscraper_spark.plans.registry import queries
+    df = queries()["dedup_embedding_cosine"](spark, SF_DIR)
+    assert plan_of(df, "simple").count("FlatMapGroupsInPandas") == 1
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_multiprobe_plan_is_equi_join(spark):
+    """Multiprobe expands only the query side; candidate generation must
+    stay an equi-join on (band, bits) with no nested-loop fallback."""
+    from dexscraper_spark.plans.registry import queries
+    plan = plan_of(queries()["similarity_lsh_bucketed"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
