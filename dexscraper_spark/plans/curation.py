@@ -1,0 +1,109 @@
+"""End-to-end training-corpus curation — the pipeline a 100 TB
+training-data deployment runs nightly, composed from the engine's
+north-star operators:
+
+    documents
+      → per-doc text metrics (quality score, language ID, token count)
+      → quality / language / length gates          (codegen'd scan stage)
+      → exact dedup (content hash, min-id survivor) (one groupBy)
+      → near-dup pairs (SimHash bands, xxhash64)    (linear-shuffle LSH)
+      → connected components (min-label)            (pair-scale joins)
+      → canonical representative per cluster        (anti-join of losers)
+      → deterministic train/valid/test split        (portable hash)
+
+Every stage is a DataFrame transformation: the pipeline is ONE lazy plan
+(metrics/gates fuse into the scan; dedup stages shuffle doc-ids and
+16-byte fingerprints, never full text, until the final semi-join).
+
+Scale shape: the only corpus-sized shuffles are the exact-dedup groupBy
+and the simhash fingerprint aggregation — both partial-aggregatable.
+Everything after operates on the pair set, which LSH keeps ~answer-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dexscraper_spark.functions import textstats as tx
+from dexscraper_spark.operators.dedup import (
+    dedup_components, simhash_near_pairs, split_assignment)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_quality: float = 0.5
+    languages: tuple = ("en", "es", "fr", "de")   # drop 'und'
+    min_tokens: int = 5
+    simhash_max_hamming: int = 3
+    simhash_bands: int = 4
+    train_pct: int = 80
+    valid_pct: int = 10
+
+
+def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  config: CurationConfig = CurationConfig()) -> DataFrame:
+    """Returns the curated corpus: one row per surviving document with
+    (id, text, lang, quality, n_tokens, split). Deterministic — the
+    survivor of every duplicate cluster is its minimum id, and the split
+    is a portable content hash of the id, so reruns (and different
+    cluster layouts) produce the identical corpus.
+    """
+    cfg = config
+    text = F.col(text_col)
+
+    # 1) metrics + gates — all scan-stage expressions
+    scored = docs.select(
+        F.col(id_col), text,
+        tx.lang_id(text).alias("lang"),
+        tx.quality_score(text).alias("quality"),
+        tx.token_count(text).alias("n_tokens"),
+    ).filter(
+        (F.col("quality") >= cfg.min_quality)
+        & F.col("lang").isin(*cfg.languages)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+    )
+
+    # 2) exact dedup: identical text keeps the minimum id. Hash groupBy on
+    # the content hash; min() is partial-aggregatable.
+    exact_keep = (
+        scored.groupBy(F.xxhash64(text).alias("__h"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    deduped = scored.join(exact_keep, id_col, "left_semi")
+
+    # 3) near-dup clusters: SimHash banding (production xxhash64 hash) →
+    # pairs → connected components → every cluster keeps min id.
+    # Persist: the survivor anti-join and the output semi-join both read it.
+    deduped = deduped.persist()
+    pairs = simhash_near_pairs(
+        deduped, id_col=id_col, text_col=text_col,
+        num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming)
+    comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
+    losers = comps.filter(F.col("node") != F.col("label")) \
+                  .select(F.col("node").alias(id_col))
+    # left_anti with no broadcast hint: the loser set is answer-sized on
+    # ordinary corpora (AQE broadcasts it), but a dup-heavy crawl can make
+    # it a large fraction of the corpus — let the optimizer decide.
+    survivors = deduped.join(losers, id_col, "left_anti")
+
+    # 4) deterministic split on the surviving ids
+    return survivors.withColumn(
+        "split", split_assignment(F.col(id_col), train_pct=cfg.train_pct,
+                                  valid_pct=cfg.valid_pct))
+
+
+def curation_stats(curated: DataFrame) -> DataFrame:
+    """Per-(split, lang) corpus accounting: doc count, token sum, mean
+    quality — the numbers a data curator reports after every run."""
+    return (
+        curated.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.avg("quality").alias("mean_quality"))
+        .orderBy("split", "lang")
+    )

@@ -1,0 +1,98 @@
+"""End-to-end corpus-curation pipeline invariants (plans/curation.py):
+the properties a training-data curator depends on, asserted on the real
+documents table plus adversarial duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dexscraper_spark.plans.curation import (
+    CurationConfig, curate_corpus, curation_stats)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = CurationConfig(min_quality=0.3, min_tokens=3,
+                     simhash_max_hamming=3, simhash_bands=4)
+
+
+def _docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # adversarial add-ons: one exact twin and one near twin of doc 0,
+    # plus a junk doc every gate should drop
+    d0 = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    extra = spark.createDataFrame(
+        [(100001, d0, "en", "syn", len(d0)),                  # exact dup
+         (100002, d0 + " trailing", "en", "syn", len(d0) + 9),  # near dup
+         (100003, "!!! ???", "und", "syn", 7)],               # junk
+        "doc_id long, text string, lang string, source string, n_chars long")
+    return docs.unionByName(extra)
+
+
+def test_curation_invariants(spark):
+    docs = _docs(spark)
+    out = curate_corpus(docs, config=CFG).persist()
+    rows = out.count()
+    assert rows > 0
+
+    # gates hold on every surviving row
+    bad = out.filter((F.col("quality") < CFG.min_quality)
+                     | (F.col("n_tokens") < CFG.min_tokens)
+                     | ~F.col("lang").isin(*CFG.languages)).count()
+    assert bad == 0
+    assert out.filter(F.col("doc_id") == 100003).count() == 0
+
+    # no exact duplicates survive, and the min-id copy won
+    assert out.select("text").distinct().count() == rows
+    assert out.filter(F.col("doc_id") == 100001).count() == 0
+    assert out.filter(F.col("doc_id") == 0).count() == 1
+
+    # no near-dup pair survives WITHIN the output (the pipeline's whole
+    # point): re-running the same detector on the output finds nothing
+    from dexscraper_spark.operators.dedup import simhash_near_pairs
+    residual = simhash_near_pairs(
+        out, id_col="doc_id", text_col="text",
+        num_bands=CFG.simhash_bands,
+        max_hamming=CFG.simhash_max_hamming).count()
+    assert residual == 0
+    # and every pair the detector finds on the gate-surviving input lost
+    # its non-min side (for any pair (a,b) with a<b, b is never its
+    # component's min, so b must be gone)
+    from dexscraper_spark.functions import textstats as tx
+    gated = docs.select(
+        "doc_id", "text",
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    ).filter((F.col("quality") >= CFG.min_quality)
+             & F.col("lang").isin(*CFG.languages)
+             & (F.col("n_tokens") >= CFG.min_tokens))
+    gated = gated.join(  # exact-dup stage precedes simhash in the pipeline
+        gated.groupBy(F.xxhash64(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id", "left_semi")
+    in_pairs = simhash_near_pairs(
+        gated, id_col="doc_id", text_col="text",
+        num_bands=CFG.simhash_bands,
+        max_hamming=CFG.simhash_max_hamming)
+    assert in_pairs.count() > 0  # the fixture must exercise the stage
+    losers = {r["id_b"] for r in in_pairs.collect()}
+    assert out.filter(F.col("doc_id").isin(*losers)).count() == 0
+
+    # deterministic: a rerun yields the identical corpus + splits
+    again = curate_corpus(_docs(spark), config=CFG)
+    sym_diff = out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count()
+    assert sym_diff == 0
+
+    # split sanity: all three present, train is the majority
+    parts = dict(out.groupBy("split").count().collect())
+    assert set(parts) == {"train", "valid", "test"}
+    assert parts["train"] > parts["valid"] and parts["train"] > parts["test"]
+
+
+def test_curation_stats_accounting(spark):
+    out = curate_corpus(_docs(spark), config=CFG)
+    stats = curation_stats(out)
+    total = stats.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == out.count()
+    r = stats.first()
+    assert r["total_tokens"] > 0 and 0.0 <= r["mean_quality"] <= 1.0
