@@ -474,3 +474,16 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     r2 = len(exact & multi) / len(exact)
     assert r2 >= r1          # more probes can only add candidates
     assert r2 >= 0.9         # measured: single ~0.84, multiprobe=2 higher
+
+
+def test_dedup_components_long_chain_pointer_jumping(spark):
+    """A 256-node path graph needs ~255 rounds under plain min-label
+    propagation — far beyond the 20-round budget — but O(log d) with
+    pointer jumping. Regression for the dup-heavy-crawl case (chained
+    rotations/revisions)."""
+    from dexscraper_spark.operators.dedup import dedup_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], ["id_a", "id_b"])
+    comp = dedup_components(pairs, max_iter=20)
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert comp.count() == 256
