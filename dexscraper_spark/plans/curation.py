@@ -97,6 +97,20 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                                   valid_pct=cfg.valid_pct))
 
 
+def write_curated(curated: DataFrame, path: str, *,
+                  format: str = "parquet") -> None:
+    """Materialize the curated corpus as training shards:
+    ``path/split=train|valid|test/lang=…/part-*.parquet``. Partitioning by
+    (split, lang) means a trainer reads exactly its shard's bytes
+    (partition pruning on both keys) and per-language sampling never
+    scans other languages. Low-cardinality keys (3 × ~4) keep the file
+    count bounded; at corpus scale add a bucket/shard column if
+    per-partition files grow past HDFS-friendly sizes.
+    """
+    (curated.write.mode("overwrite")
+     .partitionBy("split", "lang").format(format).save(path))
+
+
 def curation_stats(curated: DataFrame) -> DataFrame:
     """Per-(split, lang) corpus accounting: doc count, token sum, mean
     quality — the numbers a data curator reports after every run."""

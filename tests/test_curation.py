@@ -96,3 +96,23 @@ def test_curation_stats_accounting(spark):
     assert total == out.count()
     r = stats.first()
     assert r["total_tokens"] > 0 and 0.0 <= r["mean_quality"] <= 1.0
+
+
+def test_write_curated_partition_layout(spark, tmp_path):
+    out = curate_corpus(_docs(spark), config=CFG)
+    from dexscraper_spark.plans.curation import write_curated
+    dest = str(tmp_path / "corpus")
+    write_curated(out, dest)
+    import os
+    splits = {d for d in os.listdir(dest) if d.startswith("split=")}
+    assert splits == {"split=train", "split=valid", "split=test"}
+    langs = {d for d in os.listdir(f"{dest}/split=train")
+             if d.startswith("lang=")}
+    assert langs  # at least one language shard under train
+    back = spark.read.parquet(dest)
+    assert back.count() == out.count()
+    # partition pruning: a (split, lang) read touches only that shard
+    one = back.filter((F.col("split") == "train")
+                      & (F.col("lang") == sorted(langs)[0][5:]))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
