@@ -68,7 +68,10 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
     # 2) exact dedup: identical text keeps the minimum id. Hash groupBy on
-    # the content hash; min() is partial-aggregatable.
+    # the content hash; min() is partial-aggregatable. (64-bit content
+    # hash: a cross-text collision wrongly drops one doc with p ≈ n²/2⁶⁵
+    # — at a billion docs that is ~3%, so switch the key to
+    # md5(text) [128-bit] there; xxhash64 keeps the hot path cheap here.)
     exact_keep = (
         scored.groupBy(F.xxhash64(text).alias("__h"))
         .agg(F.min(F.col(id_col)).alias(id_col))
@@ -78,7 +81,10 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
 
     # 3) near-dup clusters: SimHash banding (production xxhash64 hash) →
     # pairs → connected components → every cluster keeps min id.
-    # Persist: the survivor anti-join and the output semi-join both read it.
+    # Persist: the near-dup detector and the survivor anti-join both read
+    # it (cache lives until session end — the pipeline runs once per
+    # corpus; long-lived multi-corpus apps should unpersist the result's
+    # lineage or run per-corpus sessions).
     deduped = deduped.persist()
     pairs = simhash_near_pairs(
         deduped, id_col=id_col, text_col=text_col,
