@@ -100,10 +100,23 @@ def run(argv: list[str] | None = None, spark=None) -> int:
     # predicates, as the reference server ignores unservable params
     pred = cfg.filters.to_column(available_columns=set(tokens.columns))
     filtered = tokens.filter(pred)
-    rank = F.col("confidence_score")
+    # rank by the preset's column when the wire frames carry it (volume /
+    # liquidity / market-cap ranks are decoded); ranks the demo frame
+    # format cannot serve (txns, price-change, trending-score, boost)
+    # degrade to confidence ordering — the same unservable-param fallback
+    # as the filters, mirroring the reference client's confidence sort
+    # when the server ignores a rank param. change_24h/change_1h are NULL
+    # padding for the exporter schema, not decoded data, so they count as
+    # unservable.
+    from dexscraper_spark.config import Order
+    decoded = {"volume_24h", "liquidity", "market_cap", "ts", "price",
+               "confidence_score", "field_count"}
+    rank_name = cfg.rank_column()
+    rank = F.col(rank_name if rank_name in decoded else "confidence_score")
+    ordering = (rank.desc_nulls_last() if cfg.order == Order.DESC
+                else rank.asc_nulls_last())
     ranked = (filtered
-              .orderBy(rank.desc_nulls_last(),
-                       F.col("token_address").asc_nulls_last())
+              .orderBy(ordering, F.col("token_address").asc_nulls_last())
               .limit(cfg.limit))
 
     now = int(time.time())

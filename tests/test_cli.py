@@ -43,3 +43,17 @@ def test_table_format(spark, tmp_path):
     text = _run(spark, tmp_path, "gainers", "--limit", "2", "--format", "table")
     assert text.splitlines()[0].startswith("symbol")
     assert len(text.strip().splitlines()) == 3  # header + 2 rows
+
+
+def test_cli_rank_follows_preset_when_servable(spark, capsys):
+    """top-volume must rank by decoded volume; rank params the demo wire
+    format cannot serve (trending score) degrade to confidence order —
+    the same unservable-param fallback as the filter DSL."""
+    import json
+    from dexscraper_spark.cli import run
+    run(["top-volume", "--limit", "3", "--format", "jsonl"], spark=spark)
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    vols = [r["volume_24h"] for r in lines]
+    assert vols == sorted(vols, reverse=True)
+    assert vols[0] == max(vols)
