@@ -92,25 +92,34 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         "confidence_score", "field_count",
         F.lit(None).cast("double").alias("change_24h"),
         F.lit(None).cast("double").alias("change_1h"),
+        # fields the wire frames don't carry but the Excel/CSV projection
+        # (EXCEL_COLUMNS) requires — NULL padding like the change columns
+        F.lit(None).cast("long").alias("txns_24h"),
+        F.lit(None).cast("long").alias("makers"),
     )
 
     command = args.command if args.command != "stream" else "trending"
     cfg = PRESETS[command](args)
+    # Columns genuinely decoded from the wire frames. The normalized
+    # schema above also carries NULL padding (change_*, txns_24h, makers)
+    # for the exporter projections — padding must count as UNSERVABLE for
+    # both filters and ranking, or an all-NULL column silently filters
+    # every row / ranks arbitrarily.
+    decoded = {"symbol", "token_name", "chain", "protocol", "price",
+               "volume_24h", "liquidity", "market_cap", "token_address",
+               "pair_address", "quote_address", "ts",
+               "confidence_score", "field_count"}
     # demo tokens lack some DSL columns (txns_24h, boost) — skip those
     # predicates, as the reference server ignores unservable params
-    pred = cfg.filters.to_column(available_columns=set(tokens.columns))
+    pred = cfg.filters.to_column(available_columns=decoded)
     filtered = tokens.filter(pred)
     # rank by the preset's column when the wire frames carry it (volume /
     # liquidity / market-cap ranks are decoded); ranks the demo frame
     # format cannot serve (txns, price-change, trending-score, boost)
     # degrade to confidence ordering — the same unservable-param fallback
     # as the filters, mirroring the reference client's confidence sort
-    # when the server ignores a rank param. change_24h/change_1h are NULL
-    # padding for the exporter schema, not decoded data, so they count as
-    # unservable.
+    # when the server ignores a rank param.
     from dexscraper_spark.config import Order
-    decoded = {"volume_24h", "liquidity", "market_cap", "ts", "price",
-               "confidence_score", "field_count"}
     rank_name = cfg.rank_column()
     rank = F.col(rank_name if rank_name in decoded else "confidence_score")
     ordering = (rank.desc_nulls_last() if cfg.order == Order.DESC
@@ -129,11 +138,14 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         lines = [r["line"] for r in X.jsonl_rows(ranked).collect()]
         _emit("\n".join(lines), args.output)
     elif args.format == "csv":
-        rows = X.excel_rows(ranked).collect()
-        header = ",".join(rows[0].asDict().keys()) if rows else ""
+        rows_df = X.excel_rows(ranked)
+        rows = rows_df.collect()
+        # header from the schema, not the first row — an empty result
+        # (filters matched nothing) still emits a valid CSV header
+        header = ",".join(rows_df.columns)
         body = "\n".join(",".join("" if v is None else str(v)
                                   for v in r.asDict().values()) for r in rows)
-        _emit(header + "\n" + body, args.output)
+        _emit(header + ("\n" + body if body else ""), args.output)
     elif args.format == "prometheus":
         _emit(X.prometheus_text(ranked, extraction_ts=now, top_n=args.limit),
               args.output)
