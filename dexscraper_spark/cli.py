@@ -98,7 +98,10 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         F.lit(None).cast("long").alias("makers"),
     )
 
-    command = args.command if args.command != "stream" else "trending"
+    if args.command == "stream":
+        return _run_stream(args, spark)
+
+    command = args.command
     cfg = PRESETS[command](args)
     # Columns genuinely decoded from the wire frames. The normalized
     # schema above also carries NULL padding (change_*, txns_24h, makers)
@@ -159,6 +162,45 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         lines += [" | ".join(str(r[c]).ljust(widths[c]) for c in cols)
                   for r in rows]
         _emit("\n".join(lines), args.output)
+    return 0
+
+
+def _run_stream(args, spark) -> int:
+    """The reference's ``stream_pairs`` loop (scraper.py:1491-1524) on the
+    real Structured Streaming path: dexframes source (subscription-time
+    filter pushdown) → decode → per-micro-batch top-N → JSONL on stdout.
+    Demo-bounded by ``--frames`` (availableNow drains the bounded source
+    and terminates, the CLI's one-shot contract); drop ``max_frames`` and
+    the same query runs the reference's endless 5 s cadence via
+    ``trigger(processingTime='5 seconds')``.
+    """
+    import dataclasses
+
+    from pyspark.sql import functions as F
+    from dexscraper_spark.streaming.pipeline import (
+        frame_stream, run_foreach_batch)
+
+    cfg = PRESETS["trending"](args)
+    fspec = {k: v for k, v in dataclasses.asdict(cfg.filters).items()
+             if v not in (None, [], ())}
+    decoded = frame_stream(spark, max_frames=max(args.frames, 1),
+                           filters=fspec)
+    out: list[str] = []
+
+    def sink(df, batch_id: int) -> None:
+        rows = (df.orderBy(F.col("volume_h24").desc_nulls_last(),
+                           F.col("pair_address").asc_nulls_last())
+                .limit(args.limit).collect())
+        for r in rows:
+            out.append(json.dumps({
+                "batch": batch_id, "symbol": r["base_token_symbol"],
+                "price": r["price_usd"], "volume_24h": r["volume_h24"],
+                "liquidity": r["liquidity_usd"], "chain": r["chain"],
+            }))
+
+    q = run_foreach_batch(decoded, sink, once=True)
+    q.awaitTermination()
+    _emit("\n".join(out), args.output)
     return 0
 
 

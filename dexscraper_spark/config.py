@@ -133,6 +133,14 @@ class Filters:
     chain_ids: list[Chain] = field(default_factory=list)
     dex_ids: list[DEX] = field(default_factory=list)
 
+    def __post_init__(self):
+        # coerce raw strings to the enums (idempotent — Enum(member) is a
+        # no-op): a Filters spec round-tripped through JSON (the streaming
+        # source's filters_json subscription option, a config file) hands
+        # back "solana", and downstream `.value` access would break on it
+        self.chain_ids = [Chain(c) for c in self.chain_ids]
+        self.dex_ids = [DEX(d) for d in self.dex_ids]
+
     liquidity_min: Optional[float] = None
     liquidity_max: Optional[float] = None
     volume_h24_min: Optional[float] = None

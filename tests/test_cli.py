@@ -57,3 +57,19 @@ def test_cli_rank_follows_preset_when_servable(spark, capsys):
     vols = [r["volume_24h"] for r in lines]
     assert vols == sorted(vols, reverse=True)
     assert vols[0] == max(vols)
+
+
+def test_cli_stream_runs_structured_streaming(spark, capsys):
+    """`stream` must exercise the real streaming path (dexframes source →
+    decode → per-micro-batch top-N), not fall back to a batch one-shot."""
+    import json
+    from dexscraper_spark.cli import run
+    rc = run(["stream", "--limit", "3", "--frames", "8",
+              "--format", "jsonl"], spark=spark)
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and all("batch" in r for r in lines)
+    vols = [r["volume_24h"] for r in lines if r["batch"] == lines[0]["batch"]]
+    assert vols == sorted(vols, reverse=True)
+    assert all(r["chain"] == "solana" for r in lines)  # pushed filter held

@@ -129,3 +129,19 @@ def test_apply_derives_trending_score(spark):
     # change clamps at +100%
     c = rows[1]["trending_score"]
     assert abs(c - (0.5 * (2e5 / 3e5) + 0.3 * 1.0 + 0.2 * (800 / 1800))) < 1e-12
+
+
+def test_filters_coerce_enum_strings_from_json():
+    """A Filters spec round-tripped through JSON (streaming filters_json,
+    config files) hands back plain strings — the dataclass must coerce
+    them to the enums so downstream `.value` access works."""
+    import json, dataclasses
+    from dexscraper_spark.config import DEX, Chain, Filters
+    f = Filters(chain_ids=[Chain.SOLANA], dex_ids=[DEX.RAYDIUM],
+                liquidity_min=5.0)
+    spec = {k: v for k, v in dataclasses.asdict(f).items()
+            if v not in (None, [], ())}
+    back = Filters(**json.loads(json.dumps(spec)))
+    assert back.chain_ids == [Chain.SOLANA]
+    assert back.dex_ids == [DEX.RAYDIUM]
+    assert back.chain_ids[0].value == "solana"
