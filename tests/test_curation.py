@@ -116,3 +116,26 @@ def test_write_curated_partition_layout(spark, tmp_path):
                       & (F.col("lang") == sorted(langs)[0][5:]))
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_curation_survives_adversarial_texts(spark):
+    """The pipeline must not crash on scraped-corpus edge inputs (empty,
+    whitespace-only, punctuation-only, unicode, degenerate-long texts)
+    and must still satisfy its invariants on them."""
+    rows = [
+        (1, ""), (2, "   \t  "), (3, "!!! ??? ;;; ///"),
+        (4, "the quick brown fox jumps over the lazy dog and then some " * 2),
+        (5, "the quick brown fox jumps over the lazy dog and then some " * 2),
+        (6, "ümlaut Ärger straße çédille ñandú " * 4),
+        (7, "a" * 500), (8, ("word " * 200).strip()),
+        (9, "el rápido zorro marrón salta sobre el perro que es perezoso"),
+        (10, "the slow green fox walks under the busy dog every day now"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "syn", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = curate_corpus(docs, config=CFG).persist()
+    got = {r["doc_id"] for r in out.collect()}
+    assert 1 not in got and 2 not in got and 3 not in got  # gated junk
+    assert not (4 in got and 5 in got)                     # exact dups merged
+    assert out.count() == out.select("text").distinct().count()
