@@ -139,3 +139,15 @@ def test_curation_survives_adversarial_texts(spark):
     assert 1 not in got and 2 not in got and 3 not in got  # gated junk
     assert not (4 in got and 5 in got)                     # exact dups merged
     assert out.count() == out.select("text").distinct().count()
+
+
+def test_curation_partition_independence(spark):
+    """The curated corpus must be identical whatever the input
+    partitioning — the pipeline's determinism claim (min-id survivors,
+    portable-hash split) applied end-to-end."""
+    docs = _docs(spark)
+    a = curate_corpus(docs.repartition(1), config=CFG) \
+        .select("doc_id", "split")
+    b = curate_corpus(docs.repartition(7), config=CFG) \
+        .select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
