@@ -1,4 +1,4 @@
-.PHONY: test check bench smoke
+.PHONY: test check check-big difftest bench stress smoke
 
 test:
 	python -m pytest tests/ -q
@@ -9,8 +9,14 @@ check:
 check-big:
 	python tools/check_oracle.py /root/testdata/sf0.1
 
+difftest:
+	python tools/difftest.py
+
 bench:
 	python bench.py
+
+stress:
+	python tools/stress.py all 10
 
 smoke:
 	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as m; \
