@@ -113,3 +113,39 @@ def test_asof_partition_independence(spark):
         return sorted((x.lid, x.val) for x in rows)
 
     assert run(left, right) == run(left.repartition(7), right.repartition(3))
+
+
+def test_asof_on_real_events_matches_sql(spark):
+    """Purchase ← latest prior click per user on the driver testdata,
+    cross-checked against an independent SQL formulation (correlated
+    max ≤ t then value lookup)."""
+    from dexscraper_spark.sources.tables import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts_ns").alias("p_ns"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ns").alias("c_ns"),
+        F.col("event_id").alias("click_event"),
+        F.col("value").alias("click_value"))
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], left_time="p_ns",
+        right_time="c_ns", payload=["click_event", "click_value"],
+        tiebreak="click_event", matched_time_col="click_ns",
+    )
+    got = {r.pid: (r.click_event, r.click_ns) for r in out.collect()}
+
+    ev.createOrReplaceTempView("ev_asof")
+    expected_rows = spark.sql("""
+        SELECT p.event_id AS pid,
+               max_by(named_struct('ce', c.event_id, 'cn', c.ts_ns),
+                      struct(c.ts_ns, c.event_id)) AS m
+        FROM ev_asof p LEFT JOIN ev_asof c
+          ON p.user_id = c.user_id AND c.event_type = 'click'
+         AND c.ts_ns <= p.ts_ns
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """).collect()
+    expected = {r.pid: ((r.m.ce, r.m.cn) if r.m else (None, None))
+                for r in expected_rows}
+    assert got == expected and len(got) > 0
