@@ -76,3 +76,89 @@ def recent_buffer_stats(decoded: DataFrame, *, key_col: str,
             stateStructType=BUFFER_STATE, outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout)
     )
+
+
+def streaming_asof_enrich(left: DataFrame, right: DataFrame, *,
+                          key_col: str, left_time: str, right_time: str,
+                          payload: list[str],
+                          matched_time_col: str = "matched_time") -> DataFrame:
+    """Streaming twin of ``operators.asof.asof_join``: enrich each left
+    event with the latest right snapshot seen at-or-before it, per key,
+    with the "latest snapshot" carried ACROSS micro-batches in keyed state.
+
+    This is the reference's live enrichment loop — token profiles upserted
+    into a dict, events reading whatever the dict holds
+    (scraper.py:345-450) — as a checkpointed, partitioned streaming
+    operator: state is O(keys × payload) (ONE snapshot per key, not a
+    buffer), sharded by key hash and restored on restart like any
+    stateful query.
+
+    Semantics: within a micro-batch, rows order by event time (right
+    before left at ties — a snapshot at exactly t is visible to an event
+    at t, same as the batch operator); across batches it is
+    arrival-order, i.e. a right row arriving in a later batch than a left
+    event it precedes in event time does NOT retro-enrich it. That is
+    exactly the reference's live behavior; the batch ``asof_join`` is the
+    event-time-exact replay for reprocessing.
+
+    Times must be numeric (epoch longs — registry.py conventions).
+    """
+    import pandas as pd
+
+    key_field = left.schema[key_col]
+    left_fields = [f for f in left.schema.fields if f.name != key_col]
+    payload_fields = [right.schema[c] for c in payload]
+    out_schema = T.StructType(
+        [key_field] + left_fields + payload_fields
+        + [T.StructField(matched_time_col, T.LongType())])
+    state_schema = T.StructType(
+        [T.StructField("__rtime", T.LongType())] + payload_fields)
+
+    from pyspark.sql import functions as F
+    left_names = [f.name for f in left_fields]
+    r2 = right.select(
+        F.col(key_col),
+        F.col(right_time).cast("long").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_fields],
+    )
+    l2 = left.select(
+        F.col(key_col),
+        F.col(left_time).cast("long").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload_fields],
+        *[F.col(c) for c in left_names],
+    )
+    both = r2.unionByName(l2)
+
+    out_cols = ([key_col] + left_names + list(payload) + [matched_time_col])
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            cur = list(state.get)          # [rtime, payload...]
+        else:
+            cur = [None] * (1 + len(payload))
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__t", "__side"], kind="stable")
+            # NOT itertuples: pandas renames leading-underscore columns
+            for d in pdf.to_dict("records"):
+                if d["__side"] == 0:
+                    cur = [d["__t"]] + [d[c] for c in payload]
+                else:
+                    rec = {key_col: key[0]}
+                    for c in left_names:
+                        rec[c] = d[c]
+                    for i, c in enumerate(payload):
+                        rec[c] = cur[1 + i]
+                    rec[matched_time_col] = cur[0]
+                    out.append(rec)
+        state.update(tuple(cur))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return both.groupBy(key_col).applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -255,3 +255,45 @@ def test_streaming_dedup_drops_cross_batch_repeats(spark, tmp_path):
     # and it actually dropped something: raw stream has each pair twice
     raw_count = 26 * 4
     assert len(addrs) < raw_count
+
+
+def test_streaming_asof_enrich_state_across_batches(spark, tmp_path):
+    """R7 + as-of: latest-snapshot state enriches events across
+    micro-batches (maxFilesPerTrigger=1 → one batch per file), including
+    an event arriving before any snapshot (NULL payload) and an
+    arrival-order late event picking up the prior batch's state."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.state import streaming_asof_enrich
+
+    src = str(tmp_path / "asof_stream")
+    schema = "k string, t long, side string, eid long, v double"
+    # batch 1: event@1 (no state yet), snapshot@2 v=100, event@4
+    spark.createDataFrame(
+        [("A", 1, "L", 1, None), ("A", 2, "R", None, 100.0),
+         ("A", 4, "L", 4, None)], schema).coalesce(1).write.parquet(src + "/f1")
+    # batch 2: event@3 (arrival-order: sees v=100 despite t<4),
+    #          snapshot@10 v=200, event@11, other-key event
+    spark.createDataFrame(
+        [("A", 3, "L", 3, None), ("A", 10, "R", None, 200.0),
+         ("A", 11, "L", 11, None), ("B", 7, "L", 7, None)],
+        schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    left = stream.filter("side = 'L'").select("k", F.col("t").alias("et"),
+                                              "eid")
+    right = stream.filter("side = 'R'").select("k", F.col("t").alias("st"),
+                                               "v")
+    out = streaming_asof_enrich(left, right, key_col="k", left_time="et",
+                                right_time="st", payload=["v"])
+    q = (out.writeStream.format("memory").queryName("asof_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.eid: (r.v, r.matched_time)
+            for r in spark.sql("SELECT * FROM asof_mem").collect()}
+    assert rows[1] == (None, None)        # before any snapshot
+    assert rows[4] == (100.0, 2)
+    assert rows[3] == (100.0, 2)          # arrival-order late event
+    assert rows[11] == (200.0, 10)
+    assert rows[7] == (None, None)        # other key, no state
