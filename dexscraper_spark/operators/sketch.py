@@ -1,0 +1,105 @@
+"""KMV (k-minimum-values) distinct-count sketch — mergeable cardinality
+estimation for corpus-scale rollups (the companion to the MinHash stack in
+``operators/dedup.py``: same hash-the-value-once discipline, different
+question — "how many distinct" instead of "which near-dups").
+
+Why not ``count_distinct``: exact distinct shuffles every distinct value.
+Why not only ``approx_count_distinct``: Spark's HLL gives one number and
+cannot be composed further from the stored aggregate by user code. A KMV
+sketch is a tiny, *inspectable* array (the k smallest hash fractions) that
+merges associatively — union sketches across shards/days by merging
+arrays, then estimate — which is what a training-data pipeline stores per
+(source, day) partition and rolls up later.
+
+Scale shape (the point of a sketch): ``kmv_sketch`` never shuffles
+distinct values. A ``mapInPandas`` pass computes one LOCAL sketch per
+(group, partition) — bounded k values each — and a single groupBy merges
+them: shuffle volume O(groups × partitions × k), independent of the
+number of distinct values. The merged result is EXACTLY the global
+k-smallest distinct hash fractions, so the sketch is partitioning-
+independent (pinned by test).
+
+Estimator: with u_k the kth smallest of n distinct uniform(0,1) hashes,
+E[u_k] ≈ k/(n+1) → n̂ = (k−1)/u_k (the standard unbiased KMV estimator,
+RSE ≈ 1/√(k−2)). Sketches holding fewer than k values are exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO64 = float(2 ** 64)
+
+
+def hash_fraction(*cols: Column | str) -> Column:
+    """xxhash64 of the columns mapped to a uniform fraction in [0, 1):
+    signed int64 / 2^64 + 0.5 preserves unsigned order, no overflow."""
+    h = F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])
+    return h.cast("double") / F.lit(_TWO64) + F.lit(0.5)
+
+
+def kmv_sketch(df: DataFrame, *, cols: list[str],
+               group_by: list[str] | None = None, k: int = 256) -> DataFrame:
+    """One KMV sketch per group (or one global row when ``group_by`` is
+    empty): ``sketch`` = sorted array of the k smallest distinct hash
+    fractions of ``cols``, plus ``distinct_est``.
+    """
+    groups = list(group_by or [])
+    frac = hash_fraction(*cols).alias("__u")
+    src = df.select(*groups, frac)
+
+    gcols = groups or ["__g"]
+    if not groups:
+        src = src.withColumn("__g", F.lit(0))
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields if f.name in gcols
+    ) + ", __partial array<double>"
+
+    def local_sketches(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = (
+                pdf.groupby(gcols, dropna=False, sort=False)["__u"]
+                .apply(lambda s: sorted(s.unique())[:k])
+                .reset_index(name="__partial")
+            )
+            yield out
+
+    partials = src.mapInPandas(local_sketches, schema=schema)
+    # merge = union of partial arrays → distinct → sort → first k.
+    # Each group carries ≤ k × (input partitions) doubles through the one
+    # shuffle — bounded, value-count independent.
+    merged = (
+        partials.groupBy(*gcols)
+        .agg(F.slice(
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("__partial")))),
+            1, k).alias("sketch"))
+    )
+    out = merged.select(
+        *groups, "sketch",
+        kmv_estimate(F.col("sketch"), k=k).alias("distinct_est"))
+    return out
+
+
+def kmv_merge(*sketch_cols: Column, k: int = 256) -> Column:
+    """Merge sketch arrays (associative, commutative): union → distinct →
+    sort → first k. Use inside any aggregate/rollup over stored sketches."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.concat(*sketch_cols))), 1, k)
+
+
+def kmv_estimate(sketch_col: Column, *, k: int = 256) -> Column:
+    """Distinct-count estimate from a sketch array: exact size when the
+    sketch holds fewer than k values, else (k−1)/u_k."""
+    size = F.size(sketch_col)
+    u_k = F.element_at(sketch_col, k)
+    return F.when(size < k, size.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) / u_k)
