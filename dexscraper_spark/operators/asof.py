@@ -108,20 +108,26 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     w = (Window.partitionBy(*keys)
          .orderBy(F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_TB).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the matched row travels as ONE struct: per-column last(ignorenulls)
+    # would tear it — a NULL payload value in the true match silently
+    # backfills from an older right row, fabricating a composite row that
+    # never existed. The struct is non-NULL for every right row (even with
+    # all-NULL fields) and NULL for left rows, so last(ignorenulls) picks
+    # exactly the newest right ROW.
+    snap = F.when(F.col(_SIDE) == 0,
+                  F.struct(*[F.col(c) for c in carried]))
     filled = both.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in carried],
+        "*", F.last(snap, ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col(_SIDE) == 1)
 
-    matched_t = F.col(f"__m_{_RT}")
+    matched_t = F.col("__m")[_RT]
     if tolerance is not None:
         within = (F.abs(F.col(left_time) - matched_t) <= F.lit(tolerance))
-        sel = [F.when(within, F.col(f"__m_{c}")).otherwise(F.lit(None))
+        sel = [F.when(within, F.col("__m")[c]).otherwise(F.lit(None))
                 .alias(c) for c in payload]
         mt = F.when(within, matched_t).otherwise(F.lit(None))
     else:
-        sel = [F.col(f"__m_{c}").alias(c) for c in payload]
+        sel = [F.col("__m")[c].alias(c) for c in payload]
         mt = matched_t
     out_cols = [F.col(c) for c in left.columns] + sel
     if matched_time_col:

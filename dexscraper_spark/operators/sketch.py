@@ -26,8 +26,6 @@ RSE ≈ 1/√(k−2)). Sketches holding fewer than k values are exact.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,9 +34,32 @@ _TWO64 = float(2 ** 64)
 
 def hash_fraction(*cols: Column | str) -> Column:
     """xxhash64 of the columns mapped to a uniform fraction in [0, 1):
-    signed int64 / 2^64 + 0.5 preserves unsigned order, no overflow."""
+    signed int64 / 2^64 + 0.5 — a uniform bijection (all KMV needs),
+    overflow-free. Note it preserves SIGNED hash order, not unsigned."""
     h = F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])
     return h.cast("double") / F.lit(_TWO64) + F.lit(0.5)
+
+
+def _local_sketch_fn(gcols: list[str], k: int):
+    """Partition-local KMV: accumulate the k smallest distinct fractions
+    per group ACROSS Arrow batches and yield ONE partial per group per
+    partition — yielding per batch would make shuffle volume scale with
+    row count (batches), not partition count."""
+    def local_sketches(batches):
+        import pandas as pd
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, s in pdf.groupby(gcols, dropna=False, sort=False)["__u"]:
+                key = key if isinstance(key, tuple) else (key,)
+                prev = acc.get(key, [])
+                acc[key] = sorted(set(prev).union(s.unique()))[:k]
+        if acc:
+            yield pd.DataFrame(
+                [list(key) + [sk] for key, sk in acc.items()],
+                columns=gcols + ["__partial"])
+    return local_sketches
 
 
 def kmv_sketch(df: DataFrame, *, cols: list[str],
@@ -60,19 +81,7 @@ def kmv_sketch(df: DataFrame, *, cols: list[str],
         for f in src.schema.fields if f.name in gcols
     ) + ", __partial array<double>"
 
-    def local_sketches(batches: Iterator) -> Iterator:
-        import pandas as pd
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = (
-                pdf.groupby(gcols, dropna=False, sort=False)["__u"]
-                .apply(lambda s: sorted(s.unique())[:k])
-                .reset_index(name="__partial")
-            )
-            yield out
-
-    partials = src.mapInPandas(local_sketches, schema=schema)
+    partials = src.mapInPandas(_local_sketch_fn(gcols, k), schema=schema)
     # merge = union of partial arrays → distinct → sort → first k.
     # Each group carries ≤ k × (input partitions) doubles through the one
     # shuffle — bounded, value-count independent.
@@ -91,9 +100,12 @@ def kmv_sketch(df: DataFrame, *, cols: list[str],
 
 def kmv_merge(*sketch_cols: Column, k: int = 256) -> Column:
     """Merge sketch arrays (associative, commutative): union → distinct →
-    sort → first k. Use inside any aggregate/rollup over stored sketches."""
-    return F.slice(
-        F.array_sort(F.array_distinct(F.concat(*sketch_cols))), 1, k)
+    sort → first k. Use inside any aggregate/rollup over stored sketches.
+    NULL inputs (a shard missing the group after an outer join) merge as
+    empty — concat alone would NULL the whole result."""
+    safe = [F.coalesce(c, F.array().cast("array<double>"))
+            for c in sketch_cols]
+    return F.slice(F.array_sort(F.array_distinct(F.concat(*safe))), 1, k)
 
 
 def kmv_estimate(sketch_col: Column, *, k: int = 256) -> Column:

@@ -95,15 +95,20 @@ def streaming_asof_enrich(left: DataFrame, right: DataFrame, *,
 
     Semantics: within a micro-batch, rows order by event time (right
     before left at ties — a snapshot at exactly t is visible to an event
-    at t, same as the batch operator); across batches it is
-    arrival-order, i.e. a right row arriving in a later batch than a left
-    event it precedes in event time does NOT retro-enrich it. That is
-    exactly the reference's live behavior; the batch ``asof_join`` is the
-    event-time-exact replay for reprocessing.
+    at t, same as the batch operator). Across batches the kept state is
+    the newest-BY-EVENT-TIME snapshot seen so far: a late-arriving older
+    snapshot never regresses state (guard below), but it also cannot
+    retro-enrich left events already emitted in earlier batches. The
+    batch ``asof_join`` is the event-time-exact replay for reprocessing.
 
     Times must be numeric (epoch longs — registry.py conventions).
     """
     import pandas as pd
+
+    clash = set(payload) & {f.name for f in left.schema.fields}
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left side: {sorted(clash)}")
 
     key_field = left.schema[key_col]
     left_fields = [f for f in left.schema.fields if f.name != key_col]
@@ -146,6 +151,10 @@ def streaming_asof_enrich(left: DataFrame, right: DataFrame, *,
             # NOT itertuples: pandas renames leading-underscore columns
             for d in pdf.to_dict("records"):
                 if d["__side"] == 0:
+                    # keep the newest-by-event-time snapshot: a late
+                    # (out-of-order) older snapshot must not regress state
+                    if cur[0] is not None and d["__t"] < cur[0]:
+                        continue
                     cur = [d["__t"]] + [d[c] for c in payload]
                 else:
                     rec = {key_col: key[0]}

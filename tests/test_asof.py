@@ -149,3 +149,16 @@ def test_asof_on_real_events_matches_sql(spark):
     expected = {r.pid: ((r.m.ce, r.m.cn) if r.m else (None, None))
                 for r in expected_rows}
     assert got == expected and len(got) > 0
+
+
+def test_asof_null_payload_value_is_not_backfilled(spark):
+    """The matched row travels whole: a NULL payload value in the newest
+    right row must come back NULL, not backfilled from an older row."""
+    left = spark.createDataFrame([("k", 3, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 10), ("k", 2, None, 20)],
+        "key string, rts long, price double, qty long")
+    [row] = asof_join(left, right, keys=["key"], left_time="ts",
+                      right_time="rts", payload=["price", "qty"],
+                      matched_time_col="mt").collect()
+    assert (row.price, row.qty, row.mt) == (None, 20, 2)

@@ -59,3 +59,30 @@ def test_kmv_grouped(spark):
         df, cols=["v"], group_by=["g"], k=256).collect()}
     assert rows["0"].distinct_est == 25.0        # 50 values, evens only → 25
     assert abs(rows["1"].distinct_est - 3000) / 3000 < 0.2
+
+
+def test_kmv_merge_null_input_is_empty(spark):
+    df = spark.createDataFrame(
+        [([0.1, 0.2], None)], "s1 array<double>, s2 array<double>")
+    [row] = df.select(kmv_merge(F.col("s1"), F.col("s2"), k=4).alias("m"),
+                      kmv_estimate(kmv_merge(F.col("s1"), F.col("s2"), k=4),
+                                   k=4).alias("e")).collect()
+    assert row.m == [0.1, 0.2] and row.e == 2.0
+
+
+def test_local_sketch_one_partial_per_group_across_batches():
+    """The mapInPandas generator must accumulate across Arrow batches and
+    emit ONE partial per group per partition — per-batch emission makes
+    shuffle volume scale with row count."""
+    import pandas as pd
+    from dexscraper_spark.operators.sketch import _local_sketch_fn
+    fn = _local_sketch_fn(["g"], k=8)
+    batches = [
+        pd.DataFrame({"g": ["a", "a", "b"], "__u": [0.3, 0.1, 0.5]}),
+        pd.DataFrame({"g": ["a", "b"], "__u": [0.2, 0.4]}),
+        pd.DataFrame({"g": ["a"], "__u": [0.1]}),      # dup fraction
+    ]
+    out = list(fn(iter(batches)))
+    assert len(out) == 1                       # one yield per partition
+    rows = {d["g"]: d["__partial"] for d in out[0].to_dict("records")}
+    assert rows == {"a": [0.1, 0.2, 0.3], "b": [0.4, 0.5]}

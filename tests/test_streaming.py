@@ -297,3 +297,40 @@ def test_streaming_asof_enrich_state_across_batches(spark, tmp_path):
     assert rows[3] == (100.0, 2)          # arrival-order late event
     assert rows[11] == (200.0, 10)
     assert rows[7] == (None, None)        # other key, no state
+
+
+def test_streaming_asof_out_of_order_snapshot_does_not_regress(spark, tmp_path):
+    """A late-arriving OLDER snapshot in a later batch must not replace
+    newer state; and payload/left column collisions fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.state import streaming_asof_enrich
+
+    src = str(tmp_path / "asof_ooo")
+    schema = "k string, t long, side string, eid long, v double"
+    spark.createDataFrame(
+        [("A", 10, "R", None, 200.0)], schema).coalesce(1) \
+        .write.parquet(src + "/f1")
+    # batch 2: older snapshot arrives late, then an event
+    spark.createDataFrame(
+        [("A", 2, "R", None, 100.0), ("A", 11, "L", 11, None)],
+        schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    left = stream.filter("side = 'L'").select("k", F.col("t").alias("et"), "eid")
+    right = stream.filter("side = 'R'").select("k", F.col("t").alias("st"), "v")
+    out = streaming_asof_enrich(left, right, key_col="k", left_time="et",
+                                right_time="st", payload=["v"])
+    q = (out.writeStream.format("memory").queryName("asof_ooo_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    [row] = spark.sql("SELECT * FROM asof_ooo_mem").collect()
+    assert (row.v, row.matched_time) == (200.0, 10)
+
+    bad_left = stream.filter("side = 'L'").select(
+        "k", F.col("t").alias("et"), F.col("v"))
+    with pytest.raises(ValueError, match="collide"):
+        streaming_asof_enrich(bad_left, right, key_col="k", left_time="et",
+                              right_time="st", payload=["v"])
