@@ -456,6 +456,50 @@ def join_nearest_click(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of join — the proximity family's unbounded-lookback companion: each
+# purchase picks up the LATEST click at-or-before it per user (left-outer,
+# no radius). Executes with NO join node: tag-union + one per-key window
+# (operators/asof.py). Greater click_id wins equal-time ties.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof_click",
+    """
+    SELECT p.event_id AS purchase_id, m.click_id, m.click_us
+    FROM events p LEFT JOIN (
+        SELECT purchase_id, click_id, click_us FROM (
+            SELECT p2.event_id AS purchase_id, c.event_id AS click_id,
+                   CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS click_us,
+                   row_number() OVER (
+                     PARTITION BY p2.event_id
+                     ORDER BY epoch_us(CAST(c.ts AS TIMESTAMP)) DESC,
+                              c.event_id DESC) AS rn
+            FROM events p2 JOIN events c
+              ON p2.user_id = c.user_id
+             AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(p2.ts AS TIMESTAMP))
+            WHERE p2.event_type = 'purchase' AND c.event_type = 'click'
+        ) WHERE rn = 1
+    ) m ON p.event_id = m.purchase_id
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_ref="J2-asof,northstar-asof",
+)
+def join_asof_click(spark, sf_dir):
+    from dexscraper_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("p_us"), "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us"), F.col("event_id").alias("click_id"))
+    return asof_join(
+        p, c, keys=["user_id"], left_time="p_us", right_time="c_us",
+        payload=["click_id"], tiebreak="click_id",
+        matched_time_col="click_us",
+    ).select("purchase_id", "click_id", "click_us")
+
+
+# ---------------------------------------------------------------------------
 # W2 — global rank numbering (CoinGecko market_cap_rank analog).
 # ---------------------------------------------------------------------------
 
@@ -1759,7 +1803,11 @@ def _ivf_index(spark, sf_dir: str, *, nlist: int = 8, seed: int = 42):
     return _IVF_INDEX_CACHE[key]
 
 
-@register("similarity_ivf", None, survey_ref="northstar-similarity")
+# NOT registered: the nprobe<nlist probe is approximate by design, so its
+# driver row could only ever be rows-only; the IVF path is driver-gated
+# through `similarity_ivf_full_probe` (bit-exact vs brute force) and the
+# recall/save-load pytest suite. The freed registry slot (50-row driver
+# cap) carries the oracle-checked as-of join instead.
 def similarity_ivf(spark, sf_dir):
     from dexscraper_spark.operators.similarity import ivf_query
     emb = _t(spark, sf_dir, "embeddings")

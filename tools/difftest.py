@@ -36,7 +36,8 @@ DEFAULT_QUERIES = [
     "sink_excel", "sink_coingecko_rows", "sink_pancakeswap_rows",
     "similarity_topk", "embedding_norms", "dedup_embedding_cosine",
     "similarity_ivf_full_probe",
-    "join_range_proximity", "join_nearest_click", "window_ordinal_pivot",
+    "join_range_proximity", "join_nearest_click", "join_asof_click",
+    "window_ordinal_pivot",
     "scoring_confidence", "fallback_prefer_first", "ohlc_snapshot_compat",
     "symbols_blacklist_topk", "scan_metadata_patterns", "dedup_minhash_lsh",
     "topk_customers", "scalar_datetime", "agg_pricing_summary",
