@@ -32,7 +32,15 @@ def dedup_exact(df: DataFrame, cols: list[str], *, keep_by: str | None = None) -
     """
     if keep_by is None:
         return df.dropDuplicates(cols)
-    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    # total order: rows tying on keep_by fall through to the remaining
+    # (orderable) columns, so the survivor never depends on
+    # partition/arrival order
+    from pyspark.sql.types import MapType
+    rest = [f.name for f in df.schema.fields
+            if f.name != keep_by and f.name not in cols
+            and not isinstance(f.dataType, MapType)]
+    w = Window.partitionBy(*cols).orderBy(
+        F.col(keep_by).asc(), *[F.col(c).asc() for c in rest])
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
 
@@ -68,6 +76,11 @@ def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
     re-inlines the shingle expression once per seed: ~100× slower at
     5k docs, worse at scale.
     """
+    # NULL text = failed extraction, not content: xxhash64(NULL, seed) is
+    # a per-seed CONSTANT, so null-text docs would all share one signature,
+    # collide in every band (quadratic candidate clique) and then "verify"
+    # against each other. They cannot be near-dups of anything — exclude.
+    df = df.filter(F.col(text_col).isNotNull())
     # Signature-path shingles skip ``array_distinct`` (duplicate shingles
     # can't change a min) and hoist the word split into a projection —
     # leaving ``split()`` inside the transform lambda re-splits the text
@@ -97,13 +110,25 @@ def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,
-                           num_bands: int = 8) -> DataFrame:
+                           num_bands: int = 8,
+                           num_hashes: int = 32) -> DataFrame:
     """LSH banding: split each signature into ``num_bands`` rows keyed by
     (band_id, hash(band slice)); docs sharing any band bucket become a
     candidate pair. Equi-join on the bucket key — linear shuffle.
 
+    ``num_hashes`` must equal the signature length from
+    ``minhash_signatures`` and divide evenly by ``num_bands`` — a band
+    width of 0 (bands > hashes) would hash the EMPTY slice identically
+    for every doc, silently collapsing all docs into one bucket and
+    degenerating the linear-shuffle plan into the full O(n²) cross
+    product this operator exists to avoid.
+
     Returns distinct candidate pairs (id_a < id_b).
     """
+    if num_bands > num_hashes or num_hashes % num_bands:
+        raise ValueError(
+            f"num_bands ({num_bands}) must divide num_hashes "
+            f"({num_hashes}) with band width >= 1")
     n = num_bands
     banded = sigs.select(
         F.col(id_col),
@@ -242,6 +267,11 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
     slower at sf0.1 — same lesson as the MinHash rewrite.
     """
     sh = _shingle_expr(text_col, shingle_n)
+    # NULL text = failed extraction: every null-text doc would fingerprint
+    # to the identical 0 and pair Hamming-0 with every other one —
+    # exclude them from near-dup detection (empty STRINGS keep their real
+    # fingerprint: identical empties genuinely are duplicates).
+    df = df.filter(F.col(text_col).isNotNull())
     # hash each shingle exactly once in a projection — putting xxhash64
     # inside the 64 aggregate expressions re-evaluates it per bit
     hashed = df.select(
@@ -276,6 +306,12 @@ def split_assignment(key, *, train_pct: int = 80, valid_pct: int = 10):
     across runs, engines and cluster layouts (md5_le64 ≡ DuckDB
     md5_number_lower — the split is oracle-checkable, unlike rand()).
     """
+    if not (isinstance(train_pct, int) and isinstance(valid_pct, int)):
+        # reject fractions-as-percentages: train_pct=0.8 would silently
+        # produce a ~1%/0%/99% split (integer buckets 0..99)
+        raise ValueError(
+            f"percentages must be ints in 0..100 (got train={train_pct!r} "
+            f"valid={valid_pct!r}); pass 80, not 0.8")
     if not (0 < train_pct and 0 <= valid_pct
             and train_pct + valid_pct <= 100):
         raise ValueError(

@@ -130,6 +130,12 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
     import pandas as pd
 
     thr = float(threshold) - float(margin)
+    # id-type agnostic (string ids are common in scraped corpora): the
+    # output schema mirrors the input id type, and the empty frame is
+    # typed to match so Arrow conversion never guesses
+    id_type = emb.schema[id_col].dataType.simpleString()
+    empty_dtype = "int64" if id_type in ("bigint", "int", "smallint",
+                                         "tinyint") else "object"
 
     def gen(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy()
@@ -149,13 +155,14 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
             out_a.append(ids[gi[keep]])
             out_b.append(ids[jj[keep]])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=empty_dtype)
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    cands = emb.groupBy(block_col).applyInPandas(gen, "id_a long, id_b long")
+    cands = emb.groupBy(block_col).applyInPandas(
+        gen, f"id_a {id_type}, id_b {id_type}")
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("__a"),
                    _norm(F.col(vec_col)).alias("__an"))
@@ -203,9 +210,12 @@ def lsh_signature(vec_col, *, num_planes: int = 16, dim: int = 64,
                   planes: list | None = None):
     """Random-hyperplane signature: bit p = sign(v · h_p), planes from
     ``_lsh_planes`` (constant literals — no per-row hashing; pass ``planes``
-    when a session is at hand to reuse the cache). The per-plane dot is the
-    same sequential left fold as before, so signatures are bit-identical
-    to the in-row xxhash64 formulation.
+    when a session is at hand to reuse the cache). Column-expression
+    variant for SQL-side use/debugging. CAVEAT: the per-plane dot is a
+    sequential left fold, while the bucketed path's vectorized quantizer
+    (``_lsh_signature_udf``) sums via BLAS — for a vector whose margin on
+    some plane is within float summation-order drift (~1e-16) the sign
+    bit can differ between the two; don't mix their buckets.
     """
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     if planes is None:
@@ -299,15 +309,18 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
     → smaller buckets, fewer candidates) and B to recall.
 
     Scale shape: candidate generation stays a linear-shuffle equi-join
-    (corpus explodes to num_bands rows each); a pair colliding in several
-    bands is deduped by ``distinct()`` AFTER scoring — cosine is a pure
-    function of the pair, so the duplicate rows are identical and only
-    near pairs reach the dedup shuffle. Signatures come from the
-    vectorized quantizer (`_lsh_signature_udf`); the re-rank keeps the JVM
-    fold so cosine stays bit-identical to the brute-force oracle path.
+    (corpus explodes to num_bands rows each), and the exploded frames
+    carry ONLY (id, band, bits) — the id pairs are ``distinct()``-deduped
+    BEFORE the vectors are joined back (late rejoin, the same pattern as
+    ``jaccard_pairs``), so neither the band explosion nor the multi-band
+    collision duplicates ever ship embedding bytes. Signatures come from
+    the vectorized quantizer (`_lsh_signature_udf`); the re-rank keeps the
+    JVM fold so cosine stays bit-identical to the brute-force oracle path.
     """
     if num_planes % num_bands:
-        raise ValueError("num_planes must divide evenly into num_bands")
+        raise ValueError(
+            f"num_bands ({num_bands}) must divide num_planes "
+            f"({num_planes}) evenly")
     width = num_planes // num_bands
     planes = _lsh_planes(corpus.sparkSession, num_planes=num_planes, dim=dim)
     sig = _lsh_signature_udf(planes)(F.col(vec_col) if isinstance(vec_col, str)
@@ -316,12 +329,9 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
 
     def banded(df, id_alias):
         return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"__{id_alias}_v"),
-            _norm(F.col(vec_col), dim).alias(f"__{id_alias}_n"),
-            sig.alias("__sig"),
+            F.col(id_col).alias(id_alias), sig.alias("__sig"),
         ).select(
-            id_alias, f"__{id_alias}_v", f"__{id_alias}_n",
+            id_alias,
             F.posexplode(F.array(*[
                 F.shiftright(F.col("__sig"), b * width)
                  .bitwiseAND(F.lit(mask))
@@ -333,25 +343,34 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
         vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         q = queries.select(
             F.col(id_col).alias("query_id"),
-            vc.alias("__query_id_v"),
-            _norm(vc, dim).alias("__query_id_n"),
             F.explode(pudf(vc)).alias("__p"),
         ).select(
-            "query_id", "__query_id_v", "__query_id_n",
+            "query_id",
             F.col("__p.band").alias("__band"),
             F.col("__p.bits").alias("__bits"),
         )
     else:
         q = banded(queries, "query_id")
     c = banded(corpus, "neighbor_id")
-    cos = _safe_div(_dot(F.col("__query_id_v"), F.col("__neighbor_id_v"), dim),
-                    F.col("__query_id_n") * F.col("__neighbor_id_n"))
-    scored = (
+    # id pairs first, vectors later: dedup multi-band collisions on
+    # (query, neighbor) BEFORE any embedding bytes move
+    pairs = (
         q.join(c, ["__band", "__bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        vc.alias("__qv"), _norm(vc, dim).alias("__qn"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       vc.alias("__nv"), _norm(vc, dim).alias("__nn"))
+    cos = _safe_div(_dot(F.col("__qv"), F.col("__nv"), dim),
+                    F.col("__qn") * F.col("__nn"))
+    # no broadcast hint: the query side is usually tiny (AQE broadcasts
+    # it), but the API does not bound it — let the optimizer decide
+    scored = (pairs.join(qv, "query_id").join(cv, "neighbor_id")
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -487,3 +487,75 @@ def test_dedup_components_long_chain_pointer_jumping(spark):
     comp = dedup_components(pairs, max_iter=20)
     assert comp.filter(F.col("component") != 0).count() == 0
     assert comp.count() == 256
+
+
+def test_minhash_lsh_rejects_zero_width_bands(spark):
+    """num_bands > num_hashes would hash the empty slice identically for
+    every doc — one global bucket, full O(n^2) cross product. Must raise."""
+    import pytest
+    from dexscraper_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_signatures)
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "bbb ccc")], "doc_id long, text string")
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=8)
+    with pytest.raises(ValueError, match="band width"):
+        minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=16,
+                               num_hashes=8)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=3,
+                               num_hashes=8)
+
+
+def test_split_assignment_rejects_fractional_percentages():
+    import pytest
+    from pyspark.sql import functions as F
+    from dexscraper_spark.operators.dedup import split_assignment
+    with pytest.raises(ValueError, match="pass 80"):
+        split_assignment(F.col("id"), train_pct=0.8, valid_pct=0.1)
+
+
+def test_null_text_docs_do_not_pair_as_near_dups(spark):
+    """NULL text = failed extraction: null-text docs must not fingerprint
+    identically and flood the candidate set as mutual 'duplicates'."""
+    from dexscraper_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_candidates, minhash_signatures,
+        simhash_near_pairs)
+    rows = [(i, None) for i in range(1, 6)] + [(10, "real text one here"),
+                                               (11, "real text one here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh_pairs = simhash_near_pairs(docs, id_col="doc_id", text_col="text",
+                                  persist_fingerprints=False)
+    ids = {x for r in sh_pairs.collect() for x in (r.id_a, r.id_b)}
+    assert ids == {10, 11}
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=8, char_shingles=False)
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", num_bands=2,
+                                   num_hashes=8)
+    verified = jaccard_pairs(docs, cands, id_col="doc_id", text_col="text",
+                             char_shingles=False, threshold=0.5,
+                             persist_candidates=False)
+    ids = {x for r in verified.collect() for x in (r.id_a, r.id_b)}
+    assert ids == {10, 11}
+
+
+def test_exact_cosine_pairs_blocked_string_ids(spark):
+    """The BLAS pair finder must be id-type agnostic (string ids are the
+    norm in scraped corpora)."""
+    from dexscraper_spark.operators.similarity import exact_cosine_pairs_blocked
+    rows = [("docA", [1.0, 0.0], "x"), ("docB", [1.0, 0.001], "x"),
+            ("docC", [0.0, 1.0], "x")]
+    emb = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label string")
+    pairs = exact_cosine_pairs_blocked(emb, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("docA", "docB")]
+
+
+def test_dedup_exact_keep_by_total_order(spark):
+    """Rows tying on keep_by must yield a partition-independent survivor."""
+    from dexscraper_spark.operators.dedup import dedup_exact
+    rows = [("k", 5, "zzz"), ("k", 5, "aaa"), ("k", 7, "mmm")]
+    df = spark.createDataFrame(rows, "key string, ts long, payload string")
+    a = dedup_exact(df.repartition(1), ["key"], keep_by="ts").collect()
+    b = dedup_exact(df.repartition(8), ["key"], keep_by="ts").collect()
+    assert a == b and a[0].payload == "aaa"
