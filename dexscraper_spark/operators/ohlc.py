@@ -46,6 +46,9 @@ def ohlc_windowed(ticks: DataFrame, *, symbol_col: str = "symbol",
     else:
         order_key = F.struct(ts, F.col(tiebreak_col)) if tiebreak_col else ts
     w = F.window(ts, duration)
+    # qty_col=None → volume is the NOTIONAL sum of tick prices (each tick
+    # counted as one unit) — a documented proxy for quantity-less tick
+    # sources, not an accident; pass qty_col for real traded volume
     vol = sum_money(F.col(qty_col), volume_scale) if qty_col else sum_money(price, volume_scale)
     return (
         ticks.groupBy(F.col(symbol_col).alias("symbol"), w.alias("w"))

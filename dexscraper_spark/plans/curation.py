@@ -90,7 +90,10 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
         deduped, id_col=id_col, text_col=text_col,
         num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming)
     comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
-    losers = comps.filter(F.col("node") != F.col("label")) \
+    # "component" is the declared output column of dedup_components —
+    # filtering on the pre-alias "label" only resolved through lineage
+    # attribute resolution and breaks on any lineage-free frame
+    losers = comps.filter(F.col("node") != F.col("component")) \
                   .select(F.col("node").alias(id_col))
     # left_anti with no broadcast hint: the loser set is answer-sized on
     # ordinary corpora (AQE broadcasts it), but a dup-heavy crawl can make

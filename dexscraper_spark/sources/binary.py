@@ -38,6 +38,15 @@ METRIC_FIELDS = ("price", "price_usd", "price_change_h24", "liquidity_usd",
 def encode_record(pair: dict) -> bytes:
     """One fixed-size record: length-prefixed strings, 8-align, 8 doubles."""
     out = bytearray()
+    first = str(pair.get(STRING_FIELDS[0], "")).encode("utf-8")[:200]
+    if len(first) in (0, 10):
+        # the decoder's reference-parity padding skip (protocol.py:83)
+        # eats a leading 0x00/0x0A byte — a first field of length 0 or 10
+        # would silently shift/drop the record in BOTH engines; refuse to
+        # encode the ambiguous frame rather than corrupt it silently
+        raise ValueError(
+            f"first string field {STRING_FIELDS[0]!r} must not encode to "
+            f"0 or 10 bytes (wire-ambiguous with leading padding)")
     for f in STRING_FIELDS:
         raw = str(pair.get(f, "")).encode("utf-8")[:200]
         out.append(len(raw))

@@ -66,6 +66,12 @@ def _clean(s: str) -> str:
 def parse_record(chunk: bytes) -> dict | None:
     """Decode one record: strings → align → 8 doubles → validity gates."""
     pos = 0
+    # leading-padding skip — byte-for-byte reference parity
+    # (protocol.py:83). Known hazard inherited WITH the parity: a first
+    # string field of length 0 or 10 (0x00/0x0A) has its length prefix
+    # eaten as padding, shifting or dropping the record — the reference
+    # corrupts the same frames identically. binary.py's encoder refuses
+    # to emit such frames so synthetic fixtures can't hit it silently.
     while pos < len(chunk) and pos < 10 and chunk[pos] in (0x00, 0x0A):
         pos += 1
     strings: dict[str, str] = {}

@@ -119,7 +119,25 @@ def streaming_ohlc(decoded: DataFrame, *, timeframe: Timeframe = Timeframe.M5,
     per micro-batch (every row in a batch ties), so (ts, msg_id,
     record_position) provides the deterministic total order, same rule as
     ohlc_windowed's tiebreak_col.
+
+    ``ts_col`` defaults to the ``decoded_stream`` composition
+    (processing-time ``extraction_ts``); for event-time bars over
+    ``frame_stream`` pass ``ts_col="event_ts"``.
+
+    ``volume`` is the rolling-24h figure AS OF BAR CLOSE (max_by on the
+    order key) — the input rows are snapshots whose ``volume_h24`` is
+    already a 24-hour total (models.py:74-77), so summing one per
+    snapshot would overcount by the snapshot rate; snapshot-parity keeps
+    the latest figure, and max_by is order-independent (bit-reproducible
+    at any parallelism).
     """
+    if ts_col not in decoded.columns:
+        have = [c for c in ("extraction_ts", "event_ts")
+                if c in decoded.columns]
+        raise ValueError(
+            f"ts_col {ts_col!r} not in stream columns; this stream has "
+            f"{have or decoded.columns} — pass ts_col explicitly "
+            f"(decoded_stream → 'extraction_ts', frame_stream → 'event_ts')")
     price = F.col("price_usd")
     order_key = F.struct(F.col(ts_col), F.col("msg_id"),
                          F.col("record_position"))
@@ -132,7 +150,7 @@ def streaming_ohlc(decoded: DataFrame, *, timeframe: Timeframe = Timeframe.M5,
             F.max(price).alias("high"),
             F.min(price).alias("low"),
             F.max_by(price, order_key).alias("close"),
-            F.sum(F.col("volume_h24")).alias("volume"),
+            F.max_by(F.col("volume_h24"), order_key).alias("volume"),
             F.count(F.lit(1)).alias("trades"),
         )
         .select("symbol", F.col("w.start").alias("bucket_ts"),
@@ -156,9 +174,12 @@ def streaming_dedup(decoded: DataFrame, *, keys: list[str] | None = None,
 
 
 def snapshot_stats(decoded: DataFrame) -> DataFrame:
-    """R6 snapshot mode: per-batch stats identical to the reference's
-    ``ExtractedTokenBatch`` derivation (models.py:369-375). Used with
-    ``outputMode('complete')`` — stateless snapshot semantics."""
+    """Stream-lifetime stats with the reference's ``ExtractedTokenBatch``
+    column derivation (models.py:369-375). NOTE: under
+    ``outputMode('complete')`` a global streaming aggregate is CUMULATIVE
+    over the whole stream, not per-batch — for the reference's per-batch
+    numbers, apply these aggregate expressions inside ``run_foreach_batch``
+    (each callback sees exactly one batch)."""
     return decoded.agg(
         F.count(F.lit(1)).alias("total_extracted"),
         F.sum(F.when(F.col("price_usd").isNotNull(), 1).otherwise(0))

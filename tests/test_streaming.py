@@ -225,7 +225,7 @@ def test_frame_stream_end_to_end_ohlc(spark, tmp_path):
              F.max(price).alias("high"),
              F.min(price).alias("low"),
              F.max_by(price, order_key).alias("close"),
-             F.sum(F.col("volume_h24")).alias("volume"),
+             F.max_by(F.col("volume_h24"), order_key).alias("volume"),
              F.count(F.lit(1)).alias("trades"))
         .select("symbol", F.col("w.start").alias("bucket_ts"),
                 "open", "high", "low", "close", "volume", "trades")
