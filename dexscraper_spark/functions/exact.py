@@ -11,6 +11,12 @@ scale, and the result is identical on 1 core or 1000 executors.
 ``round_half_up(x, n)`` is defined as floor(x·10^n + 0.5)/10^n — the same
 bits in every engine (Spark's ROUND and DuckDB's ROUND disagree on
 half-even vs half-away; floor(+0.5) is unambiguous).
+
+Input contract: FINITE doubles. NaN/±Inf take the wide decimal-cast
+branch, where Spark yields NULL (dropped from the sum) but DuckDB's
+HUGEINT cast raises — scrub non-finite values first
+(``functions.validity.scrub_nonfinite``, the engine's F3 ingestion gate)
+if the source can produce them.
 """
 
 from __future__ import annotations
@@ -66,9 +72,16 @@ def avg_money(c: Column, scale: int = 2) -> Column:
 
 
 def round_half_up(c: Column, n: int = 2) -> Column:
-    """Engine-portable half-up rounding (see module docstring)."""
+    """Engine-portable half-up rounding (see module docstring).
+
+    Same overflow branch as ``cents``: beyond the int64-floor bound the
+    double's ulp already exceeds 10^-n, so the value passes through
+    unchanged instead of Spark's silent Floor saturation (which would
+    return ~9.2e18/10^n for ANY huge input)."""
     p = float(10 ** n)
-    return (F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)).cast("double")
+    rounded = (F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)).cast("double")
+    return F.when(F.abs(c) < F.lit(_cents_bound(n)), rounded) \
+            .otherwise(c.cast("double"))
 
 
 def _cents_sql(expr: str, scale: int) -> str:

@@ -86,7 +86,11 @@ def quality_score(text: Column) -> Column:
     atl = avg_token_len(text)
     tok_score = F.when((atl >= 3.0) & (atl <= 10.0), 1.0).otherwise(0.5)
     score = len_score * 0.4 + (F.lit(1.0) - punct_penalty) * 0.3 + tok_score * 0.3
-    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+    # NULL text scores 0, not 0.85: without the guard both length CASE
+    # arms are null→false and len_score falls through to the 1.0 branch —
+    # a missing document would outrank short real text
+    return F.when(n.isNull(), F.lit(0.0)) \
+            .otherwise(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)))
 
 
 def lang_id(text: Column) -> Column:
@@ -107,11 +111,14 @@ def lang_id(text: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def rolling_fingerprint(text: Column, *, window: int = 16) -> Column:
-    """Document fingerprint: xxhash64 of the text's char-shingle min-hash —
-    a stable 64-bit content id robust to containerized storage order.
+def rolling_fingerprint(text_col: str, *, n: int = 8,
+                        num_hashes: int = 4) -> Column:
+    """Document fingerprint: one 64-bit id hashed from the text's
+    char-shingle min-hash signature (``char_ngram_minhash``), so it is a
+    shingle-set identity — the same id for the same shingle multiset.
     For plain exact-content identity use ``xxhash64(text)`` directly."""
-    return F.xxhash64(text)
+    sig = char_ngram_minhash(text_col, n=n, num_hashes=num_hashes)
+    return F.xxhash64(sig.cast("string"))
 
 
 def char_ngram_minhash(text_col: str, *, n: int = 8, num_hashes: int = 4) -> Column:

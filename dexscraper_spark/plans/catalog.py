@@ -796,12 +796,12 @@ def ohlc_snapshot_compat(spark, sf_dir):
            atl AS avg_token_len,
            punct_ratio,
            n_bpe_tokens,
-           least(greatest(
+           CASE WHEN n IS NULL THEN 0.0 ELSE least(greatest(
              (CASE WHEN n < 50 THEN CAST(n AS DOUBLE) / 50.0
                    WHEN n > 20000 THEN 0.25 ELSE 1.0 END) * 0.4
              + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
              + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
-             0.0), 1.0) AS quality
+             0.0), 1.0) END AS quality
     FROM feats
     """,
     survey_ref="northstar-text,F12,A7",

@@ -143,7 +143,7 @@ def sink_tradingview_rows(spark, sf_dir):
            printf('%.8f', volume) AS vol_p,
            ts * 1000 + 60000 AS close_ms,
            printf('%.8f', volume) AS quote_vol,
-           COALESCE(trades, 1) AS n_trades,
+           CASE WHEN COALESCE(trades, 0) = 0 THEN 1 ELSE trades END AS n_trades,
            printf('%.8f', volume * 0.6) AS taker_base,
            printf('%.8f', volume * 0.6) AS taker_quote
     FROM bars
@@ -165,7 +165,8 @@ def sink_binance_rows(spark, sf_dir):
         f8(F.col("volume")).alias("vol_p"),
         (F.col("ts") * 1000 + 60000).alias("close_ms"),
         f8(F.col("volume")).alias("quote_vol"),
-        F.coalesce(F.col("trades"), F.lit(1)).alias("n_trades"),
+        F.when(F.col("trades").isNotNull() & (F.col("trades") != 0),
+               F.col("trades")).otherwise(F.lit(1)).alias("n_trades"),
         f8(F.col("volume") * 0.6).alias("taker_base"),
         f8(F.col("volume") * 0.6).alias("taker_quote"),
     )
@@ -336,7 +337,8 @@ def sink_coingecko_rows(spark, sf_dir):
     "sink_pancakeswap_rows",
     _TOKENS_CTE + """
     SELECT token_address,
-           COALESCE(token_name, symbol) AS name,
+           CASE WHEN token_name IS NOT NULL AND token_name != ''
+                THEN token_name ELSE symbol END AS name,
            symbol,
            price,
            price * 0.002 AS price_bnb,
@@ -359,7 +361,8 @@ def sink_pancakeswap_rows(spark, sf_dir):
     bounded = top_k(t, 500, F.col("token_address").asc())
     return bounded.select(
         "token_address",
-        F.coalesce(F.col("token_name"), F.col("symbol")).alias("name"),
+        F.when(F.col("token_name").isNotNull() & (F.col("token_name") != ""),
+               F.col("token_name")).otherwise(F.col("symbol")).alias("name"),
         "symbol", "price",
         (F.col("price") * 0.002).alias("price_bnb"),
         F.col("ts").cast("long").alias("updated_at"),

@@ -191,7 +191,10 @@ def binance_klines_document(bars: DataFrame, *, order_col: str = "ts",
         _f8(F.col("close")), _f8(F.col("volume")),
         (F.col("ts").cast("long") * 1000 + 60000).cast("string"),
         _f8(F.col("volume")),
-        F.coalesce(F.col("trades"), F.lit(1)).cast("string"),
+        # falsy, not null-only: the reference's `ohlc.trades if ohlc.trades
+        # else 1` maps trades=0 to 1 too (models.py:516)
+        F.when(F.col("trades").isNotNull() & (F.col("trades") != 0),
+               F.col("trades")).otherwise(F.lit(1)).cast("string"),
         _f8(F.col("volume") * 0.6), _f8(F.col("volume") * 0.6),
         F.lit("0"),
     )
@@ -273,10 +276,17 @@ def pancakeswap_document(tokens: DataFrame, *, top_n: int = 500) -> str:
         .select(F.struct(
             F.col("token_address"),
             F.struct(
-                F.coalesce(F.col("token_name"), F.col("symbol")).alias("name"),
+                # falsy-or, matching `token.token_name or token.symbol`
+                # (models.py:592): an EMPTY name falls back to the symbol
+                F.when(F.col("token_name").isNotNull()
+                       & (F.col("token_name") != ""), F.col("token_name"))
+                 .otherwise(F.col("symbol")).alias("name"),
                 F.col("symbol").alias("symbol"),
                 F.col("price").cast("string").alias("price"),
                 (F.col("price") * 0.002).cast("string").alias("price_BNB"),
+                # deliberate deviation from models.py:597 (`ts or
+                # time.time()`): NULL, not wall clock — the engine's
+                # determinism conventions forbid run-dependent output
                 F.col("ts").cast("long").alias("updated_at"),
             ).alias("v"),
         ).alias("s"))
@@ -355,9 +365,10 @@ def prometheus_text(tokens: DataFrame, *, extraction_ts: int, top_n: int = 10) -
     ]
     for r in top_tokens(tokens, top_n).collect():
         sym = (r["symbol"] or "UNKNOWN").replace('"', "")
-        if r["price"] is not None:
+        # falsy (`if token.price:`, models.py:740) — 0.0 emits no line
+        if r["price"]:
             lines.append(f'dexscraper_token_price_usd{{symbol="{sym}"}} {r["price"]}')
-        if r["volume_24h"] is not None:
+        if r["volume_24h"]:
             lines.append(
                 f'dexscraper_token_volume_24h_usd{{symbol="{sym}"}} {r["volume_24h"]}')
     return "\n".join(lines) + "\n"

@@ -132,8 +132,14 @@ class FrameDataSourceReader(DataSourceReader):
     def read(self, partition: FramePartition):
         out_cols = [f.name for f in DECODED_SCHEMA.fields]
         if partition.path is not None:
+            # stable content-free id from the file NAME: crc32, not the
+            # built-in hash() — hash(str) is salted per process
+            # (PYTHONHASHSEED), so msg_ids would differ run to run
+            # whenever the seed-pinning env does not propagate
+            import zlib
+            name = os.path.basename(partition.path)
             with open(partition.path, "rb") as fh:
-                payloads = [(hash(os.path.basename(partition.path)) & 0x7FFFFFFF,
+                payloads = [(zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF,
                              fh.read())]
         else:
             payloads = synthetic_payloads(partition.start_id,

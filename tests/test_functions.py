@@ -286,3 +286,22 @@ def test_difftest_adversarial_corpus_is_clean(spark):
     from tools.difftest import run
     lines: list[str] = []
     assert run(out=lines.append) == 0, "\n".join(lines)
+
+
+def test_quality_score_null_text_scores_zero(spark):
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.textstats import quality_score
+    rows = spark.createDataFrame(
+        [(None,), ("short real text here",)], "text string"
+    ).select(quality_score(F.col("text")).alias("q")).collect()
+    assert rows[0].q == 0.0 and rows[1].q > 0.0
+
+
+def test_round_half_up_no_int64_saturation(spark):
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.exact import round_half_up
+    [r] = spark.createDataFrame([(1e17, 1.005)], "big double, small double") \
+        .select(round_half_up(F.col("big"), 2).alias("b"),
+                round_half_up(F.col("small"), 2).alias("s")).collect()
+    assert r.b == 1e17          # pass-through, not floor saturation ~9.2e16
+    assert abs(r.s - 1.0) <= 0.01
