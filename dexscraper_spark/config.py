@@ -240,18 +240,26 @@ class Filters:
             pred = pred & F.col(cmap["dex"]).isin([d.value for d in self.dex_ids])
         return pred
 
-    def to_sql(self, column_map: dict[str, str] | None = None) -> str:
+    def to_sql(self, column_map: dict[str, str] | None = None,
+               available_columns: set[str] | None = None) -> str:
         """Render the same predicate as ANSI SQL (for oracle checks and for
-        engines without a DataFrame API)."""
+        engines without a DataFrame API). ``available_columns`` skips
+        bounds on columns the target table lacks — same escape hatch as
+        ``to_column``."""
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
+
+        def have(col_name: str) -> bool:
+            return available_columns is None or col_name in available_columns
+
         conjuncts = [
             f"{col} {op} {value!r}" if isinstance(value, str) else f"{col} {op} {value}"
             for col, op, value in self.range_predicates(column_map)
+            if have(col)
         ]
-        if self.chain_ids:
+        if self.chain_ids and have(cmap["chain"]):
             vals = ", ".join(f"'{c.value}'" for c in self.chain_ids)
             conjuncts.append(f"{cmap['chain']} IN ({vals})")
-        if self.dex_ids:
+        if self.dex_ids and have(cmap["dex"]):
             vals = ", ".join(f"'{d.value}'" for d in self.dex_ids)
             conjuncts.append(f"{cmap['dex']} IN ({vals})")
         return " AND ".join(conjuncts) if conjuncts else "TRUE"
@@ -279,12 +287,22 @@ class ScrapingConfig:
         rank = rank_column or self.rank_column()
         if rank == "trending_score" and "trending_score" not in df.columns:
             from dexscraper_spark.functions.scoring import trending_score
-            change_col = TRENDING_CHANGE_COLUMN[self.rank_by]
+            change_col = TRENDING_CHANGE_COLUMN.get(self.rank_by)
+            if change_col is None:
+                raise ValueError(
+                    f"rank_column='trending_score' needs a trendingScore* "
+                    f"rank_by to pick the change column, got {self.rank_by}")
             df = df.withColumn("trending_score", trending_score(
                 F.col("volume_24h"), F.col(change_col), F.col("txns_24h")))
         c = F.col(rank)
         ordering = c.desc_nulls_last() if self.order == Order.DESC else c.asc_nulls_last()
-        return df.filter(self.filters.to_column(column_map)).orderBy(ordering).limit(self.limit)
+        # available_columns: a preset may carry server-side-only DSL
+        # bounds (pair_age_hours, launchpad_progress) that no local table
+        # materializes — the reference drops unknown URL params the same
+        # way; filters on columns the frame DOES have still all apply
+        return (df.filter(self.filters.to_column(
+                    column_map, available_columns=set(df.columns)))
+                .orderBy(ordering).limit(self.limit))
 
 
 class Presets:

@@ -46,8 +46,13 @@ _BASE58_CHARS = "123456789ABCDEFGHJKMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 
 
 def not_blacklisted(symbol: Column) -> Column:
-    """F10 predicate form: scan-local codegen'd hash-set membership."""
-    return ~symbol.isin(*SYMBOL_BLACKLIST)
+    """F10 predicate form: scan-local codegen'd hash-set membership.
+    NULL symbols are KEPT — matching both the left-anti join form
+    (``anti_join_blacklist``: NULL matches nothing) and the reference's
+    ``match not in blacklist`` (None is never in the set); a bare
+    ``~isin`` would silently drop NULL rows and make the two forms
+    disagree on row counts."""
+    return symbol.isNull() | ~symbol.isin(*SYMBOL_BLACKLIST)
 
 
 def not_english_word(name: Column) -> Column:

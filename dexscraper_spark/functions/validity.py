@@ -91,7 +91,7 @@ def classify_value(c: Column) -> Column:
         .when(between(*RANGES["makers"]) & (c == F.floor(c)), F.lit("makers"))
         .when(between(*RANGES["volume"]), F.lit("volume"))
         .when(between(*RANGES["liquidity"]), F.lit("liquidity"))
-        .when((c >= F.lit(RANGES["market_cap"][0])) & (c <= F.lit(RANGES["market_cap"][1])), F.lit("market_cap"))
+        .when(between(*RANGES["market_cap"]), F.lit("market_cap"))
         .when(between(*RANGES["percentage"]), F.lit("percentage"))
         .otherwise(F.lit("other"))
     )

@@ -31,6 +31,37 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
+def probe_image(data: bytes) -> dict | None:
+    """O(1) metadata read — dims/channels straight from the fixed-offset
+    headers (BMP: offsets 18/22/28; PNG: IHDR at byte 16), no pixel
+    decode. The metadata scan stage must not pay a full per-pixel
+    Python inflate+unfilter just to learn width×height.
+
+    Returns {format, width, height, channels} or None if the payload is
+    not a recognizable BMP/PNG header. Never raises on truncated input.
+    """
+    try:
+        if data[:2] == b"BM" and len(data) >= 30:
+            width = struct.unpack_from("<i", data, 18)[0]
+            height = abs(struct.unpack_from("<i", data, 22)[0])
+            bpp = struct.unpack_from("<H", data, 28)[0]
+            if width <= 0 or bpp % 8:
+                return None
+            return {"format": "bmp", "width": width, "height": height,
+                    "channels": bpp // 8}
+        if data[:8] == PNG_SIGNATURE and len(data) >= 26:
+            width, height = struct.unpack_from(">II", data, 16)
+            color_type = data[25]
+            ch = _PNG_CHANNELS.get(color_type)
+            if width <= 0 or ch is None:
+                return None
+            return {"format": "png", "width": width, "height": height,
+                    "channels": ch}
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 # ---------------------------------------------------------------------------
 # BMP
 # ---------------------------------------------------------------------------
@@ -44,8 +75,10 @@ def decode_bmp(data: bytes) -> dict:
     hdr_size = struct.unpack_from("<I", data, 14)[0]
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
-    width, height_raw = struct.unpack_from("<iI", data, 18)[0], \
-        struct.unpack_from("<i", data, 22)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    height_raw = struct.unpack_from("<i", data, 22)[0]
+    if width <= 0:
+        raise ValueError(f"invalid BMP width {width}")
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
     if compression != 0:

@@ -88,17 +88,38 @@ def _parse_header(payload: bytes) -> dict | None:
             "body": payload[size:]}
 
 
+def _probe_real_image(payload: bytes) -> dict | None:
+    """Metadata-only real-codec path: O(1) header probe
+    (``codecs.probe_image``) — the scan stage never pays a per-pixel
+    Python decode just to learn dimensions. Returns the ``_parse_header``
+    dict shape (body=None) or None for unrecognized/corrupt headers."""
+    from dexscraper_spark.operators.codecs import probe_image
+    meta = probe_image(payload)
+    if meta is None:
+        return None
+    return {"format": meta["format"], "kind": "image",
+            "width": meta["width"], "height": meta["height"],
+            "channels": meta["channels"], "sample_rate": 0, "n_frames": 1,
+            "body": None}
+
+
 def _decode_real_image(payload: bytes) -> dict | None:
     """Real-codec path: pure-Python BMP/PNG decode (operators/codecs.py —
     full zlib inflate + scanline unfiltering, no PIL). Returns the same
     dict shape as ``_parse_header`` with decoded pixels as the body, or
-    None if the payload is neither format. JPEG and other formats that
-    genuinely need external codec libraries raise NotImplementedError
-    inside ``codecs.decode_image``."""
+    None if the payload is neither format or is a recognized-but-
+    unsupported variant (palette/16-bit PNG, RLE BMP, truncated file) —
+    one bad row must not abort a million-row mapInPandas task. JPEG and
+    other formats that genuinely need external codec libraries raise
+    NotImplementedError inside ``codecs.decode_image`` when called
+    DIRECTLY; through this bulk path they also yield None-meta rows."""
     from dexscraper_spark.operators.codecs import decode_image, sniff_format
     if sniff_format(payload) is None:
         return None
-    img = decode_image(payload)
+    try:
+        img = decode_image(payload)
+    except Exception:
+        return None
     return {"format": img["format"], "kind": "image",
             "width": img["width"], "height": img["height"],
             "channels": img["channels"], "sample_rate": 0, "n_frames": 1,
@@ -142,7 +163,9 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                                           pdf["payload"]):
                 hdr = _parse_header(bytes(payload)) if payload is not None else None
                 if hdr is None and payload is not None:
-                    hdr = _decode_real_image(bytes(payload))
+                    # metadata stage: O(1) header probe, never a pixel
+                    # decode (that belongs to the resize/feature stages)
+                    hdr = _probe_real_image(bytes(payload))
                 out.append({
                     "media_id": int(mid), "kind": kind,
                     "format": hdr["format"] if hdr else None,
@@ -160,9 +183,12 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, *, factor: int = 2) -> DataFrame:
-    """Deterministic downsample of FAKE images: keep every ``factor``-th
-    pixel per axis; header rewritten with new dims. Binary→binary batch
-    stage — the shape real resize kernels plug into."""
+    """Deterministic downsample of FAKE-container images: keep every
+    ``factor``-th pixel per axis; header rewritten with new dims.
+    Binary→binary batch stage — the shape real resize kernels plug into.
+    Real-codec payloads (BMP/PNG) are NOT in this stage's contract and
+    pass out of it silently — decode them to pixels first
+    (``codecs.decode_image``) and re-wrap with ``encode_fake_media``."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -221,6 +247,11 @@ def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
 
     def embed(payload: bytes) -> list[float]:
         hdr = _parse_header(payload)
+        if hdr is None:
+            # real-codec payloads: embed DECODED PIXELS, not container
+            # bytes — the same image as PNG vs BMP must embed identically
+            # (compressed IDAT bytes are near-uniform noise)
+            hdr = _decode_real_image(payload)
         body = hdr["body"] if hdr else (payload or b"")
         hist = [0.0] * dim
         for i, b in enumerate(body):

@@ -25,12 +25,29 @@ def register_views(spark: SparkSession, sf_dir: str,
 def sql_trending(spark: SparkSession, cfg: ScrapingConfig, *,
                  table: str = "tokens", rank_column: str | None = None,
                  column_map: dict[str, str] | None = None) -> DataFrame:
-    """The flagship 'trending top-N with filters' as one SQL statement."""
+    """The flagship 'trending top-N with filters' as one SQL statement —
+    same semantics as ``ScrapingConfig.apply``: bounds on columns the
+    table lacks are skipped (the reference drops unknown URL params), and
+    a missing ``trending_score`` rank column is derived in a subquery
+    with the identical arithmetic as ``functions.scoring.trending_score``."""
+    available = set(spark.table(table).columns)
     rank = rank_column or cfg.rank_column()
     direction = "DESC" if cfg.order.value == "desc" else "ASC"
+    src = table
+    if rank == "trending_score" and "trending_score" not in available:
+        from dexscraper_spark.config import TRENDING_CHANGE_COLUMN
+        from dexscraper_spark.functions.scoring import trending_score_sql
+        change_col = TRENDING_CHANGE_COLUMN.get(cfg.rank_by)
+        if change_col is None:
+            raise ValueError(
+                f"rank 'trending_score' needs a trendingScore* rank_by, "
+                f"got {cfg.rank_by}")
+        src = (f"(SELECT *, {trending_score_sql('volume_24h', change_col, 'txns_24h')} "
+               f"AS trending_score FROM {table})")
+        available = available | {"trending_score"}
     return spark.sql(f"""
-        SELECT * FROM {table}
-        WHERE {cfg.filters.to_sql(column_map)}
+        SELECT * FROM {src}
+        WHERE {cfg.filters.to_sql(column_map, available_columns=available)}
         ORDER BY {rank} {direction} NULLS LAST
         LIMIT {cfg.limit}
     """)

@@ -91,3 +91,49 @@ def test_malformed_payload_yields_null_meta(spark):
     meta = decode_media_meta(spark.createDataFrame(pdf, schema=MEDIA_SCHEMA))
     rows = meta.collect()
     assert all(r["format"] is None for r in rows)
+
+
+def test_decode_media_meta_corrupt_payload_yields_null_meta(spark):
+    """One unsupported/corrupt image must not abort the whole job."""
+    import struct as _struct
+    import pandas as pd
+    from dexscraper_spark.operators.codecs import PNG_SIGNATURE
+    from dexscraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media_meta)
+    truncated_png = PNG_SIGNATURE + b"\x00" * 4  # signature, no IHDR
+    pdf = pd.DataFrame([(0, "image", truncated_png),
+                        (1, "image", b"BM" + b"\x00" * 10)],  # short BMP
+                       columns=["media_id", "kind", "payload"])
+    rows = decode_media_meta(
+        spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)).collect()
+    assert len(rows) == 2
+    assert all(r.format is None and r.width is None for r in rows)
+
+
+def test_probe_image_matches_full_decode_dims():
+    from dexscraper_spark.operators.codecs import (
+        decode_image, encode_bmp, encode_png, probe_image)
+    px = bytes(range(48))  # 4x4 RGB
+    for enc in (encode_bmp, encode_png):
+        data = enc(4, 4, px, channels=3)
+        probe, full = probe_image(data), decode_image(data)
+        assert (probe["width"], probe["height"], probe["channels"]) == \
+               (full["width"], full["height"], full["channels"])
+        assert probe["format"] == full["format"]
+
+
+def test_extract_features_format_independent(spark):
+    """The same pixels as BMP vs PNG must embed identically (features over
+    decoded pixels, not container bytes)."""
+    import pandas as pd
+    from dexscraper_spark.operators.codecs import encode_bmp, encode_png
+    from dexscraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features)
+    px = bytes((x * 7) % 251 for x in range(4 * 4 * 3))
+    pdf = pd.DataFrame(
+        [(0, "image", encode_bmp(4, 4, px, channels=3)),
+         (1, "image", encode_png(4, 4, px, channels=3))],
+        columns=["media_id", "kind", "payload"])
+    rows = {r.media_id: r.embedding for r in extract_features(
+        spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)).collect()}
+    assert rows[0] == rows[1]
