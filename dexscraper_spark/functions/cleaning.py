@@ -61,8 +61,11 @@ def normalize_symbol(c: Column) -> Column:
 
 
 def safe_divide(numerator: Column, denominator: Column, default: float = 0.0) -> Column:
-    """D4: n/d with 0-denominator → default (never NULL/Inf)."""
-    return F.when(denominator != 0, numerator / denominator).otherwise(F.lit(default))
+    """D4: n/d with 0-denominator OR NULL inputs → default (never
+    NULL/Inf — a NULL numerator previously leaked NULL through the
+    denominator-only guard, breaking the documented contract)."""
+    return F.coalesce(
+        F.when(denominator != 0, numerator / denominator), F.lit(default))
 
 
 # Typed defaults of to_output_dict (models.py:307-344): strings → "" (chain/
@@ -90,9 +93,19 @@ def null_free(df, string_default: str = "", numeric_default: float = 0.0,
             default = _STRING_DEFAULTS.get(f.name, string_default)
             exprs.append(F.coalesce(c, F.lit(default)).alias(f.name))
         elif dt in ("double", "float"):
-            exprs.append(F.coalesce(c, F.lit(numeric_default)).alias(f.name))
+            # cast(dt) keeps FloatType frames FloatType (a bare
+            # coalesce with a double literal silently widens the schema)
+            exprs.append(F.coalesce(c, F.lit(numeric_default)).cast(dt)
+                         .alias(f.name))
         elif dt in ("bigint", "int", "smallint", "tinyint"):
             exprs.append(F.coalesce(c, F.lit(0)).cast(dt).alias(f.name))
+        elif dt == "boolean":
+            exprs.append(F.coalesce(c, F.lit(False)).alias(f.name))
+        elif dt.startswith("decimal"):
+            exprs.append(F.coalesce(c, F.lit(0).cast(dt)).alias(f.name))
+        elif dt in ("date", "timestamp", "timestamp_ntz"):
+            # no sane sentinel instant exists — documented passthrough
+            exprs.append(c)
         else:
             exprs.append(c)
     return df.select(*exprs)

@@ -19,9 +19,17 @@ def confidence_score(field_count: Column, numeric_clusters: Column,
                      metadata_count: Column) -> Column:
     """A7: fields/10 (cap .5) + clusters/10 (cap .3) + metadata/5 (cap .2)
     + 0.1 completeness bonus (fields>=5 & clusters>=3 & metadata>=1), cap 1.0."""
-    field_score = F.least(field_count.cast("double") / 10.0, F.lit(0.5))
-    cluster_score = F.least(numeric_clusters.cast("double") / 10.0, F.lit(0.3))
-    metadata_score = F.least(metadata_count.cast("double") / 5.0, F.lit(0.2))
+    # NULL counts contribute 0, as in the reference (its counters are
+    # plain ints defaulting to 0). Without the coalesce, F.least SKIPS
+    # NULLs, so a NULL count would contribute its CAP: confidence_score
+    # (NULL, NULL, NULL) scored a perfect 1.0 and junk rows outranked
+    # real tokens in every confidence-ordered top-k.
+    fc = F.coalesce(field_count.cast("double"), F.lit(0.0))
+    nc = F.coalesce(numeric_clusters.cast("double"), F.lit(0.0))
+    mc = F.coalesce(metadata_count.cast("double"), F.lit(0.0))
+    field_score = F.least(fc / 10.0, F.lit(0.5))
+    cluster_score = F.least(nc / 10.0, F.lit(0.3))
+    metadata_score = F.least(mc / 5.0, F.lit(0.2))
     bonus = F.when(
         (field_count >= 5) & (numeric_clusters >= 3) & (metadata_count >= 1), 0.1
     ).otherwise(0.0)
@@ -30,14 +38,17 @@ def confidence_score(field_count: Column, numeric_clusters: Column,
 
 def record_confidence(field_count: Column) -> Column:
     """A7 alt (scraper.py:670): 0.7 + 0.05·fields, cap 0.95."""
-    return F.least(F.lit(0.7) + 0.05 * field_count.cast("double"), F.lit(0.95))
+    fc = F.coalesce(field_count.cast("double"), F.lit(0.0))
+    return F.least(F.lit(0.7) + 0.05 * fc, F.lit(0.95))
 
 
 def cluster_confidence(field_types: Column, metadata_count: Column) -> Column:
     """A7 cluster variant (scraper.py:1371-1392):
     (min(types·10, 60) + 10·metadata) / 100, cap 1.0."""
-    base = F.least(field_types.cast("double") * 10.0, F.lit(60.0))
-    return F.least((base + 10.0 * metadata_count.cast("double")) / 100.0, F.lit(1.0))
+    ft = F.coalesce(field_types.cast("double"), F.lit(0.0))
+    mc = F.coalesce(metadata_count.cast("double"), F.lit(0.0))
+    base = F.least(ft * 10.0, F.lit(60.0))
+    return F.least((base + 10.0 * mc) / 100.0, F.lit(1.0))
 
 
 def field_count(*cols: Column) -> Column:

@@ -25,23 +25,32 @@ def scan_patterns(df: DataFrame, *, id_col: str, text_col: str,
     (doc, kind, match, ordinal), deduplicated per (doc, kind, value,
     ordinal). ``kinds`` maps kind name → regex (group 1 captured).
     """
-    kinds = kinds or {
-        "url": URL_PATTERN,
-        "address": BASE58_PATTERN,
-        "protocol": PROTOCOL_PATTERN,
-        "age_indicator": AGE_PATTERN,
-    }
-    parts = []
-    for kind, pattern in kinds.items():
-        matches = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
-        parts.append(
-            df.select(
-                F.col(id_col),
-                F.lit(kind).alias("kind"),
-                F.posexplode(matches).alias("ordinal", "value"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates([id_col, "kind", "value", "ordinal"])
+    if kinds is None:
+        kinds = {
+            "url": URL_PATTERN,
+            "address": BASE58_PATTERN,
+            "protocol": PROTOCOL_PATTERN,
+            "age_indicator": AGE_PATTERN,
+        }
+    if not kinds:
+        # explicit empty dict = no patterns = no rows (NOT the defaults)
+        return df.select(
+            F.col(id_col), F.lit("").alias("kind"),
+            F.lit(0).alias("ordinal"), F.lit("").alias("value")).limit(0)
+    # ONE scan for all kinds: the per-kind union form re-read the source
+    # once per pattern (4 FileScans on the default set — 4× the bytes at
+    # corpus scale). All regexes evaluate in one projection; the nested
+    # explode stays in the same stage.
+    per_kind = F.array(*[
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+             .alias("matches"))
+        for kind, pattern in kinds.items()
+    ])
+    return (
+        df.select(F.col(id_col), F.explode(per_kind).alias("__k"))
+        .select(F.col(id_col), F.col("__k.kind").alias("kind"),
+                F.posexplode(F.col("__k.matches")).alias("ordinal", "value"))
+        .dropDuplicates([id_col, "kind", "value", "ordinal"])
+    )

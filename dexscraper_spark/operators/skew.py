@@ -23,8 +23,15 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, *, n_salts: int, salt_source: str,
               salt_col: str = "__salt") -> DataFrame:
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(salt_source)),
-                                          F.lit(n_salts)).cast("int"))
+    # xxhash64(NULL) is a CONSTANT (the seed), so a null-heavy
+    # salt_source would put every NULL row on one salt — exactly the
+    # hot-partition this operator exists to break. Mix in
+    # monotonically_increasing_id for NULLs only: the salt value has no
+    # semantic meaning (aggregation re-merges across salts), it only
+    # spreads placement, so the non-deterministic id is safe here.
+    h = F.when(F.col(salt_source).isNotNull(), F.xxhash64(F.col(salt_source))) \
+         .otherwise(F.xxhash64(F.monotonically_increasing_id()))
+    return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 
 
 def salted_agg(df: DataFrame, *, keys: list[str], n_salts: int,

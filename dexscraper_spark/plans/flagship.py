@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 from dexscraper_spark.config import Filters
 from dexscraper_spark.functions.exact import sum_money, sum_money_sql
 
+# ONE Filters spec feeds the DataFrame predicate AND the oracle WHERE —
+# hand-duplicating the bounds in the SQL invites silent drift.
+_ORDER_FILTERS = Filters(liquidity_min=1_000.0, liquidity_max=400_000.0)
+_COLUMN_MAP = {"liquidity": "o_totalprice"}
+
+# l_extendedprice (2 dp) × (1 − l_discount) (2 dp) is exact at 4 decimals
+# — scale=4 makes the fixed-point sum EXACT, not cent-rounded per row
+# (scale=2 injected ≤0.005/row, enough to flip near-ties at the LIMIT).
+_REVENUE_SCALE = 4
+
 
 def flagship_top_revenue(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -34,15 +44,15 @@ def flagship_top_revenue(spark: SparkSession, sf_dir: str, n: int = 10) -> DataF
 
     # Filters-DSL predicate retargeted at TPC-H columns: the same compiler
     # the tokens pipeline uses (config.Filters.to_column).
-    order_filters = Filters(liquidity_min=1_000.0, liquidity_max=400_000.0)
-    order_pred = order_filters.to_column(column_map={"liquidity": "o_totalprice"})
+    order_pred = _ORDER_FILTERS.to_column(column_map=_COLUMN_MAP)
 
     revenue = (
         lineitem
         .filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
         .filter(F.col("l_shipdate") < F.lit("1997-01-01"))
         .groupBy("l_orderkey")
-        .agg(sum_money(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .agg(sum_money(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                       _REVENUE_SCALE)
              .alias("revenue"))
     )
     return (
@@ -60,7 +70,9 @@ def flagship_top_revenue(spark: SparkSession, sf_dir: str, n: int = 10) -> DataF
 
 
 def flagship_oracle_sql(n: int = 10) -> str:
-    rev = sum_money_sql("l_extendedprice * (1.0 - l_discount)")
+    rev = sum_money_sql("l_extendedprice * (1.0 - l_discount)",
+                        _REVENUE_SCALE)
+    where = _ORDER_FILTERS.to_sql(column_map=_COLUMN_MAP)
     return f"""
         SELECT o_orderkey AS orderkey,
                o_orderpriority AS priority,
@@ -74,7 +86,7 @@ def flagship_oracle_sql(n: int = 10) -> str:
             GROUP BY l_orderkey
         ) r
         JOIN orders ON r.l_orderkey = o_orderkey
-        WHERE o_totalprice >= 1000.0 AND o_totalprice <= 400000.0
+        WHERE {where}
         ORDER BY revenue DESC, orderkey ASC
         LIMIT {n}
     """

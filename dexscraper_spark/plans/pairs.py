@@ -30,5 +30,13 @@ def to_pairs(decoded: DataFrame) -> DataFrame:
 
 
 def pairs_json(pairs: DataFrame) -> DataFrame:
-    """One nested JSON document per pair (models.py:110-143 to_dict shape)."""
+    """One nested JSON document per pair (models.py:110-143 to_dict shape).
+
+    NULL handling: Spark's ``to_json`` drops null fields — which is the
+    reference's own semantics for the OPTIONAL fields (to_dict adds
+    fdv/pairCreatedAt/price_data only when present, models.py:121-137).
+    The reference's always-present header fields (chain/protocol/…) can
+    still be None there; run the frame through
+    ``functions.cleaning.null_free`` first if consumers require the full
+    key set on every document."""
     return pairs.select(F.to_json(F.struct(*pairs.columns)).alias("json"))

@@ -75,9 +75,9 @@ def _t(spark, sf_dir: str, name: str):
            COALESCE(chain0, 'unknown') AS chain,
            COALESCE(price0, 0.0) AS price,
            CAST(COALESCE(txns0, 0) AS BIGINT) AS txns,
-           CASE WHEN (CAST(event_id % 7 AS DOUBLE) - 3.0) != 0.0
+           COALESCE(CASE WHEN (CAST(event_id % 7 AS DOUBLE) - 3.0) != 0.0
                 THEN value / (CAST(event_id % 7 AS DOUBLE) - 3.0)
-                ELSE 0.0 END AS ratio,
+                ELSE 0.0 END, 0.0) AS ratio,
            CASE WHEN frac IS NULL THEN 'N/A'
                 ELSE regexp_replace(regexp_replace(printf('%.8f', frac),
                                                    '0+$', ''), '\.$', '')

@@ -21,9 +21,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_tokens(tokens: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+def write_tokens(tokens: DataFrame, path: str, *,
+                 files_per_chain: int = 16, mode: str = "overwrite") -> None:
+    # salt the repartition: a bare repartition("chain") funnels each
+    # chain (≤ a handful of values, one dominant) through ONE task — the
+    # exact hot-key straggler/OOM skew.py exists to prevent. With the
+    # salt each chain writes ``files_per_chain`` sorted files under its
+    # partitionBy directory; pruning and min/max early-stop are identical.
+    salt = F.pmod(F.xxhash64(F.col("confidence_score").cast("string"),
+                             F.lit(7)), F.lit(files_per_chain))
     (tokens
-     .repartition("chain")
+     .repartition(F.col("chain"), salt)
      .sortWithinPartitions(F.col("confidence_score").desc_nulls_last())
      .write.mode(mode).partitionBy("chain").parquet(path))
 

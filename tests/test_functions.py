@@ -305,3 +305,24 @@ def test_round_half_up_no_int64_saturation(spark):
                 round_half_up(F.col("small"), 2).alias("s")).collect()
     assert r.b == 1e17          # pass-through, not floor saturation ~9.2e16
     assert abs(r.s - 1.0) <= 0.01
+
+
+def test_confidence_score_null_counts_score_zero_not_cap(spark):
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.scoring import (
+        cluster_confidence, confidence_score, record_confidence)
+    [r] = spark.createDataFrame([(None, None, None)],
+                                "fc int, nc int, mc int").select(
+        confidence_score(F.col("fc"), F.col("nc"), F.col("mc")).alias("c"),
+        record_confidence(F.col("fc")).alias("rc"),
+        cluster_confidence(F.col("nc"), F.col("mc")).alias("cc"),
+    ).collect()
+    assert r.c == 0.0 and r.rc == 0.7 and r.cc == 0.0
+
+
+def test_safe_divide_null_numerator_hits_default(spark):
+    from pyspark.sql import functions as F
+    from dexscraper_spark.functions.cleaning import safe_divide
+    [r] = spark.createDataFrame([(None, 2.0)], "n double, d double").select(
+        safe_divide(F.col("n"), F.col("d")).alias("q")).collect()
+    assert r.q == 0.0

@@ -559,3 +559,22 @@ def test_dedup_exact_keep_by_total_order(spark):
     a = dedup_exact(df.repartition(1), ["key"], keep_by="ts").collect()
     b = dedup_exact(df.repartition(8), ["key"], keep_by="ts").collect()
     assert a == b and a[0].payload == "aaa"
+
+
+def test_scan_patterns_single_scan_and_empty_kinds(spark, tmp_path):
+    """One FileScan for all pattern kinds (the union form read the source
+    once per kind); explicit kinds={} means no patterns, not defaults."""
+    from dexscraper_spark.operators.metascan import scan_patterns
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "visit https://a.io now pumpfun 5m"),
+         (2, "raydium https://b.io")],
+        "doc_id long, text string").write.parquet(src)
+    df = spark.read.parquet(src)
+    out = scan_patterns(df, id_col="doc_id", text_col="text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    kinds = {r.kind for r in out.collect()}
+    assert {"url", "protocol", "age_indicator"} <= kinds
+    assert scan_patterns(df, id_col="doc_id", text_col="text",
+                         kinds={}).count() == 0
