@@ -44,7 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["json", "jsonl", "csv", "prometheus", "table"])
     p.add_argument("--frames", type=int, default=16,
                    help="synthetic frame count (demo source)")
-    p.add_argument("--once", action="store_true", default=True)
+    import argparse as _ap
+    p.add_argument("--once", action=_ap.BooleanOptionalAction, default=True,
+                   help="stream: drain the bounded demo source and exit "
+                        "(--no-once keeps the reference's 5s polling loop)")
     p.add_argument("--output", default="-")
     return p
 
@@ -64,18 +67,18 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark("dexscraper-cli")
         spark.sparkContext.setLogLevel("ERROR")
 
+    if args.command == "stream":
+        # before the batch source: the stream path generates its own
+        # frames via the dexframes source — building the batch plan here
+        # was pure wasted startup work
+        return _run_stream(args, spark)
+
     from pyspark.sql import functions as F
     from dexscraper_spark.plans.tokens_pipeline import (
-        extract_tokens, synthetic_metadata)
+        extract_tokens, synthetic_metadata, synthetic_raw_frames)
     from dexscraper_spark.sinks import exporters as X
 
-    import pandas as pd
-    from dexscraper_spark.sources.binary import make_frame, sample_pairs
-    pdf = pd.DataFrame({
-        "msg_id": range(args.frames),
-        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(args.frames)],
-    })
-    raw = spark.createDataFrame(pdf).coalesce(1)
+    raw = synthetic_raw_frames(spark, args.frames)
     tokens = extract_tokens(raw, synthetic_metadata(spark, args.frames))
 
     # normalize to the canonical tokens schema the exporters expect
@@ -97,9 +100,6 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         F.lit(None).cast("long").alias("txns_24h"),
         F.lit(None).cast("long").alias("makers"),
     )
-
-    if args.command == "stream":
-        return _run_stream(args, spark)
 
     command = args.command
     cfg = PRESETS[command](args)
@@ -136,7 +136,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         # batch stats over the full filtered batch, tokens[] = top-N
         # (reference semantics: models.py:369-381)
         _emit(X.enhanced_json_document(filtered, extraction_ts=now,
-                                       top_n=args.limit), args.output)
+                                       top_n=args.limit,
+                                       tiebreak="token_address"),
+              args.output)
     elif args.format == "jsonl":
         lines = [r["line"] for r in X.jsonl_rows(ranked).collect()]
         _emit("\n".join(lines), args.output)
@@ -145,13 +147,18 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         rows = rows_df.collect()
         # header from the schema, not the first row — an empty result
         # (filters matched nothing) still emits a valid CSV header
-        header = ",".join(rows_df.columns)
-        body = "\n".join(",".join("" if v is None else str(v)
-                                  for v in r.asDict().values()) for r in rows)
+        def q(v) -> str:
+            sv = "" if v is None else str(v)
+            if any(ch in sv for ch in (",", '"', "\n", "\r")):
+                sv = '"' + sv.replace('"', '""') + '"'
+            return sv
+        header = ",".join(q(c) for c in rows_df.columns)
+        body = "\n".join(",".join(q(v) for v in r.asDict().values())
+                          for r in rows)
         _emit(header + ("\n" + body if body else ""), args.output)
     elif args.format == "prometheus":
-        _emit(X.prometheus_text(ranked, extraction_ts=now, top_n=args.limit),
-              args.output)
+        _emit(X.prometheus_text(ranked, extraction_ts=now, top_n=args.limit,
+                                tiebreak="token_address"), args.output)
     else:  # table
         rows = ranked.collect()
         cols = ("symbol", "chain", "protocol", "price", "volume_24h",
@@ -198,8 +205,14 @@ def _run_stream(args, spark) -> int:
                 "liquidity": r["liquidity_usd"], "chain": r["chain"],
             }))
 
-    q = run_foreach_batch(decoded, sink, once=True)
-    q.awaitTermination()
+    q = run_foreach_batch(decoded, sink, once=args.once)
+    if args.once:
+        q.awaitTermination()
+    else:
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:
+            q.stop()
     _emit("\n".join(out), args.output)
     return 0
 

@@ -259,7 +259,29 @@ _TOKENS_CTE = f"""
 """
 
 
+_TOKENS_CACHE: dict = {}
+
+
+def clear_tokens_cache() -> None:
+    for df in _TOKENS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TOKENS_CACHE.clear()
+
+
 def _tokens(spark, sf_dir: str):
+    # same (appId, sf_dir) memoization as _bars: the coingecko and
+    # pancakeswap sinks consume the identical per-user frame, so derive
+    # the events groupBy once per session instead of once per sink query
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TOKENS_CACHE:
+        _TOKENS_CACHE[key] = _build_tokens(spark, sf_dir).cache()
+    return _TOKENS_CACHE[key]
+
+
+def _build_tokens(spark, sf_dir: str):
     from dexscraper_spark.functions.exact import sum_money
     from dexscraper_spark.sources.tables import load_table
     tune_session(spark)

@@ -83,17 +83,26 @@ def extract_tokens(raw_frames: DataFrame, metadata: DataFrame) -> DataFrame:
     )
 
 
-def trending_top_tokens(spark: SparkSession, *, n_frames: int = 16,
-                        limit: int = 10,
-                        tiebreak: str | None = None) -> DataFrame:
-    """Full pipeline on synthetic frames → top-N trending tokens."""
+def synthetic_raw_frames(spark: SparkSession, n_frames: int,
+                         *, pairs_per_frame: int = 4) -> DataFrame:
+    """The demo wire source: (msg_id, payload) frames from the synthetic
+    encoder — ONE definition shared by this pipeline and the CLI so the
+    frame layout can never drift between them."""
     import pandas as pd
     from dexscraper_spark.sources.binary import make_frame, sample_pairs
     pdf = pd.DataFrame({
         "msg_id": range(n_frames),
-        "payload": [make_frame(sample_pairs(4, seed=i)) for i in range(n_frames)],
+        "payload": [make_frame(sample_pairs(pairs_per_frame, seed=i))
+                    for i in range(n_frames)],
     })
-    raw = spark.createDataFrame(pdf).coalesce(1)
+    return spark.createDataFrame(pdf).coalesce(1)
+
+
+def trending_top_tokens(spark: SparkSession, *, n_frames: int = 16,
+                        limit: int = 10,
+                        tiebreak: str | None = None) -> DataFrame:
+    """Full pipeline on synthetic frames → top-N trending tokens."""
+    raw = synthetic_raw_frames(spark, n_frames)
     tokens = extract_tokens(raw, synthetic_metadata(spark, n_frames))
     return top_tokens(tokens, limit, tiebreak=tiebreak).select(
         "symbol", "chain", "protocol", "price_usd", "volume_h24",

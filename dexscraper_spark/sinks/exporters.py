@@ -299,7 +299,8 @@ def pancakeswap_document(tokens: DataFrame, *, top_n: int = 500) -> str:
 
 
 def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
-                           top_n: int = 50) -> str:
+                           top_n: int = 50,
+                           tiebreak: str | None = None) -> str:
     """K1: {"type":"enhanced_tokens", stats, tokens:[...]} — batch stats +
     null-free token payloads (cli.py:627-699; models.py:307-344).
 
@@ -318,7 +319,7 @@ def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
                      & (F.col("confidence_score") >= 0.3), 1).otherwise(0))
         .alias("complete_profiles_count"),
     ).collect()[0]
-    top = null_free(top_tokens(tokens, top_n))
+    top = null_free(top_tokens(tokens, top_n, tiebreak=tiebreak))
     payload_struct = F.struct(*[F.col(c) for c in top.columns])
     arr_json = (
         top.select(F.struct(
@@ -340,7 +341,8 @@ def enhanced_json_document(tokens: DataFrame, *, extraction_ts: int,
     return json.dumps(doc, separators=(",", ":"))
 
 
-def prometheus_text(tokens: DataFrame, *, extraction_ts: int, top_n: int = 10) -> str:
+def prometheus_text(tokens: DataFrame, *, extraction_ts: int, top_n: int = 10,
+                    tiebreak: str | None = None) -> str:
     """K11: counters/gauges; batch-level + per-token for the top-N
     (models.py:701-752)."""
     from dexscraper_spark.operators.topk import top_tokens
@@ -363,7 +365,7 @@ def prometheus_text(tokens: DataFrame, *, extraction_ts: int, top_n: int = 10) -
         "# HELP dexscraper_token_volume_24h_usd Token 24h volume in USD",
         "# TYPE dexscraper_token_volume_24h_usd gauge",
     ]
-    for r in top_tokens(tokens, top_n).collect():
+    for r in top_tokens(tokens, top_n, tiebreak=tiebreak).collect():
         sym = (r["symbol"] or "UNKNOWN").replace('"', "")
         # falsy (`if token.price:`, models.py:740) — 0.0 emits no line
         if r["price"]:
