@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dexscraper_spark.functions.exact import (
-    avg_money, avg_money_sql, sum_money, sum_money_sql,
+    _cents_sql, avg_money, avg_money_sql, sum_money, sum_money_sql,
 )
 from dexscraper_spark.plans.flagship import flagship_oracle_sql, flagship_top_revenue
 from dexscraper_spark.plans.registry import register
@@ -157,7 +157,9 @@ def ohlc_bars(spark, sf_dir):
     cascade ≡ direct. The result is memoized per (appId, sf_dir) so
     repeated runs reuse ONE persisted fine level instead of caching a new
     one per call."""
+    from dexscraper_spark.plans.registry import evict_other_apps
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_other_apps(_OHLC_BARS_CACHE, key[0])
     if key not in _OHLC_BARS_CACHE:
         from dexscraper_spark.config import Timeframe
         from dexscraper_spark.operators.ohlc import ohlc_windowed_frames
@@ -350,10 +352,10 @@ def scalar_json(spark, sf_dir):
 
 @register(
     "join_revenue_by_nation",
-    """
+    f"""
     SELECT n_name AS nation, r_name AS region,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           (SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0) AS revenue
+           {sum_money_sql('o_totalprice', 2, 'revenue')}
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -546,9 +548,9 @@ def sessionize_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     stamped = ev.select("user_id", "event_id",
                         F.unix_micros(F.col("ts")).alias("us"))
-    # order by (us, event_id): total order (ts is unique, belt & braces)
-    sess = sessionize(stamped.withColumn("__ord", F.col("us") * 0 + F.col("us")),
-                      partition_cols=["user_id"], order_col="us",
+    # ordered by us alone; ties are harmless — tied rows get the same
+    # session id whichever sorts first (delta 0 never opens a session)
+    sess = sessionize(stamped, partition_cols=["user_id"], order_col="us",
                       gap=float(_SESSION_GAP_US))
     per_session = (sess.groupBy("user_id", "session_id")
                    .agg(F.count(F.lit(1)).alias("n_events")))
@@ -567,9 +569,9 @@ def sessionize_users(spark, sf_dir):
 
 @register(
     "window_moving_sum",
-    """
+    f"""
     SELECT event_id,
-           (SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+           (SUM({_cents_sql('value', 2)}) OVER (
                 PARTITION BY user_id ORDER BY event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0) AS mov3_sum
     FROM events
@@ -853,12 +855,16 @@ def text_metrics(spark, sf_dir):
     )
     len_score = F.when(n < 50, n.cast("double") / 50.0) \
                  .when(n > 20000, F.lit(0.25)).otherwise(F.lit(1.0))
-    quality = F.least(F.greatest(
+    # NULL-text guard mirrors the oracle's CASE WHEN n IS NULL (and
+    # textstats.quality_score): without it the length CASE falls through
+    # to the 1.0 branch and a missing document scores 0.85
+    quality = F.when(F.col("measured_chars").isNull(), F.lit(0.0)) \
+               .otherwise(F.least(F.greatest(
         len_score * 0.4
         + (F.lit(1.0) - F.least(F.col("punct_ratio") * 2.0, F.lit(1.0))) * 0.3
         + F.when((F.col("avg_token_len") >= 3.0)
                  & (F.col("avg_token_len") <= 10.0), 1.0).otherwise(0.5) * 0.3,
-        F.lit(0.0)), F.lit(1.0))
+        F.lit(0.0)), F.lit(1.0)))
     return feats.select("*", quality.alias("quality"))
 
 
@@ -879,7 +885,7 @@ def _register_lang_id():
     gr = f"greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
     sql = f"""
         SELECT doc_id, lang AS labeled_lang,
-               CASE WHEN {gr} = 0 THEN 'und'
+               CASE WHEN text IS NULL OR {gr} = 0 THEN 'und'
                     WHEN {hits['en']} = {gr} THEN 'en'
                     WHEN {hits['es']} = {gr} THEN 'es'
                     WHEN {hits['fr']} = {gr} THEN 'fr'
@@ -1393,6 +1399,9 @@ def tokens_pipeline_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SCAN_PATTERN = r"\b(spark|hash|join|merge|window)\b"
+# one pattern feeds BOTH engines — hand-copying it into the oracle SQL
+# was a silent-drift channel
+_SCAN_PATTERN_SQL = _SCAN_PATTERN
 
 
 @register(
@@ -1400,7 +1409,7 @@ _SCAN_PATTERN = r"\b(spark|hash|join|merge|window)\b"
     f"""
     WITH m AS (
         SELECT doc_id,
-               regexp_extract_all(text, '\\b(spark|hash|join|merge|window)\\b', 1) AS l
+               regexp_extract_all(text, '{_SCAN_PATTERN_SQL}', 1) AS l
         FROM documents
     ), flat AS (
         SELECT doc_id, 'marker' AS kind, CAST(u.i - 1 AS INT) AS ordinal,
@@ -1771,7 +1780,13 @@ def streaming_ohlc_pipeline(spark, sf_dir):
              .outputMode("complete")
              .option("checkpointLocation", f"{workdir}/ckpt")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # fail LOUDLY: returning here would hand the driver a
+            # partially-filled memory table (confusing row mismatch)
+            # while the stateful query keeps running
+            q.stop()
+            raise TimeoutError(
+                "streaming_ohlc_pipeline availableNow batch exceeded 120s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("symbol", "bucket_ts")
@@ -1795,7 +1810,9 @@ _IVF_INDEX_CACHE: dict = {}
 
 def _ivf_index(spark, sf_dir: str, *, nlist: int = 8, seed: int = 42):
     from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.plans.registry import evict_other_apps
     key = (spark.sparkContext.applicationId, sf_dir, nlist, seed)
+    evict_other_apps(_IVF_INDEX_CACHE, key[0])
     if key not in _IVF_INDEX_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         _IVF_INDEX_CACHE[key] = ivf_build(emb, nlist=nlist, seed=seed,

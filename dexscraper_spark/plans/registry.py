@@ -52,3 +52,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+
+
+def evict_other_apps(cache: dict, app_id: str) -> None:
+    """Session-cache hygiene: drop entries keyed to OTHER (stopped)
+    SparkContexts. The (appId, ...)-keyed module caches are otherwise
+    unbounded across a process that creates several sessions — dead
+    entries pin DataFrames/indexes that can never be reused. Entries
+    expose ``unpersist`` (DataFrame or IvfIndex); failures are ignored
+    because the owning context is already gone."""
+    for k in [k for k in cache if k[0] != app_id]:
+        entry = cache.pop(k)
+        try:
+            entry.unpersist()
+        except Exception:
+            pass

@@ -44,7 +44,9 @@ def _bars(spark, sf_dir: str):
     (appId, sf_dir) and kept in the block-manager cache — the per-sink cost
     is then a cached-scan + projection, not a repeated groupBy over events.
     """
+    from dexscraper_spark.plans.registry import evict_other_apps
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_other_apps(_BARS_CACHE, key[0])
     if key not in _BARS_CACHE:
         from dexscraper_spark.operators.ohlc import ohlc_windowed
         from dexscraper_spark.sources.tables import load_table
@@ -275,7 +277,9 @@ def _tokens(spark, sf_dir: str):
     # same (appId, sf_dir) memoization as _bars: the coingecko and
     # pancakeswap sinks consume the identical per-user frame, so derive
     # the events groupBy once per session instead of once per sink query
+    from dexscraper_spark.plans.registry import evict_other_apps
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_other_apps(_TOKENS_CACHE, key[0])
     if key not in _TOKENS_CACHE:
         _TOKENS_CACHE[key] = _build_tokens(spark, sf_dir).cache()
     return _TOKENS_CACHE[key]
