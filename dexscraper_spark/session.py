@@ -36,9 +36,19 @@ def get_spark(app_name: str = "dexscraper_spark", master: str | None = None,
     return builder.getOrCreate()
 
 
+_TUNED: set = set()
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created session
-    (the driver hands us its own session in ``__spark_entry__``)."""
+    (the driver hands us its own session in ``__spark_entry__``).
+
+    Idempotent and memoized per application: every table loader and query
+    builder calls this defensively, so the conf round-trips run once per
+    session, not once per query."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _TUNED:
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -53,6 +63,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             spark.conf.set("spark.sql.shuffle.partitions",
                            os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    except Exception:
-        pass  # non-runtime-settable on some builds; defaults are fine
+    except Exception as e:
+        # Non-runtime-settable on some builds — defaults are fine, but a
+        # genuinely broken conf set on a future runtime must not be
+        # swallowed silently: surface it once per session.
+        import logging
+        logging.getLogger(__name__).warning(
+            "tune_session: could not apply engine defaults (%s: %s); "
+            "continuing with session defaults", type(e).__name__, e)
+    _TUNED.add(app_id)
     return spark

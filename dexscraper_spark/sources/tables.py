@@ -4,9 +4,16 @@ The only wrinkle: ``events.parquet`` stores ``ts`` as INT64
 TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark's vectorized reader
 rejects by default (PARQUET_TYPE_ILLEGAL). We flip
 ``spark.sql.legacy.parquet.nanosAsLong`` and convert the nano longs to a
-micro-precision ``TimestampType`` ourselves (plus keep the raw nanos in
-``ts_ns`` for total-order tiebreaks). Session-tz is pinned UTC so the
-conversion is engine-portable.
+micro-precision ``TimestampType`` ourselves (plus keep micro-truncated
+nanos in ``ts_ns`` for total-order tiebreaks — micros×1000 in BOTH loader
+branches, so the tiebreak order is Spark-version-invariant). Session-tz is
+pinned UTC so the conversion is engine-portable.
+
+Resolved tables are memoized per (appId, sf_dir, name): a long-lived
+engine process resolves each table once (file listing, schema, the
+documents repartition probe) instead of once per query — the same catalog
+behavior a warehouse gives prepared statements. The underlying scan is
+still lazy/pruned per query; only the *resolution* is reused.
 
 Scale note: this stays a plain parquet scan — pushdown/pruning still work
 on every other column, and the ts conversion is one codegen'd projection.
@@ -19,41 +26,63 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.session import tune_session
 
+_TABLE_CACHE: dict = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dexscraper_spark.plans.registry import evict_other_apps
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    evict_other_apps(_TABLE_CACHE, key[0])
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     tune_session(spark)
     if name == "events":
-        return load_events(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # CPU-dense rows, tiny bytes: documents feed regex/shingle/hash
-        # pipelines whose map-side cost is ~1000× the scan bytes, and the
-        # table ships as a handful of parquet files, so the file-split
-        # rule (maxPartitionBytes) leaves most cores idle — measured 2
-        # input splits for 50k docs, single-digit core use on every text
-        # query. Widening to the session's parallelism is a one-time
-        # shuffle of the raw bytes (trivial next to the per-row CPU) and
-        # restores linear scan scaling. At real corpus scale the file
-        # count makes this a no-op (guard below).
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "documents":
+            # CPU-dense rows, tiny bytes: documents feed regex/shingle/hash
+            # pipelines whose map-side cost is ~1000× the scan bytes, and the
+            # table ships as a handful of parquet files, so the file-split
+            # rule (maxPartitionBytes) leaves most cores idle — measured 2
+            # input splits for 50k docs, single-digit core use on every text
+            # query. Widening to the session's parallelism is a one-time
+            # shuffle of the raw bytes (trivial next to the per-row CPU) and
+            # restores linear scan scaling. At real corpus scale the file
+            # count makes this a no-op (guard below).
+            par = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < par:
+                df = df.repartition(par)
+    _TABLE_CACHE[key] = df
     return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts timestamp, ts_ns long, user_id, event_type,
-    value, props) — ts truncated to micros (identical to DuckDB's read)."""
-    tune_session(spark)
+    value, props) — ts truncated to micros (identical to DuckDB's read).
+
+    ``ts_ns`` is micro-truncated in both branches (micros×1000): the file's
+    sub-microsecond digits are all zero today (pinned by
+    tests/test_tables_schema.py), and deriving from micros keeps the
+    tiebreak column bit-identical whether the runtime reads raw nano longs
+    (Spark ≤3.x nanosAsLong) or TIMESTAMP_NTZ (Spark 4.x)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_dtype = dict(raw.dtypes)["ts"]
     if ts_dtype == "bigint":
-        # Spark <=3.x with nanosAsLong: raw INT64 nanos.
+        # Spark <=3.x with nanosAsLong: raw INT64 nanos → truncate to micros.
         return raw.select(
             "event_id",
             F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            (F.expr("ts div 1000") * 1000).cast("long").alias("ts_ns"),
             "user_id", "event_type", "value", "props",
         )
     # Spark 4.x reads TIMESTAMP(NANOS, adjUTC=false) as TIMESTAMP_NTZ,

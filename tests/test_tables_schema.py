@@ -60,11 +60,14 @@ def test_all_table_schemas_pinned(spark):
 
 def test_events_ts_is_utc_micro_truncated(spark):
     """The ts/ts_ns relationship the oracle depends on: ts is the
-    micro-truncation of ts_ns under the UTC-pinned session."""
+    micro-truncation of ts_ns under the UTC-pinned session — and ts_ns is
+    micro-derived (always ≡ 0 mod 1000) in EVERY loader branch, so the
+    total-order tiebreak is identical across Spark runtimes."""
     import pyspark.sql.functions as F
     ev = load_table(spark, SF_DIR, "events")
     bad = ev.filter(
-        F.unix_micros(F.col("ts")) != F.expr("ts_ns div 1000")).count()
+        (F.unix_micros(F.col("ts")) != F.expr("ts_ns div 1000"))
+        | (F.expr("ts_ns % 1000") != 0)).count()
     assert bad == 0
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
@@ -72,18 +75,57 @@ def test_events_ts_is_utc_micro_truncated(spark):
 def test_tune_session_respects_explicit_shuffle_partitions(spark, monkeypatch):
     """tune_session replaces only the untouched 200 default — a caller's
     explicit shuffle-partition setting must survive catalog calls."""
-    from dexscraper_spark.session import tune_session
+    from dexscraper_spark import session as sess
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")  # decouple from host env
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        sess._TUNED.clear()  # simulate a fresh, never-tuned session
         spark.conf.set("spark.sql.shuffle.partitions", "123")
-        tune_session(spark)
+        sess.tune_session(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+        sess._TUNED.clear()
         spark.conf.set("spark.sql.shuffle.partitions", "200")
-        tune_session(spark)
+        sess.tune_session(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # memoized: a tuned session is never re-touched, so later explicit
+        # settings survive every subsequent catalog call
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        sess.tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        sess._TUNED.clear()
+        sess.tune_session(spark)
+
+
+def test_tune_session_warns_instead_of_silent_pass(spark, caplog, monkeypatch):
+    """A broken conf set on a future runtime must surface as a warning, not
+    vanish in a bare except (VERDICT r4 nit #3)."""
+    import logging
+    from dexscraper_spark import session as sess
+    sess._TUNED.clear()
+
+    class BoomConf:
+        def set(self, k, *a):
+            # the timezone set precedes the guarded block (a failure THERE
+            # should stay loud — window math would be wrong)
+            if k != "spark.sql.session.timeZone":
+                raise RuntimeError("conf is read-only on this build")
+
+        def get(self, *a):
+            return "200"
+
+    class FakeSpark:
+        conf = BoomConf()
+
+        class sparkContext:
+            applicationId = "fake-app-for-warning-test"
+
+    with caplog.at_level(logging.WARNING, logger="dexscraper_spark.session"):
+        sess.tune_session(FakeSpark())
+    assert any("tune_session" in r.message for r in caplog.records)
+    sess._TUNED.clear()
+    sess.tune_session(spark)  # leave the shared session actually tuned
 
 
 def test_documents_scan_widened_to_parallelism(spark):
