@@ -296,7 +296,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       k: int = 10, num_planes: int = 16,
                       num_bands: int = 4, dim: int = 64,
-                      multiprobe: int = 0) -> DataFrame:
+                      multiprobe: int = 0,
+                      round_to: int | None = None) -> DataFrame:
     """Banded (OR-amplified) hyperplane LSH: the ``num_planes``-bit
     signature is split into ``num_bands`` bands of ``num_planes/num_bands``
     bits; candidates share ANY band (a single equi-join on
@@ -367,6 +368,12 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
                        vc.alias("__nv"), _norm(vc, dim).alias("__nn"))
     cos = _safe_div(_dot(F.col("__qv"), F.col("__nv"), dim),
                     F.col("__qn") * F.col("__nn"))
+    if round_to is not None:
+        # same half-up fixed-point rounding as cosine_topk, so an
+        # exhaustive-probe configuration is bit-comparable to the
+        # brute-force path (and its oracle)
+        p = float(10 ** round_to)
+        cos = F.floor(cos * p + F.lit(0.5)) / p
     # no broadcast hint: the query side is usually tiny (AQE broadcasts
     # it), but the API does not bound it — let the optimizer decide
     scored = (pairs.join(qv, "query_id").join(cv, "neighbor_id")

@@ -1524,23 +1524,47 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # North-star ANN scale path: LSH-bucketed cosine top-k (deterministic
-# hyperplanes). Recall<1 by design → rows-only.
+# hyperplanes). The REGISTERED configuration is the exactness twin (same
+# pattern as similarity_ivf_full_probe): 4 bands × 1 bit with query-side
+# multiprobe=1 probes BOTH values of every 1-bit band, so the candidate
+# set provably covers the whole corpus and the bucketed machinery —
+# vectorized signature quantizer, posexplode banding, (band, bits)
+# equi-join, pair distinct, late vector rejoin, exact re-rank — must
+# reproduce brute-force top-k bit-for-bit against the DuckDB oracle. The
+# production (approximate) configuration — wide bands, multiprobe for
+# recall (recall@5 = 1.00 at 8×3-bit multiprobe=2, 0.84 single-probe,
+# measured) — is pytest-gated in tests/test_similarity.py; approximate
+# recall has no exact oracle by definition.
 # ---------------------------------------------------------------------------
 
-@register("similarity_lsh_bucketed", None, survey_ref="northstar-similarity")
+@register(
+    "similarity_lsh_bucketed",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos6_sql('q', 'c')} AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+    survey_ref="northstar-similarity",
+)
 def similarity_lsh_bucketed(spark, sf_dir):
     from dexscraper_spark.operators.similarity import lsh_bucketed_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    # 8 bands × 3 bits + query-side multiprobe=2 (flip the two
-    # weakest-margin bits per band): recall@5 = 1.00 vs brute force here
-    # (0.84 single-probe, measured). Multiprobe expands only the tiny
-    # query side; the corpus still explodes to 8 rows/vector, so the
-    # shuffle stays corpus-linear. At corpus scale, widen the band (more
-    # bits → smaller buckets) and lean on multiprobe for recall.
-    return lsh_bucketed_topk(emb, q, k=5, num_planes=24, num_bands=8,
-                             dim=64, multiprobe=2) \
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # exhaustive-probe config: width-1 bands + multiprobe=1 ⇒ every
+    # corpus row collides with every query on every band (see block
+    # comment) — candidates ≡ all pairs, so the result ≡ brute force
+    return lsh_bucketed_topk(emb, q, k=5, num_planes=4, num_bands=4,
+                             dim=64, multiprobe=1, round_to=6) \
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -1870,3 +1894,39 @@ def similarity_ivf_full_probe(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     return ivf_query(index, q, k=5, nprobe=index.nlist) \
         .select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch, driver-gated via the exact-below-k contract
+# (VERDICT r4 ask #7): a KMV sketch holding fewer than k values IS the
+# distinct set of hash fractions, so with k chosen ≥ the per-group
+# distinct count the estimator is closed-form exact and COUNT(DISTINCT)
+# is a true oracle. k=2048 covers every driver/test scale (≤1,500
+# distinct users per event_type at sf0.1); beyond k the same query
+# degrades gracefully to the (k−1)/u_k estimate (RSE ≈ 1/√(k−2) ≈ 2%) —
+# that approximate regime is pytest-gated (tests/test_sketch.py), like
+# the ANN recall suite. The sketch path itself (mapInPandas local
+# sketches, bounded merge shuffle, partitioning independence) is what
+# this row exercises end-to-end.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sketch_size,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS distinct_est
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="northstar-sketch,A1",
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    from dexscraper_spark.operators.sketch import kmv_sketch
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, cols=["user_id"], group_by=["event_type"], k=2048)
+    return sk.select(
+        "event_type",
+        F.size("sketch").cast("long").alias("sketch_size"),
+        "distinct_est",
+    )

@@ -114,29 +114,10 @@ def sink_csv_lines(spark, sf_dir):
 
 
 @register(
-    "sink_tradingview_rows",
+    "sink_bar_rows",
     _BARS_CTE + """
     SELECT symbol, ts AS t, open AS o, high AS h, low AS l, close AS c,
-           volume AS v
-    FROM bars
-    """,
-    survey_ref="K6,A5",
-)
-def sink_tradingview_rows(spark, sf_dir):
-    """K6 row shape: the per-bar fields the columnar {t,o,h,l,c,v} document
-    is assembled from (models.py:463-488)."""
-    bars = _bars(spark, sf_dir)
-    return bars.select(
-        "symbol", F.col("ts").alias("t"), F.col("open").alias("o"),
-        F.col("high").alias("h"), F.col("low").alias("l"),
-        F.col("close").alias("c"), F.col("volume").alias("v"),
-    )
-
-
-@register(
-    "sink_binance_rows",
-    _BARS_CTE + """
-    SELECT symbol,
+           volume AS v,
            ts * 1000 AS open_ms,
            printf('%.8f', open) AS open_p,
            printf('%.8f', high) AS high_p,
@@ -150,15 +131,21 @@ def sink_tradingview_rows(spark, sf_dir):
            printf('%.8f', volume * 0.6) AS taker_quote
     FROM bars
     """,
-    survey_ref="K7,A5",
+    survey_ref="K6,K7,A5",
 )
-def sink_binance_rows(spark, sf_dir):
-    """K7 row shape: one kline per bar — ms interval, %.8f price/volume
-    strings, taker volume = 0.6·V, trades null → 1 (models.py:491-524)."""
+def sink_bar_rows(spark, sf_dir):
+    """K6 + K7 per-bar row shapes side by side over the shared cached bar
+    frame (consolidated from r4's sink_tradingview_rows + sink_binance_rows
+    to free driver-cap slots — COVERAGE.md): the columnar {t,o,h,l,c,v}
+    fields the TradingView document is assembled from (models.py:463-488)
+    and the Binance kline lanes — ms interval, %.8f price/volume strings,
+    taker volume = 0.6·V, trades falsy → 1 (models.py:491-524)."""
     bars = _bars(spark, sf_dir)
     f8 = lambda c: F.format_string("%.8f", c)  # noqa: E731
     return bars.select(
-        "symbol",
+        "symbol", F.col("ts").alias("t"), F.col("open").alias("o"),
+        F.col("high").alias("h"), F.col("low").alias("l"),
+        F.col("close").alias("c"), F.col("volume").alias("v"),
         (F.col("ts") * 1000).alias("open_ms"),
         f8(F.col("open")).alias("open_p"),
         f8(F.col("high")).alias("high_p"),
@@ -174,9 +161,11 @@ def sink_binance_rows(spark, sf_dir):
     )
 
 
-@register(
-    "sink_excel",
-    f"""
+# Shared Excel-shaped token frame (symbol/name/price/volume/confidence/
+# field_count/ts per user) — feeds the K10 CSV projection AND the K1/K11
+# document/metric lines, so it is derived once per (appId, sf_dir) like
+# _bars/_tokens.
+_XTOKENS_CTE = f"""
     WITH tokens AS (
         SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
                'User ' || CAST(user_id AS VARCHAR) AS token_name,
@@ -195,6 +184,57 @@ def sink_binance_rows(spark, sf_dir):
         FROM events
         GROUP BY user_id
     )
+"""
+
+_XTOKENS_CACHE: dict = {}
+
+
+def clear_xtokens_cache() -> None:
+    for df in _XTOKENS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _XTOKENS_CACHE.clear()
+
+
+def _excel_tokens(spark, sf_dir: str):
+    from dexscraper_spark.plans.registry import evict_other_apps
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_other_apps(_XTOKENS_CACHE, key[0])
+    if key not in _XTOKENS_CACHE:
+        from dexscraper_spark.functions.exact import sum_money
+        from dexscraper_spark.sources.tables import load_table
+        tune_session(spark)
+        ev = load_table(spark, sf_dir, "events")
+        n = F.count(F.lit(1))
+        _XTOKENS_CACHE[key] = ev.groupBy("user_id").agg(
+            F.max_by(F.col("value"), F.col("event_id")).alias("price"),
+            sum_money(F.col("value"), 2).alias("volume_24h"),
+            n.alias("txns_24h"),
+            F.count_distinct("event_type").cast("long").alias("makers"),
+            F.max("value").alias("liquidity"),
+            F.min("value").alias("market_cap"),
+            (n.cast("double") / (n + F.lit(1)).cast("double"))
+            .alias("confidence_score"),
+            F.count_distinct("event_type").cast("long").alias("field_count"),
+            F.max(F.unix_seconds(F.col("ts"))).alias("ts"),
+        ).select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string"))
+            .alias("symbol"),
+            F.concat(F.lit("User "), F.col("user_id").cast("string"))
+            .alias("token_name"),
+            F.lit("solana").alias("chain"),
+            F.lit("raydium").alias("protocol"),
+            "price", "volume_24h", "txns_24h", "makers", "liquidity",
+            "market_cap", "confidence_score", "field_count", "ts",
+        ).cache()
+    return _XTOKENS_CACHE[key]
+
+
+@register(
+    "sink_excel",
+    _XTOKENS_CTE + """
     SELECT symbol, token_name, chain, protocol, price, volume_24h, txns_24h,
            makers, liquidity, market_cap, confidence_score, field_count,
            strftime(epoch_ms(ts * 1000), '%Y-%m-%d %H:%M:%S') AS timestamp
@@ -205,33 +245,8 @@ def sink_binance_rows(spark, sf_dir):
 def sink_excel(spark, sf_dir):
     """K10: the 13-column Excel CSV projection (models.py:603-662) over a
     deterministic per-user token frame derived from events."""
-    from dexscraper_spark.functions.exact import sum_money
     from dexscraper_spark.sinks.exporters import excel_rows
-    from dexscraper_spark.sources.tables import load_table
-    tune_session(spark)
-    ev = load_table(spark, sf_dir, "events")
-    n = F.count(F.lit(1))
-    tokens = ev.groupBy("user_id").agg(
-        F.max_by(F.col("value"), F.col("event_id")).alias("price"),
-        sum_money(F.col("value"), 2).alias("volume_24h"),
-        n.alias("txns_24h"),
-        F.count_distinct("event_type").cast("long").alias("makers"),
-        F.max("value").alias("liquidity"),
-        F.min("value").alias("market_cap"),
-        (n.cast("double") / (n + F.lit(1)).cast("double"))
-        .alias("confidence_score"),
-        F.count_distinct("event_type").cast("long").alias("field_count"),
-        F.max(F.unix_seconds(F.col("ts"))).alias("ts"),
-    ).select(
-        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("symbol"),
-        F.concat(F.lit("User "), F.col("user_id").cast("string"))
-        .alias("token_name"),
-        F.lit("solana").alias("chain"),
-        F.lit("raydium").alias("protocol"),
-        "price", "volume_24h", "txns_24h", "makers", "liquidity",
-        "market_cap", "confidence_score", "field_count", "ts",
-    )
-    return excel_rows(tokens)
+    return excel_rows(_excel_tokens(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -311,85 +326,259 @@ def _build_tokens(spark, sf_dir: str):
 
 
 @register(
-    "sink_coingecko_rows",
+    "sink_document_rows",
     _TOKENS_CTE + """
     , ranked AS (
         SELECT *, CAST(row_number() OVER (
                    ORDER BY market_cap DESC, symbol ASC) AS BIGINT) AS rank
         FROM tokens WHERE price IS NOT NULL AND price != 0.0
     )
-    SELECT rank,
-           'token-' || CAST(rank - 1 AS VARCHAR) AS id,
-           symbol, token_name AS name,
-           price AS current_price, market_cap,
-           volume_24h AS total_volume,
-           change_24h AS price_change_percentage_24h,
-           change_24h / 24.0 AS price_change_percentage_1h,
+    SELECT 'coingecko' AS sink,
+           'token-' || CAST(rank - 1 AS VARCHAR) AS key,
+           rank, symbol, token_name AS name, price,
+           market_cap AS m1,
+           volume_24h AS m2,
+           change_24h AS chg_24h,
+           change_24h / 24.0 AS chg_1h,
            price * 1.2 AS ath,
-           CAST(-16.67 AS DOUBLE) AS ath_change_percentage,
-           ts AS last_updated_s
+           CAST(-16.67 AS DOUBLE) AS ath_chg,
+           ts AS ts_s
     FROM ranked WHERE rank <= 100
+    UNION ALL
+    SELECT 'pancakeswap' AS sink,
+           token_address AS key,
+           CAST(NULL AS BIGINT) AS rank,
+           symbol,
+           CASE WHEN token_name IS NOT NULL AND token_name != ''
+                THEN token_name ELSE symbol END AS name,
+           price,
+           price * 0.002 AS m1,
+           CAST(NULL AS DOUBLE) AS m2,
+           CAST(NULL AS DOUBLE) AS chg_24h,
+           CAST(NULL AS DOUBLE) AS chg_1h,
+           CAST(NULL AS DOUBLE) AS ath,
+           CAST(NULL AS DOUBLE) AS ath_chg,
+           CAST(ts AS BIGINT) AS ts_s
+    FROM (
+        SELECT * FROM tokens
+        WHERE token_address IS NOT NULL AND price IS NOT NULL AND price != 0.0
+        ORDER BY token_address ASC
+        LIMIT 500
+    )
     """,
-    survey_ref="K8,A5",
+    survey_ref="K8,K9,A5",
 )
-def sink_coingecko_rows(spark, sf_dir):
-    """K8 row shape (models.py:527-569): top-100 by market cap, rank after
-    the cap (TakeOrderedAndProject bounds the frame before the rank window
-    — same shape as coingecko_document), ath = 1.2·price,
-    ath_change = -16.67."""
+def sink_document_rows(spark, sf_dir):
+    """K8 + K9 per-token document rows in one sink-tagged union over the
+    shared cached token frame (consolidated from r4's sink_coingecko_rows +
+    sink_pancakeswap_rows to free driver-cap slots — COVERAGE.md).
+
+    'coingecko' lane (models.py:527-569): top-100 by market cap, rank AFTER
+    the cap (TakeOrderedAndProject bounds the frame before the rank
+    window), ath = 1.2·price, ath_change = -16.67. 'pancakeswap' lane
+    (models.py:572-600): one entry per token_address bounded by the same
+    total order on address the document builder uses, price_BNB =
+    0.002·price, falsy-name → symbol fallback."""
     from pyspark.sql import Window
     from dexscraper_spark.operators.topk import top_k
-    t = _tokens(spark, sf_dir).filter(
-        F.col("price").isNotNull() & (F.col("price") != 0.0))
+    t = _tokens(spark, sf_dir)
+    priced = t.filter(F.col("price").isNotNull() & (F.col("price") != 0.0))
+
     order = [F.col("market_cap").desc_nulls_last(), F.col("symbol").asc()]
-    bounded = top_k(t, 100, *order)
-    w = Window.orderBy(*order)
-    rank = F.row_number().over(w).cast("long")
-    return bounded.withColumn("rank", rank).select(
-        "rank",
-        F.concat(F.lit("token-"), (F.col("rank") - 1).cast("string")).alias("id"),
-        "symbol", F.col("token_name").alias("name"),
-        F.col("price").alias("current_price"), "market_cap",
-        F.col("volume_24h").alias("total_volume"),
-        F.col("change_24h").alias("price_change_percentage_24h"),
-        (F.col("change_24h") / 24.0).alias("price_change_percentage_1h"),
+    bounded = top_k(priced, 100, *order)
+    rank = F.row_number().over(Window.orderBy(*order)).cast("long")
+    nd = F.lit(None).cast("double")
+    cg = bounded.withColumn("rank", rank).select(
+        F.lit("coingecko").alias("sink"),
+        F.concat(F.lit("token-"), (F.col("rank") - 1).cast("string"))
+        .alias("key"),
+        "rank", "symbol", F.col("token_name").alias("name"), "price",
+        F.col("market_cap").alias("m1"),
+        F.col("volume_24h").alias("m2"),
+        F.col("change_24h").alias("chg_24h"),
+        (F.col("change_24h") / 24.0).alias("chg_1h"),
         (F.col("price") * 1.2).alias("ath"),
-        F.lit(-16.67).alias("ath_change_percentage"),
-        F.col("ts").alias("last_updated_s"),
+        F.lit(-16.67).alias("ath_chg"),
+        F.col("ts").alias("ts_s"),
     )
+
+    ps_bounded = top_k(
+        priced.filter(F.col("token_address").isNotNull()),
+        500, F.col("token_address").asc())
+    ps = ps_bounded.select(
+        F.lit("pancakeswap").alias("sink"),
+        F.col("token_address").alias("key"),
+        F.lit(None).cast("long").alias("rank"),
+        "symbol",
+        F.when(F.col("token_name").isNotNull() & (F.col("token_name") != ""),
+               F.col("token_name")).otherwise(F.col("symbol")).alias("name"),
+        "price",
+        (F.col("price") * 0.002).alias("m1"),
+        nd.alias("m2"), nd.alias("chg_24h"), nd.alias("chg_1h"),
+        nd.alias("ath"), nd.alias("ath_chg"),
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    return cg.unionByName(ps)
+
+
+# ---------------------------------------------------------------------------
+# K1/K2/K11 — the text-document sinks as oracle-checked LINES (VERDICT r4
+# ask #3: same line-shape trick as sink_csv_lines). Three sink-tagged
+# lanes over the shared cached frames:
+#   'jsonl'      one compact JSON object per bar (K2, models.py:665-698)
+#   'json'       the K1 enhanced-JSON batch: its stats header plus the
+#                top-10 token payload objects (cli.py:627-699)
+#   'prometheus' the K11 text exposition: batch counters/gauges plus
+#                per-token price/volume gauges for the top-10, falsy
+#                values emitting no line (models.py:701-752)
+# Values are rendered with explicit printf patterns IDENTICAL in both
+# engines, so the driver row pins the whole pipeline (stats, ranking,
+# falsy-skip, label assembly) bit-for-bit; the exporters' shortest-repr
+# float rendering (to_json / Python f-strings) stays pinned by the golden
+# tests in tests/test_models.py — it has no cross-engine printf analog.
+# ---------------------------------------------------------------------------
+
+_BARS_BODY = _BARS_CTE.strip()[len("WITH"):]  # "bars AS (...)" for reuse
+
+_JSONL_FMT = ('{"symbol":"%s","ts":%d,"open":%.8f,"high":%.8f,'
+              '"low":%.8f,"close":%.8f,"volume":%.2f,"trades":%d}')
+_JSON_STATS_FMT = ('{"type":"enhanced_tokens","total_extracted":%d,'
+                   '"high_confidence_count":%d,"complete_profiles_count":%d}')
+_JSON_TOKEN_FMT = ('{"symbol":"%s","token_name":"%s","chain":"%s",'
+                   '"protocol":"%s","price":%.8f,"volume_24h":%.2f,'
+                   '"txns_24h":%d,"liquidity":%.8f,"market_cap":%.8f,'
+                   '"confidence_score":%.4f,"field_count":%d}')
+_PROM_PRICE_FMT = 'dexscraper_token_price_usd{symbol="%s"} %.8f'
+_PROM_VOL_FMT = 'dexscraper_token_volume_24h_usd{symbol="%s"} %.2f'
 
 
 @register(
-    "sink_pancakeswap_rows",
-    _TOKENS_CTE + """
-    SELECT token_address,
-           CASE WHEN token_name IS NOT NULL AND token_name != ''
-                THEN token_name ELSE symbol END AS name,
-           symbol,
-           price,
-           price * 0.002 AS price_bnb,
-           CAST(ts AS BIGINT) AS updated_at
-    FROM tokens
-    WHERE token_address IS NOT NULL AND price IS NOT NULL AND price != 0.0
-    ORDER BY token_address ASC
-    LIMIT 500
-    """,
-    survey_ref="K9,A5",
-)
-def sink_pancakeswap_rows(spark, sf_dir):
-    """K9 row shape (models.py:572-600): one entry per token_address,
-    price_BNB = 0.002·price, bounded by the same total order on address
-    the document builder uses."""
-    from dexscraper_spark.operators.topk import top_k
-    t = _tokens(spark, sf_dir).filter(
-        F.col("token_address").isNotNull()
-        & F.col("price").isNotNull() & (F.col("price") != 0.0))
-    bounded = top_k(t, 500, F.col("token_address").asc())
-    return bounded.select(
-        "token_address",
-        F.when(F.col("token_name").isNotNull() & (F.col("token_name") != ""),
-               F.col("token_name")).otherwise(F.col("symbol")).alias("name"),
-        "symbol", "price",
-        (F.col("price") * 0.002).alias("price_bnb"),
-        F.col("ts").cast("long").alias("updated_at"),
+    "sink_text_lines",
+    _XTOKENS_CTE + ", " + _BARS_BODY + f"""
+    , ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY confidence_score DESC, field_count DESC, symbol ASC)
+            AS BIGINT) AS rank
+        FROM tokens
+    ), top10 AS (
+        SELECT * FROM ranked WHERE rank <= 10
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN confidence_score >= 0.7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(SUM(CASE WHEN field_count >= 5
+                              AND confidence_score >= 0.3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS complete,
+               MAX(ts) AS max_ts
+        FROM tokens
     )
+    SELECT 'jsonl' AS sink, symbol AS k1, ts AS k2,
+           printf('{_JSONL_FMT}', symbol, ts, open, high, low, close,
+                  volume, trades) AS line
+    FROM bars
+    UNION ALL
+    SELECT 'json', 'stats', CAST(0 AS BIGINT),
+           printf('{_JSON_STATS_FMT}', total, high, complete)
+    FROM stats
+    UNION ALL
+    SELECT 'json', symbol, rank,
+           printf('{_JSON_TOKEN_FMT}', symbol, token_name, chain, protocol,
+                  price, volume_24h, txns_24h, liquidity, market_cap,
+                  confidence_score, field_count)
+    FROM top10
+    UNION ALL
+    SELECT 'prometheus', 'a_total', CAST(0 AS BIGINT),
+           printf('dexscraper_tokens_extracted_total %d', total) FROM stats
+    UNION ALL
+    SELECT 'prometheus', 'b_high', CAST(0 AS BIGINT),
+           printf('dexscraper_tokens_high_confidence %d', high) FROM stats
+    UNION ALL
+    SELECT 'prometheus', 'c_ts', CAST(0 AS BIGINT),
+           printf('dexscraper_extraction_timestamp %d', max_ts) FROM stats
+    UNION ALL
+    SELECT 'prometheus', symbol, rank * 2,
+           printf('{_PROM_PRICE_FMT}', symbol, price)
+    FROM top10 WHERE price IS NOT NULL AND price != 0.0
+    UNION ALL
+    SELECT 'prometheus', symbol, rank * 2 + 1,
+           printf('{_PROM_VOL_FMT}', symbol, volume_24h)
+    FROM top10 WHERE volume_24h IS NOT NULL AND volume_24h != 0.0
+    """,
+    survey_ref="K1,K2,K11,A1",
+)
+def sink_text_lines(spark, sf_dir):
+    """K1/K2/K11 as line columns (reference models.py:665-752,
+    cli.py:627-699): every ``line`` value is the exact text the
+    corresponding exporter lane emits under the explicit printf rendering
+    documented above. K11's extraction-timestamp gauge uses max(token ts)
+    — the engine's determinism conventions forbid wall-clock output."""
+    from pyspark.sql import Window
+    from dexscraper_spark.operators.topk import top_k
+    bars = _bars(spark, sf_dir)
+    toks = _excel_tokens(spark, sf_dir)
+
+    zero = F.lit(0).cast("long")
+
+    jsonl = bars.select(
+        F.lit("jsonl").alias("sink"), F.col("symbol").alias("k1"),
+        F.col("ts").alias("k2"),
+        F.format_string(_JSONL_FMT, "symbol", "ts", "open", "high", "low",
+                        "close", "volume", "trades").alias("line"))
+
+    order = [F.col("confidence_score").desc(), F.col("field_count").desc(),
+             F.col("symbol").asc()]
+    top10 = top_k(toks, 10, *order).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
+
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("confidence_score") >= 0.7, 1).otherwise(0))
+        .cast("long").alias("high"),
+        F.sum(F.when((F.col("field_count") >= 5)
+                     & (F.col("confidence_score") >= 0.3), 1).otherwise(0))
+        .cast("long").alias("complete"),
+        F.max("ts").alias("max_ts"),
+    )
+
+    json_stats = stats.select(
+        F.lit("json").alias("sink"), F.lit("stats").alias("k1"),
+        zero.alias("k2"),
+        F.format_string(_JSON_STATS_FMT, "total", "high", "complete")
+        .alias("line"))
+    json_tokens = top10.select(
+        F.lit("json").alias("sink"), F.col("symbol").alias("k1"),
+        F.col("rank").alias("k2"),
+        F.format_string(_JSON_TOKEN_FMT, "symbol", "token_name", "chain",
+                        "protocol", "price", "volume_24h", "txns_24h",
+                        "liquidity", "market_cap", "confidence_score",
+                        "field_count").alias("line"))
+
+    def prom_stat(k1: str, fmt: str, col: str):
+        return stats.select(
+            F.lit("prometheus").alias("sink"), F.lit(k1).alias("k1"),
+            zero.alias("k2"), F.format_string(fmt, col).alias("line"))
+
+    prom_price = top10.filter(
+        F.col("price").isNotNull() & (F.col("price") != 0.0)
+    ).select(
+        F.lit("prometheus").alias("sink"), F.col("symbol").alias("k1"),
+        (F.col("rank") * 2).alias("k2"),
+        F.format_string(_PROM_PRICE_FMT, "symbol", "price").alias("line"))
+    prom_vol = top10.filter(
+        F.col("volume_24h").isNotNull() & (F.col("volume_24h") != 0.0)
+    ).select(
+        F.lit("prometheus").alias("sink"), F.col("symbol").alias("k1"),
+        (F.col("rank") * 2 + 1).alias("k2"),
+        F.format_string(_PROM_VOL_FMT, "symbol", "volume_24h").alias("line"))
+
+    out = jsonl
+    for part in (json_stats, json_tokens,
+                 prom_stat("a_total", "dexscraper_tokens_extracted_total %d",
+                           "total"),
+                 prom_stat("b_high", "dexscraper_tokens_high_confidence %d",
+                           "high"),
+                 prom_stat("c_ts", "dexscraper_extraction_timestamp %d",
+                           "max_ts"),
+                 prom_price, prom_vol):
+        out = out.unionByName(part)
+    return out

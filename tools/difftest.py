@@ -32,10 +32,11 @@ DEFAULT_QUERIES = [
     "sessionize_users", "window_moving_sum", "window_first_wins",
     "text_metrics", "text_lang", "text_fingerprint_dups",
     "dedup_exact_docs", "dedup_simhash", "rank_trending",
-    "sink_csv_lines", "sink_tradingview_rows", "sink_binance_rows",
-    "sink_excel", "sink_coingecko_rows", "sink_pancakeswap_rows",
+    "sink_csv_lines", "sink_bar_rows",
+    "sink_excel", "sink_document_rows", "sink_text_lines",
+    "sketch_kmv_distinct",
     "similarity_topk", "embedding_norms", "dedup_embedding_cosine",
-    "similarity_ivf_full_probe",
+    "similarity_ivf_full_probe", "similarity_lsh_bucketed",
     "join_range_proximity", "join_nearest_click", "join_asof_click",
     "window_ordinal_pivot",
     "scoring_confidence", "fallback_prefer_first", "ohlc_snapshot_compat",
