@@ -21,6 +21,7 @@ Reference parity: ``Chain/Timeframe/RankBy/Order/DEX`` enums
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field, fields as dc_fields
 from enum import Enum
 from typing import Optional
@@ -171,6 +172,14 @@ class Filters:
     recent_purchased_impressions_min: Optional[int] = None
     max_launchpad_progress: Optional[float] = None
 
+    # DSL columns that only the reference's SERVER can evaluate — no
+    # local table materializes them, so skipping their bounds when the
+    # frame lacks the column is expected (the server likewise drops URL
+    # params it can't serve). A skipped bound on any OTHER column is
+    # almost always a column_map typo and is logged loudly.
+    SERVER_SIDE_ONLY_COLUMNS = frozenset(
+        {"pair_age_hours", "launchpad_progress", "boost", "impressions"})
+
     # Default mapping of DSL range names → tokens-table columns.
     DEFAULT_COLUMNS = {
         "liquidity": "liquidity",
@@ -221,12 +230,22 @@ class Filters:
         ``Column`` that Catalyst pushes into the scan. Unset bounds add no
         conjunct (reference omits the param). With ``available_columns``,
         predicates on columns the frame lacks are skipped (the reference's
-        server likewise ignores params it can't serve).
+        server likewise ignores params it can't serve) — silently only for
+        the known SERVER_SIDE_ONLY_COLUMNS; any other skipped bound logs a
+        warning, because it is usually a ``column_map`` typo that would
+        otherwise return unfiltered rows without a trace.
         """
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
 
         def has(col_name: str) -> bool:
-            return available_columns is None or col_name in available_columns
+            if available_columns is None or col_name in available_columns:
+                return True
+            if col_name not in self.SERVER_SIDE_ONLY_COLUMNS:
+                logging.getLogger(__name__).warning(
+                    "Filters: bound on %r skipped — column not in frame "
+                    "(likely a column_map typo; frame has %d columns)",
+                    col_name, len(available_columns))
+            return False
 
         pred = F.lit(True)
         for col_name, op, value in self.range_predicates(column_map):
@@ -244,12 +263,18 @@ class Filters:
                available_columns: set[str] | None = None) -> str:
         """Render the same predicate as ANSI SQL (for oracle checks and for
         engines without a DataFrame API). ``available_columns`` skips
-        bounds on columns the target table lacks — same escape hatch as
-        ``to_column``."""
+        bounds on columns the target table lacks — same escape hatch (and
+        the same typo warning) as ``to_column``."""
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
 
         def have(col_name: str) -> bool:
-            return available_columns is None or col_name in available_columns
+            if available_columns is None or col_name in available_columns:
+                return True
+            if col_name not in self.SERVER_SIDE_ONLY_COLUMNS:
+                logging.getLogger(__name__).warning(
+                    "Filters: bound on %r skipped — column not in table",
+                    col_name)
+            return False
 
         conjuncts = [
             f"{col} {op} {value!r}" if isinstance(value, str) else f"{col} {op} {value}"

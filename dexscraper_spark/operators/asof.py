@@ -83,7 +83,12 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     sign = 1 if direction == "backward" else -1
     carried = list(payload) + [_RT]
 
-    r = right.select(
+    # a right row with NULL time has no position on the timeline and must
+    # never match: unfiltered it would get _T=NULL, sort FIRST under the
+    # nulls-first asc order, and hand its payload to left rows that have no
+    # real earlier snapshot (pandas merge_asof raises on NULL times; we
+    # drop the undefined-time rows — same outcome for every defined row)
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *keys,
         (F.col(right_time) * sign).alias(_T),
         F.lit(0).alias(_SIDE),

@@ -34,11 +34,23 @@ def dedup_exact(df: DataFrame, cols: list[str], *, keep_by: str | None = None) -
         return df.dropDuplicates(cols)
     # total order: rows tying on keep_by fall through to the remaining
     # (orderable) columns, so the survivor never depends on
-    # partition/arrival order
-    from pyspark.sql.types import MapType
+    # partition/arrival order. Orderability must be checked RECURSIVELY:
+    # a map nested under an array/struct is just as unorderable as a
+    # top-level MapType (orderBy would throw AnalysisException).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     rest = [f.name for f in df.schema.fields
             if f.name != keep_by and f.name not in cols
-            and not isinstance(f.dataType, MapType)]
+            and _orderable(f.dataType)]
     w = Window.partitionBy(*cols).orderBy(
         F.col(keep_by).asc(), *[F.col(c).asc() for c in rest])
     return (df.withColumn("__rn", F.row_number().over(w))

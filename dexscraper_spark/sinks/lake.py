@@ -25,14 +25,29 @@ def write_tokens(tokens: DataFrame, path: str, *,
                  files_per_chain: int = 16, mode: str = "overwrite") -> None:
     # salt the repartition: a bare repartition("chain") funnels each
     # chain (≤ a handful of values, one dominant) through ONE task — the
-    # exact hot-key straggler/OOM skew.py exists to prevent. With the
-    # salt each chain writes ``files_per_chain`` sorted files under its
-    # partitionBy directory; pruning and min/max early-stop are identical.
-    salt = F.pmod(F.xxhash64(F.col("confidence_score").cast("string"),
-                             F.lit(7)), F.lit(files_per_chain))
+    # exact hot-key straggler/OOM skew.py exists to prevent. Two past
+    # failure modes shape this:
+    #   * the salt must come from a HIGH-CARDINALITY column —
+    #     confidence_score collapses to ~6 discrete values here
+    #     (record_confidence caps at 0.95), reaching at most 6 buckets
+    #     and leaving the dominant capped value on one task;
+    #   * the partition COUNT must be explicit — an unnumbered
+    #     repartition is an AQE coalescing target, which merges the
+    #     write back into one task on small batches.
+    # Each of the ``files_per_chain`` tasks holds a uniform row sample of
+    # every chain; the dynamic-partition writer splits it per chain
+    # directory, so each chain writes files_per_chain sorted files (the
+    # knob is simultaneously the write parallelism). Rows are sorted
+    # (chain, confidence desc) within tasks so min/max early-stop still
+    # holds per file.
+    salt_cols = [c for c in ("token_address", "msg_id") if c in tokens.columns]
+    if not salt_cols:  # no id-like column: hash the whole row
+        salt_cols = tokens.columns
+    salt = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(7))
     (tokens
-     .repartition(F.col("chain"), salt)
-     .sortWithinPartitions(F.col("confidence_score").desc_nulls_last())
+     .repartition(files_per_chain, salt)
+     .sortWithinPartitions(F.col("chain"),
+                           F.col("confidence_score").desc_nulls_last())
      .write.mode(mode).partitionBy("chain").parquet(path))
 
 

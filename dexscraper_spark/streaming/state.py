@@ -102,6 +102,12 @@ def streaming_asof_enrich(left: DataFrame, right: DataFrame, *,
     batch ``asof_join`` is the event-time-exact replay for reprocessing.
 
     Times must be numeric (epoch longs — registry.py conventions).
+    Right rows with NULL ``right_time`` are dropped (no timeline
+    position), matching the batch operator. Integer payload columns that
+    can be NULL should be declared nullable LongType: a NULL payload in a
+    kept snapshot round-trips through pandas as NaN and is restored as
+    NULL by the Arrow state codec — but mixing NULLs into non-nullable
+    integer output fields raises, by design.
     """
     import pandas as pd
 
@@ -121,7 +127,11 @@ def streaming_asof_enrich(left: DataFrame, right: DataFrame, *,
 
     from pyspark.sql import functions as F
     left_names = [f.name for f in left_fields]
-    r2 = right.select(
+    # NULL-time snapshots have no timeline position and must never enter
+    # state: through pandas a NULL __t becomes NaN, sorts LAST, slips past
+    # the regression guard (NaN < cur is False) and would poison the
+    # LongType state field. Same contract as the batch asof_join filter.
+    r2 = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key_col),
         F.col(right_time).cast("long").alias("__t"),
         F.lit(0).alias("__side"),

@@ -162,3 +162,18 @@ def test_asof_null_payload_value_is_not_backfilled(spark):
                       right_time="rts", payload=["price", "qty"],
                       matched_time_col="mt").collect()
     assert (row.price, row.qty, row.mt) == (None, 20, 2)
+
+
+def test_asof_null_right_time_never_matches(spark):
+    """ADVICE r4: a snapshot with NULL time has no timeline position — it
+    must not sort nulls-first and hand its payload to left rows that have
+    no real earlier snapshot."""
+    left = spark.createDataFrame([("a", 5, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame(
+        [("a", None, "ghost", 0), ("a", 7, "late", 1)],
+        "key string, rts long, val string, tb long")
+    out = asof_join(left, right, keys=["key"], left_time="ts",
+                    right_time="rts", payload=["val"],
+                    matched_time_col="mt").collect()
+    assert len(out) == 1
+    assert out[0]["val"] is None and out[0]["mt"] is None

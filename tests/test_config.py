@@ -145,3 +145,18 @@ def test_filters_coerce_enum_strings_from_json():
     assert back.chain_ids == [Chain.SOLANA]
     assert back.dex_ids == [DEX.RAYDIUM]
     assert back.chain_ids[0].value == "solana"
+
+
+def test_filters_warns_on_skipped_unknown_column(spark, caplog):
+    """ADVICE r4: a bound aimed at a column the frame lacks (column_map
+    typo) must log a warning, while the known server-side-only DSL
+    columns (pair_age_hours, launchpad_progress, ...) skip silently."""
+    import logging
+    from dexscraper_spark.config import Filters
+    f = Filters(liquidity_min=1.0, pair_age_min=2.0)
+    with caplog.at_level(logging.WARNING, logger="dexscraper_spark.config"):
+        f.to_column(column_map={"liquidity": "liqudity_typo"},
+                    available_columns={"liquidity", "pair_age"})
+    msgs = [r.message for r in caplog.records]
+    assert any("liqudity_typo" in m for m in msgs)
+    assert not any("pair_age_hours" in m for m in msgs)

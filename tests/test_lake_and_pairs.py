@@ -82,3 +82,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_write_tokens_salt_spreads_hot_chain(spark, tmp_path):
+    """ADVICE r4: the repartition salt must come from a high-cardinality
+    column (token_address), not confidence_score (~6 discrete values) —
+    a hot chain should spread across multiple files, not one task/file."""
+    import glob as _glob
+    from dexscraper_spark.sinks.lake import write_tokens
+    rows = [("solana", f"ADDR{i:04d}", 0.95) for i in range(512)]
+    tokens = spark.createDataFrame(
+        rows, "chain string, token_address string, confidence_score double")
+    path = str(tmp_path / "hot_chain_lake")
+    write_tokens(tokens, path, files_per_chain=8)
+    files = _glob.glob(path + "/chain=solana/*.parquet")
+    # explicit-count repartition on the raw address hash: every one of the
+    # 8 write tasks holds a sample of the hot chain, so the chain writes
+    # exactly files_per_chain files (AQE cannot coalesce a numbered
+    # repartition; a low-cardinality salt could not reach all buckets)
+    assert len(files) == 8, files

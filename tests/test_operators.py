@@ -578,3 +578,17 @@ def test_scan_patterns_single_scan_and_empty_kinds(spark, tmp_path):
     assert {"url", "protocol", "age_indicator"} <= kinds
     assert scan_patterns(df, id_col="doc_id", text_col="text",
                          kinds={}).count() == 0
+
+
+def test_dedup_exact_keep_by_with_nested_map_column(spark):
+    """ADVICE r4: orderability is recursive — array<map> / struct<map>
+    columns must be excluded from the tiebreak order, not crash it."""
+    from dexscraper_spark.operators.dedup import dedup_exact
+    df = spark.createDataFrame(
+        [(1, 10, [{"a": 1}], {"m": {"x": 2}}),
+         (1, 9, [{"b": 3}], {"m": {"y": 4}}),
+         (2, 5, [], {"m": {}})],
+        "k int, id int, am array<map<string,int>>, "
+        "sm struct<m: map<string,int>>")
+    out = dedup_exact(df, ["k"], keep_by="id").collect()
+    assert {(r["k"], r["id"]) for r in out} == {(1, 9), (2, 5)}

@@ -334,3 +334,36 @@ def test_streaming_asof_out_of_order_snapshot_does_not_regress(spark, tmp_path):
     with pytest.raises(ValueError, match="collide"):
         streaming_asof_enrich(bad_left, right, key_col="k", left_time="et",
                               right_time="st", payload=["v"])
+
+
+def test_streaming_asof_null_time_snapshot_never_enters_state(spark, tmp_path):
+    """ADVICE r4: a snapshot with NULL time would become NaN in pandas,
+    slip past the regression guard, and poison the LongType state field —
+    it must be filtered before grouping, like the batch operator."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.state import streaming_asof_enrich
+
+    src = str(tmp_path / "asof_nullts")
+    schema = "k string, t long, side string, eid long, v double"
+    spark.createDataFrame(
+        [("A", None, "R", None, 666.0), ("A", 5, "L", 5, None)],
+        schema).coalesce(1).write.parquet(src + "/f1")
+    # second batch proves state stayed writable after the NULL-time row
+    spark.createDataFrame(
+        [("A", 6, "R", None, 100.0), ("A", 7, "L", 7, None)],
+        schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    left = stream.filter("side = 'L'").select("k", F.col("t").alias("et"), "eid")
+    right = stream.filter("side = 'R'").select("k", F.col("t").alias("st"), "v")
+    out = streaming_asof_enrich(left, right, key_col="k", left_time="et",
+                                right_time="st", payload=["v"])
+    q = (out.writeStream.format("memory").queryName("asof_nullts_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.eid: (r.v, r.matched_time)
+            for r in spark.sql("SELECT * FROM asof_nullts_mem").collect()}
+    assert rows[5] == (None, None)      # NULL-time snapshot never matched
+    assert rows[7] == (100.0, 6)        # real snapshot still lands
