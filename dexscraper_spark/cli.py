@@ -17,7 +17,8 @@ import json
 import sys
 import time
 
-from dexscraper_spark.config import Chain, Presets, Timeframe
+from dexscraper_spark.config import (
+    Chain, Filters, Order, Presets, RankBy, ScrapingConfig, Timeframe)
 
 PRESETS = {
     "trending": lambda a: Presets.trending(chain=Chain(a.chain),
@@ -31,7 +32,68 @@ PRESETS = {
     "top-transactions": lambda a: Presets.top_transactions(chain=Chain(a.chain),
                                                            limit=a.limit),
     "boosted": lambda a: Presets.boosted_only(chain=Chain(a.chain), limit=a.limit),
+    # non-preset entry: rank/order from flags, filters entirely from the
+    # --min-*/--max-* bounds below (reference cli.py:811-843 custom mode)
+    "custom": lambda a: ScrapingConfig(
+        filters=Filters(chain_ids=[Chain(a.chain)]),
+        rank_by=RankBy(a.rank_by), order=Order(a.order),
+        timeframe=Timeframe(a.timeframe), limit=a.limit),
 }
+
+# CLI flag (argparse dest) → Filters field — the reference's per-field
+# custom filter surface (cli.py:811-843) mapped 1:1 onto the engine's
+# Filters DSL (config.py:127). Unset flags leave the preset's bounds
+# untouched; set flags override them via dataclasses.replace.
+FILTER_FLAGS = {
+    "min_liquidity": ("liquidity_min", float),
+    "max_liquidity": ("liquidity_max", float),
+    "min_volume": ("volume_h24_min", float),
+    "max_volume": ("volume_h24_max", float),
+    "min_volume_h6": ("volume_h6_min", float),
+    "max_volume_h6": ("volume_h6_max", float),
+    "min_volume_h1": ("volume_h1_min", float),
+    "max_volume_h1": ("volume_h1_max", float),
+    "min_txns": ("txns_h24_min", int),
+    "max_txns": ("txns_h24_max", int),
+    "min_txns_h6": ("txns_h6_min", int),
+    "max_txns_h6": ("txns_h6_max", int),
+    "min_txns_h1": ("txns_h1_min", int),
+    "max_txns_h1": ("txns_h1_max", int),
+    "min_age": ("pair_age_min", float),
+    "max_age": ("pair_age_max", float),
+    "min_change": ("price_change_h24_min", float),
+    "max_change": ("price_change_h24_max", float),
+    "min_change_h6": ("price_change_h6_min", float),
+    "max_change_h6": ("price_change_h6_max", float),
+    "min_change_h1": ("price_change_h1_min", float),
+    "max_change_h1": ("price_change_h1_max", float),
+    "min_fdv": ("fdv_min", float),
+    "max_fdv": ("fdv_max", float),
+    "min_market_cap": ("market_cap_min", float),
+    "max_market_cap": ("market_cap_max", float),
+    "min_boosts": ("active_boosts_min", int),
+    "min_impressions": ("recent_purchased_impressions_min", int),
+    "max_launchpad_progress": ("max_launchpad_progress", float),
+}
+
+
+def apply_filter_flags(cfg, args):
+    """Overlay any set --min-*/--max-*/--dex flags onto the config's
+    Filters (preset bounds stay unless explicitly overridden)."""
+    import dataclasses
+
+    from dexscraper_spark.config import DEX
+    overrides = {}
+    for flag, (field, _) in FILTER_FLAGS.items():
+        v = getattr(args, flag, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "dex", None):
+        overrides["dex_ids"] = [DEX(d) for d in args.dex]
+    if not overrides:
+        return cfg
+    return dataclasses.replace(
+        cfg, filters=dataclasses.replace(cfg.filters, **overrides))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,6 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream: drain the bounded demo source and exit "
                         "(--no-once keeps the reference's 5s polling loop)")
     p.add_argument("--output", default="-")
+    p.add_argument("--rank-by", default=RankBy.TRENDING_SCORE_H6.value,
+                   choices=[r.value for r in RankBy],
+                   help="custom: rank column (reference rankBy param)")
+    p.add_argument("--order", default="desc", choices=["desc", "asc"])
+    p.add_argument("--dex", action="append", default=None,
+                   help="restrict to DEX id(s); repeatable")
+    flt = p.add_argument_group(
+        "custom filters (reference cli.py:811-843; override preset bounds)")
+    for flag, (field, typ) in FILTER_FLAGS.items():
+        flt.add_argument("--" + flag.replace("_", "-"), dest=flag, type=typ,
+                         default=None, help=f"Filters.{field}")
     return p
 
 
@@ -102,7 +175,7 @@ def run(argv: list[str] | None = None, spark=None) -> int:
     )
 
     command = args.command
-    cfg = PRESETS[command](args)
+    cfg = apply_filter_flags(PRESETS[command](args), args)
     # Columns genuinely decoded from the wire frames. The normalized
     # schema above also carries NULL padding (change_*, txns_24h, makers)
     # for the exporter projections — padding must count as UNSERVABLE for
@@ -187,7 +260,7 @@ def _run_stream(args, spark) -> int:
     from dexscraper_spark.streaming.pipeline import (
         frame_stream, run_foreach_batch)
 
-    cfg = PRESETS["trending"](args)
+    cfg = apply_filter_flags(PRESETS["trending"](args), args)
     fspec = {k: v for k, v in dataclasses.asdict(cfg.filters).items()
              if v not in (None, [], ())}
     decoded = frame_stream(spark, max_frames=max(args.frames, 1),

