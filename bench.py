@@ -34,7 +34,15 @@ def main() -> None:
     from dexscraper_spark.plans.registry import queries
     from dexscraper_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Reducer count sized to the benchmark data volume, not the core
+    # count: at sf0.1 (~60 MB) 8 reducers keep every shuffle block in the
+    # MB range, while 32 leaves most reduce tasks with KBs of data and
+    # pure scheduling cost (measured ~20% of total). Scan/CPU-bound
+    # stages (regex, decode, shingles) get their parallelism from input
+    # splits and the documents-loader widening, which are independent of
+    # this knob; at real scale AQE re-splits oversized partitions anyway.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark("bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM and the Python/pandas UDF worker, and pin the bench

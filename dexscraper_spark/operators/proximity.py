@@ -80,10 +80,17 @@ def assign_roles(joined: DataFrame, *, left_key: str, left_pos: str,
     pivot rank 1..n onto role columns; rows of ``quote_type`` map to
     ``quote_address`` instead (scraper.py:369-394), deduplicated by value.
 
-    One shuffle (the window partition), then a hash-agg pivot — no
-    iterative driver logic; deterministic refinement of the reference's
-    first-wins mutation order (SURVEY §7.4 risk 1).
+    One shuffle TOTAL: the explicit repartition on ``left_key`` below is
+    the only exchange — every downstream clustering requirement (the
+    (key, value) dedup window, the key rank window, both groupBys, and
+    the final key equi-join) is satisfied by hash(left_key), since rows
+    equal on (key, value) are co-located whenever rows equal on key are.
+    Without it Catalyst inserts a fresh exchange per step (~5 shuffles of
+    the same rows); with it the whole role pivot is one shuffle + in-
+    partition sorts. No iterative driver logic; deterministic refinement
+    of the reference's first-wins mutation order (SURVEY §7.4 risk 1).
     """
+    joined = joined.repartition(F.col(left_key))
     dist = F.abs(F.col(left_pos) - F.col(right_pos))
     dedup_w = Window.partitionBy(left_key, value_col).orderBy(
         dist.asc(), F.col(right_pos).asc())
