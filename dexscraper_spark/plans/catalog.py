@@ -1798,11 +1798,15 @@ def streaming_ohlc_pipeline(spark, sf_dir):
     name = "dexstream_bars_" + workdir.rsplit("dexstream_", 1)[-1]
     # State-store partition count is pinned by shuffle.partitions at the
     # first trigger (checkpoint-sticky) and AQE cannot coalesce stateful
-    # shuffles — size it to the session's parallelism instead of the 200
-    # default (on a real cluster: executors × cores). Scoped + restored.
+    # shuffles — so never run it at the raw 200 default. An explicitly
+    # sized session (tune_session, get_spark, the bench's data-sized
+    # reducer count) already carries the right value; only the untuned
+    # default falls back to the session's parallelism (on a real
+    # cluster: executors × cores). Scoped + restored.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(spark.sparkContext.defaultParallelism))
+    if prev == "200":
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
     try:
         q = (bars.writeStream.format("memory").queryName(name)
              .outputMode("complete")

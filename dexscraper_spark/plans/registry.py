@@ -36,7 +36,11 @@ _REGISTRY: dict[str, Query] = {}
 # analysis) before a single task runs — measured 12 s of the 27 s bench
 # total at sf0.1. A long-lived engine process resolves each plan once and
 # re-executes it, exactly like a warehouse's prepared-statement cache;
-# execution itself is NOT cached (every run re-reads the source scans).
+# execution itself is NOT cached. Like Spark's own catalog-table cache,
+# the resolution snapshot includes the file LISTING: replacing source
+# files fails loudly with FILE_NOT_EXIST (never silently stale) and
+# clear_plan_cache() is the REFRESH TABLE analog (pinned by
+# tests/test_plans.py).
 # Builders are pure functions of (sf_dir → tables), so the cached frame is
 # observationally identical to a fresh build.
 _PLAN_CACHE: dict = {}
@@ -66,9 +70,8 @@ def register(name: str, oracle: str | None, survey_ref: str = "",
             # A thin Project(*) wrapper per call: reuses the cached ANALYZED
             # subtree (skipping the 0.1-1.2 s of Column-construction py4j
             # round-trips) but yields a fresh QueryExecution, so every call
-            # re-executes against current data — sharing the executed
-            # DataFrame would replay AQE-materialized shuffle stages, i.e.
-            # cache results (and serve stale rows if the files changed).
+            # re-executes — sharing the executed DataFrame would replay
+            # AQE-materialized shuffle stages, i.e. cache results.
             return _PLAN_CACHE[key].select("*")
         prepared.__name__ = fn.__name__
         prepared.__doc__ = fn.__doc__

@@ -189,3 +189,41 @@ def test_lsh_multiprobe_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_prepared_plan_cache_is_a_plan_not_a_result(spark, tmp_path):
+    """The registry's prepared-plan cache caches RESOLUTION, not results:
+    each call re-executes (a shared executed DataFrame would replay
+    AQE-materialized shuffle stages), the builder runs once, and a
+    replaced source fails LOUDLY with Spark's own stale-listing error —
+    catalog semantics, with clear_plan_cache() as the REFRESH."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from dexscraper_spark.plans import registry as R
+
+    calls = {"n": 0}
+    path = str(tmp_path / "fresh.parquet")
+    spark.range(5).write.mode("overwrite").parquet(path)
+
+    @R.register("___cache_probe", None)
+    def ___cache_probe(sp, sf_dir):
+        calls["n"] += 1
+        return sp.read.parquet(path).groupBy().count()
+
+    try:
+        build = R.all_queries()["___cache_probe"].build
+        assert build(spark, "x").collect()[0][0] == 5
+        assert build(spark, "x").collect()[0][0] == 5  # re-executes fine
+        assert calls["n"] == 1  # resolved once
+        spark.range(9).write.mode("overwrite").parquet(path)
+        # stale file listing is LOUD (never silently wrong)...
+        with pytest.raises(Py4JJavaError, match="FILE_NOT_EXIST|does not exist"):
+            build(spark, "x").collect()
+        # ...and clear_plan_cache() is the REFRESH
+        R.clear_plan_cache()
+        assert build(spark, "x").collect()[0][0] == 9
+        assert calls["n"] == 2
+    finally:
+        R._REGISTRY.pop("___cache_probe", None)
+        R.clear_plan_cache()
