@@ -99,7 +99,8 @@ def apply_filter_flags(cfg, args):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
     p.add_argument("command", choices=list(PRESETS) + ["stream"])
-    p.add_argument("--chain", default="solana")
+    p.add_argument("--chain", default="solana",
+                   choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
     p.add_argument("--limit", type=int, default=10)
     p.add_argument("--format", default="json",
@@ -115,7 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[r.value for r in RankBy],
                    help="custom: rank column (reference rankBy param)")
     p.add_argument("--order", default="desc", choices=["desc", "asc"])
+    from dexscraper_spark.config import DEX as _DEX
     p.add_argument("--dex", action="append", default=None,
+                   choices=[d.value for d in _DEX],
                    help="restrict to DEX id(s); repeatable")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
@@ -186,8 +189,13 @@ def run(argv: list[str] | None = None, spark=None) -> int:
                "pair_address", "quote_address", "ts",
                "confidence_score", "field_count"}
     # demo tokens lack some DSL columns (txns_24h, boost) — skip those
-    # predicates, as the reference server ignores unservable params
-    pred = cfg.filters.to_column(available_columns=decoded)
+    # predicates, as the reference server ignores unservable params.
+    # They are DECLARED silent: the typo warning should fire only for
+    # columns this source could have served.
+    unservable = {"txns_24h", "txns_6h", "txns_1h", "volume_6h",
+                  "volume_1h", "change_24h", "change_6h", "change_1h"}
+    pred = cfg.filters.to_column(available_columns=decoded,
+                                 silent_columns=unservable)
     filtered = tokens.filter(pred)
     # rank by the preset's column when the wire frames carry it (volume /
     # liquidity / market-cap ranks are decoded); ranks the demo frame

@@ -221,8 +221,26 @@ class Filters:
             elif name == "max_launchpad_progress":
                 yield cmap["launchpad_progress"], "<=", value
 
+    def _have(self, col_name: str, available_columns: set[str] | None,
+              silent_columns: set[str] | None, where: str) -> bool:
+        """Shared availability check for both compile paths: missing
+        columns are skipped; the skip is silent for the known
+        SERVER_SIDE_ONLY_COLUMNS and any caller-declared
+        ``silent_columns`` (a source that documents which DSL columns it
+        cannot serve, e.g. the CLI's decoded wire frame); anything else
+        is almost always a column_map typo and logs a warning."""
+        if available_columns is None or col_name in available_columns:
+            return True
+        if (col_name not in self.SERVER_SIDE_ONLY_COLUMNS
+                and col_name not in (silent_columns or ())):
+            logging.getLogger(__name__).warning(
+                "Filters: bound on %r skipped — column not in %s "
+                "(likely a column_map typo)", col_name, where)
+        return False
+
     def to_column(self, column_map: dict[str, str] | None = None,
-                  available_columns: set[str] | None = None) -> Column:
+                  available_columns: set[str] | None = None,
+                  silent_columns: set[str] | None = None) -> Column:
         """Compile to one conjunctive Catalyst predicate.
 
         Replaces ``Filters.to_query_params`` (config.py:134-242): instead of
@@ -238,14 +256,8 @@ class Filters:
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
 
         def has(col_name: str) -> bool:
-            if available_columns is None or col_name in available_columns:
-                return True
-            if col_name not in self.SERVER_SIDE_ONLY_COLUMNS:
-                logging.getLogger(__name__).warning(
-                    "Filters: bound on %r skipped — column not in frame "
-                    "(likely a column_map typo; frame has %d columns)",
-                    col_name, len(available_columns))
-            return False
+            return self._have(col_name, available_columns, silent_columns,
+                              "frame")
 
         pred = F.lit(True)
         for col_name, op, value in self.range_predicates(column_map):
@@ -260,7 +272,8 @@ class Filters:
         return pred
 
     def to_sql(self, column_map: dict[str, str] | None = None,
-               available_columns: set[str] | None = None) -> str:
+               available_columns: set[str] | None = None,
+               silent_columns: set[str] | None = None) -> str:
         """Render the same predicate as ANSI SQL (for oracle checks and for
         engines without a DataFrame API). ``available_columns`` skips
         bounds on columns the target table lacks — same escape hatch (and
@@ -268,13 +281,8 @@ class Filters:
         cmap = {**self.DEFAULT_COLUMNS, **(column_map or {})}
 
         def have(col_name: str) -> bool:
-            if available_columns is None or col_name in available_columns:
-                return True
-            if col_name not in self.SERVER_SIDE_ONLY_COLUMNS:
-                logging.getLogger(__name__).warning(
-                    "Filters: bound on %r skipped — column not in table",
-                    col_name)
-            return False
+            return self._have(col_name, available_columns, silent_columns,
+                              "table")
 
         conjuncts = [
             f"{col} {op} {value!r}" if isinstance(value, str) else f"{col} {op} {value}"

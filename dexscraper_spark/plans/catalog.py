@@ -140,6 +140,17 @@ def _ohlc_frame_sql(frame: str, seconds: int) -> str:
 _OHLC_BARS_CACHE: dict = {}
 
 
+def clear_ohlc_bars_cache() -> None:
+    """Release the block-manager storage pinned by the cached bar frames
+    (same contract as the sink layer's clear_*_cache helpers)."""
+    for df in _OHLC_BARS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped; entry is dead anyway
+    _OHLC_BARS_CACHE.clear()
+
+
 @register(
     "ohlc_bars",
     " UNION ALL ".join(_ohlc_frame_sql(n, s) for n, s in

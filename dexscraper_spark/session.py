@@ -37,6 +37,7 @@ def get_spark(app_name: str = "dexscraper_spark", master: str | None = None,
 
 
 _TUNED: set = set()
+_TUNE_WARNED: set = set()
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -66,10 +67,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception as e:
         # Non-runtime-settable on some builds — defaults are fine, but a
         # genuinely broken conf set on a future runtime must not be
-        # swallowed silently: surface it once per session.
-        import logging
-        logging.getLogger(__name__).warning(
-            "tune_session: could not apply engine defaults (%s: %s); "
-            "continuing with session defaults", type(e).__name__, e)
+        # swallowed silently: surface it once per session. Do NOT mark
+        # the app tuned: a transient failure retries on the next call
+        # (the warning stays once-per-session either way).
+        if app_id not in _TUNE_WARNED:
+            import logging
+            logging.getLogger(__name__).warning(
+                "tune_session: could not apply engine defaults (%s: %s); "
+                "continuing with session defaults", type(e).__name__, e)
+            _TUNE_WARNED.add(app_id)
+        return spark
     _TUNED.add(app_id)
     return spark

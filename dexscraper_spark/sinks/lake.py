@@ -41,8 +41,26 @@ def write_tokens(tokens: DataFrame, path: str, *,
     # (chain, confidence desc) within tasks so min/max early-stop still
     # holds per file.
     salt_cols = [c for c in ("token_address", "msg_id") if c in tokens.columns]
-    if not salt_cols:  # no id-like column: hash the whole row
-        salt_cols = tokens.columns
+    if not salt_cols:
+        # no id-like column: hash the whole row — minus MapType columns
+        # (at any nesting), which xxhash64 rejects at analysis time
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(hashable(f.dataType) for f in dt.fields)
+            return True
+
+        salt_cols = [f.name for f in tokens.schema.fields
+                     if hashable(f.dataType)]
+        if not salt_cols:
+            raise ValueError(
+                "write_tokens: no hashable column to salt the repartition "
+                "— add an id column (token_address / msg_id)")
     salt = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(7))
     (tokens
      .repartition(files_per_chain, salt)

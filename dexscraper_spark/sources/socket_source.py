@@ -75,7 +75,15 @@ class SocketFrameStreamReader(FrameSimpleStreamReader):
 
     def read(self, start: dict):
         s = int(start["seq"])
-        frames = self._fetch(s, self.frames_per_batch)
+        want = self.frames_per_batch
+        if self.max_frames:
+            # same bounded-drain contract as the synthetic reader: a
+            # max_frames option caps total consumption so availableNow /
+            # demo runs terminate at the requested frame count
+            want = min(want, self.max_frames - s)
+            if want <= 0:
+                return iter(()), {"seq": s}
+        frames = self._fetch(s, want)
         return iter(list(self._decode(frames))), {"seq": s + len(frames)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
