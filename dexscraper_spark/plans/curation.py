@@ -45,12 +45,18 @@ class CurationConfig:
 
 def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
-                  config: CurationConfig = CurationConfig()) -> DataFrame:
+                  config: CurationConfig = CurationConfig(),
+                  simhash_hash_fn=None) -> DataFrame:
     """Returns the curated corpus: one row per surviving document with
     (id, text, lang, quality, n_tokens, split). Deterministic — the
     survivor of every duplicate cluster is its minimum id, and the split
     is a portable content hash of the id, so reruns (and different
     cluster layouts) produce the identical corpus.
+
+    ``simhash_hash_fn`` overrides the near-dup shingle hash (default
+    xxhash64, the production hash); pass ``dedup.md5_le64`` for the
+    cross-engine-portable fingerprint the oracle-checked registry row
+    uses.
     """
     cfg = config
     text = F.col(text_col)
@@ -88,7 +94,8 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     deduped = deduped.persist()
     pairs = simhash_near_pairs(
         deduped, id_col=id_col, text_col=text_col,
-        num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming)
+        num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming,
+        hash_fn=simhash_hash_fn)
     comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
     # "component" is the declared output column of dedup_components —
     # filtering on the pre-alias "label" only resolved through lineage

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tables) and whose semantics are deterministic row/group-local.
 DEFAULT_QUERIES = [
     "agg_event_stats", "agg_percentiles", "ohlc_bars", "filter_suite",
-    "scalar_events_suite", "scalar_docs_suite", "scalar_json", "set_ops",
+    "scalar_events_suite", "scalar_docs_suite", "set_ops",
     "sessionize_users", "window_moving_sum", "window_first_wins",
     "text_metrics", "text_lang", "text_fingerprint_dups",
     "dedup_exact_docs", "dedup_simhash", "rank_trending",
@@ -41,7 +41,8 @@ DEFAULT_QUERIES = [
     "window_ordinal_pivot",
     "scoring_confidence", "fallback_prefer_first", "ohlc_snapshot_compat",
     "symbols_blacklist_topk", "scan_metadata_patterns", "dedup_minhash_lsh",
-    "topk_customers", "scalar_datetime", "agg_pricing_summary",
+    "topk_customers", "scalar_misc_suite", "curation_pipeline",
+    "agg_pricing_summary",
     "agg_rollup", "filter_range_dsl", "flagship_topk_revenue",
     "join_revenue_by_nation",
 ]
