@@ -18,7 +18,7 @@ import sys
 import time
 
 from dexscraper_spark.config import (
-    Chain, Filters, Order, Presets, RankBy, ScrapingConfig, Timeframe)
+    DEX, Chain, Filters, Order, Presets, RankBy, ScrapingConfig, Timeframe)
 
 PRESETS = {
     "trending": lambda a: Presets.trending(chain=Chain(a.chain),
@@ -82,7 +82,6 @@ def apply_filter_flags(cfg, args):
     Filters (preset bounds stay unless explicitly overridden)."""
     import dataclasses
 
-    from dexscraper_spark.config import DEX
     overrides = {}
     for flag, (field, _) in FILTER_FLAGS.items():
         v = getattr(args, flag, None)
@@ -116,9 +115,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[r.value for r in RankBy],
                    help="custom: rank column (reference rankBy param)")
     p.add_argument("--order", default="desc", choices=["desc", "asc"])
-    from dexscraper_spark.config import DEX as _DEX
     p.add_argument("--dex", action="append", default=None,
-                   choices=[d.value for d in _DEX],
+                   choices=[d.value for d in DEX],
                    help="restrict to DEX id(s); repeatable")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")

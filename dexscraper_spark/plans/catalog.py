@@ -2072,7 +2072,11 @@ def curation_pipeline(spark, sf_dir):
     iterative graph step localCheckpoints per round, so the first
     resolution per (session, sf_dir) pays the full pipeline (~13 s at
     sf0.1) and later reads serve from the materialized artifact — a
-    nightly corpus is curated once and read many times."""
+    nightly corpus is curated once and read many times. Materialized
+    semantics also on refresh: replacing the documents files serves the
+    OLD artifact until ``registry.clear_plan_cache()`` re-curates (the
+    plan cache's loud-staleness guarantee applies to pure plans, not
+    artifact rows — registry.py)."""
     from dexscraper_spark.operators.dedup import md5_le64
     from dexscraper_spark.plans.curation import curate_corpus
     docs = _t(spark, sf_dir, "documents")

@@ -37,16 +37,29 @@ _REGISTRY: dict[str, Query] = {}
 # total at sf0.1. A long-lived engine process resolves each plan once and
 # re-executes it, exactly like a warehouse's prepared-statement cache;
 # execution itself is NOT cached. Like Spark's own catalog-table cache,
-# the resolution snapshot includes the file LISTING: replacing source
-# files fails loudly with FILE_NOT_EXIST (never silently stale) and
-# clear_plan_cache() is the REFRESH TABLE analog (pinned by
-# tests/test_plans.py).
+# the resolution snapshot includes the file LISTING: for pure plans,
+# replacing source files fails loudly with FILE_NOT_EXIST (never
+# silently stale — pinned by tests/test_plans.py), and
+# clear_plan_cache() is the REFRESH TABLE analog. The deliberate
+# exceptions are the MATERIALIZING rows (curation_pipeline's curated
+# corpus, the bar/token/IVF artifact caches): those serve the
+# materialized artifact until refreshed, by the same artifact semantics
+# as a materialized view — each documents this in its builder.
 # Builders are pure functions of (sf_dir → tables), so the cached frame is
 # observationally identical to a fresh build.
 _PLAN_CACHE: dict = {}
 
 
 def clear_plan_cache() -> None:
+    """The REFRESH TABLE analog: drop every cached resolution (next call
+    re-resolves against current files) and unpersist any block-manager
+    storage the cached frames hold, so refresh cycles don't accumulate
+    orphaned blocks."""
+    for df in _PLAN_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped; entry is dead anyway
     _PLAN_CACHE.clear()
 
 

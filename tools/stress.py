@@ -74,7 +74,11 @@ DIMS = ["region", "nation"]
 SELF_CONTAINED = {
     "decode_binary_pipeline", "datasource_pushdown_scan",
     "multimodal_pipeline", "tokens_pipeline_e2e", "scan_metadata_patterns",
-    "scalar_datetime", "scalar_json",
+    "scalar_misc_suite",
+    # materializes its artifact on first build per (appId, sf_dir): a
+    # steady-state ratio would measure cached-corpus reads, not scaling —
+    # its scale story is the per-stage x10 rows (simhash, components)
+    "curation_pipeline",
 }
 
 
