@@ -144,3 +144,26 @@ def test_spark_stream_over_socket_with_drops_no_dupes(spark, tmp_path):
         assert all(r["chain"] == "solana" for r in got)  # pushdown applied
     finally:
         srv.kill()
+
+
+@pytest.mark.parametrize("fail_after,n_frames,batch", [
+    (1, 7, 7), (3, 8, 8), (2, 5, 3), (1, 2, 2),
+])
+def test_fetch_resume_across_drop_points(fail_after, n_frames, batch):
+    """Resume correctness holds wherever the connection drops: any
+    fail_after/batch combination yields each seq exactly once, in order."""
+    srv = FrameSocketServer(_payloads(n_frames),
+                            fail_after_frames=fail_after).start()
+    try:
+        r = _reader(srv.port, frames_per_batch=batch)
+        got = []
+        seq = 0
+        while seq < n_frames:
+            frames = r._fetch(seq, batch)
+            if not frames:
+                break
+            got.extend(s for s, _ in frames)
+            seq = got[-1] + 1
+        assert got == list(range(n_frames))
+    finally:
+        srv.kill()
