@@ -1873,6 +1873,17 @@ def streaming_ohlc_pipeline(spark, sf_dir):
 _IVF_INDEX_CACHE: dict = {}
 
 
+def clear_ivf_index_cache() -> None:
+    """Release the persisted cluster assignments the cached IVF indexes
+    hold (same contract as clear_ohlc_bars_cache)."""
+    for idx in _IVF_INDEX_CACHE.values():
+        try:
+            idx.unpersist()
+        except Exception:
+            pass  # owning session already stopped; entry is dead anyway
+    _IVF_INDEX_CACHE.clear()
+
+
 def _ivf_index(spark, sf_dir: str, *, nlist: int = 8, seed: int = 42):
     from dexscraper_spark.operators.similarity import ivf_build
     from dexscraper_spark.plans.registry import evict_other_apps

@@ -32,6 +32,24 @@ from dexscraper_spark.operators.dedup import (
     dedup_components, simhash_near_pairs, split_assignment)
 
 
+# Persisted intermediates created by curate_corpus, released by
+# clear_curation_cache(). Kept as a flat list (not app-keyed): entries
+# belonging to stopped sessions unpersist as harmless no-ops.
+_PERSISTED: list = []
+
+
+def clear_curation_cache() -> None:
+    """Unpersist every intermediate frame curate_corpus pinned — invoked
+    by registry.clear_plan_cache() so artifact refresh cycles don't leak
+    block-manager storage."""
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped; entry is dead anyway
+    _PERSISTED.clear()
+
+
 @dataclass(frozen=True)
 class CurationConfig:
     min_quality: float = 0.5
@@ -88,10 +106,11 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     # 3) near-dup clusters: SimHash banding (production xxhash64 hash) →
     # pairs → connected components → every cluster keeps min id.
     # Persist: the near-dup detector and the survivor anti-join both read
-    # it (cache lives until session end — the pipeline runs once per
-    # corpus; long-lived multi-corpus apps should unpersist the result's
-    # lineage or run per-corpus sessions).
+    # it. The handle is tracked in _PERSISTED so clear_curation_cache()
+    # (invoked by registry.clear_plan_cache()) releases it — refresh
+    # cycles must not accumulate orphaned block-manager storage.
     deduped = deduped.persist()
+    _PERSISTED.append(deduped)
     pairs = simhash_near_pairs(
         deduped, id_col=id_col, text_col=text_col,
         num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming,

@@ -54,13 +54,34 @@ def clear_plan_cache() -> None:
     """The REFRESH TABLE analog: drop every cached resolution (next call
     re-resolves against current files) and unpersist any block-manager
     storage the cached frames hold, so refresh cycles don't accumulate
-    orphaned blocks."""
+    orphaned blocks.
+
+    Clears EVERY module cache a rebuild could read through — the table
+    resolutions in sources.tables and the materialized artifact caches
+    (OHLC bars, sink bar/token frames, IVF index, curation intermediates)
+    — not just the plan cache: a rebuild whose builder hits a stale
+    table resolution would silently read replaced/partial files, which
+    breaks the loud-staleness guarantee this function exists to provide.
+    (Imports are deferred: these modules import ``register`` from here.)"""
     for df in _PLAN_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass  # owning session already stopped; entry is dead anyway
     _PLAN_CACHE.clear()
+    from dexscraper_spark.sources.tables import clear_table_cache
+    clear_table_cache()
+    from dexscraper_spark.plans.catalog import (
+        clear_ivf_index_cache, clear_ohlc_bars_cache)
+    clear_ohlc_bars_cache()
+    clear_ivf_index_cache()
+    from dexscraper_spark.plans.sinks_catalog import (
+        clear_bars_cache, clear_tokens_cache, clear_xtokens_cache)
+    clear_bars_cache()
+    clear_xtokens_cache()
+    clear_tokens_cache()
+    from dexscraper_spark.plans.curation import clear_curation_cache
+    clear_curation_cache()
 
 
 def register(name: str, oracle: str | None, survey_ref: str = "",

@@ -49,6 +49,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     session, not once per query."""
     app_id = spark.sparkContext.applicationId
     if app_id in _TUNED:
+        # Memo hit still re-asserts the UTC pin: external driver code may
+        # have changed the session timezone since, and every catalog
+        # query's epoch/window math depends on it. One conf set is cheap
+        # next to the full-tune round-trips the memo saves.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:

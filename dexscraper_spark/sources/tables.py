@@ -54,8 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # shuffle of the raw bytes (trivial next to the per-row CPU) and
             # restores linear scan scaling. At real corpus scale the file
             # count makes this a no-op (guard below).
+            # File count proxies the scan's parallelism without
+            # constructing RDD lineage: a corpus-scale table has ≥ cores
+            # files and skips the shuffle; the toy-scale few-file layout
+            # triggers it. (Large single files CAN split into more tasks
+            # than files — the proxy then widens a scan that was already
+            # wide enough, one extra shuffle of trivially small bytes.)
             par = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < par:
+            if len(df.inputFiles()) < par:
                 df = df.repartition(par)
     _TABLE_CACHE[key] = df
     return df

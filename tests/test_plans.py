@@ -227,3 +227,44 @@ def test_prepared_plan_cache_is_a_plan_not_a_result(spark, tmp_path):
     finally:
         R._REGISTRY.pop("___cache_probe", None)
         R.clear_plan_cache()
+
+
+def test_no_rdd_access_in_engine():
+    """The engine is pure-DataFrame: no `.rdd` access anywhere (the RDD
+    API bypasses Catalyst and its lineage construction is not free)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "dexscraper_spark"
+    hits = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line):
+                hits.append(f"{py.name}:{i}: {line.strip()}")
+    assert not hits, f"RDD API access in engine code: {hits}"
+
+
+def test_clear_plan_cache_clears_table_cache(spark, tmp_path):
+    """REFRESH coherence: clear_plan_cache() also drops the table-
+    resolution cache, so a rebuilt plan re-resolves its tables against
+    current files instead of silently reusing a stale listing."""
+    from dexscraper_spark.plans import registry as R
+    from dexscraper_spark.sources import tables as T
+
+    sf_dir = str(tmp_path)
+    spark.range(4).write.mode("overwrite").parquet(f"{sf_dir}/part.parquet")
+    df1 = T.load_table(spark, sf_dir, "part")
+    assert T.load_table(spark, sf_dir, "part") is df1  # memoized
+    R.clear_plan_cache()
+    df2 = T.load_table(spark, sf_dir, "part")
+    assert df2 is not df1  # re-resolved after REFRESH
+
+
+def test_tune_session_reasserts_utc_on_memo_hit(spark):
+    """The memoized tune_session still re-pins the session timezone:
+    external code flipping it must not silently skew catalog epoch math."""
+    from dexscraper_spark.session import tune_session
+    tune_session(spark)  # ensure memoized
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    tune_session(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
