@@ -1,4 +1,4 @@
-.PHONY: test check check-big difftest bench stress smoke
+.PHONY: test check check-big difftest bench bench-gate stress smoke
 
 test:
 	python -m pytest tests/ -q
@@ -14,6 +14,12 @@ difftest:
 
 bench:
 	python bench.py
+
+# Run the bench, save it, and alarm on any per-query regression vs the
+# prior round's BENCH_r*.json (1.5x AND >0.15s absolute).
+bench-gate:
+	python bench.py --no-cold | tail -1 > /tmp/bench_new.json
+	python tools/bench_gate.py /tmp/bench_new.json
 
 stress:
 	python tools/stress.py all 10

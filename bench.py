@@ -2,15 +2,26 @@
 
 Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...},
+   "cold_queries": {name: sec, ...}, "cold_total_sec": N, "sf": <sf>}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
+Flags: --no-cold skips the cold pass (iteration speed); --cold is the
+     default and kept for compatibility.
 
 Methodology: one session-warmup action first (JVM/codegen spin-up is not a
 query cost), then each query timed end-to-end including its collect() —
 result sets are top-k/grouped, i.e. small, so collect measures the plan,
 not driver I/O.
+
+The MATERIALIZED rows (OHLC bar frames, sink token frames, IVF index,
+curated corpus) serve a cached artifact on warm runs — materialized-view
+semantics, refreshed via registry.clear_plan_cache(). Their warm numbers
+measure artifact reads; ``cold_queries`` records the honest first-build
+cost of each (all caches cleared before every cold timing), so the two
+costs are separate data, not prose. ``value`` stays the warm total —
+the steady-state long-lived-engine metric, comparable across rounds.
 """
 
 from __future__ import annotations
@@ -21,6 +32,20 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Registry rows that MATERIALIZE an artifact on first build (documented in
+# each builder): warm runs serve the artifact, so only these get a second,
+# caches-cleared timing in the cold pass.
+MATERIALIZED_ROWS = (
+    "ohlc_bars",                # _OHLC_BARS_CACHE (plans/catalog.py)
+    "similarity_ivf_full_probe",  # _IVF_INDEX_CACHE
+    "curation_pipeline",        # curated-corpus artifact (plans/curation.py)
+    "sink_csv_lines",           # _BARS_CACHE (plans/sinks_catalog.py)
+    "sink_bar_rows",
+    "sink_excel",               # _XTOKENS_CACHE
+    "sink_document_rows",       # _TOKENS_CACHE
+    "sink_text_lines",          # _XTOKENS_CACHE + _BARS_CACHE
+)
 
 
 def main() -> None:
@@ -89,13 +114,45 @@ def main() -> None:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+
+    # Cold pass: first-build cost of every materialized row, all module
+    # caches cleared before each timing so no row serves another's
+    # artifact. Source tables stay block-manager-cached from warmup
+    # (canonicalized-plan match survives the resolution-cache clear), so
+    # this measures artifact REBUILD, not parquet IO.
+    cold: dict[str, float] = {}
+    if "--no-cold" not in sys.argv:
+        from dexscraper_spark.plans.registry import clear_plan_cache
+        qmap = queries()
+        for name in MATERIALIZED_ROWS:
+            if name not in qmap:
+                continue
+            try:
+                clear_plan_cache()
+                t0 = time.time()
+                df = qmap[name](spark, sf_dir)
+                try:
+                    df.toPandas()
+                except Exception:
+                    df.collect()
+                cold[name] = round(time.time() - t0, 3)
+            except Exception as e:
+                cold[name] = -1.0
+                print(f"bench: cold {name} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+    out = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_num if sf_num is not None else sf,
-    }))
+    }
+    if cold:
+        out["cold_queries"] = cold
+        out["cold_total_sec"] = round(
+            sum(t for t in cold.values() if t >= 0), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""Bench regression gate — compare two bench JSON files per query.
+
+Usage:
+    python tools/bench_gate.py NEW.json [OLD.json] [--ratio 1.5]
+                               [--floor 0.15]
+
+OLD defaults to the highest-numbered BENCH_r*.json in the repo root other
+than NEW (the prior round). Exit 1 if any query regressed by more than
+``--ratio`` AND by more than ``--floor`` seconds absolute (sub-0.15 s
+deltas on a 32-thread local JVM are scheduling noise, not plans), or if a
+query that passed before now fails (-1).
+
+Accepts both the raw bench.py stdout line and the driver's wrapped
+BENCH_r{N}.json ({"parsed": {...}}). Cold-pass columns are reported but
+never gate: first-build artifact cost is environment-noisy (GC, JIT) and
+tracked as data, not an alarm.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    return doc.get("parsed", doc)
+
+
+def default_old(new_path: str) -> str | None:
+    # Prior rounds live in the repo root regardless of where NEW was
+    # written (the Makefile target writes NEW to /tmp).
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = sorted(
+        p for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if os.path.abspath(p) != os.path.abspath(new_path)
+    )
+    return cands[-1] if cands else None
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    ratio = 1.5
+    floor = 0.15
+    for a in argv:
+        if a.startswith("--ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a
+                          else argv[argv.index(a) + 1])
+        if a.startswith("--floor"):
+            floor = float(a.split("=", 1)[1] if "=" in a
+                          else argv[argv.index(a) + 1])
+    if not args:
+        print(__doc__)
+        return 2
+    new_path = args[0]
+    old_path = args[1] if len(args) > 1 else default_old(new_path)
+    if old_path is None:
+        print(f"bench_gate: no prior BENCH_r*.json next to {new_path}; "
+              "nothing to compare — PASS (first round)")
+        return 0
+
+    new, old = load(new_path), load(old_path)
+    nq, oq = new.get("queries", {}), old.get("queries", {})
+
+    regressions, notes = [], []
+    for name, old_t in sorted(oq.items()):
+        if name not in nq:
+            notes.append(f"  dropped: {name} (was {old_t:.3f}s)")
+            continue
+        new_t = nq[name]
+        if new_t < 0:
+            regressions.append(f"  FAIL {name}: now errors (was {old_t:.3f}s)")
+        elif old_t >= 0 and new_t > old_t * ratio and new_t - old_t > floor:
+            regressions.append(
+                f"  REGRESSED {name}: {old_t:.3f}s -> {new_t:.3f}s "
+                f"({new_t / old_t:.2f}x)")
+    for name in sorted(set(nq) - set(oq)):
+        notes.append(f"  new: {name} ({nq[name]:.3f}s)")
+
+    print(f"bench_gate: {old_path} -> {new_path} "
+          f"(total {old.get('value')}s -> {new.get('value')}s, "
+          f"gate {ratio}x + {floor}s)")
+    for n in notes:
+        print(n)
+    if "cold_queries" in new:
+        print(f"  cold pass (informational): "
+              f"{new.get('cold_total_sec')}s over "
+              f"{len(new['cold_queries'])} materialized rows")
+    if regressions:
+        print(f"{len(regressions)} per-query regression(s):")
+        for r in regressions:
+            print(r)
+        return 1
+    print(f"PASS — no query regressed past {ratio}x+{floor}s "
+          f"({len(nq)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
