@@ -166,6 +166,20 @@ class FrameDataSource(DataSource):
     def reader(self, schema) -> FrameDataSourceReader:
         return FrameDataSourceReader(self.options)
 
+    def streamReader(self, schema):
+        """Partitioned fleet reader — only when ``endpoints`` names the
+        shard list; otherwise raise NOT_IMPLEMENTED so Spark falls back
+        to :meth:`simpleStreamReader` (pyspark's documented dispatch)."""
+        if self.options.get("endpoints"):
+            from dexscraper_spark.sources.socket_source import (
+                PartitionedSocketStreamReader)
+            return PartitionedSocketStreamReader(self.options)
+        from pyspark.errors import PySparkNotImplementedError
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"},
+        )
+
     def simpleStreamReader(self, schema) -> "FrameSimpleStreamReader":
         if self.options.get("port"):
             # live-socket leg (S1): same decode/filter path, frames pulled
@@ -218,16 +232,18 @@ _FRAME_COLS = {"liquidity_usd", "volume_h24", "price_change_h24", "fdv",
                "chain", "protocol"}
 
 
-class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Streaming reader for ``spark.readStream.format("dexframes")``."""
+class SubscriptionFilter:
+    """Subscription-time Filters-DSL pushdown, compiled ONCE at stream
+    definition from the ``filters_json`` option and applied during the
+    scan — the Spark-native form of the reference compiling filter/rank
+    params into the WebSocket connect URL so the server pre-filters the
+    stream (scraper.py:177-246; config.py:254-281). Shared by the
+    driver-side simple reader and the partitioned fleet reader: the spec
+    is plain picklable state, so it ships to executors unchanged."""
 
     def __init__(self, options):
         import json
 
-        self.pairs_per_frame = int(options.get("pairs_per_frame", 4) or 4)
-        self.frames_per_batch = int(options.get("frames_per_batch", 4) or 4)
-        # 0 = unbounded; a bound lets Trigger.AvailableNow drain and stop.
-        self.max_frames = int(options.get("max_frames", 0) or 0)
         self._triples: list[tuple[str, str, object]] = []
         self._chains: list[str] | None = None
         self._dexes: list[str] | None = None
@@ -244,6 +260,32 @@ class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
                 self._chains = [c.value for c in flt.chain_ids]
             if flt.dex_ids:
                 self._dexes = [d.value for d in flt.dex_ids]
+
+    def keep(self, rec: dict) -> bool:
+        for col, op, value in self._triples:
+            v = rec.get(col)
+            if v is None:
+                return False
+            if op == ">=" and not v >= value:
+                return False
+            if op == "<=" and not v <= value:
+                return False
+        if self._chains is not None and rec.get("chain") not in self._chains:
+            return False
+        if self._dexes is not None and rec.get("protocol") not in self._dexes:
+            return False
+        return True
+
+
+class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader for ``spark.readStream.format("dexframes")``."""
+
+    def __init__(self, options):
+        self.pairs_per_frame = int(options.get("pairs_per_frame", 4) or 4)
+        self.frames_per_batch = int(options.get("frames_per_batch", 4) or 4)
+        # 0 = unbounded; a bound lets Trigger.AvailableNow drain and stop.
+        self.max_frames = int(options.get("max_frames", 0) or 0)
+        self._filter = SubscriptionFilter(options)
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -270,19 +312,7 @@ class FrameSimpleStreamReader(SimpleDataSourceStreamReader):
 
     # -- scan ---------------------------------------------------------------
     def _keep(self, rec: dict) -> bool:
-        for col, op, value in self._triples:
-            v = rec.get(col)
-            if v is None:
-                return False
-            if op == ">=" and not v >= value:
-                return False
-            if op == "<=" and not v <= value:
-                return False
-        if self._chains is not None and rec.get("chain") not in self._chains:
-            return False
-        if self._dexes is not None and rec.get("protocol") not in self._dexes:
-            return False
-        return True
+        return self._filter.keep(rec)
 
     def _scan(self, start_id: int, end_id: int):
         out_cols = [f.name for f in DECODED_SCHEMA.fields]

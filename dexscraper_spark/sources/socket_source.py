@@ -22,6 +22,8 @@ testable without network egress:
 
 Wire protocol (length-prefixed, deliberately minimal):
   client → server: one JSON line ``{"start_seq": N, "max_frames": K}``
+  (or the control query ``{"latest": true}`` → one JSON line
+  ``{"latest_seq": N}`` — the partitioned reader's offset poll)
   server → client: repeated ``>QI`` (seq, payload_len) headers + payload,
   then an END marker (seq = 2^64−1, len 0). EOF *without* the END marker
   means the connection dropped → the reader reconnects with backoff and
@@ -29,10 +31,19 @@ Wire protocol (length-prefixed, deliberately minimal):
   "no more frames right now" (a live tail returning a short batch) from
   a mid-stream failure.
 
-Scale shape: ``SimpleDataSourceStreamReader`` consumes on the driver —
-matching the reference's single-socket ingestion. For fleets, shard
-subscriptions across a partitioned ``DataSourceStreamReader`` (one socket
-per partition); everything below the fetch loop is shared either way.
+Scale shape — two readers share the fetch loop below:
+
+* ``SocketFrameStreamReader`` (``SimpleDataSourceStreamReader``) consumes
+  on the driver — matching the reference's single-socket ingestion.
+* ``PartitionedSocketStreamReader`` (``DataSourceStreamReader``) is the
+  fleet path: the ``endpoints`` option names N shard servers, each micro-
+  batch plans one ``InputPartition`` per shard, and the socket
+  subscription for each shard is opened ON THE EXECUTOR that runs its
+  partition — frame bytes never cross the driver. The driver's only
+  network traffic is the O(#shards) latest-seq control query per
+  micro-batch. Offsets are per-shard seq maps; each planned range is
+  deterministic and replayable from the server's history buffer, so the
+  exactly-once contract of the single-socket reader holds globally.
 """
 
 from __future__ import annotations
@@ -42,12 +53,102 @@ import socket
 import struct
 import threading
 import time
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 from dexscraper_spark.sources.decode import DECODED_SCHEMA, parse_frame
-from dexscraper_spark.sources.frame_source import FrameSimpleStreamReader
+from dexscraper_spark.sources.frame_source import (
+    FrameSimpleStreamReader,
+    SubscriptionFilter,
+)
 
 HDR = struct.Struct(">QI")
 END_SEQ = (1 << 64) - 1
+# msg_id = shard * SHARD_STRIDE + seq: one int64 carries both shard
+# identity and the per-shard frame seq (shard < 2^23, seq < 2^40)
+SHARD_STRIDE = 1 << 40
+
+
+def fetch_frames(host: str, port: int, start_seq: int, max_frames: int, *,
+                 connect_retries: int = 8, backoff_base: float = 0.05,
+                 backoff_cap: float = 1.0) -> list[tuple[int, bytes]]:
+    """Subscribe from ``start_seq``; collect up to ``max_frames``
+    (seq, payload) pairs. On a dropped connection, reconnect with capped
+    exponential backoff and REsubscribe from the next unconsumed seq —
+    consumed frames are never re-requested, so a flaky link can cause
+    neither duplicates nor gaps. The scraper.py:177-246 retry envelope:
+    exponential doubling from base, capped, counter reset after any
+    successful frame (a healthy reconnect is not a strike)."""
+    if max_frames <= 0:
+        return []
+    frames: list[tuple[int, bytes]] = []
+    next_seq = start_seq
+    attempt = 0
+    while len(frames) < max_frames:
+        got_this_attempt = 0
+        try:
+            with socket.create_connection((host, port), timeout=10.0) as sk:
+                sk.sendall(json.dumps(
+                    {"start_seq": next_seq,
+                     "max_frames": max_frames - len(frames)},
+                ).encode("utf-8") + b"\n")
+                fh = sk.makefile("rb")
+                while len(frames) < max_frames:
+                    hdr = fh.read(HDR.size)
+                    if len(hdr) < HDR.size:
+                        raise ConnectionError("dropped before END marker")
+                    seq, ln = HDR.unpack(hdr)
+                    if seq == END_SEQ:
+                        return frames  # clean completion (maybe short)
+                    payload = fh.read(ln)
+                    if len(payload) < ln:
+                        raise ConnectionError("truncated frame payload")
+                    if seq != next_seq:
+                        raise ConnectionError(
+                            f"sequence gap: expected {next_seq}, got {seq}")
+                    frames.append((seq, payload))
+                    next_seq += 1
+                    got_this_attempt += 1
+                    attempt = 0  # healthy frames reset the retry budget
+            return frames
+        except OSError as e:
+            if got_this_attempt == 0:
+                attempt += 1
+            if attempt > connect_retries:
+                raise ConnectionError(
+                    f"dexframes socket {host}:{port} "
+                    f"unreachable after {connect_retries} retries"
+                ) from e
+            time.sleep(min(backoff_base * (2 ** max(attempt - 1, 0)),
+                           backoff_cap))
+    return frames
+
+
+def query_latest_seq(host: str, port: int, *, connect_retries: int = 8,
+                     backoff_base: float = 0.05,
+                     backoff_cap: float = 1.0) -> int:
+    """Control-plane query: the server's current history length (the seq
+    one past the newest frame). O(bytes)=one JSON line — this is ALL the
+    driver pulls per shard per micro-batch in the partitioned reader."""
+    attempt = 0
+    while True:
+        try:
+            with socket.create_connection((host, port), timeout=10.0) as sk:
+                sk.sendall(b'{"latest": true}\n')
+                line = sk.makefile("rb").readline()
+                if not line:
+                    raise ConnectionError("empty latest-seq response")
+                return int(json.loads(line.decode("utf-8"))["latest_seq"])
+        except OSError as e:
+            attempt += 1
+            if attempt > connect_retries:
+                raise ConnectionError(
+                    f"dexframes socket {host}:{port} "
+                    f"unreachable after {connect_retries} retries"
+                ) from e
+            time.sleep(min(backoff_base * (2 ** max(attempt - 1, 0)),
+                           backoff_cap))
 
 
 class SocketFrameStreamReader(FrameSimpleStreamReader):
@@ -97,55 +198,10 @@ class SocketFrameStreamReader(FrameSimpleStreamReader):
 
     # -- fetch loop ---------------------------------------------------------
     def _fetch(self, start_seq: int, max_frames: int):
-        """Subscribe from ``start_seq``; collect up to ``max_frames``
-        (seq, payload) pairs. On a dropped connection, reconnect with
-        capped exponential backoff and REsubscribe from the next
-        unconsumed seq — consumed frames are never re-requested, so a
-        flaky link can cause neither duplicates nor gaps."""
-        if max_frames <= 0:
-            return []
-        frames: list[tuple[int, bytes]] = []
-        next_seq = start_seq
-        attempt = 0
-        while len(frames) < max_frames:
-            got_this_attempt = 0
-            try:
-                with socket.create_connection((self.host, self.port),
-                                              timeout=10.0) as sk:
-                    sk.sendall(json.dumps(
-                        {"start_seq": next_seq,
-                         "max_frames": max_frames - len(frames)},
-                    ).encode("utf-8") + b"\n")
-                    fh = sk.makefile("rb")
-                    while len(frames) < max_frames:
-                        hdr = fh.read(HDR.size)
-                        if len(hdr) < HDR.size:
-                            raise ConnectionError("dropped before END marker")
-                        seq, ln = HDR.unpack(hdr)
-                        if seq == END_SEQ:
-                            return frames  # clean completion (maybe short)
-                        payload = fh.read(ln)
-                        if len(payload) < ln:
-                            raise ConnectionError("truncated frame payload")
-                        if seq != next_seq:
-                            raise ConnectionError(
-                                f"sequence gap: expected {next_seq}, got {seq}")
-                        frames.append((seq, payload))
-                        next_seq += 1
-                        got_this_attempt += 1
-                        attempt = 0  # healthy frames reset the retry budget
-                return frames
-            except OSError as e:
-                if got_this_attempt == 0:
-                    attempt += 1
-                if attempt > self.connect_retries:
-                    raise ConnectionError(
-                        f"dexframes socket {self.host}:{self.port} "
-                        f"unreachable after {self.connect_retries} retries"
-                    ) from e
-                time.sleep(min(self.backoff_base * (2 ** max(attempt - 1, 0)),
-                               self.backoff_cap))
-        return frames
+        return fetch_frames(self.host, self.port, start_seq, max_frames,
+                            connect_retries=self.connect_retries,
+                            backoff_base=self.backoff_base,
+                            backoff_cap=self.backoff_cap)
 
     def _decode(self, frames):
         out_cols = [f.name for f in DECODED_SCHEMA.fields]
@@ -154,6 +210,130 @@ class SocketFrameStreamReader(FrameSimpleStreamReader):
                 rec["msg_id"] = seq
                 if self._keep(rec):
                     yield tuple(rec.get(c) for c in out_cols)
+
+
+@dataclass
+class SocketShardPartition(InputPartition):
+    """One micro-batch split: a committed seq range on one shard's
+    socket. Pure primitives — pickles to the executor that reads it."""
+    shard: int
+    host: str
+    port: int
+    start_seq: int
+    end_seq: int
+
+
+class PartitionedSocketStreamReader(DataSourceStreamReader):
+    """The fleet-scale S1 leg: ``spark.readStream.format("dexframes")
+    .option("endpoints", "h1:p1,h2:p2,...")``.
+
+    The reference runs ONE WebSocket into one process
+    (scraper.py:177-246); a 1000-executor cluster needs N sharded
+    subscriptions with none of the bytes funneling through a coordinator.
+    Shape:
+
+    * **Offsets** are per-shard seq maps ``{"0": s0, "1": s1, ...}`` —
+      the same exactly-once frame-seq contract as the single-socket
+      reader, held independently per shard.
+    * **Driver** work per micro-batch is one O(1)-byte latest-seq control
+      query per shard (rate-limited advance: at most ``frames_per_batch``
+      frames/shard/batch), then partition planning. No frame payloads.
+    * **Executors** open the shard subscription inside ``read()`` — the
+      capped-backoff reconnect/resume loop (``fetch_frames``) runs where
+      the partition runs, so a flaky shard link stalls only its own task.
+    * **Replay**: a planned range is fetched exactly; a short read (the
+      server's history no longer covers a committed range) fails LOUDLY
+      rather than silently dropping frames.
+
+    ``msg_id`` is ``shard * 2^40 + seq`` so downstream dedup/windowing
+    sees globally unique, shard-attributable frame ids.
+
+    Options: ``endpoints`` (required, "host:port[,host:port...]"),
+    ``frames_per_batch`` (per-shard advance cap per micro-batch, default
+    4), ``max_frames`` (per-shard total bound — lets availableNow drain
+    and stop; 0 = unbounded), ``filters_json`` (subscription-time
+    pushdown, same DSL as every other dexframes mode), plus the
+    connect_retries/backoff_base_s/backoff_cap_s retry envelope.
+    """
+
+    def __init__(self, options):
+        self.endpoints: list[tuple[str, int]] = []
+        for tok in str(options.get("endpoints", "")).split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            host, _, port = tok.rpartition(":")
+            self.endpoints.append((host or "127.0.0.1", int(port)))
+        if not self.endpoints:
+            raise ValueError(
+                "dexframes fleet reader needs endpoints='host:port[,...]'")
+        self.frames_per_batch = int(options.get("frames_per_batch", 4) or 4)
+        self.max_frames = int(options.get("max_frames", 0) or 0)
+        self.connect_retries = int(options.get("connect_retries", 8) or 8)
+        self.backoff_base = float(options.get("backoff_base_s", 0.05) or 0.05)
+        self.backoff_cap = float(options.get("backoff_cap_s", 1.0) or 1.0)
+        self._filter = SubscriptionFilter(options)
+        # driver-side rate-limit memory: the offset latestOffset() last
+        # returned. None right after (re)start — the first poll returns
+        # the servers' truth (capped by max_frames), and the engine
+        # clamps the batch to [checkpointed start, that).
+        self._last: dict[str, int] | None = None
+
+    # -- driver: offsets + planning -----------------------------------------
+    def initialOffset(self) -> dict:
+        return {str(i): 0 for i in range(len(self.endpoints))}
+
+    def latestOffset(self) -> dict:
+        out: dict[str, int] = {}
+        for i, (host, port) in enumerate(self.endpoints):
+            latest = query_latest_seq(
+                host, port, connect_retries=self.connect_retries,
+                backoff_base=self.backoff_base, backoff_cap=self.backoff_cap)
+            if self.max_frames:
+                latest = min(latest, self.max_frames)
+            if self._last is not None:
+                prev = int(self._last[str(i)])
+                # advance ≤ frames_per_batch per poll; never regress — a
+                # shard restarting with shorter history must fail loudly
+                # at read time, not silently rewind the offset log
+                latest = max(min(latest, prev + self.frames_per_batch), prev)
+            out[str(i)] = latest
+        self._last = dict(out)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for i, (host, port) in enumerate(self.endpoints):
+            s, e = int(start.get(str(i), 0)), int(end.get(str(i), 0))
+            if e > s:
+                parts.append(SocketShardPartition(i, host, port, s, e))
+        return parts
+
+    # -- executor: the data plane -------------------------------------------
+    def read(self, partition: SocketShardPartition):
+        want = partition.end_seq - partition.start_seq
+        frames = fetch_frames(
+            partition.host, partition.port, partition.start_seq, want,
+            connect_retries=self.connect_retries,
+            backoff_base=self.backoff_base, backoff_cap=self.backoff_cap)
+        if len(frames) != want:
+            raise ConnectionError(
+                f"shard {partition.shard}: planned range "
+                f"[{partition.start_seq}, {partition.end_seq}) returned "
+                f"{len(frames)} frames — server history no longer covers it")
+        out_cols = [f.name for f in DECODED_SCHEMA.fields]
+        base = partition.shard * SHARD_STRIDE
+        for seq, payload in frames:
+            for rec in parse_frame(payload):
+                rec["msg_id"] = base + seq
+                if self._filter.keep(rec):
+                    yield tuple(rec.get(c) for c in out_cols)
+
+    def commit(self, end: dict) -> None:
+        pass  # server-side history buffer needs no acknowledgement
+
+    def stop(self) -> None:
+        pass  # sockets are opened and closed per read()
 
 
 class FrameSocketServer:
@@ -196,10 +376,23 @@ class FrameSocketServer:
             threading.Thread(target=self._serve, args=(conn,),
                              daemon=True).start()
 
+    def append(self, payload: bytes) -> None:
+        """Grow the live history (the 'new frames arriving' half of a
+        live-tail test). list.append is atomic under the GIL; _serve
+        snapshots len() per request, so a concurrent append is simply
+        not yet visible to an in-flight subscription."""
+        self.payloads.append(payload)
+
     def _serve(self, conn: socket.socket):
         try:
             fh = conn.makefile("rb")
             req = json.loads(fh.readline().decode("utf-8"))
+            if req.get("latest"):
+                # control-plane query: current history length, one line
+                conn.sendall(json.dumps(
+                    {"latest_seq": len(self.payloads)}).encode("utf-8")
+                    + b"\n")
+                return
             s = int(req.get("start_seq", 0))
             m = int(req.get("max_frames", 1 << 30))
             sent = 0
