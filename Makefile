@@ -16,10 +16,13 @@ bench:
 	python bench.py
 
 # Run the bench, save it, and alarm on any per-query regression vs the
-# prior round's BENCH_r*.json (1.5x AND >0.15s absolute).
+# prior round's BENCH_r*.json (1.5x AND >0.15s absolute). OLD is passed
+# explicitly so a stale /tmp/bench_new.json can never be compared
+# against itself.
 bench-gate:
 	python bench.py --no-cold | tail -1 > /tmp/bench_new.json
-	python tools/bench_gate.py /tmp/bench_new.json
+	python tools/bench_gate.py /tmp/bench_new.json \
+	  $$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
 
 stress:
 	python tools/stress.py all 10

@@ -103,23 +103,28 @@ def main() -> None:
      .option("checkpointLocation", f"{wdir}/ckpt")
      .trigger(availableNow=True).start().awaitTermination(60))
 
-    # Best-of-2 per query: one-shot timings on a 32-thread local JVM are
+    # Best-of-N per query: one-shot timings on a 32-thread local JVM are
     # noisy (GC, first-touch codegen); min-of-runs is the standard steady-
-    # state metric for a long-lived engine process.
+    # state metric for a long-lived engine process. Two runs when they
+    # agree, a third tie-breaker when they don't (>25% spread) — a GC
+    # pause spanning both early runs (the r6 gate false alarm: two queries
+    # recorded 1.8-2.4x that re-measured clean) can no longer set the
+    # recorded time on its own.
     timings: dict[str, float] = {}
     for name, build in queries().items():
-        best = None
         try:
-            for _ in range(2):
+            runs: list[float] = []
+            for i in range(3):
+                if i == 2 and max(runs) <= min(runs) * 1.25:
+                    break  # first two agree: the sample is steady
                 t0 = time.time()
                 df = build(spark, sf_dir)
                 try:
                     df.toPandas()   # Arrow-batched result fetch
                 except Exception:
                     df.collect()    # fallback for Arrow-unfriendly schemas
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
         except Exception as e:  # a broken query must not sink the whole bench
             timings[name] = -1.0
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)

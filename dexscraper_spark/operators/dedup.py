@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dexscraper_spark.persist import tracked_persist
+
 
 def dedup_exact(df: DataFrame, cols: list[str], *, keep_by: str | None = None) -> DataFrame:
     """A8: one surviving row per distinct ``cols`` combination.
@@ -177,7 +179,7 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, *, id_col: str,
     at corpus scale this is the candidate table you'd checkpoint anyway.
     """
     if persist_candidates:
-        candidates = candidates.persist()
+        candidates = tracked_persist(candidates)
     sh = _shingle_expr(text_col, shingle_n) if char_shingles \
         else word_shingles_expr(text_col, shingle_n)
     # shingle ONLY the docs that appear in a candidate pair — the candidate
@@ -245,7 +247,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
     fps = simhash(df, id_col=id_col, text_col=text_col,
                   shingle_n=shingle_n, hash_fn=hash_fn)
     if persist_fingerprints:
-        fps = fps.persist()
+        fps = tracked_persist(fps)
     banded = fps.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.expr(

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.functions.exact import sum_money
 
+from dexscraper_spark.persist import tracked_persist
+
 
 def ohlc_windowed(ticks: DataFrame, *, symbol_col: str = "symbol",
                   ts_col: str = "ts", price_col: str = "price",
@@ -155,7 +157,10 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
         .select("symbol", F.col("w.start").alias("bucket_ts"),
                 "open", "high", "low", "close", "vol_cents", "trades",
                 "min_ord", "max_ord")
-    ).persist()  # feeds its own output plus every coarser rollup
+    )
+    # feeds its own output plus every coarser rollup; tracked so
+    # clear_plan_cache() can release it on refresh
+    fine = tracked_persist(fine)
 
     def out(level_df: DataFrame, name: str) -> DataFrame:
         return level_df.select(

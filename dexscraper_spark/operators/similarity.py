@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from dexscraper_spark.persist import tracked_persist
+
 
 DEFAULT_DIM = 64
 
@@ -445,7 +447,7 @@ def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
         .select(id_col, vec_col, "__list",
                 _norm(F.col(vec_col)).alias("__vnorm"))
     if cache:
-        assigned = assigned.persist()
+        assigned = tracked_persist(assigned)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -30,24 +30,16 @@ from pyspark.sql import functions as F
 from dexscraper_spark.functions import textstats as tx
 from dexscraper_spark.operators.dedup import (
     dedup_components, simhash_near_pairs, split_assignment)
-
-
-# Persisted intermediates created by curate_corpus, released by
-# clear_curation_cache(). Kept as a flat list (not app-keyed): entries
-# belonging to stopped sessions unpersist as harmless no-ops.
-_PERSISTED: list = []
+from dexscraper_spark.persist import release_tracked, tracked_persist
 
 
 def clear_curation_cache() -> None:
-    """Unpersist every intermediate frame curate_corpus pinned — invoked
-    by registry.clear_plan_cache() so artifact refresh cycles don't leak
-    block-manager storage."""
-    for df in _PERSISTED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # owning session already stopped; entry is dead anyway
-    _PERSISTED.clear()
+    """Unpersist every intermediate frame the curation pipeline pinned —
+    invoked by registry.clear_plan_cache() so artifact refresh cycles
+    don't leak block-manager storage. Delegates to the shared tracked-
+    persist registry, which also covers persists taken INSIDE operators
+    this pipeline calls (simhash fingerprints, OHLC fine bars, ...)."""
+    release_tracked()
 
 
 @dataclass(frozen=True)
@@ -109,8 +101,7 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     # it. The handle is tracked in _PERSISTED so clear_curation_cache()
     # (invoked by registry.clear_plan_cache()) releases it — refresh
     # cycles must not accumulate orphaned block-manager storage.
-    deduped = deduped.persist()
-    _PERSISTED.append(deduped)
+    deduped = tracked_persist(deduped)
     pairs = simhash_near_pairs(
         deduped, id_col=id_col, text_col=text_col,
         num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming,

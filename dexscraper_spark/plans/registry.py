@@ -80,8 +80,11 @@ def clear_plan_cache() -> None:
     clear_bars_cache()
     clear_xtokens_cache()
     clear_tokens_cache()
-    from dexscraper_spark.plans.curation import clear_curation_cache
-    clear_curation_cache()
+    # every internal operator persist (simhash fingerprints, minhash
+    # candidates, OHLC fine bars, IVF assignments, curation dedup frame)
+    # routes through the shared tracker — one switch releases them all
+    from dexscraper_spark.persist import release_tracked
+    release_tracked()
 
 
 def register(name: str, oracle: str | None, survey_ref: str = "",

@@ -51,6 +51,35 @@ def test_gate_alarms_on_new_failure(tmp_path, capsys):
     assert "now errors" in capsys.readouterr().out
 
 
+def test_gate_persistent_failure_is_note_not_regression(tmp_path, capsys):
+    """A query already failing in OLD must not re-trip the gate every
+    round (and must not render 'was -1.000s')."""
+    old = _write(tmp_path, "old.json", {"q1": -1.0, "q2": 0.5})
+    new = _write(tmp_path, "new.json", {"q1": -1.0, "q2": 0.5})
+    assert bench_gate.main([new, old]) == 0
+    out = capsys.readouterr().out
+    assert "still failing: q1" in out and "-1.000" not in out
+
+
+def test_gate_notes_fixed_query(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {"q1": -1.0})
+    new = _write(tmp_path, "new.json", {"q1": 0.3})
+    assert bench_gate.main([new, old]) == 0
+    assert "fixed: q1" in capsys.readouterr().out
+
+
+def test_gate_space_separated_flag_values(tmp_path):
+    """Both documented flag forms parse: --ratio=3.0 and --ratio 3.0
+    (the latter used to leak '3.0' into the positional OLD slot)."""
+    old = _write(tmp_path, "old.json", {"q1": 1.0})
+    new = _write(tmp_path, "new.json", {"q1": 2.5})   # 2.5x, +1.5s
+    assert bench_gate.main([new, old]) == 1
+    assert bench_gate.main([new, old, "--ratio", "3.0"]) == 0
+    assert bench_gate.main([new, old, "--ratio=3.0"]) == 0
+    assert bench_gate.main([new, old, "--ratio", "3.0",
+                            "--floor", "0.1"]) == 0
+
+
 def test_gate_reads_driver_wrapped_format(tmp_path):
     inner = {"metric": "total_query_sec", "value": 1.0, "unit": "sec",
              "queries": {"q1": 1.0}, "sf": 0.1}

@@ -8,7 +8,9 @@ OLD defaults to the highest-numbered BENCH_r*.json in the repo root other
 than NEW (the prior round). Exit 1 if any query regressed by more than
 ``--ratio`` AND by more than ``--floor`` seconds absolute (sub-0.15 s
 deltas on a 32-thread local JVM are scheduling noise, not plans), or if a
-query that passed before now fails (-1).
+query that passed before now fails (-1). A query that was ALREADY failing
+in OLD is reported as a persistent failure, not a regression; one that
+was failing and now passes gets a "fixed" note.
 
 Accepts both the raw bench.py stdout line and the driver's wrapped
 BENCH_r{N}.json ({"parsed": {...}}). Cold-pass columns are reported but
@@ -18,6 +20,7 @@ tracked as data, not an alarm.
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -42,21 +45,25 @@ def default_old(new_path: str) -> str | None:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    ratio = 1.5
-    floor = 0.15
-    for a in argv:
-        if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a
-                          else argv[argv.index(a) + 1])
-        if a.startswith("--floor"):
-            floor = float(a.split("=", 1)[1] if "=" in a
-                          else argv[argv.index(a) + 1])
-    if not args:
-        print(__doc__)
-        return 2
-    new_path = args[0]
-    old_path = args[1] if len(args) > 1 else default_old(new_path)
+    ap = argparse.ArgumentParser(
+        prog="bench_gate.py",
+        description="Per-query bench regression gate.")
+    ap.add_argument("new", help="new bench JSON (bench.py stdout line or "
+                                "driver-wrapped BENCH_r{N}.json)")
+    ap.add_argument("old", nargs="?", default=None,
+                    help="prior bench JSON (default: highest BENCH_r*.json "
+                         "in the repo root other than NEW)")
+    ap.add_argument("--ratio", type=float, default=1.5,
+                    help="regression ratio threshold (default 1.5)")
+    ap.add_argument("--floor", type=float, default=0.15,
+                    help="absolute-seconds noise floor (default 0.15)")
+    try:
+        ns = ap.parse_args(argv)
+    except SystemExit as e:  # keep in-process callers (tests) exception-free
+        return e.code if isinstance(e.code, int) else 2
+    ratio, floor = ns.ratio, ns.floor
+    new_path = ns.new
+    old_path = ns.old if ns.old is not None else default_old(new_path)
     if old_path is None:
         print(f"bench_gate: no prior BENCH_r*.json next to {new_path}; "
               "nothing to compare — PASS (first round)")
@@ -72,8 +79,14 @@ def main(argv: list[str]) -> int:
             continue
         new_t = nq[name]
         if new_t < 0:
-            regressions.append(f"  FAIL {name}: now errors (was {old_t:.3f}s)")
-        elif old_t >= 0 and new_t > old_t * ratio and new_t - old_t > floor:
+            if old_t < 0:
+                notes.append(f"  still failing: {name} (failed in OLD too)")
+            else:
+                regressions.append(
+                    f"  FAIL {name}: now errors (was {old_t:.3f}s)")
+        elif old_t < 0:
+            notes.append(f"  fixed: {name} (was failing, now {new_t:.3f}s)")
+        elif new_t > old_t * ratio and new_t - old_t > floor:
             regressions.append(
                 f"  REGRESSED {name}: {old_t:.3f}s -> {new_t:.3f}s "
                 f"({new_t / old_t:.2f}x)")
