@@ -157,6 +157,53 @@ def main() -> None:
                 print(f"bench: cold {name} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
 
+    # Delta-curation economics — the nightly question: what does the NEXT
+    # 10% of the corpus cost? Build the fingerprint store on the first
+    # ~90% of documents (the day-0 artifact, untimed), then time (a) the
+    # incremental path — banding the 10% delta against the store — and
+    # (b) the full recompute it replaces. Same config/hash for both.
+    if "--no-cold" not in sys.argv:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dexscraper_spark.plans.curation import (
+                curate_corpus, curate_corpus_with_state, curate_delta,
+                read_curation_state, write_curation_state)
+            from dexscraper_spark.plans.registry import clear_plan_cache
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+            cut = lo + int((hi - lo) * 0.9)
+            old_docs = docs.filter(F.col("doc_id") <= cut)
+            new_docs = docs.filter(F.col("doc_id") > cut)
+            sdir = tempfile.mkdtemp(prefix="benchstate_")
+            try:
+                _, state = curate_corpus_with_state(old_docs)
+                write_curation_state(state, f"{sdir}/state")
+
+                clear_plan_cache()
+                t0 = time.time()
+                res = curate_delta(
+                    new_docs, read_curation_state(spark, f"{sdir}/state"))
+                res.curated_new.toPandas()
+                res.retracted.toPandas()
+                res.state_new.toPandas()
+                cold["curation_delta_10pct"] = round(time.time() - t0, 3)
+
+                clear_plan_cache()
+                t0 = time.time()
+                curate_corpus(docs).toPandas()
+                cold["curation_full_rebuild"] = round(time.time() - t0, 3)
+                clear_plan_cache()
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+        except Exception as e:
+            print(f"bench: delta-curation column failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     out = {
         "metric": "total_query_sec",
         "value": total,

@@ -243,27 +243,58 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    bits_per = 64 // num_bands
     fps = simhash(df, id_col=id_col, text_col=text_col,
                   shingle_n=shingle_n, hash_fn=hash_fn)
     if persist_fingerprints:
         fps = tracked_persist(fps)
-    banded = fps.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {num_bands - 1}), "
-            f"b -> (simhash >> (b * {bits_per})) & {(1 << bits_per) - 1})"
-        )).alias("band_id", "band_value"),
-    )
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("fp_a"), "band_id", "band_value")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("fp_b"), "band_id", "band_value")
+    return simhash_band_pairs(fps, id_col=id_col, num_bands=num_bands,
+                              max_hamming=max_hamming)
+
+
+def simhash_band_pairs(fps: DataFrame, *, id_col: str, num_bands: int = 4,
+                       max_hamming: int = 8,
+                       probe: DataFrame | None = None) -> DataFrame:
+    """Banded candidate join over a prebuilt ``(id, simhash)`` table —
+    the join stage of :func:`simhash_near_pairs`, exposed so callers can
+    band DELTA fingerprints against a stored corpus (incremental
+    curation) instead of always self-joining the full set.
+
+    With ``probe=None``: the full self-join (every pair within ``fps``).
+    With ``probe`` (a subset or disjoint ``(id, simhash)`` frame): only
+    pairs touching at least one probe row — the delta-vs-everything
+    scan, linear in \\|probe\\| × bucket density rather than \\|fps\\|².
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, Hamming-verified and
+    deduplicated; identical output to the self-join restricted to pairs
+    meeting the probe side.
+    """
+    bits_per = 64 // num_bands
+
+    def banded(f):
+        return f.select(
+            F.col(id_col), F.col("simhash"),
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {num_bands - 1}), "
+                f"b -> (simhash >> (b * {bits_per})) & {(1 << bits_per) - 1})"
+            )).alias("band_id", "band_value"),
+        )
+
+    a = banded(probe if probe is not None else fps).select(
+        F.col(id_col).alias("__ia"), F.col("simhash").alias("fp_a"),
+        "band_id", "band_value")
+    b = banded(fps).select(
+        F.col(id_col).alias("__ib"), F.col("simhash").alias("fp_b"),
+        "band_id", "band_value")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         a.join(b, ["band_id", "band_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("__ia") != F.col("__ib"))
+        # least/greatest normalization (not ia<ib): a probe row must pair
+        # with corpus ids on BOTH sides of it, and probe×probe pairs
+        # arrive in both orders — normalize, then dedup
+        .select(F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)  # verify BEFORE dedup:
         .distinct()                               # only near pairs shuffle
     )
@@ -340,10 +371,22 @@ def split_assignment(key, *, train_pct: int = 80, valid_pct: int = 10):
 
 
 def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
-                     id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                     id_b: str = "id_b", max_iter: int = 20,
+                     driver_max_pairs: int = 100_000) -> DataFrame:
     """Connected components over near-dup pairs → canonical-document
     assignment: every doc in a duplicate cluster gets the cluster's
     minimum id as its component label (the survivor the pipeline keeps).
+
+    Small-graph fast path: the pair set is ANSWER-sized (that is the
+    point of LSH banding), and the iterative loop costs ~0.3-0.5 s of
+    scheduler round-trips per round regardless of size — so when the
+    deduplicated edge list is at most ``driver_max_pairs`` pairs (a few
+    MB), it is collected and solved with union-find on the driver in
+    milliseconds, bit-identically (union-by-min ⇒ root = component
+    minimum, the same label the distributed fixpoint converges to).
+    Above the bound — a dup-heavy crawl at corpus scale — the
+    distributed pointer-jumping loop below runs unchanged; pass
+    ``driver_max_pairs=0`` to force it.
 
     Min-label propagation WITH pointer jumping: each round every node
     takes the minimum label among itself and its neighbors, then follows
@@ -379,6 +422,37 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
     # `.checkpoint()` — local checkpoint blocks don't survive executor
     # loss; the loop structure is identical.)
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    if driver_max_pairs and edges.count() <= 2 * driver_max_pairs:
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union by MIN: root = component minimum
+
+        node_type = pairs.schema[id_a].dataType
+        return pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent],
+            T.StructType([T.StructField("node", node_type),
+                          T.StructField("component", node_type)]))
 
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.functions import textstats as tx
 from dexscraper_spark.operators.dedup import (
-    dedup_components, simhash_near_pairs, split_assignment)
+    dedup_components, simhash, simhash_band_pairs, split_assignment)
 from dexscraper_spark.persist import release_tracked, tracked_persist
 
 
@@ -53,6 +53,37 @@ class CurationConfig:
     valid_pct: int = 10
 
 
+def _gate(docs: DataFrame, id_col: str, text_col: str,
+          cfg: CurationConfig) -> DataFrame:
+    """Stage 1 — metrics + quality/language/length gates, all scan-stage
+    expressions (deterministic per doc, so a doc gates identically in a
+    full run and in any later delta batch).
+
+    The metrics are computed inside an ``explode(array(struct(...)))``
+    — a one-element Generate. This is a deliberate optimizer barrier:
+    with a plain project, predicate pushdown SUBSTITUTES the metric
+    expressions into the gate predicates (``lang IN (...)`` becomes an
+    OR-chain with a full copy of the lang-ID CASE per literal), and the
+    HOF-heavy lang/quality expressions have no common-subexpression
+    elimination across those copies — measured 22x slower on long-text
+    corpora (35.5 s → 1.6 s for a 5k-doc batch). Predicates cannot be
+    substituted through a Generate, so each metric is evaluated exactly
+    once per row; the single-element explode itself stays inside
+    whole-stage codegen and never changes row counts."""
+    text = F.col(text_col)
+    metrics = F.explode(F.array(F.struct(
+        tx.lang_id(text).alias("lang"),
+        tx.quality_score(text).alias("quality"),
+        tx.token_count(text).alias("n_tokens")))).alias("__m")
+    return docs.select(F.col(id_col), text, metrics).select(
+        F.col(id_col), text, "__m.lang", "__m.quality", "__m.n_tokens",
+    ).filter(
+        (F.col("quality") >= cfg.min_quality)
+        & F.col("lang").isin(*cfg.languages)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+    )
+
+
 def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
                   config: CurationConfig = CurationConfig(),
@@ -68,20 +99,36 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     cross-engine-portable fingerprint the oracle-checked registry row
     uses.
     """
+    return curate_corpus_with_state(
+        docs, id_col=id_col, text_col=text_col, config=config,
+        simhash_hash_fn=simhash_hash_fn)[0]
+
+
+def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             config: CurationConfig = CurationConfig(),
+                             simhash_hash_fn=None
+                             ) -> tuple[DataFrame, DataFrame]:
+    """:func:`curate_corpus` plus the INCREMENTAL-CURATION STATE — the
+    per-shard fingerprint table a nightly pipeline stores so the next
+    day's delta batch can be curated without recomputing the corpus
+    (:func:`curate_delta`).
+
+    State schema, one row per gated + exact-deduped document (near-dup
+    LOSERS included — a future doc can join an old cluster only through
+    a loser's fingerprint):
+      (id_col, exact_h long, simhash long, component long)
+    ``exact_h`` is the xxhash64 content hash (future exact dups drop
+    against it), ``simhash`` the 64-bit near-dup fingerprint (future
+    batches band against it), ``component`` the doc's duplicate-cluster
+    label = its cluster's min id (the published survivor).
+    Both frames are lazy; computing only the corpus costs nothing extra.
+    """
     cfg = config
     text = F.col(text_col)
 
-    # 1) metrics + gates — all scan-stage expressions
-    scored = docs.select(
-        F.col(id_col), text,
-        tx.lang_id(text).alias("lang"),
-        tx.quality_score(text).alias("quality"),
-        tx.token_count(text).alias("n_tokens"),
-    ).filter(
-        (F.col("quality") >= cfg.min_quality)
-        & F.col("lang").isin(*cfg.languages)
-        & (F.col("n_tokens") >= cfg.min_tokens)
-    )
+    # 1) metrics + gates
+    scored = _gate(docs, id_col, text_col, cfg)
 
     # 2) exact dedup: identical text keeps the minimum id. Hash groupBy on
     # the content hash; min() is partial-aggregatable. (64-bit content
@@ -98,14 +145,16 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     # 3) near-dup clusters: SimHash banding (production xxhash64 hash) →
     # pairs → connected components → every cluster keeps min id.
     # Persist: the near-dup detector and the survivor anti-join both read
-    # it. The handle is tracked in _PERSISTED so clear_curation_cache()
+    # it. tracked_persist registers the handle so clear_curation_cache()
     # (invoked by registry.clear_plan_cache()) releases it — refresh
     # cycles must not accumulate orphaned block-manager storage.
     deduped = tracked_persist(deduped)
-    pairs = simhash_near_pairs(
+    fps = tracked_persist(simhash(
         deduped, id_col=id_col, text_col=text_col,
-        num_bands=cfg.simhash_bands, max_hamming=cfg.simhash_max_hamming,
-        hash_fn=simhash_hash_fn)
+        hash_fn=simhash_hash_fn))
+    pairs = simhash_band_pairs(
+        fps, id_col=id_col, num_bands=cfg.simhash_bands,
+        max_hamming=cfg.simhash_max_hamming)
     comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
     # "component" is the declared output column of dedup_components —
     # filtering on the pre-alias "label" only resolved through lineage
@@ -118,9 +167,193 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     survivors = deduped.join(losers, id_col, "left_anti")
 
     # 4) deterministic split on the surviving ids
-    return survivors.withColumn(
+    curated = survivors.withColumn(
         "split", split_assignment(F.col(id_col), train_pct=cfg.train_pct,
                                   valid_pct=cfg.valid_pct))
+
+    # 5) the incremental state: every deduped doc's hashes + cluster
+    # label (singleton docs label themselves)
+    state = (
+        deduped.select(F.col(id_col), F.xxhash64(text).alias("exact_h"))
+        .join(fps, id_col)
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return curated, state
+
+
+@dataclass
+class DeltaResult:
+    """Output of :func:`curate_delta` — what a nightly incremental run
+    publishes instead of a recurated corpus:
+
+    * ``curated_new`` — newly surviving documents, same schema as
+      :func:`curate_corpus` output (append these shards).
+    * ``retracted`` — ids of PREVIOUSLY PUBLISHED survivors that must be
+      removed: a delta doc can bridge two old duplicate clusters, and
+      the merged cluster keeps only its global min id (delete these).
+    * ``state_new`` — state rows for the delta batch (same schema as the
+      stored state, with components resolved against it).
+    * ``relabeled`` — (old_label, new_label) pairs for merged clusters.
+
+    State maintenance for the NEXT delta is ``apply_state_updates(state,
+    result)``: append ``state_new`` AND rewrite merged labels. The
+    rewrite is not optional — a stale label L (already merged under
+    C < L) would make a later bridge to a third cluster D with
+    C < D < L resolve min(D, L) = D, silently missing that the merged
+    cluster's true survivor is C and D must be retracted.
+    """
+    curated_new: DataFrame
+    retracted: DataFrame
+    state_new: DataFrame
+    relabeled: DataFrame
+
+
+def curate_delta(new_docs: DataFrame, state: DataFrame, *,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 config: CurationConfig = CurationConfig(),
+                 simhash_hash_fn=None) -> DeltaResult:
+    """Incrementally curate a batch of NEW documents against a stored
+    corpus — the operation a nightly 100 TB pipeline actually runs: cost
+    scales with the delta (plus one scan of the 32-byte/doc fingerprint
+    store), never with the corpus text.
+
+    Exactness contract (pytest-pinned): provided every id in
+    ``new_docs`` is GREATER than every id in ``state`` (append-only
+    ingest — monotone ids) and the config/hash match the full run's,
+
+        curate_corpus(old ∪ new) ≡ (curate_corpus(old) − retracted)
+                                    ∪ curated_new
+
+    row-for-row, including split assignment. Why it decomposes:
+    * gates are per-doc deterministic → old docs gate identically;
+    * exact dedup keeps min id → an old keeper can never lose to a
+      (larger-id) new doc, so old keepers are stable and a new doc drops
+      iff its hash is in the store or loses within the batch;
+    * old-old near-dup pairs are a deterministic function of stored
+      fingerprints → already folded into the stored ``component``
+      labels; only pairs touching a delta doc are NEW, and contracting
+      old endpoints to their cluster labels preserves connectivity
+      (quotient graph), so components over the contracted delta-scale
+      graph reproduce the full graph's merged clusters;
+    * a merged cluster's survivor is its min old label → the only
+      corpus changes are new all-new-cluster survivors (appends) and
+      old labels losing to smaller old labels (retractions).
+
+    Scale shape: one scan + groupBy over the delta for gates/hashes, one
+    banded join of delta fingerprints against store ∪ delta (equi-join
+    on 16-bit bands — linear, no cross product), then connected
+    components over the CONTRACTED pair graph, which is delta-sized.
+    """
+    cfg = config
+    text = F.col(text_col)
+
+    # gates + within-batch exact dedup, then drop texts the store has
+    scored = _gate(new_docs, id_col, text_col, cfg)
+    hashed = scored.withColumn("__h", F.xxhash64(text))
+    batch_keep = (hashed.groupBy("__h")
+                  .agg(F.min(F.col(id_col)).alias(id_col))
+                  .select(id_col))
+    fresh = (hashed.join(batch_keep, id_col, "left_semi")
+             .join(state.select(F.col("exact_h").alias("__h")),
+                   "__h", "left_anti")
+             .drop("__h"))
+    fresh = tracked_persist(fresh)
+
+    # delta fingerprints, banded against (store ∪ delta)
+    fps_new = tracked_persist(simhash(
+        fresh, id_col=id_col, text_col=text_col, hash_fn=simhash_hash_fn))
+    all_fps = (state.select(F.col(id_col), F.col("simhash"))
+               .unionByName(fps_new))
+    pairs = simhash_band_pairs(
+        all_fps, id_col=id_col, num_bands=cfg.simhash_bands,
+        max_hamming=cfg.simhash_max_hamming, probe=fps_new)
+
+    # contract old endpoints to their stored cluster labels: connectivity
+    # through a dropped old doc (a near-dup LOSER) must reach its cluster
+    # — that is exactly why losers stay in the fingerprint store
+    labels = state.select(F.col(id_col).alias("__n"),
+                          F.col("component").alias("__c"))
+    contracted = (
+        pairs
+        .join(labels.withColumnRenamed("__n", "id_a")
+                    .withColumnRenamed("__c", "__ca"), "id_a", "left")
+        .join(labels.withColumnRenamed("__n", "id_b")
+                    .withColumnRenamed("__c", "__cb"), "id_b", "left")
+        .select(F.coalesce(F.col("__ca"), F.col("id_a")).alias("ea"),
+                F.coalesce(F.col("__cb"), F.col("id_b")).alias("eb"))
+        .filter(F.col("ea") != F.col("eb"))
+        .select(F.least("ea", "eb").alias("id_a"),
+                F.greatest("ea", "eb").alias("id_b"))
+        .distinct()
+    )
+    # nodes are {new ids} ∪ {old cluster labels}; component = global min
+    comps = dedup_components(contracted, id_a="id_a", id_b="id_b")
+
+    # new survivors: delta docs in an all-new cluster they win, or in no
+    # cluster at all
+    node_comp = comps.withColumnRenamed("node", id_col)
+    survivors_new = (
+        fresh.join(node_comp, id_col, "left")
+        .filter(F.col("component").isNull()
+                | (F.col("component") == F.col(id_col)))
+        .drop("component")
+    )
+    curated_new = survivors_new.withColumn(
+        "split", split_assignment(F.col(id_col), train_pct=cfg.train_pct,
+                                  valid_pct=cfg.valid_pct))
+
+    # retractions + relabels: old labels merged under a smaller old label
+    old_labels = state.select(F.col("component").alias("node")).distinct()
+    relabeled = (comps.join(old_labels, "node", "left_semi")
+                 .filter(F.col("component") != F.col("node"))
+                 .select(F.col("node").alias("old_label"),
+                         F.col("component").alias("new_label")))
+    retracted = relabeled.select(F.col("old_label").alias(id_col))
+
+    # state rows for the delta: resolved component (merged label if the
+    # doc joined/bridged clusters, else itself)
+    state_new = (
+        fresh.select(F.col(id_col), F.xxhash64(text).alias("exact_h"))
+        .join(fps_new, id_col)
+        .join(node_comp, id_col, "left")
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return DeltaResult(curated_new=curated_new, retracted=retracted,
+                       state_new=state_new, relabeled=relabeled)
+
+
+def apply_state_updates(state: DataFrame, delta: DeltaResult, *,
+                        id_col: str = "doc_id") -> DataFrame:
+    """The fingerprint-store update a nightly run persists after
+    :func:`curate_delta`: old rows with merged labels rewritten to the
+    new label, delta rows appended. Returns the next run's ``state``."""
+    lbl = delta.relabeled.withColumnRenamed("old_label", "component")
+    updated = (
+        state.join(lbl, "component", "left")
+        .withColumn("component",
+                    F.coalesce(F.col("new_label"), F.col("component")))
+        .drop("new_label")
+        # restore canonical column order (the join moved the key first)
+        .select(F.col(id_col), "exact_h", "simhash", "component")
+    )
+    return updated.unionByName(
+        delta.state_new.select(F.col(id_col), "exact_h", "simhash",
+                               "component"))
+
+
+def write_curation_state(state: DataFrame, path: str) -> None:
+    """Materialize the fingerprint store (32 bytes/doc + id): the
+    artifact :func:`curate_delta` reads tomorrow. Plain parquet — the
+    banded join re-derives its bands per run, so no band partitioning is
+    baked into the layout (band count is a config, not a schema)."""
+    state.write.mode("overwrite").parquet(path)
+
+
+def read_curation_state(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def write_curated(curated: DataFrame, path: str, *,

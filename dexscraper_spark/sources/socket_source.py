@@ -70,48 +70,91 @@ END_SEQ = (1 << 64) - 1
 SHARD_STRIDE = 1 << 40
 
 
+def _tcp_stream(host: str, port: int, start_seq: int, want: int):
+    """One TCP subscription: yields (seq, payload); RETURNS on a clean
+    END marker or after ``want`` frames; raises OSError/ConnectionError
+    on a drop. The outer retry loop owns reconnection."""
+    with socket.create_connection((host, port), timeout=10.0) as sk:
+        sk.sendall(json.dumps(
+            {"start_seq": start_seq, "max_frames": want},
+        ).encode("utf-8") + b"\n")
+        fh = sk.makefile("rb")
+        got = 0
+        while got < want:
+            hdr = fh.read(HDR.size)
+            if len(hdr) < HDR.size:
+                raise ConnectionError("dropped before END marker")
+            seq, ln = HDR.unpack(hdr)
+            if seq == END_SEQ:
+                return
+            payload = fh.read(ln)
+            if len(payload) < ln:
+                raise ConnectionError("truncated frame payload")
+            yield seq, payload
+            got += 1
+
+
+def _ws_stream(host: str, port: int, start_seq: int, want: int):
+    """The RFC 6455 twin of :func:`_tcp_stream`: HTTP upgrade handshake,
+    masked client frames, ping answered with pong inline, data messages
+    ``8-byte seq ‖ payload``. A close frame or EOF before the END marker
+    is a drop (reference transport: scraper.py:177-246)."""
+    from dexscraper_spark.sources import websocket as ws
+    with socket.create_connection((host, port), timeout=10.0) as sk:
+        fh = ws.client_handshake(sk, host)
+        ws.send_frame(sk, json.dumps(
+            {"start_seq": start_seq, "max_frames": want},
+        ).encode("utf-8"), opcode=ws.OP_TEXT, mask=True)
+        got = 0
+        while got < want:
+            opcode, msg = ws.recv_message(fh, sk, mask_replies=True)
+            if opcode == ws.OP_CLOSE:
+                raise ConnectionError("ws closed before END marker")
+            if len(msg) < 8:
+                raise ConnectionError("ws: short data message")
+            seq = int.from_bytes(msg[:8], "big")
+            if seq == END_SEQ:
+                return
+            yield seq, msg[8:]
+            got += 1
+
+
+_STREAMS = {"tcp": _tcp_stream, "ws": _ws_stream}
+
+
 def fetch_frames(host: str, port: int, start_seq: int, max_frames: int, *,
                  connect_retries: int = 8, backoff_base: float = 0.05,
-                 backoff_cap: float = 1.0) -> list[tuple[int, bytes]]:
+                 backoff_cap: float = 1.0,
+                 transport: str = "tcp") -> list[tuple[int, bytes]]:
     """Subscribe from ``start_seq``; collect up to ``max_frames``
     (seq, payload) pairs. On a dropped connection, reconnect with capped
     exponential backoff and REsubscribe from the next unconsumed seq —
     consumed frames are never re-requested, so a flaky link can cause
     neither duplicates nor gaps. The scraper.py:177-246 retry envelope:
     exponential doubling from base, capped, counter reset after any
-    successful frame (a healthy reconnect is not a strike)."""
+    successful frame (a healthy reconnect is not a strike).
+
+    ``transport`` selects the wire layer under the identical resume
+    semantics: "tcp" (length-prefixed frames) or "ws" (RFC 6455)."""
     if max_frames <= 0:
         return []
+    stream = _STREAMS[transport]
     frames: list[tuple[int, bytes]] = []
     next_seq = start_seq
     attempt = 0
     while len(frames) < max_frames:
         got_this_attempt = 0
         try:
-            with socket.create_connection((host, port), timeout=10.0) as sk:
-                sk.sendall(json.dumps(
-                    {"start_seq": next_seq,
-                     "max_frames": max_frames - len(frames)},
-                ).encode("utf-8") + b"\n")
-                fh = sk.makefile("rb")
-                while len(frames) < max_frames:
-                    hdr = fh.read(HDR.size)
-                    if len(hdr) < HDR.size:
-                        raise ConnectionError("dropped before END marker")
-                    seq, ln = HDR.unpack(hdr)
-                    if seq == END_SEQ:
-                        return frames  # clean completion (maybe short)
-                    payload = fh.read(ln)
-                    if len(payload) < ln:
-                        raise ConnectionError("truncated frame payload")
-                    if seq != next_seq:
-                        raise ConnectionError(
-                            f"sequence gap: expected {next_seq}, got {seq}")
-                    frames.append((seq, payload))
-                    next_seq += 1
-                    got_this_attempt += 1
-                    attempt = 0  # healthy frames reset the retry budget
-            return frames
+            for seq, payload in stream(host, port, next_seq,
+                                       max_frames - len(frames)):
+                if seq != next_seq:
+                    raise ConnectionError(
+                        f"sequence gap: expected {next_seq}, got {seq}")
+                frames.append((seq, payload))
+                next_seq += 1
+                got_this_attempt += 1
+                attempt = 0  # healthy frames reset the retry budget
+            return frames  # clean completion (maybe short: live tail)
         except OSError as e:
             if got_this_attempt == 0:
                 attempt += 1
@@ -126,8 +169,8 @@ def fetch_frames(host: str, port: int, start_seq: int, max_frames: int, *,
 
 
 def query_latest_seq(host: str, port: int, *, connect_retries: int = 8,
-                     backoff_base: float = 0.05,
-                     backoff_cap: float = 1.0) -> int:
+                     backoff_base: float = 0.05, backoff_cap: float = 1.0,
+                     transport: str = "tcp") -> int:
     """Control-plane query: the server's current history length (the seq
     one past the newest frame). O(bytes)=one JSON line — this is ALL the
     driver pulls per shard per micro-batch in the partitioned reader."""
@@ -135,6 +178,15 @@ def query_latest_seq(host: str, port: int, *, connect_retries: int = 8,
     while True:
         try:
             with socket.create_connection((host, port), timeout=10.0) as sk:
+                if transport == "ws":
+                    from dexscraper_spark.sources import websocket as ws
+                    fh = ws.client_handshake(sk, host)
+                    ws.send_frame(sk, b'{"latest": true}',
+                                  opcode=ws.OP_TEXT, mask=True)
+                    opcode, msg = ws.recv_message(fh, sk, mask_replies=True)
+                    if opcode == ws.OP_CLOSE:
+                        raise ConnectionError("ws closed on latest query")
+                    return int(json.loads(msg.decode("utf-8"))["latest_seq"])
                 sk.sendall(b'{"latest": true}\n')
                 line = sk.makefile("rb").readline()
                 if not line:
@@ -169,6 +221,10 @@ class SocketFrameStreamReader(FrameSimpleStreamReader):
         self.connect_retries = int(options.get("connect_retries", 8) or 8)
         self.backoff_base = float(options.get("backoff_base_s", 0.05) or 0.05)
         self.backoff_cap = float(options.get("backoff_cap_s", 1.0) or 1.0)
+        self.transport = options.get("transport", "tcp")
+        if self.transport not in _STREAMS:
+            raise ValueError(f"unknown transport {self.transport!r}; "
+                             f"expected one of {sorted(_STREAMS)}")
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -201,7 +257,8 @@ class SocketFrameStreamReader(FrameSimpleStreamReader):
         return fetch_frames(self.host, self.port, start_seq, max_frames,
                             connect_retries=self.connect_retries,
                             backoff_base=self.backoff_base,
-                            backoff_cap=self.backoff_cap)
+                            backoff_cap=self.backoff_cap,
+                            transport=self.transport)
 
     def _decode(self, frames):
         out_cols = [f.name for f in DECODED_SCHEMA.fields]
@@ -272,6 +329,10 @@ class PartitionedSocketStreamReader(DataSourceStreamReader):
         self.connect_retries = int(options.get("connect_retries", 8) or 8)
         self.backoff_base = float(options.get("backoff_base_s", 0.05) or 0.05)
         self.backoff_cap = float(options.get("backoff_cap_s", 1.0) or 1.0)
+        self.transport = options.get("transport", "tcp")
+        if self.transport not in _STREAMS:
+            raise ValueError(f"unknown transport {self.transport!r}; "
+                             f"expected one of {sorted(_STREAMS)}")
         self._filter = SubscriptionFilter(options)
         # driver-side rate-limit memory: the offset latestOffset() last
         # returned. None right after (re)start — the first poll returns
@@ -288,7 +349,8 @@ class PartitionedSocketStreamReader(DataSourceStreamReader):
         for i, (host, port) in enumerate(self.endpoints):
             latest = query_latest_seq(
                 host, port, connect_retries=self.connect_retries,
-                backoff_base=self.backoff_base, backoff_cap=self.backoff_cap)
+                backoff_base=self.backoff_base, backoff_cap=self.backoff_cap,
+                transport=self.transport)
             if self.max_frames:
                 latest = min(latest, self.max_frames)
             if self._last is not None:
@@ -315,7 +377,8 @@ class PartitionedSocketStreamReader(DataSourceStreamReader):
         frames = fetch_frames(
             partition.host, partition.port, partition.start_seq, want,
             connect_retries=self.connect_retries,
-            backoff_base=self.backoff_base, backoff_cap=self.backoff_cap)
+            backoff_base=self.backoff_base, backoff_cap=self.backoff_cap,
+            transport=self.transport)
         if len(frames) != want:
             raise ConnectionError(
                 f"shard {partition.shard}: planned range "

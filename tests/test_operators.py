@@ -372,6 +372,10 @@ def test_dedup_components_matches_union_find_on_simhash_pairs(spark):
     got = {r.node: r.component
            for r in dedup_components(pairs).collect()}
     assert got == expected
+    # the driver fast path and the distributed fixpoint agree bit-for-bit
+    dist = {r.node: r.component
+            for r in dedup_components(pairs, driver_max_pairs=0).collect()}
+    assert dist == expected
 
 
 def test_batch_ops_perf_gate(spark):
@@ -484,7 +488,9 @@ def test_dedup_components_long_chain_pointer_jumping(spark):
     from dexscraper_spark.operators.dedup import dedup_components
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(255)], ["id_a", "id_b"])
-    comp = dedup_components(pairs, max_iter=20)
+    # driver_max_pairs=0 forces the DISTRIBUTED loop — this test exists
+    # to cover the pointer jump, not the small-graph fast path
+    comp = dedup_components(pairs, max_iter=20, driver_max_pairs=0)
     assert comp.filter(F.col("component") != 0).count() == 0
     assert comp.count() == 256
 
