@@ -190,11 +190,20 @@ class FrameDataSource(DataSource):
         return FrameSimpleStreamReader(self.options)
 
 
+_REGISTERED_APPS: set[str] = set()
+
+
 def register_frame_source(spark) -> None:
     """Idempotent registration of the ``dexframes`` format (and the conf
-    gate Python-source pushdown sits behind)."""
+    gate Python-source pushdown sits behind). Memoized per application:
+    re-registration is harmless but costs two py4j round trips per call,
+    which a registry row invoked per-query should not pay twice."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _REGISTERED_APPS:
+        return
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FrameDataSource)
+    _REGISTERED_APPS.add(app_id)
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,52 @@ def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
 
 
+def _byte_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-string conf ('134217728', '134217728b',
+    '128m', '1g', ...) without touching JVM internals."""
+    import re
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if not m:
+        return default
+    return int(m.group(1)) * {"": 1, "k": 1 << 10, "m": 1 << 20,
+                              "g": 1 << 30, "t": 1 << 40}[m.group(2)]
+
+
+def _estimate_scan_partitions(spark: SparkSession, files: list[str],
+                              par: int) -> int | None:
+    """Spark's FilePartition sizing, re-derived: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalPadded/cores)),
+    partitions ≈ ceil(totalPadded / maxSplitBytes). Returns None when
+    file sizes can't be stat'ed locally (remote FS) — caller falls back
+    to the file-count proxy."""
+    import math
+    import os
+
+    try:
+        sizes = []
+        for uri in files:
+            path = uri
+            if path.startswith("file:"):
+                path = path[5:]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in path:
+                return None
+            sizes.append(os.path.getsize(path))
+    except OSError:
+        return None
+    if not sizes:
+        return None
+    open_cost = _byte_conf(spark, "spark.sql.files.openCostInBytes",
+                           4 << 20)
+    max_pb = _byte_conf(spark, "spark.sql.files.maxPartitionBytes",
+                        128 << 20)
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_pb, max(open_cost, total / max(par, 1)))
+    return max(1, math.ceil(total / max_split))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from dexscraper_spark.plans.registry import evict_other_apps
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -54,14 +100,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # shuffle of the raw bytes (trivial next to the per-row CPU) and
             # restores linear scan scaling. At real corpus scale the file
             # count makes this a no-op (guard below).
-            # File count proxies the scan's parallelism without
-            # constructing RDD lineage: a corpus-scale table has ≥ cores
-            # files and skips the shuffle; the toy-scale few-file layout
-            # triggers it. (Large single files CAN split into more tasks
-            # than files — the proxy then widens a scan that was already
-            # wide enough, one extra shuffle of trivially small bytes.)
+            # Estimate the scan's actual split count the way Spark's
+            # FilePartition packer does (file sizes padded by
+            # openCostInBytes over maxSplitBytes) — a raw file-count
+            # check misses the many-tiny-files layout, where >= cores
+            # files still pack into < cores partitions. Falls back to
+            # the file-count proxy when sizes aren't locally statable
+            # (remote FS URIs).
             par = spark.sparkContext.defaultParallelism
-            if len(df.inputFiles()) < par:
+            files = df.inputFiles()
+            est = _estimate_scan_partitions(spark, files, par)
+            narrow = est < par if est is not None else len(files) < par
+            if narrow:
                 df = df.repartition(par)
     _TABLE_CACHE[key] = df
     return df

@@ -135,3 +135,52 @@ def test_documents_scan_widened_to_parallelism(spark):
     stages onto 2 cores — measured 4-7x on every text/dedup query)."""
     df = load_table(spark, SF_DIR, "documents")
     assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_byte_conf_parses_spark_byte_strings(spark):
+    from dexscraper_spark.sources.tables import _byte_conf
+    spark.conf.set("x.test.bytes", "128m")
+    assert _byte_conf(spark, "x.test.bytes", 0) == 128 << 20
+    spark.conf.set("x.test.bytes", "134217728b")
+    assert _byte_conf(spark, "x.test.bytes", 0) == 134217728
+    spark.conf.set("x.test.bytes", "1g")
+    assert _byte_conf(spark, "x.test.bytes", 0) == 1 << 30
+    spark.conf.set("x.test.bytes", "weird")
+    assert _byte_conf(spark, "x.test.bytes", 7) == 7
+    spark.conf.unset("x.test.bytes")
+
+
+def test_scan_partition_estimate(spark, tmp_path):
+    """The split estimate must mirror Spark's FilePartition sizing:
+    few small files -> narrow scan (widen); many tiny files pack to
+    ~parallelism partitions (bytesPerCore targeting - NOT narrow, the
+    case the raw file-count proxy got right by accident); ONE huge file
+    splits to >= parallelism (the case the proxy got wrong: it would
+    have paid a pointless widening shuffle); remote URIs -> None."""
+    from dexscraper_spark.sources.tables import _estimate_scan_partitions
+    par = spark.sparkContext.defaultParallelism
+
+    few = []
+    for i in range(2):
+        p = tmp_path / f"small{i}.bin"
+        p.write_bytes(b"x" * 1024)
+        few.append(f"file://{p}")
+    est_few = _estimate_scan_partitions(spark, few, par)
+    assert est_few is not None and est_few < par
+
+    many = []
+    for i in range(par * 4):
+        p = tmp_path / f"tiny{i}.bin"
+        p.write_bytes(b"x" * 64)
+        many.append(f"file://{p}")
+    est_many = _estimate_scan_partitions(spark, many, par)
+    assert est_many is not None and est_many >= par
+
+    big = tmp_path / "big.bin"
+    with open(big, "wb") as fh:
+        fh.truncate(2 << 30)  # 2 GiB sparse
+    est_big = _estimate_scan_partitions(spark, [f"file://{big}"], par)
+    assert est_big is not None and est_big >= par
+
+    assert _estimate_scan_partitions(
+        spark, ["hdfs://nn/x.parquet"], par) is None
