@@ -5,11 +5,13 @@ no external libraries.
   rows, 4-byte row padding).
 * PNG: 8-bit greyscale/RGB/RGBA, non-interlaced — full zlib inflate
   (stdlib) + all five scanline filters (None/Sub/Up/Average/Paeth).
+* JPEG: baseline sequential DCT (operators/jpeg.py — from-spec Huffman
+  decode, dequantize, IDCT, subsampling, restart markers, JFIF
+  YCbCr→RGB). Progressive/arithmetic streams still raise.
 
 Decoded output is canonical row-major top-down pixel bytes, so
 ``decode_image`` gives the multimodal operators a real-codec path next to
-the deterministic FAKE container; only formats that genuinely need
-external codecs (JPEG etc.) remain behind ``NotImplementedError``.
+the deterministic FAKE container.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:8] == PNG_SIGNATURE:
         return "png"
+    if data[:2] == b"\xFF\xD8":
+        return "jpeg"
     return None
 
 
@@ -38,8 +42,9 @@ def probe_image(data: bytes) -> dict | None:
     Python inflate+unfilter just to learn width×height.
 
     Returns {format, width, height, channels} or None if the payload is
-    not a recognizable BMP/PNG header. Never raises on truncated input.
-    """
+    not a recognizable BMP/PNG/JPEG header. Never raises on truncated
+    input. (JPEG: a marker walk to SOFn — header-scale, still no pixel
+    decode.)"""
     try:
         if data[:2] == b"BM" and len(data) >= 30:
             width = struct.unpack_from("<i", data, 18)[0]
@@ -57,6 +62,25 @@ def probe_image(data: bytes) -> dict | None:
                 return None
             return {"format": "png", "width": width, "height": height,
                     "channels": ch}
+        if data[:2] == b"\xFF\xD8":
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seglen = struct.unpack_from(">H", data, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    h, w = struct.unpack_from(">HH", data, pos + 5)
+                    nc = data[pos + 9]
+                    if w <= 0 or nc not in (1, 3):
+                        return None
+                    return {"format": "jpeg", "width": w, "height": h,
+                            "channels": nc}
+                pos += 2 + seglen
     except (struct.error, IndexError):
         return None
     return None
@@ -243,13 +267,17 @@ def encode_png(width: int, height: int, pixels: bytes, *, channels: int = 3,
 
 
 def decode_image(data: bytes) -> dict:
-    """Dispatch: real BMP/PNG decode; anything else raises (JPEG and
-    friends genuinely need external codecs)."""
+    """Dispatch: real BMP/PNG/baseline-JPEG decode; anything else
+    raises (progressive JPEG, WebP etc. genuinely need external
+    codecs)."""
     fmt = sniff_format(data)
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from dexscraper_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "STUB: only BMP/PNG have pure-Python decoders; JPEG etc. need a "
-        "real codec library")
+        "STUB: only BMP/PNG/baseline-JPEG have pure-Python decoders; "
+        "other formats need a real codec library")

@@ -104,15 +104,16 @@ def _probe_real_image(payload: bytes) -> dict | None:
 
 
 def _decode_real_image(payload: bytes) -> dict | None:
-    """Real-codec path: pure-Python BMP/PNG decode (operators/codecs.py —
-    full zlib inflate + scanline unfiltering, no PIL). Returns the same
-    dict shape as ``_parse_header`` with decoded pixels as the body, or
-    None if the payload is neither format or is a recognized-but-
-    unsupported variant (palette/16-bit PNG, RLE BMP, truncated file) —
-    one bad row must not abort a million-row mapInPandas task. JPEG and
-    other formats that genuinely need external codec libraries raise
-    NotImplementedError inside ``codecs.decode_image`` when called
-    DIRECTLY; through this bulk path they also yield None-meta rows."""
+    """Real-codec path: pure-Python BMP/PNG/baseline-JPEG decode
+    (operators/codecs.py, operators/jpeg.py — zlib inflate + scanline
+    unfiltering, from-spec Huffman+IDCT; no PIL). Returns the same dict
+    shape as ``_parse_header`` with decoded pixels as the body, or None
+    if the payload is not a decodable file (palette/16-bit PNG, RLE
+    BMP, progressive JPEG, truncated stream) — one bad row must not
+    abort a million-row mapInPandas task. Formats still needing external
+    codec libraries raise NotImplementedError inside
+    ``codecs.decode_image`` when called DIRECTLY; through this bulk
+    path they also yield None-meta rows."""
     from dexscraper_spark.operators.codecs import decode_image, sniff_format
     if sniff_format(payload) is None:
         return None

@@ -76,11 +76,17 @@ def test_png_decode_multi_idat_and_ihdr_fields():
     assert decode_png(out)["pixels"] == px
 
 
-def test_decode_image_dispatch_and_jpeg_stub():
+def test_decode_image_dispatch_and_remaining_stub():
     assert sniff_format(encode_bmp(2, 2, _gradient(2, 2))) == "bmp"
     assert sniff_format(PNG_SIGNATURE + b"x") == "png"
-    with pytest.raises(NotImplementedError):
+    # JPEG now dispatches to the real baseline decoder (r7): a stream
+    # that LOOKS like jpeg but is malformed fails loudly, not as a stub
+    assert sniff_format(b"\xff\xd8\xff\xe0fakejpeg") == "jpeg"
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # formats still needing external codecs remain honestly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBPdata")
 
 
 def test_multimodal_meta_decodes_real_files(spark):

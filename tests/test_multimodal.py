@@ -68,9 +68,10 @@ def test_features_feed_similarity(spark):
     assert len(got) == 3 and all(r["query_id"] == 0 for r in got)
 
 
-def test_real_codec_path_decodes_bmp_and_stubs_jpeg():
-    """BMP/PNG now decode for real (pure-Python, tests/test_codecs.py);
-    only formats needing external codec libs stay stubbed."""
+def test_real_codec_path_decodes_bmp_png_jpeg():
+    """BMP/PNG/baseline-JPEG decode for real (pure-Python,
+    tests/test_codecs.py + test_jpeg.py); only formats needing external
+    codec libs stay stubbed."""
     from dexscraper_spark.operators.codecs import encode_bmp
     px = bytes(range(2 * 2 * 3))
     img = _decode_real_image(encode_bmp(2, 2, px))
@@ -78,9 +79,12 @@ def test_real_codec_path_decodes_bmp_and_stubs_jpeg():
     # non-image bytes (the FAKE container) are not the real-codec path
     assert _decode_real_image(encode_fake_media(
         "image", width=2, height=2, channels=1, body=b"abcd")) is None
+    from dexscraper_spark.operators.jpeg import encode_jpeg
+    jimg = _decode_real_image(encode_jpeg(bytes([128] * 64), 8, 8, 1))
+    assert jimg is not None and jimg["format"] == "jpeg"
     with pytest.raises(NotImplementedError, match="STUB"):
         from dexscraper_spark.operators.codecs import decode_image
-        decode_image(b"\xff\xd8\xff\xe0jpegbytes")
+        decode_image(b"RIFFxxxxWEBPdata")
 
 
 def test_malformed_payload_yields_null_meta(spark):
