@@ -200,12 +200,28 @@ class _BitReader:
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def restart(self):
-        """Consume a pending RST marker and byte-align (spec F.2.1.3.1)."""
+        """Consume a pending RST marker and byte-align (spec F.2.1.3.1).
+        Any bits still buffered here are the encoder's byte-alignment
+        padding — discard them; if the eager _fill has not reached the
+        marker yet (the pad byte was only partially consumed), scan
+        forward to it before resyncing."""
+        self.acc = 0
+        self.nbits = 0
+        while self.marker is None and self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF and self.pos + 1 < len(self.data):
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    self.marker = nxt
+                    if 0xD0 <= nxt <= 0xD7:
+                        self.pos += 2
+                    break
+                self.pos += 2  # stuffed 0xFF00 inside the pad
+                continue
+            self.pos += 1
         if not (self.marker is not None and 0xD0 <= self.marker <= 0xD7):
             raise ValueError("jpeg: expected restart marker")
         self.marker = None
-        self.acc = 0
-        self.nbits = 0
 
     def decode_symbol(self, table) -> int:
         code = 0

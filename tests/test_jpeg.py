@@ -136,3 +136,21 @@ def test_codecs_dispatch_and_probe():
     assert probe_image(b"\xFF\xD8\xFF") is None  # truncated: no SOF
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFFxxxxWEBP")  # still-unsupported format
+
+
+def test_restart_alignment_fuzz():
+    """Bit-alignment fuzz across dims x restart intervals x subsampling:
+    the original restart() required the eager bit-fill to have already
+    reached the RST marker — a partially-consumed pad byte made resync
+    raise. The scan-forward fix must hold everywhere."""
+    rng_master = np.random.default_rng(99)
+    for _ in range(8):
+        h = int(rng_master.integers(8, 40))
+        w = int(rng_master.integers(8, 40))
+        img = rng_master.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ri in (1, 3):
+            for sub in ("444", "420"):
+                enc = encode_jpeg(img.tobytes(), w, h, 3, quality=85,
+                                  restart_interval=ri, subsampling=sub)
+                d = decode_jpeg(enc)
+                assert (d["width"], d["height"]) == (w, h)
