@@ -188,16 +188,20 @@ class _BitReader:
     def read_bit(self) -> int:
         self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # drop consumed high bits: an unmasked accumulator grows into an
+        # ever-larger bigint and makes decode quadratic in stream length
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
         self._fill()
-        if n > self.nbits:
-            self._fill()
         self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
 
     def restart(self):
         """Consume a pending RST marker and byte-align (spec F.2.1.3.1).
@@ -421,6 +425,7 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1  # same bigint-growth guard
 
     def flush(self):
         if self.nbits:

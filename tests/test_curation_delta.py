@@ -196,3 +196,16 @@ def test_state_roundtrip_through_parquet(spark, tmp_path):
     write_curation_state(state, p)
     back = read_curation_state(spark, p)
     _assert_frames_equal(state, back, STATE_COLS)
+
+
+def test_delta_against_empty_state_equals_full_curation(spark):
+    """Day-0 degenerate case: a delta against an empty store must be
+    exactly curate_corpus of the batch (and retract nothing)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 60)
+    empty_state = spark.createDataFrame(
+        [], "doc_id long, exact_h long, simhash long, component long")
+    res = curate_delta(docs, empty_state, config=CFG)
+    full = curate_corpus(docs, config=CFG)
+    _assert_frames_equal(full, res.curated_new, CURATED_COLS)
+    assert res.retracted.count() == 0 and res.relabeled.count() == 0
