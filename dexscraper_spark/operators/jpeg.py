@@ -302,6 +302,10 @@ def decode_jpeg(data: bytes) -> dict:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {ncomp}-component frames (CMYK etc.) are not "
+                    "supported — only greyscale and YCbCr")
             comps = []
             for i in range(ncomp):
                 cid = seg[6 + 3 * i]
@@ -384,7 +388,10 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
                             coef[k] = _extend(reader.read_bits(ssss), ssss)
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = (coef * q)[np.arange(64)]
+                        # coef is in zigzag order, q in natural order:
+                        # coefficient at zigzag index k dequantizes by
+                        # q[ZIGZAG[k]] — its own natural position's step
+                        block[ZIGZAG] = coef * q[ZIGZAG]
                         px = _idct2(block.reshape(8, 8)) + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8

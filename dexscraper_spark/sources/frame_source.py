@@ -28,6 +28,7 @@ Python↔JVM transfer beyond the scan itself.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -190,20 +191,23 @@ class FrameDataSource(DataSource):
         return FrameSimpleStreamReader(self.options)
 
 
-_REGISTERED_APPS: set[str] = set()
+_REGISTERED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_frame_source(spark) -> None:
     """Idempotent registration of the ``dexframes`` format (and the conf
-    gate Python-source pushdown sits behind). Memoized per application:
-    re-registration is harmless but costs two py4j round trips per call,
-    which a registry row invoked per-query should not pay twice."""
-    app_id = spark.sparkContext.applicationId
-    if app_id in _REGISTERED_APPS:
+    gate Python-source pushdown sits behind). Memoized per SparkSession
+    OBJECT (WeakSet), not per application: data-source registrations and
+    session confs are session-state, so a sibling session from
+    ``spark.newSession()`` (same appId) must register again. Worst case
+    for an unseen wrapper of an already-registered session is a harmless
+    re-registration — the memo only saves the two py4j round trips a
+    per-query registry row should not pay twice."""
+    if spark in _REGISTERED_SESSIONS:
         return
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FrameDataSource)
-    _REGISTERED_APPS.add(app_id)
+    _REGISTERED_SESSIONS.add(spark)
 
 
 # ---------------------------------------------------------------------------

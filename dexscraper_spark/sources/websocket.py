@@ -136,10 +136,20 @@ def recv_message(fh, sock: socket.socket, *,
         fin, opcode = b12[0] & 0x80, b12[0] & 0x0F
         masked, n = b12[1] & 0x80, b12[1] & 0x7F
         if n == 126:
-            n = int.from_bytes(fh.read(2), "big")
+            ext = fh.read(2)
+            if len(ext) < 2:
+                raise ConnectionError("ws: dropped in extended length")
+            n = int.from_bytes(ext, "big")
         elif n == 127:
-            n = int.from_bytes(fh.read(8), "big")
-        mk = fh.read(4) if masked else None
+            ext = fh.read(8)
+            if len(ext) < 8:
+                raise ConnectionError("ws: dropped in extended length")
+            n = int.from_bytes(ext, "big")
+        mk = None
+        if masked:
+            mk = fh.read(4)
+            if len(mk) < 4:
+                raise ConnectionError("ws: dropped in masking key")
         data = fh.read(n)
         if len(data) < n:
             raise ConnectionError("ws: truncated frame payload")

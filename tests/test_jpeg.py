@@ -49,9 +49,9 @@ def test_gradient_roundtrip_all_dims(h, w):
     img = _gradient(h, w)
     got, _ = _roundtrip(img, 3, quality=90)
     err = np.abs(got.astype(int) - img.astype(int))
-    # an 8x8 frame puts the WHOLE 0-255 ramp inside one block (maximum
-    # high-frequency energy) - tolerance covers that worst case
-    assert err.mean() < 12 and err.max() < 48
+    # tight bounds on purpose: the zigzag/natural dequantization mixup
+    # hid behind loose ones (measured post-fix: mean <= 1.5, max <= 6)
+    assert err.mean() < 3 and err.max() < 12
 
 
 def test_greyscale_roundtrip():
@@ -75,7 +75,7 @@ def test_420_subsampling_roundtrip_and_smaller_stream():
     got444, enc444 = _roundtrip(img, 3, quality=90, subsampling="444")
     got420, enc420 = _roundtrip(img, 3, quality=90, subsampling="420")
     err = np.abs(got420.astype(int) - img.astype(int))
-    assert err.mean() < 8            # chroma pooling loses a little...
+    assert err.mean() < 4            # chroma pooling loses a little...
     assert len(enc420) < len(enc444)  # ...and buys a smaller stream
 
 
@@ -89,7 +89,7 @@ def test_restart_markers_resync():
     assert np.array_equal(got_plain, got_rst)
     got_420rst, _ = _roundtrip(img, 3, quality=90, subsampling="420",
                                restart_interval=1)
-    assert np.abs(got_420rst.astype(int) - img.astype(int)).mean() < 8
+    assert np.abs(got_420rst.astype(int) - img.astype(int)).mean() < 4
 
 
 def test_byte_stuffing_survives():
@@ -154,3 +154,16 @@ def test_restart_alignment_fuzz():
                                   restart_interval=ri, subsampling=sub)
                 d = decode_jpeg(enc)
                 assert (d["width"], d["height"]) == (w, h)
+
+
+def test_multi_component_frames_raise_cleanly():
+    """2- and 4-component (CMYK) frames must raise NotImplementedError,
+    not decode into metadata inconsistent with the pixel buffer."""
+    img = _gradient(8, 8)
+    enc = bytearray(encode_jpeg(img.tobytes(), 8, 8, 3))
+    sof = enc.find(b"\xFF\xC0")
+    for nc in (2, 4):
+        bad = bytearray(enc)
+        bad[sof + 9] = nc  # component count field in SOF0
+        with pytest.raises((NotImplementedError, ValueError)):
+            decode_jpeg(bytes(bad))
