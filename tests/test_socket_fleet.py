@@ -256,3 +256,41 @@ def test_fleet_live_tail_across_micro_batches(spark, tmp_path):
         assert all(r["n"] == 1 for r in per_frame)
     finally:
         srv.kill()
+
+
+def test_spark_fleet_eight_shards(spark, tmp_path):
+    """Width check: 8 shard servers with different history lengths drain
+    exactly-once in one availableNow pass — the per-shard offset map and
+    partition planning hold beyond the 2-shard fixtures."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.sources.frame_source import register_frame_source
+
+    register_frame_source(spark)
+    sizes = [3, 5, 2, 4, 6, 1, 3, 2]
+    servers = [FrameSocketServer(_payloads(n, seed_base=i)).start()
+               for i, n in enumerate(sizes)]
+    try:
+        eps = ",".join(f"127.0.0.1:{s.port}" for s in servers)
+        q = (spark.readStream.format("dexframes")
+             .option("endpoints", eps)
+             .option("frames_per_batch", "6")
+             .option("max_frames", "6")
+             .option("backoff_base_s", "0.02")
+             .load()
+             .writeStream.format("memory").queryName("fleet8_mem")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(240)
+        got = (spark.table("fleet8_mem")
+               .groupBy("msg_id", "record_position")
+               .agg(F.count(F.lit(1)).alias("n")).collect())
+        seqs = {i: set() for i in range(8)}
+        for r in got:
+            assert r["n"] == 1
+            seqs[r["msg_id"] // SHARD_STRIDE].add(r["msg_id"] % SHARD_STRIDE)
+        for i, n in enumerate(sizes):
+            assert seqs[i] == set(range(n)), f"shard {i}"
+    finally:
+        for s in servers:
+            s.kill()
