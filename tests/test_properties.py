@@ -119,3 +119,59 @@ def test_spark_decode_equals_python_decode(spark, seeds):
             want.append((i, rec["record_position"],
                          rec.get("base_token_symbol"), rec.get("price")))
     assert got == sorted(want)
+
+
+# -- delta curation == full recuration on random corpora --------------------
+
+_SENTENCES = [
+    "the quick brown fox jumps over the lazy dog in the park",
+    "a steady rain fell over the quiet town all through the night",
+    "the market opened higher and the traders watched it closely",
+    "every dataset tells a story if you look at it long enough",
+    "the engine shuffles only what it must and broadcasts the rest",
+]
+
+
+@given(
+    picks=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3)),
+                   min_size=4, max_size=18),
+    cut_frac=st.floats(min_value=0.2, max_value=0.8),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_delta_curation_equals_full_property(spark, picks, cut_frac):
+    """Random corpora built from a small sentence pool with random
+    mutations (exact dups, near dups via punctuation, cross-sentence
+    variety), split at a random point: delta-curating the tail against
+    the head's state must equal full recuration — corpus AND state."""
+    from dexscraper_spark.plans.curation import (
+        CurationConfig, apply_state_updates, curate_corpus_with_state,
+        curate_delta)
+
+    cfg = CurationConfig(min_quality=0.3, min_tokens=3)
+    rows = []
+    for i, (si, mut) in enumerate(picks):
+        base = _SENTENCES[si]
+        text = {0: base, 1: base, 2: base + ".", 3: base + " indeed"}[mut]
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = int(len(rows) * cut_frac)
+    old = docs.filter(f"doc_id < {cut}")
+    new = docs.filter(f"doc_id >= {cut}")
+
+    full_cur, full_state = curate_corpus_with_state(docs, config=cfg)
+    old_cur, old_state = curate_corpus_with_state(old, config=cfg)
+    res = curate_delta(new, old_state, config=cfg)
+
+    cols = ["doc_id", "text", "split"]
+    merged = (old_cur.join(res.retracted, "doc_id", "left_anti")
+              .unionByName(res.curated_new.select(*old_cur.columns))
+              .select(*cols))
+    fc = full_cur.select(*cols)
+    assert fc.exceptAll(merged).count() == 0
+    assert merged.exceptAll(fc).count() == 0
+
+    scols = ["doc_id", "exact_h", "simhash", "component"]
+    ns = apply_state_updates(old_state, res).select(*scols)
+    fs = full_state.select(*scols)
+    assert fs.exceptAll(ns).count() == 0 and ns.exceptAll(fs).count() == 0
