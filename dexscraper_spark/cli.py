@@ -97,7 +97,7 @@ def apply_filter_flags(cfg, args):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
-    p.add_argument("command", choices=list(PRESETS) + ["stream"])
+    p.add_argument("command", choices=list(PRESETS) + ["stream", "curate"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -118,6 +118,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dex", action="append", default=None,
                    choices=[d.value for d in DEX],
                    help="restrict to DEX id(s); repeatable")
+    cur = p.add_argument_group(
+        "curate (training-corpus curation: full rebuild or nightly delta)")
+    cur.add_argument("--docs", default=None,
+                     help="curate: input documents parquet (doc_id, text)")
+    cur.add_argument("--out", default=None,
+                     help="curate: output dir (curated/ shards; delta also "
+                          "writes retracted/)")
+    cur.add_argument("--state", default=None,
+                     help="curate: fingerprint-store dir (read for --delta; "
+                          "default write target for full runs)")
+    cur.add_argument("--state-out", default=None,
+                     help="curate: where to write the updated store "
+                          "(required with --delta; never overwrites --state "
+                          "in place)")
+    cur.add_argument("--delta", action="store_true",
+                     help="curate ONLY the new batch against --state")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--min-tokens", type=int, default=5)
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -140,6 +158,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         from dexscraper_spark.session import get_spark
         spark = get_spark("dexscraper-cli")
         spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "curate":
+        return _run_curate(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -248,6 +269,73 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         lines += [" | ".join(str(r[c]).ljust(widths[c]) for c in cols)
                   for r in rows]
         _emit("\n".join(lines), args.output)
+    return 0
+
+
+def _run_curate(args, spark) -> int:
+    """The nightly training-corpus entry point. Full:
+
+        curate --docs D.parquet --out OUT --state STORE
+
+    writes OUT/curated/ (split/lang-partitioned shards) and the
+    fingerprint store. Delta:
+
+        curate --docs NEW.parquet --delta --state STORE \
+               --out OUT_RUN --state-out STORE2
+
+    writes OUT_RUN/curated/ (new survivors only), OUT_RUN/retracted/
+    (previously published ids to delete — a delta doc can merge two old
+    clusters), and the updated store to --state-out (the store is never
+    rewritten in place while being read). Emits one JSON summary line.
+    """
+    from dexscraper_spark.plans.curation import (
+        CurationConfig, apply_state_updates, curate_corpus_with_state,
+        curate_delta, read_curation_state, write_curated,
+        write_curation_state)
+
+    if not args.docs or not args.out:
+        print("curate: --docs and --out are required", file=sys.stderr)
+        return 2
+    if args.delta and (not args.state or not args.state_out):
+        print("curate --delta: --state and --state-out are required",
+              file=sys.stderr)
+        return 2
+    if not args.delta and not (args.state_out or args.state):
+        print("curate: --state (or --state-out) is required",
+              file=sys.stderr)
+        return 2
+    cfg = CurationConfig(min_quality=args.min_quality,
+                         min_tokens=args.min_tokens)
+    docs = spark.read.parquet(args.docs)
+    if args.delta:
+        state = read_curation_state(spark, args.state)
+        res = curate_delta(docs, state, config=cfg)
+        write_curated(res.curated_new, f"{args.out}/curated")
+        res.retracted.write.mode("overwrite").parquet(
+            f"{args.out}/retracted")
+        write_curation_state(apply_state_updates(state, res),
+                             args.state_out)
+        summary = {
+            "mode": "delta",
+            "new_survivors":
+                spark.read.parquet(f"{args.out}/curated").count(),
+            "retracted":
+                spark.read.parquet(f"{args.out}/retracted").count(),
+            "state_rows":
+                spark.read.parquet(args.state_out).count(),
+        }
+    else:
+        state_out = args.state_out or args.state
+        curated, state = curate_corpus_with_state(docs, config=cfg)
+        write_curated(curated, f"{args.out}/curated")
+        write_curation_state(state, state_out)
+        summary = {
+            "mode": "full",
+            "survivors":
+                spark.read.parquet(f"{args.out}/curated").count(),
+            "state_rows": spark.read.parquet(state_out).count(),
+        }
+    _emit(json.dumps(summary), args.output)
     return 0
 
 

@@ -99,3 +99,66 @@ def test_cli_flags_override_preset_bounds(spark, tmp_path):
                 "--format", "json")
     doc = json.loads(text)
     assert doc["total_extracted"] == 0 and doc["tokens"] == []
+
+
+def test_cli_curate_full_then_delta_roundtrip(spark, tmp_path, capsys):
+    """The nightly pipeline end-to-end from the CLI: full curation
+    writes shards + store; a delta run against the store writes
+    new-survivor shards, retractions, and an updated store — and
+    (curated_full_old − retracted) ∪ curated_delta equals one full run
+    over everything."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    old = docs.filter(F.col("doc_id") <= hi // 2)
+    new = docs.filter(F.col("doc_id") > hi // 2)
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    docs.write.parquet(str(tmp_path / "all"))
+
+    base = ["--min-quality", "0.3", "--min-tokens", "3"]
+    assert run(["curate", "--docs", str(tmp_path / "old"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "store0"), *base],
+               spark=spark) == 0
+    day0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day0["mode"] == "full" and day0["survivors"] > 0
+
+    assert run(["curate", "--docs", str(tmp_path / "new"), "--delta",
+                "--state", str(tmp_path / "store0"),
+                "--state-out", str(tmp_path / "store1"),
+                "--out", str(tmp_path / "day1"), *base],
+               spark=spark) == 0
+    day1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day1["mode"] == "delta"
+
+    assert run(["curate", "--docs", str(tmp_path / "all"),
+                "--out", str(tmp_path / "ref"),
+                "--state", str(tmp_path / "storeref"), *base],
+               spark=spark) == 0
+
+    cols = ["doc_id", "split"]
+    merged = (spark.read.parquet(str(tmp_path / "day0/curated"))
+              .join(spark.read.parquet(str(tmp_path / "day1/retracted")),
+                    "doc_id", "left_anti").select(*cols)
+              .unionByName(spark.read.parquet(
+                  str(tmp_path / "day1/curated")).select(*cols)))
+    ref = spark.read.parquet(str(tmp_path / "ref/curated")).select(*cols)
+    assert ref.exceptAll(merged).count() == 0
+    assert merged.exceptAll(ref).count() == 0
+    # updated store == the reference full run's store
+    s1 = spark.read.parquet(str(tmp_path / "store1"))
+    sref = spark.read.parquet(str(tmp_path / "storeref"))
+    assert sref.exceptAll(s1).count() == 0 and s1.exceptAll(sref).count() == 0
+
+
+def test_cli_curate_argument_validation(spark, capsys):
+    from dexscraper_spark.cli import run
+    assert run(["curate"], spark=spark) == 2
+    assert run(["curate", "--docs", "x", "--out", "y", "--delta"],
+               spark=spark) == 2
