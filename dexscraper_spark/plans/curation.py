@@ -213,7 +213,8 @@ class DeltaResult:
 def curate_delta(new_docs: DataFrame, state: DataFrame, *,
                  id_col: str = "doc_id", text_col: str = "text",
                  config: CurationConfig = CurationConfig(),
-                 simhash_hash_fn=None) -> DeltaResult:
+                 simhash_hash_fn=None,
+                 check_ids: bool = True) -> DeltaResult:
     """Incrementally curate a batch of NEW documents against a stored
     corpus — the operation a nightly 100 TB pipeline actually runs: cost
     scales with the delta (plus one scan of the 32-byte/doc fingerprint
@@ -245,8 +246,24 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
     banded join of delta fingerprints against store ∪ delta (equi-join
     on 16-bit bands — linear, no cross product), then connected
     components over the CONTRACTED pair graph, which is delta-sized.
+
+    ``check_ids`` (default on) verifies the append-only precondition —
+    every delta id strictly greater than every stored id — with one
+    cheap agg over each side (the store is 32 bytes/doc; the exactness
+    contract SILENTLY breaks if violated, which is worse than the scan).
+    Pass ``check_ids=False`` to skip when the ingest already guarantees
+    monotone ids.
     """
     cfg = config
+    if check_ids:
+        lo_new = new_docs.agg(F.min(F.col(id_col))).first()[0]
+        hi_old = state.agg(F.max(F.col(id_col))).first()[0]
+        if lo_new is not None and hi_old is not None and lo_new <= hi_old:
+            raise ValueError(
+                f"curate_delta: append-only precondition violated — delta "
+                f"min {id_col}={lo_new} <= stored max {id_col}={hi_old}; "
+                f"the min-id-survivor decomposition is only exact for "
+                f"monotone ids (re-id the batch or run curate_corpus)")
     text = F.col(text_col)
 
     # gates + within-batch exact dedup, then drop texts the store has

@@ -209,3 +209,22 @@ def test_delta_against_empty_state_equals_full_curation(spark):
     full = curate_corpus(docs, config=CFG)
     _assert_frames_equal(full, res.curated_new, CURATED_COLS)
     assert res.retracted.count() == 0 and res.relabeled.count() == 0
+
+
+def test_delta_rejects_non_monotone_ids(spark):
+    """The exactness contract silently breaks if delta ids are not all
+    greater than stored ids — the default check must fail loudly, and
+    check_ids=False must skip it (for ingest paths that guarantee
+    monotonicity)."""
+    import pytest
+
+    state = spark.createDataFrame(
+        [(50, 1, 2, 50)], "doc_id long, exact_h long, simhash long, "
+                          "component long")
+    new = spark.createDataFrame(
+        [(40, "a perfectly reasonable english document with words")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="append-only"):
+        curate_delta(new, state, config=CFG)
+    res = curate_delta(new, state, config=CFG, check_ids=False)
+    assert res.curated_new.count() >= 0  # runs; caller owns the contract
