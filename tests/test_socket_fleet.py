@@ -294,3 +294,68 @@ def test_spark_fleet_eight_shards(spark, tmp_path):
     finally:
         for s in servers:
             s.kill()
+
+
+def test_fleet_continuous_microbatches_with_live_appends(spark, tmp_path):
+    """Continuous mode (processingTime trigger): the fleet reader must
+    advance per-shard offsets across MULTIPLE micro-batches, pick up
+    frames appended mid-query, respect the frames_per_batch rate limit,
+    and stay exactly-once. Deterministic: we poll the sink for target
+    counts instead of sleeping fixed amounts."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.sources.frame_source import register_frame_source
+
+    register_frame_source(spark)
+    a = FrameSocketServer(_payloads(4)).start()
+    b = FrameSocketServer(_payloads(2, seed_base=9)).start()
+    q = None
+    try:
+        q = (spark.readStream.format("dexframes")
+             .option("endpoints", f"127.0.0.1:{a.port},127.0.0.1:{b.port}")
+             .option("frames_per_batch", "2")
+             .option("backoff_base_s", "0.02")
+             .load()
+             .writeStream.format("memory").queryName("fleet_cont_mem")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="300 milliseconds").start())
+
+        def frames_seen():
+            rows = (spark.table("fleet_cont_mem")
+                    .select("msg_id").distinct().collect())
+            out = {0: set(), 1: set()}
+            for r in rows:
+                out[r["msg_id"] // SHARD_STRIDE].add(
+                    r["msg_id"] % SHARD_STRIDE)
+            return out
+
+        def await_counts(want_a, want_b, timeout_s=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout_s:
+                got = frames_seen()
+                if len(got[0]) >= want_a and len(got[1]) >= want_b:
+                    return got
+                time.sleep(0.2)
+            raise AssertionError(f"timed out waiting for {want_a}/{want_b}; "
+                                 f"got {frames_seen()}")
+
+        got = await_counts(4, 2)        # initial histories drained
+        # live tail: append on BOTH shards mid-query
+        for p in _payloads(3, seed_base=20):
+            a.append(p)
+        b.append(_payloads(1, seed_base=30)[0])
+        got = await_counts(7, 3)
+        assert got[0] == set(range(7)) and got[1] == set(range(3))
+        q.stop()
+        q.awaitTermination(60)
+        # exactly-once across every micro-batch
+        dup = (spark.table("fleet_cont_mem")
+               .groupBy("msg_id", "record_position")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1).count())
+        assert dup == 0
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        a.kill()
+        b.kill()
