@@ -496,3 +496,103 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
             f"with pointer jumping rounds needed ≈ log2(graph diameter), "
             f"so this graph is extraordinarily deep; raise max_iter")
     return labels.select("node", F.col("label").alias("component"))
+
+
+def simhash_wide(df: DataFrame, *, id_col: str, text_col: str,
+                 shingle_n: int = 3) -> DataFrame:
+    """128-bit SimHash as two independent 64-bit words — the HIGH-
+    PRECISION near-dup tier for corpus scale (SCALE.md's banding-
+    saturation note). Hamming distance scales with fingerprint width
+    (the same edit measures ≈2× over 128 bits vs 64), so max_hamming=3
+    here is a similarity RATE of 3/128 ≈ a 64-bit hamming of 1.5 —
+    a STRICTER near-dup definition, matched to 32-bit bands whose
+    chance-collision probability is 2⁻³² per band (65 536× below the
+    64-bit path's 2⁻¹⁶ bands). Use it where chance candidates dominate
+    the verify stage: very large corpora, or as a cheap first tier
+    feeding the standard 64-bit detector.
+
+    One pass over the shingles: each shingle hashed twice (xxhash64 and
+    xxhash64 seeded with a leading literal — independent 64-bit
+    families), 128 branch-free 0/1 sums, two fold projections. Shape and
+    cost are the 64-bit :func:`simhash` × 2 aggregate width; shuffle
+    volume is still (id, two longs).
+
+    Returns (id_col, simhash_lo, simhash_hi).
+    """
+    sh = _shingle_expr(text_col, shingle_n)
+    df = df.filter(F.col(text_col).isNotNull())
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(F.expr(sh)).alias("__g")
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__g").isNotNull(),
+               F.xxhash64(F.col("__g"))).alias("__h1"),
+        # the second word's hash family: same xxhash64 kernel over a
+        # tuple with a distinguishing literal — (lit, shingle) and
+        # (shingle,) hash independently
+        F.when(F.col("__g").isNotNull(),
+               F.xxhash64(F.lit("simhash-wide-w2"),
+                          F.col("__g"))).alias("__h2"),
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for word, col in (("a", "__h1"), ("b", "__h2")):
+        aggs += [
+            F.coalesce(
+                F.sum(F.shiftright(F.col(col), b).bitwiseAND(F.lit(1))),
+                F.lit(0),
+            ).alias(f"__{word}{b}")
+            for b in range(64)
+        ]
+    agg = hashed.groupBy(id_col).agg(*aggs)
+
+    def fold(word: str):
+        fp = None
+        for b in range(64):
+            term = F.shiftleft(
+                (2 * F.col(f"__{word}{b}") > F.col("__n")).cast("bigint"), b)
+            fp = term if fp is None else fp + term
+        return fp
+
+    return agg.select(F.col(id_col), fold("a").alias("simhash_lo"),
+                      fold("b").alias("simhash_hi"))
+
+
+def simhash_wide_band_pairs(fps: DataFrame, *, id_col: str,
+                            max_hamming: int = 3,
+                            probe: DataFrame | None = None) -> DataFrame:
+    """Banded candidate join over a ``(id, simhash_lo, simhash_hi)``
+    table: 4 × 32-bit bands (two per word), Hamming verified over the
+    full 128 bits. Complete for ``max_hamming < 4`` (pigeonhole);
+    ``probe`` has the same delta-vs-corpus semantics as
+    :func:`simhash_band_pairs`. Returns (id_a, id_b, hamming),
+    id_a < id_b."""
+    m32 = (1 << 32) - 1
+
+    def banded(f):
+        return f.select(
+            F.col(id_col), F.col("simhash_lo"), F.col("simhash_hi"),
+            F.posexplode(F.array(
+                F.col("simhash_lo").bitwiseAND(F.lit(m32)),
+                F.shiftrightunsigned(F.col("simhash_lo"), 32),
+                F.col("simhash_hi").bitwiseAND(F.lit(m32)),
+                F.shiftrightunsigned(F.col("simhash_hi"), 32),
+            )).alias("band_id", "band_value"),
+        )
+
+    a = banded(probe if probe is not None else fps).select(
+        F.col(id_col).alias("__ia"), F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"), "band_id", "band_value")
+    b = banded(fps).select(
+        F.col(id_col).alias("__ib"), F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"), "band_id", "band_value")
+    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+               + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -598,3 +598,89 @@ def test_dedup_exact_keep_by_with_nested_map_column(spark):
         "sm struct<m: map<string,int>>")
     out = dedup_exact(df, ["k"], keep_by="id").collect()
     assert {(r["k"], r["id"]) for r in out} == {(1, 9), (2, 5)}
+
+
+def test_simhash_wide_finds_near_dups_and_matches_brute_force(spark):
+    """128-bit simhash + 4x32-bit bands: exact dups at hamming 0, near
+    dups found, and the banded pair set equals brute-force all-pairs
+    hamming<=3 over the same fingerprints (pigeonhole completeness)."""
+    from dexscraper_spark.operators.dedup import (
+        simhash_wide, simhash_wide_band_pairs)
+
+    # hamming over 128 bits scales ~2x the 64-bit hamming for the same
+    # edit, so the near-dup fixture is a proportionally TINY edit (6
+    # chars off a 1.7k-char diverse text -> wide hamming 0-2)
+    base = " ".join(f"sentence {i} explores subject {i * 31} with care"
+                    for i in range(40))
+    rows = [(0, base), (1, base), (2, base[:-6]),
+            (3, "a completely different document about glacier formation "
+                "and the slow grinding of continental ice")]
+    rows += [(10 + i, f"unrelated filler text number {i} with its own "
+                      f"distinct vocabulary stanza {i * 7919}")
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash_wide(docs, id_col="doc_id", text_col="text").persist()
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_wide_band_pairs(
+               fps, id_col="doc_id", max_hamming=3).collect()}
+    assert got.get((0, 1)) == 0              # exact dup: both words equal
+    assert (0, 2) in got or (1, 2) in got    # near dup found
+
+    # completeness vs brute force over the same fingerprints
+    rows_fp = fps.collect()
+    want = {}
+    for i, a in enumerate(rows_fp):
+        for b in rows_fp[i + 1:]:
+            h = (bin((a["simhash_lo"] ^ b["simhash_lo"])
+                     & ((1 << 64) - 1)).count("1")
+                 + bin((a["simhash_hi"] ^ b["simhash_hi"])
+                       & ((1 << 64) - 1)).count("1"))
+            if h <= 3:
+                key = (min(a["doc_id"], b["doc_id"]),
+                       max(a["doc_id"], b["doc_id"]))
+                want[key] = h
+    assert got == want
+    fps.unpersist()
+
+
+def test_simhash_wide_bands_cut_chance_candidates(spark):
+    """The saturation remedy, measured: on random unrelated docs the
+    16-bit-band candidate volume is pure chance collisions while the
+    32-bit bands produce (near) none. Candidate counts are read by
+    disabling the hamming verify (threshold = fingerprint width)."""
+    from dexscraper_spark.operators.dedup import (
+        simhash, simhash_band_pairs, simhash_wide, simhash_wide_band_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"{i * 2654435761 % 104729:x} {i * 7919:x} {i * 31:x} "
+             f"{i * 104729 % 7919:x} noise {i}") for i in range(1500)],
+        "doc_id long, text string")
+    narrow = simhash(docs, id_col="doc_id", text_col="text")
+    n_narrow = simhash_band_pairs(
+        narrow, id_col="doc_id", max_hamming=64).count()
+    wide = simhash_wide(docs, id_col="doc_id", text_col="text")
+    n_wide = simhash_wide_band_pairs(
+        wide, id_col="doc_id", max_hamming=128).count()
+    # ~1500²/2 × 4/2¹⁶ ≈ 69 expected chance candidates for 16-bit bands;
+    # 2⁻³² makes the wide count ~0. Generous margins for hash luck.
+    assert n_narrow > 10
+    assert n_wide <= n_narrow // 10
+
+
+def test_simhash_wide_probe_side_delta_semantics(spark):
+    from dexscraper_spark.operators.dedup import (
+        simhash_wide, simhash_wide_band_pairs)
+    base = " ".join(f"line {i} describes phenomenon {i * 17} in detail"
+                    for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "something else entirely about deep sea vents")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(100, base[:-6])], "doc_id long, text string")
+    fc = simhash_wide(corpus, id_col="doc_id", text_col="text")
+    fd = simhash_wide(delta, id_col="doc_id", text_col="text")
+    pairs = simhash_wide_band_pairs(
+        fc.unionByName(fd), id_col="doc_id", max_hamming=3, probe=fd)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 100)}  # only pairs touching the probe side
