@@ -2092,6 +2092,13 @@ def curation_pipeline(spark, sf_dir):
     from dexscraper_spark.plans.curation import curate_corpus
     docs = _t(spark, sf_dir, "documents")
     cur = curate_corpus(docs, simhash_hash_fn=md5_le64)
-    return cur.select(
+    out = cur.select(
         "doc_id", "lang", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "split")
+    # the artifact IS the materialization: localCheckpoint truncates the
+    # full pipeline lineage, so warm reads re-analyze a one-node plan
+    # instead of the whole curation tree (~0.2 s of driver-side analysis
+    # per read measured at sf0.1 — the r7 bench-gate catch). Refresh
+    # semantics unchanged: clear_plan_cache() drops the cached frame and
+    # the next call re-curates.
+    return out.localCheckpoint()
