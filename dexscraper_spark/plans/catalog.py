@@ -185,8 +185,11 @@ def ohlc_bars(spark, sf_dir):
                          for tf in (Timeframe.M5, Timeframe.H1,
                                     Timeframe.H6, Timeframe.H24)),
         )
+        # lineage-truncated artifact: warm reads of a plain cached frame
+        # re-analyze the whole cascade lineage per call (sinks_catalog
+        # _bars has the same rationale); blocks free on reference drop
         _OHLC_BARS_CACHE[key] = bars.withColumn(
-            "bucket_ts", F.col("bucket_ts").cast("long")).cache()
+            "bucket_ts", F.col("bucket_ts").cast("long")).localCheckpoint()
     return _OHLC_BARS_CACHE[key]
 
 

@@ -57,8 +57,15 @@ def _bars(spark, sf_dir: str):
             qty_col="value", order_col="event_id", duration="1 hour",
             volume_scale=2,
         )
+        # localCheckpoint, not cache(): the artifact is read by several
+        # sink rows per bench pass, and each read re-ANALYZES the full
+        # lineage of a plain cached frame (~0.1-0.3 s/driver round at
+        # sf0.1). Truncating makes warm reads a one-node plan; blocks
+        # are freed when clear_bars_cache() drops the reference (GC /
+        # ContextCleaner — unpersist() has no effect on checkpoints).
         _BARS_CACHE[key] = (
-            bars.withColumn("ts", F.col("bucket_ts").cast("long")).cache()
+            bars.withColumn("ts", F.col("bucket_ts").cast("long"))
+            .localCheckpoint()
         )
     return _BARS_CACHE[key]
 
@@ -228,7 +235,7 @@ def _excel_tokens(spark, sf_dir: str):
             F.lit("raydium").alias("protocol"),
             "price", "volume_24h", "txns_24h", "makers", "liquidity",
             "market_cap", "confidence_score", "field_count", "ts",
-        ).cache()
+        ).localCheckpoint()  # lineage-truncated artifact (see _bars)
     return _XTOKENS_CACHE[key]
 
 
@@ -296,7 +303,8 @@ def _tokens(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     evict_other_apps(_TOKENS_CACHE, key[0])
     if key not in _TOKENS_CACHE:
-        _TOKENS_CACHE[key] = _build_tokens(spark, sf_dir).cache()
+        # lineage-truncated artifact (see _bars)
+        _TOKENS_CACHE[key] = _build_tokens(spark, sf_dir).localCheckpoint()
     return _TOKENS_CACHE[key]
 
 
