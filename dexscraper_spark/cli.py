@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -300,6 +301,14 @@ def _run_curate(args, spark) -> int:
         print("curate --delta: --state and --state-out are required",
               file=sys.stderr)
         return 2
+    if args.delta and os.path.abspath(args.state) == os.path.abspath(
+            args.state_out):
+        # Spark's overwrite DELETES the target before the lazy read of
+        # the old store completes — same-path would destroy the store
+        print("curate --delta: --state-out must differ from --state "
+              "(in-place overwrite would destroy the store mid-read)",
+              file=sys.stderr)
+        return 2
     if not args.delta and not (args.state_out or args.state):
         print("curate: --state (or --state-out) is required",
               file=sys.stderr)
@@ -315,14 +324,15 @@ def _run_curate(args, spark) -> int:
             f"{args.out}/retracted")
         write_curation_state(apply_state_updates(state, res),
                              args.state_out)
+        # count the frames, not the written dirs: a zero-survivor
+        # partitionBy write leaves no parquet footers, and re-reading it
+        # throws UNABLE_TO_INFER_SCHEMA (an all-dup/all-gated delta
+        # batch is a perfectly normal nightly outcome)
         summary = {
             "mode": "delta",
-            "new_survivors":
-                spark.read.parquet(f"{args.out}/curated").count(),
-            "retracted":
-                spark.read.parquet(f"{args.out}/retracted").count(),
-            "state_rows":
-                spark.read.parquet(args.state_out).count(),
+            "new_survivors": res.curated_new.count(),
+            "retracted": res.retracted.count(),
+            "state_rows": spark.read.parquet(args.state_out).count(),
         }
     else:
         state_out = args.state_out or args.state
@@ -331,8 +341,7 @@ def _run_curate(args, spark) -> int:
         write_curation_state(state, state_out)
         summary = {
             "mode": "full",
-            "survivors":
-                spark.read.parquet(f"{args.out}/curated").count(),
+            "survivors": curated.count(),  # see the delta-branch note
             "state_rows": spark.read.parquet(state_out).count(),
         }
     _emit(json.dumps(summary), args.output)

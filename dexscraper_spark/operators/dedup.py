@@ -251,6 +251,44 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str, text_col: str,
                               max_hamming=max_hamming)
 
 
+def _banded_pairs(fps: DataFrame, probe: DataFrame | None, *,
+                  id_col: str, fp_cols: tuple, band_array,
+                  max_hamming: int) -> DataFrame:
+    """Shared banded-candidate machinery for every fingerprint width:
+    explode ``band_array`` per row, equi-join probe-vs-all on
+    (band_id, band_value), normalize pair order with least/greatest
+    (NOT ia<ib: a probe row must pair with corpus ids on both sides of
+    it, and probe x probe pairs arrive in both orders), verify
+    Hamming = sum of bit_count(xor) over ``fp_cols`` BEFORE dedup so
+    only near pairs shuffle, then distinct."""
+    def banded(f):
+        return f.select(
+            F.col(id_col), *[F.col(c) for c in fp_cols],
+            F.posexplode(band_array).alias("band_id", "band_value"))
+
+    a = banded(probe if probe is not None else fps).select(
+        F.col(id_col).alias("__ia"),
+        *[F.col(c).alias(f"__fa_{c}") for c in fp_cols],
+        "band_id", "band_value")
+    b = banded(fps).select(
+        F.col(id_col).alias("__ib"),
+        *[F.col(c).alias(f"__fb_{c}") for c in fp_cols],
+        "band_id", "band_value")
+    hamming = None
+    for c in fp_cols:
+        t = F.bit_count(F.col(f"__fa_{c}").bitwiseXOR(F.col(f"__fb_{c}")))
+        hamming = t if hamming is None else hamming + t
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_band_pairs(fps: DataFrame, *, id_col: str, num_bands: int = 4,
                        max_hamming: int = 8,
                        probe: DataFrame | None = None) -> DataFrame:
@@ -269,35 +307,11 @@ def simhash_band_pairs(fps: DataFrame, *, id_col: str, num_bands: int = 4,
     meeting the probe side.
     """
     bits_per = 64 // num_bands
-
-    def banded(f):
-        return f.select(
-            F.col(id_col), F.col("simhash"),
-            F.posexplode(F.expr(
-                f"transform(sequence(0, {num_bands - 1}), "
-                f"b -> (simhash >> (b * {bits_per})) & {(1 << bits_per) - 1})"
-            )).alias("band_id", "band_value"),
-        )
-
-    a = banded(probe if probe is not None else fps).select(
-        F.col(id_col).alias("__ia"), F.col("simhash").alias("fp_a"),
-        "band_id", "band_value")
-    b = banded(fps).select(
-        F.col(id_col).alias("__ib"), F.col("simhash").alias("fp_b"),
-        "band_id", "band_value")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        a.join(b, ["band_id", "band_value"])
-        .filter(F.col("__ia") != F.col("__ib"))
-        # least/greatest normalization (not ia<ib): a probe row must pair
-        # with corpus ids on BOTH sides of it, and probe×probe pairs
-        # arrive in both orders — normalize, then dedup
-        .select(F.least("__ia", "__ib").alias("id_a"),
-                F.greatest("__ia", "__ib").alias("id_b"),
-                hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)  # verify BEFORE dedup:
-        .distinct()                               # only near pairs shuffle
-    )
+    band_array = F.expr(
+        f"transform(sequence(0, {num_bands - 1}), "
+        f"b -> (simhash >> (b * {bits_per})) & {(1 << bits_per) - 1})")
+    return _banded_pairs(fps, probe, id_col=id_col, fp_cols=("simhash",),
+                         band_array=band_array, max_hamming=max_hamming)
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str,

@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from dexscraper_spark.persist import tracked_persist
-
 
 DEFAULT_DIM = 64
 
@@ -447,12 +445,13 @@ def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
         .select(id_col, vec_col, "__list",
                 _norm(F.col(vec_col)).alias("__vnorm"))
     if cache:
-        # localCheckpoint, not persist: the KMeans-transform lineage is
-        # deep, and every probe against a plain cached index re-analyzes
-        # it (~0.4 s/driver round measured at sf0.1). The checkpoint
-        # truncates to a one-node plan; blocks free when the index cache
-        # drops the reference (clear_ivf_index_cache).
-        assigned = assigned.localCheckpoint()
+        # materialized artifact, not persist: the KMeans-transform
+        # lineage is deep, and every probe against a plain cached index
+        # re-analyzes it (~0.4 s/driver round measured at sf0.1). The
+        # parquet artifact scans as a one-node plan and releases
+        # deterministically (persist.release_tracked).
+        from dexscraper_spark.persist import materialize_artifact
+        assigned = materialize_artifact(assigned, "ivf")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -187,9 +187,11 @@ def ohlc_bars(spark, sf_dir):
         )
         # lineage-truncated artifact: warm reads of a plain cached frame
         # re-analyze the whole cascade lineage per call (sinks_catalog
-        # _bars has the same rationale); blocks free on reference drop
-        _OHLC_BARS_CACHE[key] = bars.withColumn(
-            "bucket_ts", F.col("bucket_ts").cast("long")).localCheckpoint()
+        # _bars has the same rationale + deterministic release)
+        from dexscraper_spark.persist import materialize_artifact
+        _OHLC_BARS_CACHE[key] = materialize_artifact(
+            bars.withColumn("bucket_ts", F.col("bucket_ts").cast("long")),
+            "ohlcbars")
     return _OHLC_BARS_CACHE[key]
 
 
@@ -2098,10 +2100,11 @@ def curation_pipeline(spark, sf_dir):
     out = cur.select(
         "doc_id", "lang", "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"), "split")
-    # the artifact IS the materialization: localCheckpoint truncates the
-    # full pipeline lineage, so warm reads re-analyze a one-node plan
-    # instead of the whole curation tree (~0.2 s of driver-side analysis
-    # per read measured at sf0.1 — the r7 bench-gate catch). Refresh
-    # semantics unchanged: clear_plan_cache() drops the cached frame and
-    # the next call re-curates.
-    return out.localCheckpoint()
+    # the artifact IS the materialization: the parquet artifact scans
+    # as a one-node plan, so warm reads skip re-analyzing the whole
+    # curation tree (~0.2 s of driver-side analysis per read measured
+    # at sf0.1 — the r7 bench-gate catch) and release deterministically.
+    # Refresh semantics unchanged: clear_plan_cache() deletes the
+    # artifact and the next call re-curates.
+    from dexscraper_spark.persist import materialize_artifact
+    return materialize_artifact(out, "curation")

@@ -57,16 +57,16 @@ def _bars(spark, sf_dir: str):
             qty_col="value", order_col="event_id", duration="1 hour",
             volume_scale=2,
         )
-        # localCheckpoint, not cache(): the artifact is read by several
-        # sink rows per bench pass, and each read re-ANALYZES the full
-        # lineage of a plain cached frame (~0.1-0.3 s/driver round at
-        # sf0.1). Truncating makes warm reads a one-node plan; blocks
-        # are freed when clear_bars_cache() drops the reference (GC /
-        # ContextCleaner — unpersist() has no effect on checkpoints).
-        _BARS_CACHE[key] = (
-            bars.withColumn("ts", F.col("bucket_ts").cast("long"))
-            .localCheckpoint()
-        )
+        # materialize_artifact, not cache(): the artifact is read by
+        # several sink rows per bench pass, and each read re-ANALYZES
+        # the full lineage of a plain cached frame (~0.1-0.3 s/driver
+        # round at sf0.1). The parquet artifact scans as a one-node
+        # plan AND releases deterministically (persist.release_tracked
+        # deletes the dir — unpersist() can't free checkpoint blocks).
+        from dexscraper_spark.persist import materialize_artifact
+        _BARS_CACHE[key] = materialize_artifact(
+            bars.withColumn("ts", F.col("bucket_ts").cast("long")),
+            "bars")
     return _BARS_CACHE[key]
 
 
@@ -235,7 +235,10 @@ def _excel_tokens(spark, sf_dir: str):
             F.lit("raydium").alias("protocol"),
             "price", "volume_24h", "txns_24h", "makers", "liquidity",
             "market_cap", "confidence_score", "field_count", "ts",
-        ).localCheckpoint()  # lineage-truncated artifact (see _bars)
+        )
+        from dexscraper_spark.persist import materialize_artifact
+        _XTOKENS_CACHE[key] = materialize_artifact(
+            _XTOKENS_CACHE[key], "xtokens")  # see _bars
     return _XTOKENS_CACHE[key]
 
 
@@ -304,7 +307,9 @@ def _tokens(spark, sf_dir: str):
     evict_other_apps(_TOKENS_CACHE, key[0])
     if key not in _TOKENS_CACHE:
         # lineage-truncated artifact (see _bars)
-        _TOKENS_CACHE[key] = _build_tokens(spark, sf_dir).localCheckpoint()
+        from dexscraper_spark.persist import materialize_artifact
+        _TOKENS_CACHE[key] = materialize_artifact(
+            _build_tokens(spark, sf_dir), "tokens")
     return _TOKENS_CACHE[key]
 
 

@@ -162,3 +162,48 @@ def test_cli_curate_argument_validation(spark, capsys):
     assert run(["curate"], spark=spark) == 2
     assert run(["curate", "--docs", "x", "--out", "y", "--delta"],
                spark=spark) == 2
+
+
+def test_cli_curate_delta_refuses_in_place_state_overwrite(spark, tmp_path,
+                                                           capsys):
+    """--state-out == --state would have Spark delete the store before
+    the lazy read of it completes (verified data loss): must refuse."""
+    from dexscraper_spark.cli import run
+    st = str(tmp_path / "store")
+    assert run(["curate", "--docs", "x", "--out", "y", "--delta",
+                "--state", st, "--state-out", st], spark=spark) == 2
+    assert "destroy" in capsys.readouterr().err
+
+
+def test_cli_curate_zero_survivor_batch_emits_summary(spark, tmp_path,
+                                                      capsys):
+    """An all-gated delta batch (normal nightly outcome) must emit the
+    summary line, not crash re-reading a footerless empty write."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 40)
+    docs.write.parquet(str(tmp_path / "old"))
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    junk = spark.createDataFrame(
+        [(hi + 1 + i, "!!! ???") for i in range(3)],
+        "doc_id long, text string").select(
+        "doc_id", "text", F.lit("und").alias("lang"),
+        F.lit("syn").alias("source"), F.length("text").alias("n_chars"))
+    junk.write.parquet(str(tmp_path / "junk"))
+
+    base = ["--min-quality", "0.3", "--min-tokens", "3"]
+    assert run(["curate", "--docs", str(tmp_path / "old"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "s0"), *base], spark=spark) == 0
+    capsys.readouterr()
+    assert run(["curate", "--docs", str(tmp_path / "junk"), "--delta",
+                "--state", str(tmp_path / "s0"),
+                "--state-out", str(tmp_path / "s1"),
+                "--out", str(tmp_path / "day1"), *base], spark=spark) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_survivors"] == 0 and out["retracted"] == 0

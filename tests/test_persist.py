@@ -71,3 +71,26 @@ def test_curation_cache_clear_delegates_to_shared_tracker(spark):
     clear_curation_cache()
     assert P._TRACKED == []
     assert all(not _stored(df) for df in handles)
+
+
+def test_materialized_artifacts_release_deterministically(spark):
+    """materialize_artifact dirs are deleted by release_tracked (the
+    deterministic half the localCheckpoint approach could not give);
+    a stale frame read after release fails LOUDLY, matching the plan
+    cache's staleness contract."""
+    import os
+
+    import pytest
+
+    from dexscraper_spark.persist import materialize_artifact
+
+    P.release_tracked()
+    df = spark.range(10).withColumnRenamed("id", "v")
+    art = materialize_artifact(df, "testart")
+    assert art.count() == 10
+    [path] = P._ARTIFACT_DIRS
+    assert os.path.isdir(path)
+    P.release_tracked()
+    assert not os.path.exists(path) and P._ARTIFACT_DIRS == []
+    with pytest.raises(Exception):
+        art.count()  # loud, never silently stale
