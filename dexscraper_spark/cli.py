@@ -301,10 +301,12 @@ def _run_curate(args, spark) -> int:
         print("curate --delta: --state and --state-out are required",
               file=sys.stderr)
         return 2
-    if args.delta and os.path.abspath(args.state) == os.path.abspath(
+    if args.delta and os.path.realpath(args.state) == os.path.realpath(
             args.state_out):
         # Spark's overwrite DELETES the target before the lazy read of
-        # the old store completes — same-path would destroy the store
+        # the old store completes — same-path would destroy the store.
+        # realpath, not abspath: a symlinked store alias (store ->
+        # store_v3) must not bypass the guard
         print("curate --delta: --state-out must differ from --state "
               "(in-place overwrite would destroy the store mid-read)",
               file=sys.stderr)
@@ -316,34 +318,47 @@ def _run_curate(args, spark) -> int:
     cfg = CurationConfig(min_quality=args.min_quality,
                          min_tokens=args.min_tokens)
     docs = spark.read.parquet(args.docs)
+    # Counting strategy for the summary, both branches: persist the
+    # result frames and count THOSE, not the written dirs — (a) a
+    # zero-survivor partitionBy write leaves no parquet footers, and
+    # re-reading it throws UNABLE_TO_INFER_SCHEMA (an all-dup/all-gated
+    # delta batch is a perfectly normal nightly outcome); (b) without
+    # the persist, each write + count re-executes the post-fingerprint
+    # pipeline stages — real wasted executor time at corpus scale.
     if args.delta:
         state = read_curation_state(spark, args.state)
         res = curate_delta(docs, state, config=cfg)
-        write_curated(res.curated_new, f"{args.out}/curated")
-        res.retracted.write.mode("overwrite").parquet(
-            f"{args.out}/retracted")
-        write_curation_state(apply_state_updates(state, res),
-                             args.state_out)
-        # count the frames, not the written dirs: a zero-survivor
-        # partitionBy write leaves no parquet footers, and re-reading it
-        # throws UNABLE_TO_INFER_SCHEMA (an all-dup/all-gated delta
-        # batch is a perfectly normal nightly outcome)
-        summary = {
-            "mode": "delta",
-            "new_survivors": res.curated_new.count(),
-            "retracted": res.retracted.count(),
-            "state_rows": spark.read.parquet(args.state_out).count(),
-        }
+        res.curated_new.persist()
+        res.retracted.persist()
+        try:
+            write_curated(res.curated_new, f"{args.out}/curated")
+            res.retracted.write.mode("overwrite").parquet(
+                f"{args.out}/retracted")
+            write_curation_state(apply_state_updates(state, res),
+                                 args.state_out)
+            summary = {
+                "mode": "delta",
+                "new_survivors": res.curated_new.count(),
+                "retracted": res.retracted.count(),
+                "state_rows": spark.read.parquet(args.state_out).count(),
+            }
+        finally:
+            res.curated_new.unpersist()
+            res.retracted.unpersist()
     else:
         state_out = args.state_out or args.state
         curated, state = curate_corpus_with_state(docs, config=cfg)
-        write_curated(curated, f"{args.out}/curated")
-        write_curation_state(state, state_out)
-        summary = {
-            "mode": "full",
-            "survivors": curated.count(),  # see the delta-branch note
-            "state_rows": spark.read.parquet(state_out).count(),
-        }
+        curated.persist()
+        try:
+            write_curated(curated, f"{args.out}/curated")
+            write_curation_state(state, state_out)
+            summary = {
+                "mode": "full",
+                "survivors": curated.count(),
+                "state_rows": spark.read.parquet(state_out).count(),
+            }
+        finally:
+            curated.unpersist()
     _emit(json.dumps(summary), args.output)
     return 0
 

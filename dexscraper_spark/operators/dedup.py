@@ -581,32 +581,11 @@ def simhash_wide_band_pairs(fps: DataFrame, *, id_col: str,
     :func:`simhash_band_pairs`. Returns (id_a, id_b, hamming),
     id_a < id_b."""
     m32 = (1 << 32) - 1
-
-    def banded(f):
-        return f.select(
-            F.col(id_col), F.col("simhash_lo"), F.col("simhash_hi"),
-            F.posexplode(F.array(
-                F.col("simhash_lo").bitwiseAND(F.lit(m32)),
-                F.shiftrightunsigned(F.col("simhash_lo"), 32),
-                F.col("simhash_hi").bitwiseAND(F.lit(m32)),
-                F.shiftrightunsigned(F.col("simhash_hi"), 32),
-            )).alias("band_id", "band_value"),
-        )
-
-    a = banded(probe if probe is not None else fps).select(
-        F.col(id_col).alias("__ia"), F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"), "band_id", "band_value")
-    b = banded(fps).select(
-        F.col(id_col).alias("__ib"), F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"), "band_id", "band_value")
-    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-               + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
-    return (
-        a.join(b, ["band_id", "band_value"])
-        .filter(F.col("__ia") != F.col("__ib"))
-        .select(F.least("__ia", "__ib").alias("id_a"),
-                F.greatest("__ia", "__ib").alias("id_b"),
-                hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    band_array = F.array(
+        F.col("simhash_lo").bitwiseAND(F.lit(m32)),
+        F.shiftrightunsigned(F.col("simhash_lo"), 32),
+        F.col("simhash_hi").bitwiseAND(F.lit(m32)),
+        F.shiftrightunsigned(F.col("simhash_hi"), 32))
+    return _banded_pairs(fps, probe, id_col=id_col,
+                         fp_cols=("simhash_lo", "simhash_hi"),
+                         band_array=band_array, max_hamming=max_hamming)

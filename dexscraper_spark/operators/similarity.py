@@ -421,7 +421,12 @@ class IvfIndex:
         self.nlist = nlist
 
     def unpersist(self):
-        self.assigned.unpersist()
+        """Release the assignment's storage: deletes the materialized
+        artifact dir for ``cache=True`` indexes (unpersist() cannot free
+        a parquet artifact), block-manager unpersist otherwise."""
+        from dexscraper_spark.persist import release_artifact
+        if not release_artifact(self.assigned):
+            self.assigned.unpersist()
 
 
 def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
@@ -429,8 +434,10 @@ def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
               seed: int = 42, cache: bool = True) -> IvfIndex:
     """Fit the coarse quantizer once and assign every vector to a list.
 
-    ``cache=True`` persists the assignment (memory+disk) so repeated
-    queries never recompute the KMeans transform.
+    ``cache=True`` materializes the assignment as a parquet artifact so
+    repeated queries scan a one-node plan instead of recomputing (or
+    even re-analyzing) the KMeans transform; ``IvfIndex.unpersist()``
+    releases it deterministically.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -449,7 +456,7 @@ def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
         # lineage is deep, and every probe against a plain cached index
         # re-analyzes it (~0.4 s/driver round measured at sf0.1). The
         # parquet artifact scans as a one-node plan and releases
-        # deterministically (persist.release_tracked).
+        # deterministically (IvfIndex.unpersist / clear_plan_cache).
         from dexscraper_spark.persist import materialize_artifact
         assigned = materialize_artifact(assigned, "ivf")
     spark = corpus.sparkSession

@@ -38,7 +38,9 @@ def clear_curation_cache() -> None:
     invoked by registry.clear_plan_cache() so artifact refresh cycles
     don't leak block-manager storage. Delegates to the shared tracked-
     persist registry, which also covers persists taken INSIDE operators
-    this pipeline calls (simhash fingerprints, OHLC fine bars, ...)."""
+    this pipeline calls (simhash fingerprints, OHLC fine bars, ...).
+    Materialized artifact dirs are NOT touched — other module caches may
+    hold live scans of them; only clear_plan_cache() sweeps those."""
     release_tracked()
 
 

@@ -82,9 +82,12 @@ def clear_plan_cache() -> None:
     clear_tokens_cache()
     # every internal operator persist (simhash fingerprints, minhash
     # candidates, OHLC fine bars, IVF assignments, curation dedup frame)
-    # routes through the shared tracker — one switch releases them all
-    from dexscraper_spark.persist import release_tracked
+    # routes through the shared tracker — one switch releases them all.
+    # Artifact dirs are swept LAST, only here: every module cache that
+    # could hold a scan of them was cleared above, so no dangling frames.
+    from dexscraper_spark.persist import release_artifacts, release_tracked
     release_tracked()
+    release_artifacts()
 
 
 def register(name: str, oracle: str | None, survey_ref: str = "",

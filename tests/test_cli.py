@@ -173,6 +173,17 @@ def test_cli_curate_delta_refuses_in_place_state_overwrite(spark, tmp_path,
     assert run(["curate", "--docs", "x", "--out", "y", "--delta",
                 "--state", st, "--state-out", st], spark=spark) == 2
     assert "destroy" in capsys.readouterr().err
+    # a symlink alias of the store (store -> store_v3, a common
+    # versioning layout) must not bypass the guard: realpath, not abspath
+    import os
+    real = tmp_path / "store_v3"
+    real.mkdir()
+    link = tmp_path / "store_link"
+    os.symlink(real, link)
+    assert run(["curate", "--docs", "x", "--out", "y", "--delta",
+                "--state", str(link), "--state-out", str(real)],
+               spark=spark) == 2
+    assert "destroy" in capsys.readouterr().err
 
 
 def test_cli_curate_zero_survivor_batch_emits_summary(spark, tmp_path,

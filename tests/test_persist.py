@@ -74,23 +74,81 @@ def test_curation_cache_clear_delegates_to_shared_tracker(spark):
 
 
 def test_materialized_artifacts_release_deterministically(spark):
-    """materialize_artifact dirs are deleted by release_tracked (the
+    """materialize_artifact dirs are deleted by release_artifacts (the
     deterministic half the localCheckpoint approach could not give);
     a stale frame read after release fails LOUDLY, matching the plan
-    cache's staleness contract."""
+    cache's staleness contract. release_tracked must NOT delete them:
+    module caches hold live scans, and standalone release_tracked
+    callers (clear_curation_cache) don't clear those caches."""
     import os
 
     import pytest
 
     from dexscraper_spark.persist import materialize_artifact
 
-    P.release_tracked()
+    P.release_artifacts()
     df = spark.range(10).withColumnRenamed("id", "v")
     art = materialize_artifact(df, "testart")
     assert art.count() == 10
     [path] = P._ARTIFACT_DIRS
     assert os.path.isdir(path)
-    P.release_tracked()
+    P.release_tracked()          # persists only — dir must survive
+    assert os.path.isdir(path) and art.count() == 10
+    P.release_artifacts()
     assert not os.path.exists(path) and P._ARTIFACT_DIRS == []
     with pytest.raises(Exception):
         art.count()  # loud, never silently stale
+
+
+def test_release_artifact_frees_one_frame(spark):
+    """Per-frame release (the IvfIndex.unpersist path): deletes exactly
+    the frame's own dir and returns False for non-artifact frames."""
+    import os
+
+    from dexscraper_spark.persist import materialize_artifact, release_artifact
+
+    P.release_artifacts()
+    a = materialize_artifact(spark.range(5), "arta")
+    b = materialize_artifact(spark.range(5), "artb")
+    pa, pb = P._ARTIFACT_DIRS
+    assert release_artifact(a) is True
+    assert not os.path.exists(pa) and os.path.isdir(pb)
+    assert P._ARTIFACT_DIRS == [pb]
+    assert release_artifact(spark.range(3)) is False  # not an artifact
+    assert b.count() == 5
+    P.release_artifacts()
+
+
+def test_clear_curation_cache_leaves_other_artifacts_usable(spark):
+    """Regression (r7 review): clear_curation_cache delegates to
+    release_tracked, which used to sweep ALL artifact dirs — leaving the
+    ohlc-bars module cache serving a scan of a deleted dir (FILE_NOT_EXIST
+    on every later call, with no rebuild path short of clear_plan_cache).
+    The artifact another cache holds must stay readable."""
+    from dexscraper_spark.plans.catalog import ohlc_bars
+    from dexscraper_spark.plans.curation import clear_curation_cache
+    from dexscraper_spark.plans.registry import clear_plan_cache
+
+    clear_plan_cache()
+    n = ohlc_bars(spark, "/root/testdata/sf0.001").count()
+    assert n > 0
+    clear_curation_cache()
+    assert ohlc_bars(spark, "/root/testdata/sf0.001").count() == n
+    clear_plan_cache()
+
+
+def test_ivf_unpersist_releases_artifact_dir(spark):
+    """IvfIndex.unpersist() must actually free a cache=True index (the
+    assignment is a parquet artifact; plain unpersist() is a no-op on
+    it)."""
+    import os
+
+    from dexscraper_spark.operators.similarity import ivf_build
+
+    P.release_artifacts()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = ivf_build(emb, nlist=4, cache=True)
+    [path] = P._ARTIFACT_DIRS
+    assert os.path.isdir(path)
+    idx.unpersist()
+    assert not os.path.exists(path) and P._ARTIFACT_DIRS == []
