@@ -204,6 +204,71 @@ def main() -> None:
             print(f"bench: delta-curation column failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # Incremental-rollup economics — same nightly question for the OHLC
+    # hypertable: fold the last 10% of ticks (by time — the nightly
+    # slice) into a STORED fine partial-bar table + re-roll the cascade,
+    # vs the full rebuild it replaces. The stored table is written to
+    # parquet (the production shape) untimed, like curation's day-0 store.
+    if "--no-cold" not in sys.argv:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dexscraper_spark.operators.ohlc import (
+                ohlc_frames_from_partials, ohlc_partials, ohlc_update)
+            from dexscraper_spark.plans.registry import clear_plan_cache
+            from dexscraper_spark.sources.tables import load_table
+
+            kw = dict(symbol_col="event_type", ts_col="ts",
+                      price_col="value", qty_col="value",
+                      order_col="event_id")
+            frames = (("m5", 300), ("h1", 3600),
+                      ("h6", 21600), ("h24", 86400))
+            ev = load_table(spark, sf_dir, "events")
+            cut = ev.selectExpr(
+                "percentile(unix_timestamp(ts), 0.9) p").first()["p"]
+            old = ev.filter(F.unix_timestamp("ts") <= cut)
+            new = ev.filter(F.unix_timestamp("ts") > cut)
+            bdir = tempfile.mkdtemp(prefix="benchbars_")
+            try:
+                ohlc_partials(old, bucket_seconds=300, **kw) \
+                    .write.parquet(f"{bdir}/state")
+
+                clear_plan_cache()
+                t0 = time.time()
+                # the nightly unit of work: merge the delta into the
+                # store, WRITE the updated store (that write is the
+                # point), then roll the cascade from the written table —
+                # one merge execution, frame rollups scan bar-sized files
+                ohlc_update(
+                    spark.read.parquet(f"{bdir}/state"), new,
+                    bucket_seconds=300, **kw) \
+                    .write.parquet(f"{bdir}/state2")
+                ohlc_frames_from_partials(
+                    spark.read.parquet(f"{bdir}/state2"),
+                    bucket_seconds=300, frames=frames).toPandas()
+                cold["ohlc_delta_merge_10pct"] = round(time.time() - t0, 3)
+
+                clear_plan_cache()
+                t0 = time.time()
+                # the alternative nightly unit: rebuild the store from
+                # ALL ticks + roll the cascade — same job structure as
+                # the delta arm, so the comparison isolates input volume
+                ohlc_partials(ev, bucket_seconds=300, **kw) \
+                    .write.parquet(f"{bdir}/state_full")
+                ohlc_frames_from_partials(
+                    spark.read.parquet(f"{bdir}/state_full"),
+                    bucket_seconds=300, frames=frames).toPandas()
+                cold["ohlc_full_rebuild"] = round(time.time() - t0, 3)
+                clear_plan_cache()
+            finally:
+                shutil.rmtree(bdir, ignore_errors=True)
+        except Exception as e:
+            print(f"bench: delta-rollup column failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     out = {
         "metric": "total_query_sec",
         "value": total,

@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.functions.exact import sum_money
 
-from dexscraper_spark.persist import tracked_persist
-
 
 def ohlc_windowed(ticks: DataFrame, *, symbol_col: str = "symbol",
                   ts_col: str = "ts", price_col: str = "price",
@@ -92,58 +90,38 @@ def ohlc_snapshot(tokens: DataFrame, *, price_col: str = "price",
     )
 
 
-def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
-                         ts_col: str = "ts", price_col: str = "price",
-                         qty_col: str | None = "qty",
-                         order_col: str | None = None,
-                         frames: tuple[tuple[str, int], ...] = (
-                             ("m5", 300), ("h1", 3600),
-                             ("h6", 21600), ("h24", 86400)),
-                         volume_scale: int = 6) -> DataFrame:
-    """Hierarchical multi-frame OHLC (hypertable-style rollup cascade).
+def ohlc_partials(ticks: DataFrame, *, symbol_col: str = "symbol",
+                  ts_col: str = "ts", price_col: str = "price",
+                  qty_col: str | None = "qty", order_col: str | None = None,
+                  bucket_seconds: int = 300,
+                  volume_scale: int = 6) -> DataFrame:
+    """Mergeable per-bucket partial bars — the incremental-rollup STATE.
 
-    The raw ticks are aggregated ONCE at the finest frame; every coarser
-    frame rolls up from the persisted finest level, which at 100 TB means
-    one scan + one tick-volume shuffle total, then shuffles over bar
-    counts (orders of magnitude smaller) — instead of one full
-    scan/shuffle per frame. Each ``frames`` entry is (name, seconds);
-    every coarser width must be a multiple of the finest.
+    Returns (symbol, bucket_ts, open, high, low, close, vol_cents,
+    trades, min_ord, max_ord): every column is a fold in a commutative
+    monoid (min/max/sum, plus min_by/max_by over the unique order key),
+    so partials built from disjoint tick batches merge EXACTLY via
+    :func:`ohlc_merge_partials` — merge(partials(A), partials(B)) is
+    bit-identical to partials(A ∪ B). ``vol_cents`` carries the
+    fixed-point integer volume (decimal, overflow-proof); divide only at
+    the output boundary (:func:`ohlc_finalize`) so incremental rounds
+    never re-round.
 
-    Bit-exactness of the cascade vs direct aggregation at each width:
-    * open/close pin to the min/max ``order_col`` key; the bar holding the
-      coarse bucket's min order key contributes its open via
-      ``min_by(open, min_ord)`` — identical to the direct ``min_by`` over
-      raw ticks (order keys are unique).
-    * high/low/trades are max/min/sum — associative.
-    * volume carries the INTEGER fixed-point sum (``cents``) between
-      levels and divides only at the output boundary, so per-level double
-      division never re-rounds.
-
-    Only the finest level is persisted (it feeds its own output plus
-    every coarser rollup); coarser levels are each consumed exactly once,
-    so they stay pure lineage — one cached bar frame per call, not one
-    per frame width.
-
-    Returns frame-tagged bars: (frame, symbol, bucket_ts, open, high,
-    low, close, volume, trades).
+    This is the table a nightly 100 TB rollup stores (date-partitioned
+    on ``bucket_ts``): bar-count-sized — symbols × buckets, orders of
+    magnitude below tick count — and updated per batch for the cost of
+    aggregating the delta ticks plus a bar-sized merge shuffle
+    (:func:`ohlc_update`), never a history rescan.
     """
     from dexscraper_spark.functions.exact import cents
-
-    for _, secs in frames[1:]:
-        if secs % frames[0][1] != 0:
-            raise ValueError(
-                f"frame {secs}s is not a multiple of the finest "
-                f"{frames[0][1]}s")
 
     ts = F.col(ts_col)
     price = F.col(price_col)
     order_key = F.col(order_col) if order_col else ts
     qty = F.col(qty_col) if qty_col else price
-
-    name0, secs0 = frames[0]
-    fine = (
+    return (
         ticks.groupBy(F.col(symbol_col).alias("symbol"),
-                      F.window(ts, f"{secs0} seconds").alias("w"))
+                      F.window(ts, f"{bucket_seconds} seconds").alias("w"))
         .agg(
             F.min_by(price, order_key).alias("open"),
             F.max(price).alias("high"),
@@ -158,38 +136,188 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
                 "open", "high", "low", "close", "vol_cents", "trades",
                 "min_ord", "max_ord")
     )
-    # feeds its own output plus every coarser rollup; tracked so
-    # clear_plan_cache() can release it on refresh
-    fine = tracked_persist(fine)
 
-    def out(level_df: DataFrame, name: str) -> DataFrame:
-        return level_df.select(
-            F.lit(name).alias("frame"), "symbol", "bucket_ts",
-            "open", "high", "low", "close",
-            (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
-            .cast("double").alias("volume"),
-            "trades",
-        )
 
-    result = out(fine, name0)
-    for name, secs in frames[1:]:
-        rolled = (
-            fine.groupBy("symbol",
-                         F.window(F.col("bucket_ts"),
-                                  f"{secs} seconds").alias("w"))
-            .agg(
-                F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
-                F.max("high").alias("high"),
-                F.min("low").alias("low"),
-                F.max_by(F.col("close"), F.col("max_ord")).alias("close"),
-                F.sum("vol_cents").alias("vol_cents"),
-                F.sum("trades").alias("trades"),
-                F.min("min_ord").alias("min_ord"),
-                F.max("max_ord").alias("max_ord"),
-            )
-            .select("symbol", F.col("w.start").alias("bucket_ts"),
-                    "open", "high", "low", "close", "vol_cents", "trades",
-                    "min_ord", "max_ord")
+def ohlc_merge_partials(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial-bar tables (same schema as
+    :func:`ohlc_partials`) into one: union + one bar-sized re-aggregation.
+
+    Exactness: high/low/trades/vol_cents are max/min/sum (associative,
+    commutative); open pins to the partial holding the bucket's global
+    min order key via ``min_by(open, min_ord)`` (order keys are unique,
+    so the argmin is well-defined), symmetrically close. Merging is
+    therefore order- and batching-insensitive — N nightly batches in any
+    order produce the same bits as one full build (pinned by
+    tests/test_ohlc_delta.py).
+
+    Scale: the shuffle carries bar-count rows from each side. Partial
+    aggregation applies (all merge functions are map-side combinable),
+    and with both sides date-partitioned on ``bucket_ts`` the join of a
+    delta against deep history prunes to the touched dates
+    (:func:`ohlc_update` ``touched_only``)."""
+    return (
+        stored.unionByName(delta)
+        .groupBy("symbol", "bucket_ts")
+        .agg(
+            F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by(F.col("close"), F.col("max_ord")).alias("close"),
+            F.sum("vol_cents").alias("vol_cents"),
+            F.sum("trades").alias("trades"),
+            F.min("min_ord").alias("min_ord"),
+            F.max("max_ord").alias("max_ord"),
         )
-        result = result.unionByName(out(rolled, name))
-    return result
+    )
+
+
+def ohlc_update(stored: DataFrame, ticks: DataFrame, *,
+                symbol_col: str = "symbol", ts_col: str = "ts",
+                price_col: str = "price", qty_col: str | None = "qty",
+                order_col: str | None = None, bucket_seconds: int = 300,
+                volume_scale: int = 6,
+                touched_only: bool = False) -> DataFrame:
+    """Incrementally fold a batch of new ticks into a stored partial-bar
+    table: aggregate the delta, merge bar-vs-bar.
+
+    ``touched_only=False`` (default) returns the complete new state —
+    the frame to write as the next store. ``touched_only=True`` prunes
+    the stored side to buckets the delta actually touches (left-semi on
+    (symbol, bucket_ts) — broadcastable when the delta is a nightly
+    slice) and returns ONLY the rewritten bars: the shape a
+    partition-overwrite write wants (``spark.sql.sources.
+    partitionOverwriteMode=dynamic`` rewrites just the touched date
+    partitions; untouched history is never read or written).
+
+    Cost per batch: one scan + partial agg of the delta ticks, plus a
+    bar-sized merge — independent of history depth. Late/out-of-order
+    ticks need no special case: a tick landing in an old bucket merges
+    into that bar exactly as if it had arrived first (monoid fold).
+    """
+    delta = ohlc_partials(
+        ticks, symbol_col=symbol_col, ts_col=ts_col, price_col=price_col,
+        qty_col=qty_col, order_col=order_col,
+        bucket_seconds=bucket_seconds, volume_scale=volume_scale)
+    if touched_only:
+        keys = delta.select("symbol", "bucket_ts").distinct()
+        stored = stored.join(keys, ["symbol", "bucket_ts"], "left_semi")
+    return ohlc_merge_partials(stored, delta)
+
+
+def ohlc_finalize(partials: DataFrame, *, frame: str | None = None,
+                  volume_scale: int = 6) -> DataFrame:
+    """Project partial bars to the output vocabulary: (symbol, bucket_ts,
+    open, high, low, close, volume, trades), dividing the exact integer
+    ``vol_cents`` once. ``frame`` prepends the frame tag used by the
+    multi-frame cascade."""
+    cols = [F.lit(frame).alias("frame")] if frame is not None else []
+    return partials.select(
+        *cols, "symbol", "bucket_ts", "open", "high", "low", "close",
+        (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
+        .cast("double").alias("volume"),
+        "trades",
+    )
+
+
+def ohlc_frames_from_partials(fine: DataFrame, *,
+                              bucket_seconds: int,
+                              frames: tuple[tuple[str, int], ...],
+                              volume_scale: int = 6) -> DataFrame:
+    """Roll the multi-frame cascade up from a finest-level partial-bar
+    table (freshly built or incrementally maintained — the cascade is a
+    pure function of the fine partials). ``frames[0]`` must name the
+    fine level's own width; coarser widths must be multiples of it.
+
+    Single-shuffle shape: each fine bar explodes into its |frames|
+    (frame, coarse_bucket) assignments (a map-side Generate — coarse
+    bucket is epoch-aligned floor arithmetic, identical to ``window``'s
+    tumbling alignment), then ONE groupBy(frame, symbol, bucket)
+    performs every rollup. Versus one groupBy + union branch per frame,
+    that is one shuffle of |frames|·bars rows instead of |frames|−1
+    bar-sized shuffles plus a persisted fine level feeding a
+    multi-branch union — fewer stages, no persist barrier, and the same
+    bit-exact monoid folds (for the finest frame each group holds
+    exactly one partial, for which every fold is the identity)."""
+    if frames[0][1] != bucket_seconds:
+        raise ValueError(
+            f"frames[0] width {frames[0][1]}s != fine bucket "
+            f"{bucket_seconds}s")
+    for _, secs in frames[1:]:
+        if secs % bucket_seconds != 0:
+            raise ValueError(
+                f"frame {secs}s is not a multiple of the finest "
+                f"{bucket_seconds}s")
+    specs = F.array(*[
+        F.struct(F.lit(name).alias("frame"),
+                 F.lit(secs).cast("long").alias("secs"))
+        for name, secs in frames])
+    exploded = (
+        fine.select("*", F.explode(specs).alias("__fs"))
+        .select(
+            F.col("__fs.frame").alias("frame"), "symbol",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col("bucket_ts"))
+                        / F.col("__fs.secs")).cast("long")
+                * F.col("__fs.secs")).alias("bucket_ts"),
+            "open", "high", "low", "close", "vol_cents", "trades",
+            "min_ord", "max_ord")
+    )
+    return (
+        exploded.groupBy("frame", "symbol", "bucket_ts")
+        .agg(
+            F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by(F.col("close"), F.col("max_ord")).alias("close"),
+            F.sum("vol_cents").alias("vol_cents"),
+            F.sum("trades").alias("trades"),
+        )
+        .select("frame", "symbol", "bucket_ts",
+                "open", "high", "low", "close",
+                (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
+                .cast("double").alias("volume"),
+                "trades")
+    )
+
+
+def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
+                         ts_col: str = "ts", price_col: str = "price",
+                         qty_col: str | None = "qty",
+                         order_col: str | None = None,
+                         frames: tuple[tuple[str, int], ...] = (
+                             ("m5", 300), ("h1", 3600),
+                             ("h6", 21600), ("h24", 86400)),
+                         volume_scale: int = 6) -> DataFrame:
+    """Hierarchical multi-frame OHLC (hypertable-style rollup cascade).
+
+    The raw ticks are aggregated ONCE at the finest frame; every coarser
+    frame rolls up from the finest level, which at 100 TB means one scan
+    + one tick-volume shuffle total, then one shuffle over bar counts
+    (orders of magnitude smaller) — instead of one full scan/shuffle per
+    frame. Each ``frames`` entry is (name, seconds); every coarser width
+    must be a multiple of the finest.
+
+    Bit-exactness of the cascade vs direct aggregation at each width:
+    * open/close pin to the min/max ``order_col`` key; the bar holding the
+      coarse bucket's min order key contributes its open via
+      ``min_by(open, min_ord)`` — identical to the direct ``min_by`` over
+      raw ticks (order keys are unique).
+    * high/low/trades are max/min/sum — associative.
+    * volume carries the INTEGER fixed-point sum (``cents``) between
+      levels and divides only at the output boundary, so per-level double
+      division never re-rounds.
+
+    Returns frame-tagged bars: (frame, symbol, bucket_ts, open, high,
+    low, close, volume, trades). Composition of the incremental
+    primitives: :func:`ohlc_partials` at the finest width →
+    :func:`ohlc_frames_from_partials` — so a stored, incrementally
+    maintained partial table (:func:`ohlc_update`) yields the identical
+    cascade by calling the second half directly.
+    """
+    fine = ohlc_partials(
+        ticks, symbol_col=symbol_col, ts_col=ts_col, price_col=price_col,
+        qty_col=qty_col, order_col=order_col,
+        bucket_seconds=frames[0][1], volume_scale=volume_scale)
+    return ohlc_frames_from_partials(
+        fine, bucket_seconds=frames[0][1], frames=frames,
+        volume_scale=volume_scale)

@@ -162,8 +162,8 @@ def ohlc_bars(spark, sf_dir):
     """A5 × Timeframe: the full R5 m5/h1/h6/h24 frame vocabulary in one
     frame-tagged result, computed as a hierarchical rollup cascade — the
     raw events aggregate ONCE at m5 and every coarser frame rolls up from
-    the persisted finest level (see ohlc_windowed_frames for the
-    bit-exactness argument). The DuckDB oracle computes each frame
+    the finest level in one exploded groupBy (see ohlc_windowed_frames /
+    ohlc_frames_from_partials for the bit-exactness argument). The DuckDB oracle computes each frame
     directly from the raw events, so the driver check proves
     cascade ≡ direct. The result is memoized per (appId, sf_dir) AND kept
     in the block-manager cache (same materialized-view pattern as the sink

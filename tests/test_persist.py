@@ -23,7 +23,6 @@ def _stored(df) -> bool:
 
 def test_operator_internal_persists_release_on_clear(spark):
     from dexscraper_spark.operators.dedup import simhash_near_pairs
-    from dexscraper_spark.operators.ohlc import ohlc_windowed_frames
     from dexscraper_spark.plans.registry import clear_plan_cache
 
     clear_plan_cache()
@@ -35,15 +34,10 @@ def test_operator_internal_persists_release_on_clear(spark):
         "doc_id long, text string")
     simhash_near_pairs(docs, id_col="doc_id", text_col="text").count()
 
-    ticks = spark.createDataFrame(
-        [(i, "AAA", 1.0 + i * 0.01, 2.0) for i in range(50)],
-        "event_id long, symbol string, price double, qty double"
-    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
-    ohlc_windowed_frames(ticks, frames=(("m5", 300), ("h1", 3600))).count()
-
-    # the simhash fingerprint table and the fine bar frame are tracked...
+    # the simhash fingerprint table is tracked... (the OHLC cascade used
+    # to contribute a handle too; its single-shuffle form needs none)
     handles = list(P._TRACKED)
-    assert len(handles) >= 2
+    assert len(handles) >= 1
     assert all(_stored(df) for df in handles)
 
     # ...and ONE switch releases them all
