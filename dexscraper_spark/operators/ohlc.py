@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from dexscraper_spark.functions.exact import sum_money
 
@@ -93,6 +94,7 @@ def ohlc_snapshot(tokens: DataFrame, *, price_col: str = "price",
 def ohlc_partials(ticks: DataFrame, *, symbol_col: str = "symbol",
                   ts_col: str = "ts", price_col: str = "price",
                   qty_col: str | None = "qty", order_col: str | None = None,
+                  tiebreak_col: str | None = None,
                   bucket_seconds: int = 300,
                   volume_scale: int = 6) -> DataFrame:
     """Mergeable per-bucket partial bars — the incremental-rollup STATE.
@@ -107,6 +109,13 @@ def ohlc_partials(ticks: DataFrame, *, symbol_col: str = "symbol",
     the output boundary (:func:`ohlc_finalize`) so incremental rounds
     never re-round.
 
+    Exactness PRECONDITION: the order key must be UNIQUE per tick within
+    a (symbol, bucket). Pass ``order_col`` (a monotone event id) when the
+    source has one; otherwise pass ``tiebreak_col`` to pin ties on the
+    bare timestamp (order key becomes ``struct(ts, tiebreak)``, same as
+    :func:`ohlc_windowed`). With neither, tied timestamps make
+    open/close layout-dependent and void the merge guarantee.
+
     This is the table a nightly 100 TB rollup stores (date-partitioned
     on ``bucket_ts``): bar-count-sized — symbols × buckets, orders of
     magnitude below tick count — and updated per batch for the cost of
@@ -117,7 +126,10 @@ def ohlc_partials(ticks: DataFrame, *, symbol_col: str = "symbol",
 
     ts = F.col(ts_col)
     price = F.col(price_col)
-    order_key = F.col(order_col) if order_col else ts
+    if order_col:
+        order_key = F.col(order_col)
+    else:
+        order_key = F.struct(ts, F.col(tiebreak_col)) if tiebreak_col else ts
     qty = F.col(qty_col) if qty_col else price
     return (
         ticks.groupBy(F.col(symbol_col).alias("symbol"),
@@ -152,9 +164,9 @@ def ohlc_merge_partials(stored: DataFrame, delta: DataFrame) -> DataFrame:
 
     Scale: the shuffle carries bar-count rows from each side. Partial
     aggregation applies (all merge functions are map-side combinable),
-    and with both sides date-partitioned on ``bucket_ts`` the join of a
-    delta against deep history prunes to the touched dates
-    (:func:`ohlc_update` ``touched_only``)."""
+    and :func:`ohlc_update`'s ``touched_only`` modes prune the stored
+    side to the touched keys or date partitions before it ever reaches
+    this merge."""
     return (
         stored.unionByName(delta)
         .groupBy("symbol", "bucket_ts")
@@ -174,43 +186,76 @@ def ohlc_merge_partials(stored: DataFrame, delta: DataFrame) -> DataFrame:
 def ohlc_update(stored: DataFrame, ticks: DataFrame, *,
                 symbol_col: str = "symbol", ts_col: str = "ts",
                 price_col: str = "price", qty_col: str | None = "qty",
-                order_col: str | None = None, bucket_seconds: int = 300,
+                order_col: str | None = None,
+                tiebreak_col: str | None = None,
+                bucket_seconds: int = 300,
                 volume_scale: int = 6,
-                touched_only: bool = False) -> DataFrame:
+                touched_only: bool | str = False) -> DataFrame:
     """Incrementally fold a batch of new ticks into a stored partial-bar
     table: aggregate the delta, merge bar-vs-bar.
 
-    ``touched_only=False`` (default) returns the complete new state —
-    the frame to write as the next store. ``touched_only=True`` prunes
-    the stored side to buckets the delta actually touches (left-semi on
-    (symbol, bucket_ts) — broadcastable when the delta is a nightly
-    slice) and returns ONLY the rewritten bars: the shape a
-    partition-overwrite write wants (``spark.sql.sources.
-    partitionOverwriteMode=dynamic`` rewrites just the touched date
-    partitions; untouched history is never read or written).
+    ``touched_only`` selects the output shape for three sink idioms:
+
+    * ``False`` (default) — the complete new state, the frame to write
+      as the next store (full overwrite to a new store path).
+    * ``True`` / ``"bars"`` — ONLY the rewritten bars (stored side
+      pruned left-semi on (symbol, bucket_ts)): the per-KEY upsert
+      shape for a MERGE/upsert sink. NOT safe to write with dynamic
+      partition overwrite — a partition holding any untouched bar would
+      lose it.
+    * ``"dates"`` — every bar (touched or not) of every calendar date
+      the delta touches, stored side pruned by a broadcast semi-join on
+      ``to_date(bucket_ts)``: exactly the content of the date
+      partitions that must be rewritten, the safe input for
+      ``spark.sql.sources.partitionOverwriteMode=dynamic`` over a
+      store partitioned by ``to_date(bucket_ts)``. Untouched date
+      partitions are never read or written.
+
+    In both pruned modes the delta partials are persisted via the
+    shared tracker (released by ``registry.clear_plan_cache()``): the
+    pruning keys and the merge input are the same aggregate, and
+    without the pin Spark executes the delta tick scan + aggregation
+    twice — the dominant cost this operator exists to bound.
 
     Cost per batch: one scan + partial agg of the delta ticks, plus a
     bar-sized merge — independent of history depth. Late/out-of-order
     ticks need no special case: a tick landing in an old bucket merges
     into that bar exactly as if it had arrived first (monoid fold).
     """
+    from dexscraper_spark.persist import tracked_persist
+
     delta = ohlc_partials(
         ticks, symbol_col=symbol_col, ts_col=ts_col, price_col=price_col,
-        qty_col=qty_col, order_col=order_col,
+        qty_col=qty_col, order_col=order_col, tiebreak_col=tiebreak_col,
         bucket_seconds=bucket_seconds, volume_scale=volume_scale)
     if touched_only:
-        keys = delta.select("symbol", "bucket_ts").distinct()
-        stored = stored.join(keys, ["symbol", "bucket_ts"], "left_semi")
+        delta = tracked_persist(delta)
+        if touched_only == "dates":
+            dates = delta.select(
+                F.to_date("bucket_ts").alias("__d")).distinct()
+            stored = stored.join(
+                F.broadcast(dates),
+                F.to_date(stored["bucket_ts"]) == F.col("__d"),
+                "left_semi")
+        else:
+            keys = delta.select("symbol", "bucket_ts").distinct()
+            stored = stored.join(keys, ["symbol", "bucket_ts"],
+                                 "left_semi")
     return ohlc_merge_partials(stored, delta)
 
 
-def ohlc_finalize(partials: DataFrame, *, frame: str | None = None,
+def ohlc_finalize(partials: DataFrame, *, frame=None,
                   volume_scale: int = 6) -> DataFrame:
     """Project partial bars to the output vocabulary: (symbol, bucket_ts,
     open, high, low, close, volume, trades), dividing the exact integer
-    ``vol_cents`` once. ``frame`` prepends the frame tag used by the
-    multi-frame cascade."""
-    cols = [F.lit(frame).alias("frame")] if frame is not None else []
+    ``vol_cents`` once. ``frame`` (a str tag or a Column) prepends the
+    frame column used by the multi-frame cascade."""
+    if frame is None:
+        cols = []
+    elif isinstance(frame, str):
+        cols = [F.lit(frame).alias("frame")]
+    else:
+        cols = [frame.alias("frame")]
     return partials.select(
         *cols, "symbol", "bucket_ts", "open", "high", "low", "close",
         (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
@@ -247,6 +292,19 @@ def ohlc_frames_from_partials(fine: DataFrame, *,
             raise ValueError(
                 f"frame {secs}s is not a multiple of the finest "
                 f"{bucket_seconds}s")
+    names = [name for name, _ in frames]
+    if len(set(names)) != len(names):
+        # duplicate tags would FOLD two widths into one groupBy key —
+        # double-counted bars wherever their bucket starts coincide
+        raise ValueError(f"duplicate frame names: {names}")
+    if isinstance(fine.schema["bucket_ts"].dataType, TimestampNTZType):
+        # epoch arithmetic on an NTZ value goes through the session tz
+        # and diverges from window()'s wall-clock alignment; the engine's
+        # loaders always cast to session-tz TimestampType — hold callers
+        # to the same contract instead of silently shifting coarse bars
+        raise TypeError(
+            "bucket_ts is TIMESTAMP_NTZ: cast it to TimestampType "
+            "(see sources.tables.load_events) before rolling up")
     specs = F.array(*[
         F.struct(F.lit(name).alias("frame"),
                  F.lit(secs).cast("long").alias("secs"))
@@ -255,14 +313,17 @@ def ohlc_frames_from_partials(fine: DataFrame, *,
         fine.select("*", F.explode(specs).alias("__fs"))
         .select(
             F.col("__fs.frame").alias("frame"), "symbol",
+            # cast-to-long = exact epoch seconds of the instant,
+            # session-tz-independent (verified equal to window()'s
+            # tumbling alignment under non-UTC sessions)
             F.timestamp_seconds(
-                F.floor(F.unix_timestamp(F.col("bucket_ts"))
+                F.floor(F.col("bucket_ts").cast("long")
                         / F.col("__fs.secs")).cast("long")
                 * F.col("__fs.secs")).alias("bucket_ts"),
             "open", "high", "low", "close", "vol_cents", "trades",
             "min_ord", "max_ord")
     )
-    return (
+    rolled = (
         exploded.groupBy("frame", "symbol", "bucket_ts")
         .agg(
             F.min_by(F.col("open"), F.col("min_ord")).alias("open"),
@@ -272,18 +333,16 @@ def ohlc_frames_from_partials(fine: DataFrame, *,
             F.sum("vol_cents").alias("vol_cents"),
             F.sum("trades").alias("trades"),
         )
-        .select("frame", "symbol", "bucket_ts",
-                "open", "high", "low", "close",
-                (F.col("vol_cents") / F.lit(float(10 ** volume_scale)))
-                .cast("double").alias("volume"),
-                "trades")
     )
+    return ohlc_finalize(rolled, frame=F.col("frame"),
+                         volume_scale=volume_scale)
 
 
 def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
                          ts_col: str = "ts", price_col: str = "price",
                          qty_col: str | None = "qty",
                          order_col: str | None = None,
+                         tiebreak_col: str | None = None,
                          frames: tuple[tuple[str, int], ...] = (
                              ("m5", 300), ("h1", 3600),
                              ("h6", 21600), ("h24", 86400)),
@@ -316,7 +375,7 @@ def ohlc_windowed_frames(ticks: DataFrame, *, symbol_col: str = "symbol",
     """
     fine = ohlc_partials(
         ticks, symbol_col=symbol_col, ts_col=ts_col, price_col=price_col,
-        qty_col=qty_col, order_col=order_col,
+        qty_col=qty_col, order_col=order_col, tiebreak_col=tiebreak_col,
         bucket_seconds=frames[0][1], volume_scale=volume_scale)
     return ohlc_frames_from_partials(
         fine, bucket_seconds=frames[0][1], frames=frames,

@@ -77,6 +77,85 @@ def test_update_touched_only_matches_full_merge(spark):
     assert untouched.count() > 0
 
 
+def test_update_touched_dates_is_partition_overwrite_safe(spark):
+    """touched_only='dates' must return EVERY bar of every touched
+    calendar date — including bars the delta didn't touch — so a
+    dynamic-partition overwrite of a to_date(bucket_ts)-partitioned
+    store rewrites those dates without losing sibling bars. (The 'bars'
+    mode would drop them: it's the upsert shape, pinned above.) Uses a
+    late batch that lands on ONE old date — the review's data-loss
+    scenario."""
+    ev = _events(spark)
+    day0 = ev.selectExpr("min(to_date(ts)) d").first()["d"]
+    late = ev.filter((F.to_date("ts") == day0) & (F.col("event_id") % 9 == 0))
+    ontime = ev.exceptAll(late)
+    assert late.count() > 0
+    stored = ohlc_partials(ontime, bucket_seconds=300, **KW)
+
+    dated = ohlc_update(stored, late, bucket_seconds=300,
+                        touched_only="dates", **KW)
+    # only day0 is touched — every returned bar is on that date...
+    assert dated.filter(F.to_date("bucket_ts") != F.lit(day0)).count() == 0
+    # ...and simulating the dynamic partition overwrite (replace all
+    # stored bars of touched dates with `dated`) reconstructs the truth
+    untouched_parts = stored.filter(F.to_date("bucket_ts") != F.lit(day0))
+    assert _rows(untouched_parts.unionByName(dated)) \
+        == _rows(ohlc_partials(ev, bucket_seconds=300, **KW))
+
+
+def test_tiebreak_col_pins_tied_timestamps(spark):
+    """Ties on the bare timestamp void the merge guarantee; with
+    tiebreak_col the order key is struct(ts, tiebreak) — unique — and
+    split-vs-full equality holds even when every tick in a bucket shares
+    one ts."""
+    rows = [(i, "AAA", 100.0 + (i % 13), 1.0, 1000 + (i % 4) * 300)
+            for i in range(64)]
+    ticks = spark.createDataFrame(
+        rows, "tick_id long, symbol string, price double, qty double, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    kw = dict(symbol_col="symbol", ts_col="ts", price_col="price",
+              qty_col="qty", tiebreak_col="tick_id")
+    full = ohlc_partials(ticks, bucket_seconds=300, **kw)
+    a = ticks.filter(F.col("tick_id") % 2 == 0)
+    b = ticks.filter(F.col("tick_id") % 2 == 1)
+    merged = ohlc_merge_partials(ohlc_partials(a, bucket_seconds=300, **kw),
+                                 ohlc_partials(b, bucket_seconds=300, **kw))
+    assert _rows(merged) == _rows(full)
+    # the pinned open/close are the min/max tick_id's prices
+    r = {(x["symbol"], x["bucket_ts"]): x for x in full.collect()}
+    for x in merged.collect():
+        assert x["open"] == r[(x["symbol"], x["bucket_ts"])]["open"]
+
+
+def test_cascade_rejects_duplicate_frame_names_and_ntz(spark):
+    import pytest
+    ev = _events(spark)
+    p = ohlc_partials(ev, bucket_seconds=300, **KW)
+    with pytest.raises(ValueError, match="duplicate frame names"):
+        ohlc_frames_from_partials(
+            p, bucket_seconds=300,
+            frames=(("m5", 300), ("m5", 3600)))
+    ntz = p.withColumn("bucket_ts",
+                       F.col("bucket_ts").cast("timestamp_ntz"))
+    with pytest.raises(TypeError, match="TIMESTAMP_NTZ"):
+        ohlc_frames_from_partials(
+            ntz, bucket_seconds=300, frames=(("m5", 300),))
+
+
+def test_update_touched_modes_release_their_persist(spark):
+    import dexscraper_spark.persist as P
+    from dexscraper_spark.plans.registry import clear_plan_cache
+
+    clear_plan_cache()
+    ev = _events(spark)
+    stored = ohlc_partials(ev, bucket_seconds=300, **KW)
+    ohlc_update(stored, ev.limit(50), bucket_seconds=300,
+                touched_only=True, **KW).count()
+    assert len(P._TRACKED) >= 1  # the delta partials are pinned once...
+    clear_plan_cache()           # ...and the one switch releases them
+    assert P._TRACKED == []
+
+
 def test_out_of_order_late_batch_merges_exactly(spark):
     """A late batch landing entirely in OLD buckets (the stream-replay /
     backfill case) folds in as if it had arrived first."""
