@@ -98,7 +98,8 @@ def apply_filter_flags(cfg, args):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
-    p.add_argument("command", choices=list(PRESETS) + ["stream", "curate"])
+    p.add_argument("command",
+                   choices=list(PRESETS) + ["stream", "curate", "bars"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -137,6 +138,18 @@ def build_parser() -> argparse.ArgumentParser:
                      help="curate ONLY the new batch against --state")
     cur.add_argument("--min-quality", type=float, default=0.5)
     cur.add_argument("--min-tokens", type=int, default=5)
+    bar = p.add_argument_group(
+        "bars (OHLC hypertable maintenance: full rebuild or nightly "
+        "delta; shares --out/--state/--state-out/--delta with curate)")
+    bar.add_argument("--events", default=None,
+                     help="bars: input ticks parquet")
+    bar.add_argument("--symbol-col", default="event_type")
+    bar.add_argument("--ts-col", default="ts")
+    bar.add_argument("--price-col", default="value")
+    bar.add_argument("--qty-col", default="value")
+    bar.add_argument("--order-col", default="event_id",
+                     help="bars: unique monotone order key (open/close "
+                          "determinism)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -162,6 +175,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "curate":
         return _run_curate(args, spark)
+
+    if args.command == "bars":
+        return _run_bars(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -359,6 +375,71 @@ def _run_curate(args, spark) -> int:
             }
         finally:
             curated.unpersist()
+    _emit(json.dumps(summary), args.output)
+    return 0
+
+
+def _run_bars(args, spark) -> int:
+    """OHLC hypertable maintenance — the nightly rollup job as a CLI.
+
+    Full mode: aggregate all ticks into the fine partial-bar state,
+    write it (--state / --state-out), roll the m5/h1/h6/h24 cascade
+    from the written state into <out>/bars. --delta: fold a tick batch
+    into the stored state (ohlc_update — cost ∝ delta + bar count,
+    never history) and write the updated state + refreshed cascade.
+    Emits one JSON summary line.
+    """
+    from dexscraper_spark.config import Timeframe
+    from dexscraper_spark.operators.ohlc import (
+        ohlc_frames_from_partials, ohlc_partials, ohlc_update)
+
+    if not args.events or not args.out:
+        print("bars: --events and --out are required", file=sys.stderr)
+        return 2
+    if args.delta and (not args.state or not args.state_out):
+        print("bars --delta: --state and --state-out are required",
+              file=sys.stderr)
+        return 2
+    if args.delta and os.path.realpath(args.state) == os.path.realpath(
+            args.state_out):
+        # same rationale (and same realpath symlink-proofing) as curate:
+        # overwrite deletes the target before the lazy read completes
+        print("bars --delta: --state-out must differ from --state "
+              "(in-place overwrite would destroy the store mid-read)",
+              file=sys.stderr)
+        return 2
+    if not args.delta and not (args.state_out or args.state):
+        print("bars: --state (or --state-out) is required",
+              file=sys.stderr)
+        return 2
+
+    kw = dict(symbol_col=args.symbol_col, ts_col=args.ts_col,
+              price_col=args.price_col, qty_col=args.qty_col,
+              order_col=args.order_col)
+    frames = tuple((tf.value, tf.seconds)
+                   for tf in (Timeframe.M5, Timeframe.H1,
+                              Timeframe.H6, Timeframe.H24))
+    fine_secs = frames[0][1]
+    ticks = spark.read.parquet(args.events)
+    if args.delta:
+        stored = spark.read.parquet(args.state)
+        state_new = ohlc_update(stored, ticks, bucket_seconds=fine_secs,
+                                **kw)
+        state_out = args.state_out
+        mode = "delta"
+    else:
+        state_new = ohlc_partials(ticks, bucket_seconds=fine_secs, **kw)
+        state_out = args.state_out or args.state
+        mode = "full"
+    state_new.write.mode("overwrite").parquet(state_out)
+    written = spark.read.parquet(state_out)
+    bars = ohlc_frames_from_partials(written, bucket_seconds=fine_secs,
+                                     frames=frames)
+    bars.write.mode("overwrite").parquet(f"{args.out}/bars")
+    # counts come from the written state (a one-node scan) and the
+    # bar-sized cascade over it — no tick-scale recompute
+    summary = {"mode": mode, "state_rows": written.count(),
+               "bars": bars.count()}
     _emit(json.dumps(summary), args.output)
     return 0
 

@@ -484,6 +484,65 @@ def ivf_load(spark, path: str, *, id_col: str = "vec_id",
                     nlist=nlist)
 
 
+def _ivf_assign(index: IvfIndex, new_vectors: DataFrame) -> DataFrame:
+    """Assign new vectors to the index's existing coarse centroids —
+    nearest squared-L2 centroid, ties to the lowest list id (KMeans
+    transform's own rule, parity-pinned by test). Returns rows in the
+    ``assigned`` schema. Cost: |delta| × nlist broadcast compares."""
+    v = F.col(index.vec_col)
+    cn = _norm(F.col("centroid"))
+    # squared L2 via the norm identity ‖v‖²+‖c‖²−2·v·c: one fold per
+    # (vector, centroid) with both norms precomputed/broadcast
+    d2 = (F.col("__vnorm") * F.col("__vnorm") + cn * cn
+          - 2 * _dot(v, F.col("centroid")))
+    w = Window.partitionBy(index.id_col).orderBy(
+        F.col("__d2").asc(), F.col("list_id").asc())
+    return (
+        new_vectors.select(index.id_col, index.vec_col)
+        .withColumn("__vnorm", _norm(v))
+        .crossJoin(broadcast(index.centroids))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(index.id_col, index.vec_col,
+                F.col("list_id").alias("__list"), "__vnorm")
+    )
+
+
+def ivf_add(index: IvfIndex, new_vectors: DataFrame) -> IvfIndex:
+    """Extend an IVF index with a batch of new vectors WITHOUT refitting
+    the coarse quantizer: assign each to its nearest existing centroid
+    and append — the nightly maintenance op of an embedding pipeline.
+
+    Cost ∝ |delta| × nlist (broadcast centroid compare) plus a
+    delta-sized append; the existing assignment is never recomputed or
+    rewritten. The quantizer is immutable by design — per-batch refit
+    would invalidate every stored assignment; centroid drift under
+    distribution shift is a periodic RETRAIN decision (rebuild via
+    :func:`ivf_build`), not a per-batch one — standard IVF practice.
+    Assignment parity with the original KMeans transform is pinned by
+    test (drop-and-re-add reproduces the build's own lists bit-for-bit).
+    """
+    return IvfIndex(
+        index.assigned.unionByName(_ivf_assign(index, new_vectors)),
+        index.centroids, id_col=index.id_col, vec_col=index.vec_col,
+        nlist=index.nlist)
+
+
+def ivf_extend_saved(spark, path: str, new_vectors: DataFrame, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> IvfIndex:
+    """Fold a vector batch into an on-disk index (:func:`ivf_save`
+    layout): assign against the stored centroids and APPEND the new
+    rows into the list-partitioned assignment table — existing parquet
+    files are never read back or rewritten (delta-sized write; probes
+    keep pruning partitions). Returns the reloaded extended index."""
+    index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
+    _ivf_assign(index, new_vectors).write.mode("append") \
+        .partitionBy("__list").parquet(f"{path}/assigned")
+    return ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
               nprobe: int = 4, round_to: int | None = 6) -> DataFrame:
     """Probe the nprobe nearest lists per query, exact-rank candidates.

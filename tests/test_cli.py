@@ -164,6 +164,62 @@ def test_cli_curate_argument_validation(spark, capsys):
                spark=spark) == 2
 
 
+def test_cli_bars_full_then_delta_matches_one_shot(spark, tmp_path, capsys):
+    """The nightly rollup CLI: day-0 full build on 90% of ticks, then a
+    --delta fold of the remaining 10% — the updated state and cascade
+    must equal a one-shot full run over all ticks."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    cut = ev.selectExpr("percentile(unix_timestamp(ts), 0.9) p").first()["p"]
+    ev.filter(F.unix_timestamp("ts") <= cut).write.parquet(
+        str(tmp_path / "old"))
+    ev.filter(F.unix_timestamp("ts") > cut).write.parquet(
+        str(tmp_path / "new"))
+    ev.write.parquet(str(tmp_path / "all"))
+
+    assert run(["bars", "--events", str(tmp_path / "old"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "s0")], spark=spark) == 0
+    day0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day0["mode"] == "full" and day0["state_rows"] > 0
+
+    assert run(["bars", "--events", str(tmp_path / "new"), "--delta",
+                "--state", str(tmp_path / "s0"),
+                "--state-out", str(tmp_path / "s1"),
+                "--out", str(tmp_path / "day1")], spark=spark) == 0
+    day1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run(["bars", "--events", str(tmp_path / "all"),
+                "--out", str(tmp_path / "oneshot"),
+                "--state", str(tmp_path / "sfull")], spark=spark) == 0
+    full = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day1["state_rows"] == full["state_rows"]
+    assert day1["bars"] == full["bars"]
+
+    def rows(path):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(path).collect())
+    assert rows(str(tmp_path / "s1")) == rows(str(tmp_path / "sfull"))
+    assert rows(str(tmp_path / "day1/bars")) \
+        == rows(str(tmp_path / "oneshot/bars"))
+
+
+def test_cli_bars_argument_validation(spark, capsys):
+    from dexscraper_spark.cli import run
+    assert run(["bars"], spark=spark) == 2
+    assert run(["bars", "--events", "x", "--out", "y", "--delta"],
+               spark=spark) == 2
+    assert run(["bars", "--events", "x", "--out", "y", "--delta",
+                "--state", "s", "--state-out", "s"], spark=spark) == 2
+    assert "destroy" in capsys.readouterr().err
+
+
 def test_cli_curate_delta_refuses_in_place_state_overwrite(spark, tmp_path,
                                                            capsys):
     """--state-out == --state would have Spark delete the store before

@@ -308,6 +308,63 @@ def test_ivf_build_query_split_and_disk_index(spark, tmp_path):
     index.unpersist()
 
 
+def test_ivf_add_matches_build_assignment(spark):
+    """Incremental index maintenance: drop 10% of a built index's
+    assignment, ivf_add the same vectors back — the assignments must
+    reproduce the build's own lists bit-for-bit (our nearest-centroid
+    rule == KMeans transform's), so queries against the extended index
+    equal queries against the original."""
+    from dexscraper_spark.operators.similarity import (
+        ivf_add, ivf_build, ivf_query, IvfIndex)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    full = ivf_build(emb, nlist=8, seed=42, cache=False)
+    delta_ids = F.col("vec_id") % 10 == 3
+    pruned = IvfIndex(full.assigned.filter(~delta_ids), full.centroids,
+                      id_col="vec_id", vec_col="embedding", nlist=8)
+    ext = ivf_add(pruned, emb.filter(delta_ids))
+    a = sorted(tuple(r) for r in full.assigned.collect())
+    b = sorted(tuple(r) for r in ext.assigned.collect())
+    assert a == b
+    queries = emb.filter(F.col("vec_id") < 5)
+    qa = sorted(tuple(r) for r in
+                ivf_query(full, queries, k=5, nprobe=4).collect())
+    qb = sorted(tuple(r) for r in
+                ivf_query(ext, queries, k=5, nprobe=4).collect())
+    assert qa == qb
+
+
+def test_ivf_extend_saved_appends_without_rewriting(spark, tmp_path):
+    """On-disk nightly append: extending a saved index writes only new
+    files into the touched list partitions — every pre-existing parquet
+    file survives byte-identical (never read back or rewritten) — and
+    the reloaded index answers like the in-memory extended one."""
+    import glob
+    import os
+
+    from dexscraper_spark.operators.similarity import (
+        ivf_add, ivf_build, ivf_extend_saved, ivf_query, ivf_save, IvfIndex)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 3)
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    base = ivf_build(old, nlist=8, seed=7, cache=False)
+    path = str(tmp_path / "idx")
+    ivf_save(base, path)
+    before = {p: os.path.getmtime(p) for p in
+              glob.glob(f"{path}/assigned/**/*.parquet", recursive=True)}
+    ext_disk = ivf_extend_saved(spark, path, new)
+    after = set(glob.glob(f"{path}/assigned/**/*.parquet", recursive=True))
+    assert set(before) <= after and len(after) > len(before)
+    for p, mt in before.items():
+        assert os.path.getmtime(p) == mt  # untouched, not rewritten
+    queries = emb.filter(F.col("vec_id") < 5)
+    mem = sorted(tuple(r) for r in
+                 ivf_query(ivf_add(base, new), queries, k=5,
+                           nprobe=4).collect())
+    disk = sorted(tuple(r) for r in
+                  ivf_query(ext_disk, queries, k=5, nprobe=4).collect())
+    assert mem == disk
+
+
 def test_ohlc_frames_cascade_equals_direct(spark):
     """The hierarchical rollup cascade (m5 -> h1 -> h6) must be
     bit-identical to aggregating the raw ticks directly at each width —
