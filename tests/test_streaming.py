@@ -367,3 +367,97 @@ def test_streaming_asof_null_time_snapshot_never_enters_state(spark, tmp_path):
             for r in spark.sql("SELECT * FROM asof_nullts_mem").collect()}
     assert rows[5] == (None, None)      # NULL-time snapshot never matched
     assert rows[7] == (100.0, 6)        # real snapshot still lands
+
+
+def test_streaming_bars_maintenance_folds_microbatches(spark, tmp_path):
+    """Continuous-aggregate maintenance: three tick files → three
+    micro-batches folded into the versioned partial-bar store; the
+    latest version must equal the one-shot batch aggregation of all
+    ticks, and a restart with a NEW file folds only the new data."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.ohlc import ohlc_partials
+    from dexscraper_spark.streaming.pipeline import (
+        latest_bars_state, streaming_bars_maintenance)
+
+    src = str(tmp_path / "ticks")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              qty_col="value", order_col="event_id", bucket_seconds=300)
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    state_root = str(tmp_path / "barstate")
+    q = streaming_bars_maintenance(
+        stream, state_root, checkpoint=str(tmp_path / "ckpt"),
+        once=True, **kw)
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = latest_bars_state(spark, state_root)
+    assert rows(got) == rows(ohlc_partials(ev, **kw))
+    # at most two versions retained (rollback target + current)
+    import os
+    assert len([d for d in os.listdir(state_root)
+                if d.startswith("v")]) <= 2
+
+    # restart: a fourth file arrives; the checkpoint resumes and folds
+    # ONLY the new data (no double count of history)
+    extra = ev.filter(F.col("event_id") % 3 == 0) \
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream
+               .schema(spark.read.parquet(src).schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = streaming_bars_maintenance(
+        stream2, state_root, checkpoint=str(tmp_path / "ckpt"),
+        once=True, **kw)
+    q2.awaitTermination(120)
+    assert rows(latest_bars_state(spark, state_root)) \
+        == rows(ohlc_partials(ev.unionByName(extra), **kw))
+
+
+def test_bars_fold_replay_is_idempotent(spark, tmp_path):
+    """The merge monoid is NOT idempotent, so exactly-once rests on the
+    versioned-store protocol: re-running a batch id (post-crash replay)
+    recomputes its version from the immutable previous one — same
+    bits, no double count — including replay after a PARTIAL crashed
+    write of the version directory."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.pipeline import (
+        bars_fold_builder, latest_bars_state)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              qty_col="value", order_col="event_id", bucket_seconds=300)
+    root = str(tmp_path / "state")
+    fold = bars_fold_builder(root, **kw)
+
+    def rows():
+        return sorted(tuple(r) for r in
+                      latest_bars_state(spark, root).collect())
+
+    fold(a, 0)
+    fold(b, 1)
+    want = rows()
+    fold(b, 1)          # clean replay
+    assert rows() == want
+    # crashed partial attempt: garbage in v1, then replay
+    import os
+    import shutil
+    shutil.rmtree(f"{root}/v1")
+    os.makedirs(f"{root}/v1")
+    open(f"{root}/v1/part-garbage.parquet", "w").write("not parquet")
+    fold(b, 1)
+    assert rows() == want
