@@ -289,6 +289,35 @@ def run(argv: list[str] | None = None, spark=None) -> int:
     return 0
 
 
+def _validate_pipeline_args(cmd: str, input_flag: str, input_value,
+                            args) -> int:
+    """Shared arg contract for the nightly-pipeline subcommands (curate,
+    bars): required input/--out, --delta needs --state + --state-out,
+    and the --state-out != --state guard — realpath, not abspath, so a
+    symlinked store alias can't sneak an in-place overwrite past it
+    (Spark's overwrite DELETES the target before the lazy read of the
+    old store completes: verified data loss). Returns 0 or exit code 2."""
+    if not input_value or not args.out:
+        print(f"{cmd}: {input_flag} and --out are required",
+              file=sys.stderr)
+        return 2
+    if args.delta and (not args.state or not args.state_out):
+        print(f"{cmd} --delta: --state and --state-out are required",
+              file=sys.stderr)
+        return 2
+    if args.delta and os.path.realpath(args.state) == os.path.realpath(
+            args.state_out):
+        print(f"{cmd} --delta: --state-out must differ from --state "
+              "(in-place overwrite would destroy the store mid-read)",
+              file=sys.stderr)
+        return 2
+    if not args.delta and not (args.state_out or args.state):
+        print(f"{cmd}: --state (or --state-out) is required",
+              file=sys.stderr)
+        return 2
+    return 0
+
+
 def _run_curate(args, spark) -> int:
     """The nightly training-corpus entry point. Full:
 
@@ -310,27 +339,9 @@ def _run_curate(args, spark) -> int:
         curate_delta, read_curation_state, write_curated,
         write_curation_state)
 
-    if not args.docs or not args.out:
-        print("curate: --docs and --out are required", file=sys.stderr)
-        return 2
-    if args.delta and (not args.state or not args.state_out):
-        print("curate --delta: --state and --state-out are required",
-              file=sys.stderr)
-        return 2
-    if args.delta and os.path.realpath(args.state) == os.path.realpath(
-            args.state_out):
-        # Spark's overwrite DELETES the target before the lazy read of
-        # the old store completes — same-path would destroy the store.
-        # realpath, not abspath: a symlinked store alias (store ->
-        # store_v3) must not bypass the guard
-        print("curate --delta: --state-out must differ from --state "
-              "(in-place overwrite would destroy the store mid-read)",
-              file=sys.stderr)
-        return 2
-    if not args.delta and not (args.state_out or args.state):
-        print("curate: --state (or --state-out) is required",
-              file=sys.stderr)
-        return 2
+    rc = _validate_pipeline_args("curate", "--docs", args.docs, args)
+    if rc:
+        return rc
     cfg = CurationConfig(min_quality=args.min_quality,
                          min_tokens=args.min_tokens)
     docs = spark.read.parquet(args.docs)
@@ -393,25 +404,9 @@ def _run_bars(args, spark) -> int:
     from dexscraper_spark.operators.ohlc import (
         ohlc_frames_from_partials, ohlc_partials, ohlc_update)
 
-    if not args.events or not args.out:
-        print("bars: --events and --out are required", file=sys.stderr)
-        return 2
-    if args.delta and (not args.state or not args.state_out):
-        print("bars --delta: --state and --state-out are required",
-              file=sys.stderr)
-        return 2
-    if args.delta and os.path.realpath(args.state) == os.path.realpath(
-            args.state_out):
-        # same rationale (and same realpath symlink-proofing) as curate:
-        # overwrite deletes the target before the lazy read completes
-        print("bars --delta: --state-out must differ from --state "
-              "(in-place overwrite would destroy the store mid-read)",
-              file=sys.stderr)
-        return 2
-    if not args.delta and not (args.state_out or args.state):
-        print("bars: --state (or --state-out) is required",
-              file=sys.stderr)
-        return 2
+    rc = _validate_pipeline_args("bars", "--events", args.events, args)
+    if rc:
+        return rc
 
     kw = dict(symbol_col=args.symbol_col, ts_col=args.ts_col,
               price_col=args.price_col, qty_col=args.qty_col,
@@ -435,11 +430,13 @@ def _run_bars(args, spark) -> int:
     written = spark.read.parquet(state_out)
     bars = ohlc_frames_from_partials(written, bucket_seconds=fine_secs,
                                      frames=frames)
-    bars.write.mode("overwrite").parquet(f"{args.out}/bars")
-    # counts come from the written state (a one-node scan) and the
-    # bar-sized cascade over it — no tick-scale recompute
-    summary = {"mode": mode, "state_rows": written.count(),
-               "bars": bars.count()}
+    bars.persist()  # one cascade execution feeds both write and count
+    try:
+        bars.write.mode("overwrite").parquet(f"{args.out}/bars")
+        summary = {"mode": mode, "state_rows": written.count(),
+                   "bars": bars.count()}
+    finally:
+        bars.unpersist()
     _emit(json.dumps(summary), args.output)
     return 0
 

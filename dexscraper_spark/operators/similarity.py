@@ -413,20 +413,29 @@ class IvfIndex:
     """
 
     def __init__(self, assigned: DataFrame, centroids: DataFrame, *,
-                 id_col: str, vec_col: str, nlist: int):
+                 id_col: str, vec_col: str, nlist: int,
+                 release_handles: list | None = None):
         self.assigned = assigned
         self.centroids = centroids
         self.id_col = id_col
         self.vec_col = vec_col
         self.nlist = nlist
+        # the frames whose storage unpersist() releases — normally just
+        # `assigned`, but an ivf_add-extended index's assigned is a
+        # union PLAN over the base artifact: the base handle must ride
+        # along or release becomes a silent no-op leak
+        self._release_handles = (release_handles if release_handles
+                                 is not None else [assigned])
 
     def unpersist(self):
-        """Release the assignment's storage: deletes the materialized
+        """Release the index's storage: deletes the materialized
         artifact dir for ``cache=True`` indexes (unpersist() cannot free
-        a parquet artifact), block-manager unpersist otherwise."""
+        a parquet artifact), block-manager unpersist otherwise; an
+        extended index (ivf_add) releases its base's storage."""
         from dexscraper_spark.persist import release_artifact
-        if not release_artifact(self.assigned):
-            self.assigned.unpersist()
+        for df in self._release_handles:
+            if not release_artifact(df):
+                df.unpersist()
 
 
 def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
@@ -490,11 +499,16 @@ def _ivf_assign(index: IvfIndex, new_vectors: DataFrame) -> DataFrame:
     transform's own rule, parity-pinned by test). Returns rows in the
     ``assigned`` schema. Cost: |delta| × nlist broadcast compares."""
     v = F.col(index.vec_col)
-    cn = _norm(F.col("centroid"))
-    # squared L2 via the norm identity ‖v‖²+‖c‖²−2·v·c: one fold per
-    # (vector, centroid) with both norms precomputed/broadcast
-    d2 = (F.col("__vnorm") * F.col("__vnorm") + cn * cn
-          - 2 * _dot(v, F.col("centroid")))
+    # EXACT element-wise Σ(x−y)² — not the ‖v‖²+‖c‖²−2·v·c norm
+    # identity: for a vector nearly equidistant to two centroids the
+    # identity cancels catastrophically (d² ≪ ‖·‖²) and can flip the
+    # argmin, while MLlib's own fastSquaredDistance falls back to exact
+    # sqdist in precisely that regime — exact matches it everywhere
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("centroid"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
     w = Window.partitionBy(index.id_col).orderBy(
         F.col("__d2").asc(), F.col("list_id").asc())
     return (
@@ -526,18 +540,29 @@ def ivf_add(index: IvfIndex, new_vectors: DataFrame) -> IvfIndex:
     return IvfIndex(
         index.assigned.unionByName(_ivf_assign(index, new_vectors)),
         index.centroids, id_col=index.id_col, vec_col=index.vec_col,
-        nlist=index.nlist)
+        nlist=index.nlist, release_handles=index._release_handles)
 
 
 def ivf_extend_saved(spark, path: str, new_vectors: DataFrame, *,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> IvfIndex:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     skip_existing: bool = True) -> IvfIndex:
     """Fold a vector batch into an on-disk index (:func:`ivf_save`
     layout): assign against the stored centroids and APPEND the new
     rows into the list-partitioned assignment table — existing parquet
     files are never read back or rewritten (delta-sized write; probes
-    keep pruning partitions). Returns the reloaded extended index."""
+    keep pruning partitions). Returns the reloaded extended index.
+
+    ``skip_existing`` (default) anti-joins the batch against the stored
+    ids first, making a RETRIED nightly append idempotent — the append
+    itself is not atomic, so a rerun after a success (or after a crash
+    that landed part of the batch) would otherwise duplicate vectors
+    and corrupt top-k ranks. Costs one column-pruned id scan of the
+    index; orchestrators with their own write-audit-publish dance can
+    turn it off."""
     index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
+    if skip_existing:
+        new_vectors = new_vectors.join(
+            index.assigned.select(id_col), id_col, "left_anti")
     _ivf_assign(index, new_vectors).write.mode("append") \
         .partitionBy("__list").parquet(f"{path}/assigned")
     return ivf_load(spark, path, id_col=id_col, vec_col=vec_col)

@@ -204,13 +204,30 @@ def run_foreach_batch(decoded: DataFrame, sink: Callable[[DataFrame, int], None]
     return writer.start()
 
 
+def _list_bar_versions(state_root: str) -> list[int]:
+    """COMMITTED versions of a bar store, ascending: a ``v{N}`` dir
+    counts only once Spark's job commit wrote its ``_SUCCESS`` marker —
+    an in-flight or crashed partial write is invisible to readers and
+    never picked as a fold's merge base. Single point to swap for a
+    Hadoop FileSystem client on object storage."""
+    import os
+
+    if not os.path.isdir(state_root):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(state_root)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_root, d, "_SUCCESS")))
+
+
 def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
                       ts_col: str = "ts", price_col: str = "price",
                       qty_col: str | None = "qty",
                       order_col: str | None = None,
                       tiebreak_col: str | None = None,
                       bucket_seconds: int = 300,
-                      volume_scale: int = 6) -> Callable:
+                      volume_scale: int = 6,
+                      keep_versions: int = 2) -> Callable:
     """Build the foreachBatch callback that folds each tick micro-batch
     into a VERSIONED partial-bar store (the streaming twin of the
     nightly ``bars --delta`` CLI — a continuous aggregate maintained
@@ -221,22 +238,38 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
     idempotent (re-folding a replayed batch double-counts volume), so
     the store is versioned by micro-batch epoch — ``v{batch_id}`` is
     computed from the IMMUTABLE ``v{prev}`` plus this batch and written
-    to its own directory. A post-crash replay of batch N recomputes
-    ``v{N}`` from the same inputs (deterministic merge) and overwrites
-    the possibly-partial attempt; ``v{N-1}`` is never modified, so
-    replay is safe at any crash point. Versions older than the previous
-    one are pruned after each successful fold (two survive: the
-    roll-back target and the current).
+    to its own directory, visible to readers only once its ``_SUCCESS``
+    commit marker lands. A post-crash replay of batch N recomputes
+    ``v{N}`` from the same inputs (deterministic merge — which is why
+    one of ``order_col``/``tiebreak_col`` is REQUIRED: bare-timestamp
+    ties would let a replay pin different open/close bits than the
+    pre-crash attempt) and overwrites the possibly-partial attempt;
+    ``v{N-1}`` is never modified, so replay is safe at any crash point.
 
-    Paths are driver-visible (local/NFS); swap the ``os`` listing for a
-    Hadoop FileSystem client on object storage — the protocol is
-    layout-only.
+    ``keep_versions`` (default 2: the roll-back target + current) bounds
+    retention; a concurrent batch reader holds its version for about
+    ``keep_versions − 1`` trigger intervals before the prune loop can
+    delete it from under a long-running scan — raise it when analysts
+    run heavy queries against the live store.
+
+    If the store already holds versions AHEAD of the incoming batch id,
+    the checkpoint was lost or reset while the store survived; folding
+    would silently rebuild from scratch and later shadow the stale
+    history, so it fails loudly instead (start a fresh ``state_root`` or
+    restore the matching checkpoint).
+
+    Paths are driver-visible (local/NFS); object storage swaps only
+    :func:`_list_bar_versions` and the prune deletes.
     """
     import os
     import shutil
 
     from dexscraper_spark.operators.ohlc import ohlc_partials, ohlc_update
 
+    if order_col is None and tiebreak_col is None:
+        raise ValueError(
+            "bars_fold_builder: pass order_col or tiebreak_col — a "
+            "unique order key is what makes replayed folds bit-identical")
     kw = dict(symbol_col=symbol_col, ts_col=ts_col, price_col=price_col,
               qty_col=qty_col, order_col=order_col,
               tiebreak_col=tiebreak_col, bucket_seconds=bucket_seconds,
@@ -244,8 +277,13 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_root, exist_ok=True)
-        versions = sorted(int(d[1:]) for d in os.listdir(state_root)
-                          if d.startswith("v") and d[1:].isdigit())
+        versions = _list_bar_versions(state_root)
+        if any(v > batch_id for v in versions):
+            raise RuntimeError(
+                f"bar store {state_root} holds version "
+                f"v{max(versions)} ahead of incoming batch {batch_id}: "
+                "checkpoint/state mismatch (lost or reset checkpoint?) — "
+                "folding would silently drop the stored history")
         prev = max((v for v in versions if v < batch_id), default=None)
         spark = batch_df.sparkSession
         if prev is None:
@@ -256,23 +294,28 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
         out = f"{state_root}/v{batch_id}"
         shutil.rmtree(out, ignore_errors=True)  # crashed partial attempt
         state.write.parquet(out)
+        # retention counts batch_id separately: on a REPLAY the current
+        # id is already in the committed list and must not crowd out
+        # the older versions a concurrent reader may still be scanning
+        others = [v for v in versions if v != batch_id]
+        keep = set(others[-(keep_versions - 1):] if keep_versions > 1
+                   else []) | {batch_id}
         for v in versions:
-            if prev is not None and v < prev:
+            if v not in keep:
                 shutil.rmtree(f"{state_root}/v{v}", ignore_errors=True)
 
     return fold
 
 
 def latest_bars_state(spark: SparkSession, state_root: str) -> DataFrame:
-    """Open the newest committed partial-bar version (see
+    """Open the newest COMMITTED partial-bar version (``_SUCCESS``
+    present — an in-flight fold's partial directory is never served; see
     :func:`bars_fold_builder`) as a batch DataFrame — feed it to
     ``ohlc_frames_from_partials`` for live multi-frame bars."""
-    import os
-
-    versions = sorted(int(d[1:]) for d in os.listdir(state_root)
-                      if d.startswith("v") and d[1:].isdigit())
+    versions = _list_bar_versions(state_root)
     if not versions:
-        raise FileNotFoundError(f"no bar-state versions in {state_root}")
+        raise FileNotFoundError(
+            f"no committed bar-state versions in {state_root}")
     return spark.read.parquet(f"{state_root}/v{versions[-1]}")
 
 

@@ -741,3 +741,49 @@ def test_simhash_wide_probe_side_delta_semantics(spark):
         fc.unionByName(fd), id_col="doc_id", max_hamming=3, probe=fd)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(1, 100)}  # only pairs touching the probe side
+
+
+def test_ivf_extend_saved_retry_is_idempotent(spark, tmp_path):
+    """A retried nightly append (orchestrator re-run after success or
+    partial crash) must not duplicate vectors: skip_existing anti-joins
+    the batch against stored ids, so rerunning the same extend leaves
+    the index unchanged."""
+    from dexscraper_spark.operators.similarity import (
+        ivf_build, ivf_extend_saved, ivf_save)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 3)
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    path = str(tmp_path / "idx")
+    ivf_save(ivf_build(old, nlist=8, seed=7, cache=False), path)
+    once = ivf_extend_saved(spark, path, new)
+    n = once.assigned.count()
+    assert n == emb.count()
+    twice = ivf_extend_saved(spark, path, new)   # full retry
+    assert twice.assigned.count() == n
+    # a partial-crash retry (half the batch already landed) also heals
+    # to exactly-once: only the missing half appends
+    third = ivf_extend_saved(spark, path,
+                             new.unionByName(new.limit(0)))
+    assert third.assigned.count() == n
+    assert third.assigned.groupBy("vec_id").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_ivf_add_extended_index_releases_base_artifact(spark):
+    """unpersist() on an ivf_add-extended index must release the BASE
+    index's materialized artifact (the extended assigned is a union
+    plan release_artifact can't see)."""
+    import os
+
+    import dexscraper_spark.persist as P
+    from dexscraper_spark.operators.similarity import ivf_add, ivf_build
+
+    P.release_artifacts()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = ivf_build(emb.filter(F.col("vec_id") % 2 == 0), nlist=4,
+                     cache=True)
+    [path] = P._ARTIFACT_DIRS
+    ext = ivf_add(base, emb.filter(F.col("vec_id") % 2 == 1))
+    assert ext.assigned.count() == emb.count()
+    ext.unpersist()
+    assert not os.path.exists(path) and P._ARTIFACT_DIRS == []

@@ -461,3 +461,64 @@ def test_bars_fold_replay_is_idempotent(spark, tmp_path):
     open(f"{root}/v1/part-garbage.parquet", "w").write("not parquet")
     fold(b, 1)
     assert rows() == want
+
+
+def test_bars_fold_guards(spark, tmp_path):
+    """Protocol guards: (a) an order key is mandatory (replay
+    bit-determinism); (b) versions AHEAD of the incoming batch id mean
+    a lost/reset checkpoint — fail loudly instead of silently shadowing
+    stored history; (c) an uncommitted (_SUCCESS-less) version dir is
+    invisible to readers and never picked as a merge base."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.pipeline import (
+        bars_fold_builder, latest_bars_state)
+
+    with pytest.raises(ValueError, match="order key"):
+        bars_fold_builder(str(tmp_path / "x"))
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              qty_col="value", order_col="event_id", bucket_seconds=300)
+    root = str(tmp_path / "state")
+    fold = bars_fold_builder(root, **kw)
+    fold(ev, 41)
+    fold(ev.limit(10), 42)
+    with pytest.raises(RuntimeError, match="ahead of incoming batch"):
+        fold(ev.limit(5), 0)      # checkpoint reset to batch 0
+
+    # uncommitted partial dir: newer id but no _SUCCESS — reader still
+    # serves v42, and a fold for batch 50 merges from v42, not v49
+    os.makedirs(f"{root}/v49")
+    open(f"{root}/v49/part-0.parquet", "w").write("partial")
+    assert latest_bars_state(spark, root).count() \
+        == spark.read.parquet(f"{root}/v42").count()
+    fold(ev.limit(3), 50)         # must not try to read v49
+    assert latest_bars_state(spark, root).count() > 0
+
+
+def test_bars_fold_keep_versions_retention(spark, tmp_path):
+    """keep_versions bounds the store: after N folds only the last
+    keep_versions committed dirs survive, and a replay does not crowd
+    out the concurrent reader's older versions."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.pipeline import (
+        _list_bar_versions, bars_fold_builder)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              qty_col="value", order_col="event_id", bucket_seconds=300)
+    root = str(tmp_path / "state")
+    fold = bars_fold_builder(root, keep_versions=3, **kw)
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    for i, b in enumerate(batches):
+        fold(b, i)
+    assert _list_bar_versions(root) == [1, 2, 3]
+    fold(batches[3], 3)   # replay of the newest batch
+    assert _list_bar_versions(root) == [1, 2, 3]  # readers keep 1 and 2
