@@ -105,6 +105,8 @@ def chunk_token_stream(docs: DataFrame, *, id_col: str = "doc_id",
     chunk-count-sized output; the boundary-spanning explode is
     map-side.
     """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     order_col = order_col or id_col
     cap = F.lit(int(max_tokens))
     d = _with_stream_end(
@@ -150,9 +152,18 @@ def pack_greedy(docs: DataFrame, *, id_col: str = "doc_id",
     the same append-only discipline as the rest of the engine's nightly
     ops. Waste vs the chunked mode is the padding a no-split policy
     pays; measure with the returned sizes.
+
+    Memory shape: each shard materializes as one pandas frame of
+    (id, size, order) rows — ~tens of bytes per DOC, not per token —
+    so size ``num_shards`` to keep rows-per-shard in the 10⁷ range
+    (e.g. 10¹⁰ docs → ≥1 000 shards); the default 64 suits corpora up
+    to ~10⁹ docs. Negative sizes raise; zero-size docs join the current
+    bin (never an oversize doc's flagged bin).
     """
     import pandas as pd
 
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     order_col = order_col or id_col
     cols = [id_col, size_col] + ([order_col] if order_col != id_col
                                  else [])
@@ -161,8 +172,12 @@ def pack_greedy(docs: DataFrame, *, id_col: str = "doc_id",
                          F.lit(num_shards))).cast("int"))
     cap = int(max_tokens)
 
-    schema = (f"{id_col} long, {size_col} long, shard int, "
-              f"bin_id long, oversize boolean")
+    # id/size keep their INPUT types (string/uuid ids are the common
+    # case for documents) — only the appended columns are fixed
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in docs.select(id_col, size_col).schema.fields
+    ) + ", shard int, bin_id long, oversize boolean"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
@@ -171,12 +186,14 @@ def pack_greedy(docs: DataFrame, *, id_col: str = "doc_id",
         oversize = []
         for n in pdf[size_col]:
             n = int(n)
+            if n < 0:
+                raise ValueError(f"negative {size_col}: {n}")
             if n > cap:
                 local += 1          # oversize doc: its own flagged bin
                 bins.append(local)
                 oversize.append(True)
-                fill = cap          # force a fresh bin for the next doc
-                continue
+                fill = cap + 1      # cap+1, not cap: a zero-size doc
+                continue            # must not join the flagged bin
             if local < 0 or fill + n > cap:
                 local += 1
                 fill = 0
@@ -184,8 +201,8 @@ def pack_greedy(docs: DataFrame, *, id_col: str = "doc_id",
             oversize.append(False)
             fill += n
         return pd.DataFrame({
-            id_col: pdf[id_col].astype("int64"),
-            size_col: pdf[size_col].astype("int64"),
+            id_col: pdf[id_col],
+            size_col: pdf[size_col],
             "shard": shard,
             "bin_id": [shard * (1 << 40) + b for b in bins],
             "oversize": oversize,

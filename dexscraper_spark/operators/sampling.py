@@ -65,11 +65,31 @@ def stratified_sample_exact(df: DataFrame, *, strata_cols: list[str],
     exact count, never assumed) retry with a doubled margin; strata
     with count ≤ n skip the filter entirely and return whole.
     """
+    from dexscraper_spark.persist import tracked_persist
+
     if n_per_stratum <= 0:
         raise ValueError("n_per_stratum must be positive")
     n = n_per_stratum
-    counts = df.groupBy(*strata_cols).agg(
-        F.count(F.lit(1)).alias("__cnt"))
+    # strata columns RENAMED in the aggregate: counts derives from df,
+    # so joining back on the original names is an ambiguous self-join
+    counts = tracked_persist(
+        df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(*[F.col(c).alias(f"__s_{c}") for c in strata_cols],
+                "__cnt"))
+
+    def null_safe_on(left_names, right_names):
+        # eqNullSafe, not ==: a NULL stratum is a legitimate group
+        # (groupBy counts it); a plain equi-join would silently drop
+        # its rows and trap the retry loop in a permanent phantom
+        # shortfall
+        cond = None
+        for a, b in zip(left_names, right_names):
+            e = F.col(a).eqNullSafe(F.col(b))
+            cond = e if cond is None else cond & e
+        return cond
+
+    s_cols = [f"__s_{c}" for c in strata_cols]
+
     h = _rank_hash(key_col, seed)
     # key_col tiebreak: hash collisions must not make the rank (and so
     # the picked set) layout-dependent
@@ -83,22 +103,34 @@ def stratified_sample_exact(df: DataFrame, *, strata_cols: list[str],
         two63 = F.expr("cast('9223372036854775808' as decimal(38,0))")
         bound = (frac * F.lit(float(1 << 64))).cast("decimal(38,0)") \
             - two63
-        cand = (df.join(broadcast(counts), strata_cols)
+        cand = (df.join(broadcast(counts),
+                        null_safe_on(strata_cols, s_cols))
+                .drop(*s_cols)
                 .withColumn("__h", h)
                 .filter((F.col("__cnt") <= n)
                         | (F.col("__h").cast("decimal(38,0)") < bound)))
-        picked = (cand.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= n)
-                  .drop("__h", "__rn", "__cnt"))
+        # pinned: the exactness check below and the caller's consume
+        # must not re-run the candidate scan + rank
+        picked = tracked_persist(
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__h", "__rn", "__cnt"))
         # exactness check: every stratum must yield min(cnt, n) rows
-        got = picked.groupBy(*strata_cols).agg(
-            F.count(F.lit(1)).alias("__got"))
-        short = (counts.join(got, strata_cols, "left")
+        got = (picked.groupBy(*strata_cols)
+               .agg(F.count(F.lit(1)).alias("__got"))
+               .select(*[F.col(c).alias(f"__g_{c}")
+                         for c in strata_cols], "__got"))
+        short = (counts.join(got,
+                             null_safe_on(s_cols,
+                                          [f"__g_{c}"
+                                           for c in strata_cols]),
+                             "left")
                  .filter(F.coalesce(F.col("__got"), F.lit(0))
                          < F.least(F.col("__cnt"), F.lit(n)))
                  .limit(1).count())
         if short == 0:
             return picked
+        picked.unpersist()  # failed round: don't stack storage
         margin *= 2
     raise RuntimeError(
         f"stratified_sample_exact: shortfall after {max_rounds} "

@@ -88,7 +88,7 @@ def test_pack_greedy_matches_reference_and_caps(spark):
             if n > CAP:
                 local += 1
                 want_bins.append((local, True))
-                fill = CAP
+                fill = CAP + 1
                 continue
             if local < 0 or fill + n > CAP:
                 local += 1
@@ -115,3 +115,33 @@ def test_pack_greedy_partitioning_independent(spark):
                pack_greedy(docs.repartition(17), max_tokens=CAP,
                            num_shards=8).collect())
     assert a == b
+
+
+def test_pack_greedy_zero_size_after_oversize_and_string_ids(spark):
+    """Regression (r7 review): a zero-token doc right after an oversize
+    doc must open a fresh bin, not join the flagged bin (which would
+    put a non-oversize row in an over-capacity bin); and string doc ids
+    (content hashes — the common case) must pass through with their
+    type intact."""
+    rows = [("aaa", 100), ("aab", 0), ("aac", 10), ("aad", 10)]
+    docs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_greedy(docs, id_col="doc_id", size_col="n_tokens",
+                      max_tokens=CAP, num_shards=1)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r["aaa"]["oversize"] is True
+    assert r["aab"]["oversize"] is False
+    assert r["aab"]["bin_id"] != r["aaa"]["bin_id"]
+    assert r["aab"]["bin_id"] == r["aac"]["bin_id"] == r["aad"]["bin_id"]
+
+
+def test_packing_validates_arguments(spark):
+    import pytest
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_token_stream(docs, max_tokens=0)
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_greedy(docs, max_tokens=-5)
+    neg = spark.createDataFrame([(1, -3)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="negative"):
+        pack_greedy(neg, max_tokens=CAP, num_shards=1).collect()

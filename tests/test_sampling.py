@@ -98,3 +98,26 @@ def test_stratified_schema_passthrough(spark):
     assert set(out.columns) == {"doc_id", "lang", "source"}
     per = out.groupBy("lang", "source").count().collect()
     assert all(r["count"] <= 2 for r in per)
+
+
+def test_stratified_null_stratum_is_sampled(spark):
+    """Regression (r7 review): a NULL stratum is a legitimate group —
+    the candidate join must be null-safe, or NULL-keyed rows silently
+    vanish and the retry loop dies on a phantom shortfall."""
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 4 == 0, None)
+        .otherwise(F.col("lang")))
+    n_null = docs.filter(F.col("lang").isNull()).count()
+    assert n_null > 3
+    out = stratified_sample_exact(
+        docs, strata_cols=["lang"], n_per_stratum=3, key_col="doc_id")
+    assert out.filter(F.col("lang").isNull()).count() == 3
+    # and the picked NULL-stratum rows are the hash-order smallest
+    got = {r["doc_id"] for r in
+           out.filter(F.col("lang").isNull()).collect()}
+    ref = sorted(
+        (r["h"], r["doc_id"]) for r in
+        docs.filter(F.col("lang").isNull())
+        .select("doc_id", F.xxhash64("doc_id", F.lit(42))
+                .bitwiseXOR(F.lit(-(1 << 63))).alias("h")).collect())
+    assert got == {d for _, d in ref[:3]}
