@@ -268,3 +268,48 @@ def test_tune_session_reasserts_utc_on_memo_hit(spark):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     tune_session(spark)
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_chunk_token_stream_plan_one_range_shuffle_no_window(spark):
+    """The distributed prefix sum must cost ONE range shuffle: the
+    partition-local cumsum is an Arrow map (MapInPandas), never a
+    Window.partitionBy(pid) — which would hash-shuffle the whole table
+    a second time — and the offsets table joins back broadcast."""
+    from pyspark.sql import functions as F
+
+    import dexscraper_spark.persist as P
+    from dexscraper_spark.functions.textstats import token_count
+    from dexscraper_spark.operators.packing import chunk_token_stream
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", token_count(F.col("text"))
+                    .cast("long").alias("n_tokens")))
+    plan = plan_of(chunk_token_stream(docs, max_tokens=512,
+                                      num_partitions=8))
+    # (the cached cumsum branch appears twice in the formatted plan —
+    # once as the InMemoryRelation's stored build plan — so assert on
+    # operator PRESENCE, not counts)
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan
+    P.release_tracked()
+
+
+def test_stratified_sample_plan_broadcast_no_data_shuffle(spark):
+    """The per-stratum counts join back BROADCAST; the sampled table
+    itself is never hash-shuffled for the join (the only exchange the
+    candidates pay is the window rank over the ~n-per-stratum candidate
+    set)."""
+    from dexscraper_spark.operators.sampling import stratified_sample_exact
+    import dexscraper_spark.persist as P
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "lang")
+    out = stratified_sample_exact(docs, strata_cols=["lang"],
+                                  n_per_stratum=3, key_col="doc_id")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    P.release_tracked()
