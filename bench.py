@@ -269,6 +269,44 @@ def main() -> None:
             print(f"bench: delta-rollup column failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # Training-data pipeline ops outside the 50-query registry —
+    # informational timings so the packing/sampling family has measured
+    # numbers on record each round.
+    if "--no-cold" not in sys.argv:
+        try:
+            from pyspark.sql import functions as F
+
+            from dexscraper_spark.functions.textstats import token_count
+            from dexscraper_spark.operators.packing import (
+                chunk_token_stream, pack_greedy)
+            from dexscraper_spark.operators.sampling import (
+                stratified_sample_exact)
+            from dexscraper_spark.plans.registry import clear_plan_cache
+
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .select("doc_id", "lang",
+                            token_count(F.col("text")).cast("long")
+                            .alias("n_tokens")))
+            for name, build in (
+                ("packing_chunk_stream",
+                 lambda: chunk_token_stream(docs, max_tokens=2048)),
+                ("packing_greedy_bins",
+                 lambda: pack_greedy(docs, max_tokens=2048,
+                                     num_shards=32)),
+                ("sample_stratified_exact",
+                 lambda: stratified_sample_exact(
+                     docs, strata_cols=["lang"], n_per_stratum=100,
+                     key_col="doc_id")),
+            ):
+                clear_plan_cache()
+                t0 = time.time()
+                build().toPandas()
+                cold[name] = round(time.time() - t0, 3)
+            clear_plan_cache()
+        except Exception as e:
+            print(f"bench: pipeline-ops column failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     out = {
         "metric": "total_query_sec",
         "value": total,
