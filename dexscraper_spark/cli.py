@@ -99,7 +99,8 @@ def apply_filter_flags(cfg, args):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
     p.add_argument("command",
-                   choices=list(PRESETS) + ["stream", "curate", "bars"])
+                   choices=list(PRESETS) + ["stream", "curate", "bars",
+                                            "pack"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -150,6 +151,15 @@ def build_parser() -> argparse.ArgumentParser:
     bar.add_argument("--order-col", default="event_id",
                      help="bars: unique monotone order key (open/close "
                           "determinism)")
+    pk = p.add_argument_group(
+        "pack (sequence packing: curated docs -> fixed-token training "
+        "rows; shares --docs/--out with curate)")
+    pk.add_argument("--mode", default="chunk", choices=["chunk", "bins"],
+                    help="pack: chunk = concat-and-chunk (docs may span "
+                         "chunks); bins = greedy first-fit, whole docs")
+    pk.add_argument("--max-tokens", type=int, default=2048)
+    pk.add_argument("--num-shards", type=int, default=64,
+                    help="pack bins: independent packing shards")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -178,6 +188,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "bars":
         return _run_bars(args, spark)
+
+    if args.command == "pack":
+        return _run_pack(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -437,6 +450,51 @@ def _run_bars(args, spark) -> int:
                    "bars": bars.count()}
     finally:
         bars.unpersist()
+    _emit(json.dumps(summary), args.output)
+    return 0
+
+
+def _run_pack(args, spark) -> int:
+    """Sequence packing as a CLI: read documents, count tokens once,
+    and either concat-and-chunk the token stream (``--mode chunk``) or
+    greedy-pack whole documents into capacity bins (``--mode bins``).
+    Writes the assignment table to <out>/packed and emits one JSON
+    summary line with fill statistics."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.functions.textstats import token_count
+    from dexscraper_spark.operators.packing import (
+        chunk_token_stream, pack_greedy)
+
+    if not args.docs or not args.out:
+        print("pack: --docs and --out are required", file=sys.stderr)
+        return 2
+    docs = spark.read.parquet(args.docs).select(
+        "doc_id", token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    if args.mode == "chunk":
+        packed = chunk_token_stream(docs, max_tokens=args.max_tokens)
+        group, fill = "chunk_id", F.sum(
+            F.col("tok_end") - F.col("tok_start"))
+    else:
+        packed = pack_greedy(docs, max_tokens=args.max_tokens,
+                             num_shards=args.num_shards)
+        group, fill = "bin_id", F.sum(
+            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0))
+    packed.persist()  # one execution feeds the write and both stats
+    try:
+        packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+        fills = packed.groupBy(group).agg(fill.alias("f"))
+        stats = fills.agg(
+            F.count(F.lit(1)).alias("units"),
+            F.avg("f").alias("avg_fill")).first()
+        summary = {
+            "mode": args.mode, "max_tokens": args.max_tokens,
+            "docs": docs.count(), "units": stats["units"],
+            "avg_fill": round(float(stats["avg_fill"] or 0.0), 2),
+        }
+    finally:
+        packed.unpersist()
     _emit(json.dumps(summary), args.output)
     return 0
 

@@ -274,3 +274,33 @@ def test_cli_curate_zero_survivor_batch_emits_summary(spark, tmp_path,
                 "--out", str(tmp_path / "day1"), *base], spark=spark) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["new_survivors"] == 0 and out["retracted"] == 0
+
+
+def test_cli_pack_both_modes(spark, tmp_path, capsys):
+    import json as _json
+
+    from dexscraper_spark.cli import run
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert run(["pack"], spark=spark) == 2
+    capsys.readouterr()
+
+    assert run(["pack", "--docs", docs, "--out", str(tmp_path / "c"),
+                "--max-tokens", "128"], spark=spark) == 0
+    c = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every chunk but the last is exactly full -> avg fill ~= capacity
+    assert c["mode"] == "chunk" and c["units"] > 0
+    assert c["avg_fill"] > 100
+    back = spark.read.parquet(str(tmp_path / "c/packed"))
+    assert back.count() >= c["docs"] * 0  # readable, schema intact
+    assert set(back.columns) == {"chunk_id", "doc_id", "tok_start",
+                                 "tok_end"}
+
+    assert run(["pack", "--docs", docs, "--out", str(tmp_path / "b"),
+                "--mode", "bins", "--max-tokens", "128",
+                "--num-shards", "4"], spark=spark) == 0
+    b = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert b["mode"] == "bins" and b["units"] > 0
+    assert b["avg_fill"] <= 128
+    back = spark.read.parquet(str(tmp_path / "b/packed"))
+    assert back.count() == b["docs"]  # every doc in exactly one bin

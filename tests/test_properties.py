@@ -175,3 +175,54 @@ def test_delta_curation_equals_full_property(spark, picks, cut_frac):
     ns = apply_state_updates(old_state, res).select(*scols)
     fs = full_state.select(*scols)
     assert fs.exceptAll(ns).count() == 0 and ns.exceptAll(fs).count() == 0
+
+
+# -- packing invariants over arbitrary corpora ------------------------------
+
+@given(sizes=st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                      max_size=60),
+       cap=st.integers(min_value=1, max_value=100))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_packing_properties_random_corpora(spark, sizes, cap):
+    """chunk_token_stream and pack_greedy over arbitrary size lists and
+    capacities: exact interior-chunk fill, complete in-order coverage,
+    greedy-reference parity including zeros and oversize docs."""
+    from dexscraper_spark.operators.packing import (
+        chunk_token_stream, pack_greedy)
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)],
+        "doc_id long, n_tokens long")
+
+    # chunker vs sequential reference
+    want, end = [], 0
+    for did, n in enumerate(sizes):
+        if n <= 0:
+            continue
+        start, end = end, end + n
+        for c in range(start // cap, (end - 1) // cap + 1):
+            want.append((c, did, max(0, c * cap - start),
+                         min(n, (c + 1) * cap - start)))
+    got = sorted(tuple(r) for r in
+                 chunk_token_stream(docs, max_tokens=cap,
+                                    num_partitions=3).collect())
+    assert got == sorted(want)
+
+    # greedy vs sequential reference, one shard so order == doc_id order
+    out = sorted((r["doc_id"], r["bin_id"], r["oversize"]) for r in
+                 pack_greedy(docs, max_tokens=cap,
+                             num_shards=1).collect())
+    local, fill, ref = -1, 0, []
+    for did, n in enumerate(sizes):
+        if n > cap:
+            local += 1
+            ref.append((did, local, True))
+            fill = cap + 1
+            continue
+        if local < 0 or fill + n > cap:
+            local += 1
+            fill = 0
+        ref.append((did, local, False))
+        fill += n
+    assert out == sorted((d, b, o) for d, b, o in ref)
