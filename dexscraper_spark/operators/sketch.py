@@ -115,3 +115,108 @@ def kmv_estimate(sketch_col: Column, *, k: int = 256) -> Column:
     u_k = F.element_at(sketch_col, k)
     return F.when(size < k, size.cast("double")) \
             .otherwise(F.lit(float(k - 1)) / u_k)
+
+
+# ---------------------------------------------------------------------------
+# DD-style quantile sketch — mergeable percentiles for incremental rollups.
+#
+# The exact percentile path (plans/catalog.py agg_percentiles) sorts; a
+# nightly pipeline wants quantiles it can UPDATE: store a per-(group, day)
+# histogram, vector-add histograms across days/shards, query quantiles from
+# the merged counts. Log-width buckets (bucket = ceil(log_gamma |x|),
+# gamma = (1+alpha)/(1-alpha)) give a RELATIVE-error guarantee: any
+# quantile estimate is within alpha of the true value (the DDSketch
+# construction, public algorithm). Counts are exact integers, so merging
+# is exact and associative — sketch(A union B) == merge(sketch(A),
+# sketch(B)) bit-for-bit, the same monoid discipline as the OHLC partials.
+#
+# Scale shape: one narrow projection computes each row's (sign, bucket);
+# a partial-aggregated groupBy counts per bucket — shuffle volume is
+# O(groups x buckets), buckets ~ log(value range)/log(gamma) (~2.3k for
+# alpha=0.01 over 20 decades), independent of row count. Quantile
+# queries walk the bucket histogram: a window over ~buckets rows per
+# group, never over data.
+# ---------------------------------------------------------------------------
+
+
+def _dd_gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_histogram(df: DataFrame, *, value_col: str,
+                 group_cols: list[str] | None = None,
+                 alpha: float = 0.01) -> DataFrame:
+    """Build the mergeable log-bucket histogram:
+    (group..., __sign, __bucket, __cnt). Zeros get their own bucket
+    (sign 0); negatives mirror positives (sign -1, bucket of |x|).
+    NaN/Inf must be scrubbed upstream (functions.validity, the engine's
+    F3 gate)."""
+    import math
+
+    gamma = _dd_gamma(alpha)
+    v = F.col(value_col)
+    lg = F.lit(math.log(gamma))
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)) \
+        .otherwise(F.lit(0))
+    bucket = F.when(v != 0, F.ceil(F.log(F.abs(v)) / lg).cast("long")) \
+        .otherwise(F.lit(0))
+    gcols = list(group_cols or [])
+    return (df.select(*gcols, sign.alias("__sign"),
+                      bucket.alias("__bucket"))
+            .groupBy(*gcols, "__sign", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__cnt")))
+
+
+def dd_merge(*hists: DataFrame,
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Merge histograms (same alpha!) by vector addition — exact,
+    associative, order-insensitive: the nightly update is
+    ``dd_merge(stored, dd_histogram(delta))``."""
+    gcols = list(group_cols or [])
+    merged = hists[0]
+    for h in hists[1:]:
+        merged = merged.unionByName(h)
+    return (merged.groupBy(*gcols, "__sign", "__bucket")
+            .agg(F.sum("__cnt").alias("__cnt")))
+
+
+def dd_quantiles(hist: DataFrame, qs: list[float], *,
+                 group_cols: list[str] | None = None,
+                 alpha: float = 0.01) -> DataFrame:
+    """Query quantiles from a histogram: (group..., q, value) with each
+    value within relative error ``alpha`` of the true quantile (exact
+    zero when the quantile lands in the zero bucket). The walk is a
+    cumulative sum over the ~log-range buckets of each group — window
+    input is bucket-count rows, never data rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    gcols = list(group_cols or [])
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    # one total order over the real line: negatives by descending
+    # magnitude, then zero, then positives by ascending magnitude
+    order = (F.col("__sign") * (F.lit(1 << 40) + F.col("__bucket")))
+    w = Window.partitionBy(*gcols).orderBy(order)
+    tot = Window.partitionBy(*gcols)
+    h = (hist.withColumn("__cum", F.sum("__cnt").over(w))
+         .withColumn("__tot", F.sum("__cnt").over(tot)))
+    est = (F.col("__sign").cast("double")
+           * F.lit(2.0 * gamma / (gamma + 1.0))
+           * F.pow(F.lit(gamma), F.col("__bucket") - 1))
+    qdf = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("__tot"))
+        picked = (h.filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
+                  .withColumn("__rn", F.row_number().over(
+                      Window.partitionBy(*gcols).orderBy(order)))
+                  .filter(F.col("__rn") == 1)
+                  .select(*gcols, F.lit(float(q)).alias("q"),
+                          est.alias("value")))
+        qdf = picked if qdf is None else qdf.unionByName(picked)
+    return qdf

@@ -86,3 +86,91 @@ def test_local_sketch_one_partial_per_group_across_batches():
     assert len(out) == 1                       # one yield per partition
     rows = {d["g"]: d["__partial"] for d in out[0].to_dict("records")}
     assert rows == {"a": [0.1, 0.2, 0.3], "b": [0.4, 0.5]}
+
+
+def test_dd_histogram_quantiles_within_alpha(spark):
+    """The DDSketch guarantee, tested literally: the estimate for
+    quantile q is within relative alpha of the element at rank
+    ceil(q*n) of the sorted data — per group, over real data."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import dd_histogram, dd_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    alpha, qs = 0.02, [0.05, 0.5, 0.95, 0.99]
+    hist = dd_histogram(ev, value_col="value",
+                        group_cols=["event_type"], alpha=alpha)
+    got = {(r["event_type"], r["q"]): r["value"] for r in
+           dd_quantiles(hist, qs, group_cols=["event_type"],
+                        alpha=alpha).collect()}
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, vals in by_type.items():
+        vals.sort()
+        for q in qs:
+            true = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            est = got[(t, q)]
+            assert abs(est - true) <= alpha * abs(true) + 1e-12, \
+                (t, q, est, true)
+
+
+def test_dd_merge_is_exact_and_incremental(spark):
+    """merge(hist(A), hist(B)) == hist(A ∪ B) bit-for-bit (integer
+    vector addition) — the nightly incremental-percentiles update;
+    and quantiles of the merged sketch equal quantiles of the full
+    build."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import (
+        dd_histogram, dd_merge, dd_quantiles)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = dd_histogram(ev, value_col="value", group_cols=["event_type"])
+    merged = dd_merge(
+        dd_histogram(a, value_col="value", group_cols=["event_type"]),
+        dd_histogram(b, value_col="value", group_cols=["event_type"]),
+        group_cols=["event_type"])
+    assert rows(merged) == rows(full)
+    assert rows(dd_quantiles(merged, [0.5, 0.9],
+                             group_cols=["event_type"])) \
+        == rows(dd_quantiles(full, [0.5, 0.9],
+                             group_cols=["event_type"]))
+
+
+def test_dd_sketch_signs_and_zero(spark):
+    """Negatives mirror positives (relative error on |x|), zeros land
+    exactly on 0, and the real-line ordering across signs holds."""
+    from dexscraper_spark.operators.sketch import dd_histogram, dd_quantiles
+
+    vals = [-1000.0, -1.0, 0.0, 0.0, 2.0, 500.0, 50000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = dd_histogram(df, value_col="v", alpha=0.01)
+    got = {r["q"]: r["value"] for r in
+           dd_quantiles(hist, [0.0, 1 / 7, 3 / 7, 4 / 7, 1.0],
+                        alpha=0.01).collect()}
+    assert got[0.0] < -990                       # min ~ -1000
+    assert abs(got[1 / 7] + 1000) <= 10 + 1e-9   # rank-1 element
+    assert got[3 / 7] == 0.0 and got[4 / 7] == 0.0
+    assert abs(got[1.0] - 50000) <= 500 + 1e-9
+
+
+def test_dd_validates_arguments(spark):
+    import pytest
+
+    from dexscraper_spark.operators.sketch import dd_histogram, dd_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="alpha"):
+        dd_histogram(df, value_col="v", alpha=1.5)
+    hist = dd_histogram(df, value_col="v")
+    with pytest.raises(ValueError, match="quantile"):
+        dd_quantiles(hist, [1.5])
