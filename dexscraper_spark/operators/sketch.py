@@ -139,6 +139,108 @@ def kmv_estimate(sketch_col: Column, *, k: int = 256) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _mg_local_fn(gcols: list[str], k: int):
+    """Partition-local Misra-Gries: one bounded summary (≤ k counters)
+    per group per partition, accumulated ACROSS Arrow batches. The
+    classic MG step — when a (k+1)th distinct item arrives, decrement
+    every counter and drop zeros — is applied per batch via its
+    vectorized equivalent: count the batch exactly (a partition's batch
+    is bounded), add into the running counters, then reduce to k by
+    subtracting the (k+1)th largest count."""
+    def local_mg(batches):
+        import pandas as pd
+        acc: dict[tuple, dict] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, s in pdf.groupby(gcols, dropna=False,
+                                      sort=False)["__item"]:
+                key = key if isinstance(key, tuple) else (key,)
+                cnt = acc.setdefault(key, {})
+                for item, c in s.value_counts().items():
+                    cnt[item] = cnt.get(item, 0) + int(c)
+                if len(cnt) > k:
+                    cut = sorted(cnt.values(), reverse=True)[k]
+                    acc[key] = {i: c - cut for i, c in cnt.items()
+                                if c > cut}
+        rows = [list(key) + [item, c]
+                for key, cnt in acc.items() for item, c in cnt.items()]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + ["item", "cnt"])
+    return local_mg
+
+
+def mg_sketch(df: DataFrame, *, cols: list[str],
+              group_by: list[str] | None = None,
+              k: int = 64) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitters summary — the frequency
+    companion to KMV (distinct) and the DD histogram (quantiles):
+    (group..., item, cnt) with ≤ k items per group.
+
+    Guarantees (Misra-Gries, preserved under the merge rule of
+    Agarwal et al., "Mergeable Summaries", PODS 2012 — public
+    algorithm): for every item, ``cnt ≤ true_freq`` and
+    ``true_freq − cnt ≤ n/(k+1)`` (n = group row count), so every item
+    with frequency > n/(k+1) is guaranteed present. When a group has
+    ≤ k distinct items the summary is EXACT counts (and then
+    partitioning-independent — pinned by test).
+
+    Scale shape: a ``mapInPandas`` pass emits ≤ k counters per (group,
+    partition); ``mg_merge`` reduces them with one partial-agg'd
+    groupBy + one window over ≤ k×partitions summary rows per group.
+    Shuffle volume is O(groups × partitions × k) — row-count
+    independent, the same discipline as ``kmv_sketch``.
+    """
+    groups = list(group_by or [])
+    item = F.concat_ws("\x1f", *cols).alias("__item")
+    src = df.select(*groups, item)
+    gcols = groups or ["__g"]
+    if not groups:
+        src = src.withColumn("__g", F.lit(0))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields if f.name in gcols
+    ) + ", item string, cnt long"
+    partials = src.mapInPandas(_mg_local_fn(gcols, k), schema=schema)
+    merged = mg_merge(partials, group_by=gcols, k=k)
+    return merged.select(*groups, "item", "cnt") if groups else \
+        merged.select("item", "cnt")
+
+
+def mg_merge(*summaries: DataFrame, group_by: list[str] | None = None,
+             k: int = 64) -> DataFrame:
+    """Merge MG summaries (rows of (group..., item, cnt)) into one ≤ k
+    per group: add counts item-wise, then subtract the (k+1)th largest
+    combined count from every item and drop the non-positive — the
+    mergeable-summaries rule that preserves the n/(k+1) error bound.
+    Associative and commutative up to the bound (counts are order-
+    dependent but every merge order satisfies the same guarantee);
+    nightly rollup = ``mg_merge(stored, mg_partials_of(delta))``."""
+    from pyspark.sql import Window
+
+    groups = list(group_by or [])
+    u = summaries[0]
+    for s in summaries[1:]:
+        u = u.unionByName(s)
+    gcols = groups or ["__g"]
+    if not groups:
+        u = u.withColumn("__g", F.lit(0))
+    summed = (u.groupBy(*gcols, "item")
+              .agg(F.sum("cnt").alias("cnt")))
+    w = Window.partitionBy(*gcols).orderBy(F.col("cnt").desc(),
+                                           F.col("item"))
+    # the (k+1)th largest combined count is the decrement; a window
+    # max of that rank's value avoids a self-join (summary rows per
+    # group are ≤ k×inputs — window input is summaries, never data)
+    ranked = summed.withColumn("__rk", F.row_number().over(w))
+    cut = F.max(F.when(F.col("__rk") == k + 1, F.col("cnt"))) \
+        .over(Window.partitionBy(*gcols))
+    return (ranked
+            .withColumn("cnt", F.col("cnt") - F.coalesce(cut, F.lit(0)))
+            .filter((F.col("cnt") > 0) & (F.col("__rk") <= k))
+            .select(*groups, "item", "cnt"))
+
+
 def _dd_gamma(alpha: float) -> float:
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")

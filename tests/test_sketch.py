@@ -174,3 +174,88 @@ def test_dd_validates_arguments(spark):
     hist = dd_histogram(df, value_col="v")
     with pytest.raises(ValueError, match="quantile"):
         dd_quantiles(hist, [1.5])
+
+
+# --------------------------- Misra-Gries heavy hitters ----------------------
+
+from dexscraper_spark.operators.sketch import mg_merge, mg_sketch  # noqa: E402
+
+
+def _zipf_df(spark, n=30_000, n_items=2_000):
+    # deterministic zipf-ish skew: item i gets weight ~ 1/(i+1)
+    return spark.range(0, n).select(
+        F.floor(F.pow(F.lit(float(n_items)),
+                      (F.xxhash64("id").cast("double") / F.lit(2.0**64)
+                       + F.lit(0.5)))).cast("long").cast("string")
+        .alias("v"))
+
+
+def test_mg_exact_when_distinct_below_k(spark):
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 40).cast("string").alias("v"))
+    rows = {r.item: r.cnt for r in mg_sketch(df, cols=["v"], k=64).collect()}
+    assert len(rows) == 40
+    assert all(c == 225 for c in rows.values())  # exact regime
+    # exact regime is partition-independent
+    rows2 = {r.item: r.cnt
+             for r in mg_sketch(df.repartition(13), cols=["v"], k=64).collect()}
+    assert rows == rows2
+
+
+def test_mg_guarantee_on_skew(spark):
+    k = 32
+    df = _zipf_df(spark)
+    truth = {r.v: r.c for r in
+             df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    n = sum(truth.values())
+    got = {r.item: r.cnt for r in
+           mg_sketch(df.repartition(8), cols=["v"], k=k).collect()}
+    assert 0 < len(got) <= k
+    bound = n / (k + 1)
+    for item, cnt in got.items():
+        # cnt is a lower bound within n/(k+1) of truth
+        assert cnt <= truth[item]
+        assert truth[item] - cnt <= bound
+    # every item with freq > n/(k+1) must be present
+    for item, c in truth.items():
+        if c > bound:
+            assert item in got
+
+
+def test_mg_grouped(spark):
+    df = spark.range(0, 12_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % F.when(F.col("id") % 2 == 0, 10).otherwise(3000))
+        .cast("string").alias("v"))
+    out = mg_sketch(df, cols=["v"], group_by=["g"], k=16).collect()
+    g0 = {r.item: r.cnt for r in out if r.g == "0"}
+    # even ids mod 10 hit the 5 even residues, 1200 rows each — exact
+    assert len(g0) == 5 and all(c == 1200 for c in g0.values())
+    g1 = {r.item: r.cnt for r in out if r.g == "1"}
+    assert len(g1) <= 16
+
+
+def test_mg_merge_rollup(spark):
+    """Nightly rollup: merge of two days' summaries satisfies the union
+    bound — and in the exact regime equals the union's exact counts."""
+    k = 64
+    a = spark.range(0, 5000).select((F.col("id") % 30).cast("string").alias("v"))
+    b = spark.range(0, 7000).select((F.col("id") % 50).cast("string").alias("v"))
+    sa, sb = (mg_sketch(x, cols=["v"], k=k) for x in (a, b))
+    merged = {r.item: r.cnt for r in mg_merge(sa, sb, k=k).collect()}
+    truth = {r.v: r.c for r in a.unionAll(b).groupBy("v")
+             .agg(F.count("*").alias("c")).collect()}
+    assert merged == truth  # 50 distinct ≤ k=64 → exact through the merge
+
+    # skewed regime: bound holds through the merge
+    k2 = 16
+    c, d = _zipf_df(spark, 8000), _zipf_df(spark, 9000, 500)
+    m = {r.item: r.cnt for r in mg_merge(
+        mg_sketch(c, cols=["v"], k=k2),
+        mg_sketch(d, cols=["v"], k=k2), k=k2).collect()}
+    truth2 = {r.v: r.c for r in c.unionAll(d).groupBy("v")
+              .agg(F.count("*").alias("c")).collect()}
+    n2 = sum(truth2.values())
+    assert 0 < len(m) <= k2
+    for item, cnt in m.items():
+        assert cnt <= truth2[item] <= cnt + 2 * n2 / (k2 + 1)
