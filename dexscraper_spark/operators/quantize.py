@@ -1,0 +1,355 @@
+"""Product quantization — compressed vector search for the 100 TB corpus.
+
+Public algorithm: Jégou, Douze & Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the same family FAISS builds on.
+The reference engine has no vector compression (reference stores raw
+rows; see models.py's plain float fields); this module is part of the
+training-data extension family, where it is the piece that makes ANN
+affordable when the raw vectors no longer fit the scan budget:
+
+* ``pq_train``   — fit m sub-quantizer codebooks (k-means per subspace)
+  on a BOUNDED deterministic sample. Training cost is independent of
+  corpus size (the FAISS discipline: codebooks are trained on a sample,
+  never the full corpus).
+* ``pq_encode``  — compress each vector to m bytes (one centroid id per
+  subspace). 64-dim float32 → 8 bytes is a 32× scan-size reduction;
+  the codes table is what the 100 TB scan actually reads.
+* ``pq_topk``    — asymmetric distance computation (ADC): per query,
+  one (m × ksub) lookup table of exact query-to-centroid distances;
+  each candidate's approximate distance is m table lookups. Runs as a
+  ``mapInPandas`` over code partitions — per-partition output is
+  ≤ queries × k rows, the codes never leave the executors.
+* ``pq_topk_refined`` — the production shape: ADC retrieves an
+  expanded candidate set from the compressed scan, then an equi-join
+  back to the raw vectors re-ranks exactly — full-precision reads touch
+  only queries × k × expand rows.
+
+Cosine semantics: vectors are L2-normalized before training/encoding
+(``normalize=True`` default), making squared-L2 order equal to cosine
+order (‖a−b‖² = 2 − 2·cos on unit vectors); outputs report cosine to
+match the other similarity operators' contract.
+
+Scale shape: the only full-corpus pass is the ADC scan over m-byte
+codes (linear, no shuffle); top-k reduction shuffles ≤ partitions ×
+queries × k candidate rows; the refine join is broadcast-able (its left
+side is the tiny candidate set). Codebooks are a few KiB and ride to
+executors inside the UDF closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dexscraper_spark.operators.similarity import _dot, _norm, _safe_div
+
+
+class PqCodebooks:
+    """Driver-side codebooks: numpy (m, ksub, dsub) float64, plus the
+    training config needed to encode/query consistently."""
+
+    def __init__(self, centers, *, dim: int, m: int, ksub: int,
+                 normalize: bool):
+        self.centers = centers
+        self.dim = dim
+        self.m = m
+        self.ksub = ksub
+        self.dsub = dim // m
+        self.normalize = normalize
+
+    def as_rows(self):
+        """Flatten for persistence: (subspace, centroid_id, center)."""
+        return [(j, c, [float(x) for x in self.centers[j, c]])
+                for j in range(self.m) for c in range(self.ksub)]
+
+
+def _normalize_rows(mat):
+    import numpy as np
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors stay zero (cosine 0 rule)
+    return mat / norms
+
+
+def _lloyd(points, ksub: int, seed: int, iters: int = 25):
+    """Deterministic Lloyd's k-means over one subspace (numpy, driver
+    side, bounded-sample input). Seeded uniform-random init; empty
+    clusters re-seeded to DISTINCT farthest points each iteration.
+
+    Assignment uses the ‖c‖²−2x·c identity — an (n, ksub) temp, never
+    the (n, ksub, dsub) difference tensor (at sample_n=100k, ksub=256,
+    dsub=32 that tensor is ~6.5 GB/iteration). A near-equidistant
+    argmin flip from the identity's cancellation is harmless here
+    (either assignment is a valid Lloyd step), unlike _ivf_assign
+    where parity with MLlib is pinned."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    k = min(ksub, n)
+    centers = points[rng.choice(n, size=k, replace=False)].copy()
+    if k < ksub:  # degenerate tiny sample: pad with repeats
+        centers = np.concatenate(
+            [centers, centers[rng.integers(0, k, size=ksub - k)]])
+    psq = (points * points).sum(axis=1)
+    for _ in range(iters):
+        d = -2.0 * points @ centers.T + (centers * centers).sum(axis=1)
+        assign = d.argmin(axis=1)
+        empty = [c for c in range(ksub) if not (assign == c).any()]
+        if empty:
+            # rank points by distance to their assigned center, desc;
+            # hand each empty cluster its OWN farthest point (same
+            # point for all duplicates would leave ksub-|empty|+1
+            # effective centroids forever)
+            far = np.argsort(-(d.min(axis=1) + psq))
+            for i, c in enumerate(empty):
+                centers[c] = points[far[i % n]]
+        for c in range(ksub):
+            mask = assign == c
+            if mask.any():
+                centers[c] = points[mask].mean(axis=0)
+    return centers
+
+
+def pq_train(corpus: DataFrame, *, vec_col: str = "embedding",
+             dim: int = 64, m: int = 16, ksub: int = 64,
+             sample_n: int = 20_000, seed: int = 42,
+             normalize: bool = True) -> PqCodebooks:
+    """Fit the m sub-quantizer codebooks on a deterministic bounded
+    sample (xxhash64 order over the vector bytes — layout-independent,
+    same discipline as operators/sampling.py). Driver-side k-means over
+    ≤ sample_n × dim doubles; cost is corpus-size independent."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if ksub > 256:
+        raise ValueError(f"ksub {ksub} exceeds one byte per code")
+    sample = (corpus
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .filter(F.size("v") == dim)
+              .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+              .limit(sample_n).collect())
+    if not sample:
+        raise ValueError("empty training sample")
+    mat = np.array([r.v for r in sample], dtype=np.float64)
+    if normalize:
+        mat = _normalize_rows(mat)
+    dsub = dim // m
+    centers = np.stack([
+        _lloyd(np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub]),
+               ksub, seed + j)
+        for j in range(m)])
+    return PqCodebooks(centers, dim=dim, m=m, ksub=ksub,
+                       normalize=normalize)
+
+
+def pq_save(spark, books: PqCodebooks, path: str) -> None:
+    rows = books.as_rows()
+    df = spark.createDataFrame(
+        rows, "subspace int, centroid_id int, center array<double>")
+    (df.withColumn("dim", F.lit(books.dim))
+       .withColumn("normalize", F.lit(books.normalize))
+       .write.mode("overwrite").parquet(path))
+
+
+def pq_load(spark, path: str) -> PqCodebooks:
+    """Load and VALIDATE a stored codebook: every (subspace,
+    centroid_id) cell must be present exactly once — a partially
+    written or stale directory would otherwise load with all-zero
+    centroids that silently win argmin for small subvectors and
+    corrupt every code downstream."""
+    import numpy as np
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no codebook rows at {path}")
+    m = max(r.subspace for r in rows) + 1
+    ksub = max(r.centroid_id for r in rows) + 1
+    dim = rows[0].dim
+    normalize = rows[0].normalize
+    cells = {(r.subspace, r.centroid_id) for r in rows}
+    if not (0 < ksub <= 256 and dim % m == 0):
+        raise ValueError(f"inconsistent codebook meta: dim={dim} "
+                         f"m={m} ksub={ksub}")
+    if len(rows) != m * ksub or len(cells) != m * ksub:
+        raise ValueError(
+            f"codebook at {path} is incomplete or duplicated: "
+            f"{len(rows)} rows / {len(cells)} distinct cells, "
+            f"expected {m * ksub}")
+    dsub = dim // m
+    centers = np.zeros((m, ksub, dsub))
+    for r in rows:
+        if len(r.center) != dsub:
+            raise ValueError(f"centroid ({r.subspace},{r.centroid_id}) "
+                             f"has {len(r.center)} dims, expected {dsub}")
+        centers[r.subspace, r.centroid_id] = r.center
+    return PqCodebooks(centers, dim=dim, m=m, ksub=ksub,
+                       normalize=normalize)
+
+
+def pq_encode(df: DataFrame, books: PqCodebooks, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              skip_bad: bool = False) -> DataFrame:
+    """Compress vectors: (id, code binary) with len(code) == m bytes.
+    Row-local (no shuffle); the codebooks travel in the UDF closure
+    (a few KiB).
+
+    Malformed rows (NULL or wrong-length vectors): ``skip_bad=False``
+    raises — silent truncation would corrupt every downstream
+    distance; ``skip_bad=True`` emits NULL codes for them instead, the
+    scraped-corpus mode where one bad row must not kill the encode job
+    (filter ``code IS NOT NULL`` downstream; pq_topk ignores NULLs).
+    Note ``pq_train`` samples only well-formed vectors either way —
+    training is robust to bad rows, encoding is where the choice lands.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    centers = books.centers  # (m, ksub, dsub)
+    dim, m, dsub, norm = books.dim, books.m, books.dsub, books.normalize
+
+    def _encode_fn(s):
+        import numpy as np
+        import pandas as pd
+        if s.empty:
+            return pd.Series([], dtype=object)
+        good = s.apply(lambda v: v is not None and len(v) == dim)
+        if not good.all():
+            if not skip_bad:
+                bad = s[~good].index[0]
+                v = s[~good].iloc[0]
+                raise ValueError(
+                    f"expected {dim}-dim vectors, got "
+                    f"{'NULL' if v is None else f'{len(v)}-dim'} at "
+                    f"batch index {bad} (skip_bad=True to NULL them)")
+            out = pd.Series([None] * len(s), index=s.index, dtype=object)
+            if good.any():
+                out[good] = _encode_fn(s[good]).values
+            return out
+        mat = np.array(s.tolist(), dtype=np.float64)
+        if norm:
+            mat = _normalize_rows(mat)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
+            cb = centers[j]                                 # (ksub, dsub)
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant per row →
+            # argmin over (−2x·c + ‖c‖²). Ties: argmin → lowest id.
+            d = -2.0 * sub @ cb.T + (cb * cb).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    encode = pandas_udf(_encode_fn, BinaryType())
+    return df.select(id_col, encode(F.col(vec_col)).alias("code"))
+
+
+def _adc_scan_fn(books: PqCodebooks, queries: list, k: int):
+    """Per-partition ADC: returns each partition's top-k candidates per
+    query — (query_id, neighbor_id, adc). The LUTs (m × ksub exact
+    subdistances per query) are built ONCE on the driver and ship to
+    every task inside this closure — they scale with query count
+    (queries × m × ksub × 8 bytes), so the driver-memory/task-size
+    budget, not executor compute, bounds the query set."""
+    import numpy as np
+
+    centers = books.centers
+    m, dsub, norm = books.m, books.dsub, books.normalize
+    qids = [q[0] for q in queries]
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    if norm and len(qmat):
+        qmat = _normalize_rows(qmat)
+    # luts[i] has shape (m, ksub): exact ‖q_sub − c‖² per subspace
+    luts = np.stack([
+        np.stack([(((centers[j] - qmat[i, j * dsub:(j + 1) * dsub]) ** 2)
+                   .sum(axis=1)) for j in range(m)])
+        for i in range(len(qmat))]) if len(qmat) else None
+
+    def scan(batches):
+        import pandas as pd
+        best: dict = {qid: [] for qid in qids}  # qid -> (adc, nid) rows
+        for pdf in batches:
+            if pdf.empty or luts is None:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+            ids = pdf.iloc[:, 0].to_numpy()
+            ar = np.arange(m)
+            for i, qid in enumerate(qids):
+                d = luts[i][ar[None, :], codes].sum(axis=1)
+                take = min(k, len(d))
+                # lexicographic (adc, id) selection — argpartition on
+                # adc alone breaks EXACT ties (duplicate vectors →
+                # identical codes → bit-identical adc) by row order,
+                # making results partition-dependent
+                part = np.lexsort((ids, d))[:take]
+                best[qid].extend(zip(d[part].tolist(),
+                                     ids[part].tolist()))
+                best[qid] = sorted(best[qid])[:k]
+        rows = [(qid, nid, adc)
+                for qid, cand in best.items() for adc, nid in cand]
+        if rows:
+            yield pd.DataFrame(rows,
+                               columns=["query_id", "neighbor_id", "adc"])
+    return scan
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, books: PqCodebooks, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 10) -> DataFrame:
+    """ADC top-k over the compressed corpus: (query_id, neighbor_id,
+    adc, rank), ascending approximate squared-L2. The full-corpus work
+    is the in-partition LUT scan; the only shuffle carries ≤ partitions
+    × queries × k rows. Queries are collected driver-side (the query
+    set is small by contract — same stance as lsh_bucketed_topk's
+    broadcast side)."""
+    qrows = [(r[0], list(r[1])) for r in
+             queries.select(id_col, vec_col).collect()]
+    id_field = codes.schema[id_col]
+    # scan keeps k+1 per partition: the query's own vector (adc ≈ 0)
+    # would otherwise occupy one of the k slots before the self-filter.
+    # NULL codes (pq_encode skip_bad survivors) are unsearchable — drop.
+    part = codes.filter(F.col("code").isNotNull()) \
+        .select(id_col, "code").mapInPandas(
+        _adc_scan_fn(books, qrows, k + 1),
+        schema=(f"query_id {id_field.dataType.simpleString()}, "
+                f"neighbor_id {id_field.dataType.simpleString()}, "
+                "adc double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (part.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def pq_topk_refined(corpus: DataFrame, codes: DataFrame,
+                    queries: DataFrame, books: PqCodebooks, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 10, expand: int = 4,
+                    round_to: int | None = 6) -> DataFrame:
+    """Compressed retrieve + exact re-rank: ADC fetches k × expand
+    candidates per query from the codes scan, then the raw vectors are
+    read ONLY for those candidates (broadcast equi-join — the candidate
+    side is queries × k × expand rows) and re-ranked by exact cosine.
+    Output matches ivf_query's contract: (query_id, neighbor_id,
+    cosine, rank)."""
+    cand = pq_topk(codes, queries, books, id_col=id_col,
+                   vec_col=vec_col, k=k * expand).select(
+        "query_id", "neighbor_id")
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cv"),
+                         _norm(F.col(vec_col)).alias("__cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       _norm(F.col(vec_col)).alias("__qn"))
+    cos = _safe_div(_dot(F.col("__qv"), F.col("__cv")),
+                    F.col("__qn") * F.col("__cn"))
+    if round_to is not None:
+        p = float(10 ** round_to)
+        cos = F.floor(cos * p + F.lit(0.5)) / p
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (broadcast(cand)
+            .join(vecs, "neighbor_id")
+            .join(broadcast(q), "query_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,175 @@
+"""Product quantization: reconstruction quality, encode determinism,
+ADC recall vs brute force, refined recall, codebook persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dexscraper_spark.operators.quantize import (
+    pq_encode, pq_load, pq_save, pq_topk, pq_topk_refined, pq_train,
+)
+from dexscraper_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+
+
+def _unit(mat):
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def test_pq_reconstruction_beats_zero_baseline(emb, books):
+    """Decoding each vector from its codebook centroids must recover
+    most of the (normalized) signal: quantization MSE well under the
+    unit-vector energy 1.0 that the all-zeros 'codebook' would score."""
+    codes = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert all(len(c) == books.m for c in codes.values())
+    errs = []
+    for vid, v in vecs.items():
+        u = _unit(v[None, :])[0]
+        rec = np.concatenate([books.centers[j, codes[vid][j]]
+                              for j in range(books.m)])
+        errs.append(((u - rec) ** 2).sum())
+    assert np.mean(errs) < 0.25  # vs 1.0 for the zero baseline
+
+
+def test_pq_encode_partition_independent(emb, books):
+    a = {r.vec_id: r.code
+         for r in pq_encode(emb.repartition(3), books).collect()}
+    b = {r.vec_id: r.code
+         for r in pq_encode(emb.repartition(11), books).collect()}
+    assert a == b
+
+
+def test_pq_train_deterministic(emb):
+    b1 = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    b2 = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    assert np.array_equal(b1.centers, b2.centers)
+
+
+def test_pq_adc_recall_vs_brute_force(spark, emb, books):
+    """ADC alone (no refine) must place most true neighbors in its
+    expanded candidate set."""
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    codes = pq_encode(emb, books)
+    approx = pq_topk(codes.repartition(4), queries, books, k=20)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = [len(approx_sets.get(q, set()) & s) / len(s)
+               for q, s in exact_sets.items()]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_pq_refined_topk_matches_exact_on_candidates(spark, emb, books):
+    """Refined output must (a) rank by exact cosine, (b) beat raw ADC
+    recall@5, (c) carry the ivf_query-compatible schema."""
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_top = {}
+    for r in exact.collect():
+        exact_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    codes = pq_encode(emb, books)
+    ref = pq_topk_refined(emb, codes, queries, books, k=5, expand=8)
+    assert ref.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    got = {}
+    cosines = {}
+    for r in ref.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        cosines[(r.query_id, r.neighbor_id)] = r.cosine
+    recalls = [len(got.get(q, set()) & s) / len(s)
+               for q, s in exact_top.items()]
+    assert sum(recalls) / len(recalls) >= 0.7
+    # re-ranked cosines are the EXACT ones (same fold + rounding as
+    # cosine_topk): any overlap pair must agree bit-for-bit
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in exact.collect()}
+    shared = set(cosines) & set(exact_cos)
+    assert shared
+    assert all(cosines[p] == exact_cos[p] for p in shared)
+
+
+def test_pq_save_load_roundtrip(spark, emb, books, tmp_path):
+    path = str(tmp_path / "pq_books")
+    pq_save(spark, books, path)
+    loaded = pq_load(spark, path)
+    assert np.array_equal(loaded.centers, books.centers)
+    assert (loaded.dim, loaded.m, loaded.ksub, loaded.normalize) == \
+        (books.dim, books.m, books.ksub, books.normalize)
+    # codes from the loaded books are identical
+    a = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: r.code for r in pq_encode(emb, loaded).collect()}
+    assert a == b
+
+
+def test_pq_encode_rejects_wrong_dim(spark, books):
+    bad = spark.createDataFrame([(1, [0.1] * 32)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="64-dim"):
+        pq_encode(bad, books).collect()
+
+
+def test_pq_encode_skip_bad_nulls_and_search_ignores(spark, emb, books):
+    """skip_bad=True NULLs malformed rows instead of killing the job;
+    pq_topk drops NULL codes and still searches the good rows."""
+    mixed = spark.createDataFrame(
+        [(90001, [0.1] * 32), (90002, None)],
+        "vec_id long, embedding array<double>")
+    src = emb.select("vec_id",
+                     emb.embedding.cast("array<double>").alias("embedding")) \
+        .unionByName(mixed)
+    codes = pq_encode(src, books, skip_bad=True)
+    rows = {r.vec_id: r.code for r in codes.collect()}
+    assert rows[90001] is None and rows[90002] is None
+    assert sum(c is not None for c in rows.values()) == len(rows) - 2
+    queries = emb.orderBy("vec_id").limit(2)
+    out = pq_topk(codes, queries, books, k=3).collect()
+    assert out and all(r.neighbor_id not in (90001, 90002) for r in out)
+
+
+def test_pq_topk_partition_independent(spark, emb, books):
+    """Exact ADC ties (duplicate vectors → identical codes) must not
+    make results depend on partitioning."""
+    dup = emb.limit(40)  # duplicate a block of vectors with new ids
+    shifted = dup.select((dup.vec_id + 50_000).alias("vec_id"),
+                         "embedding")
+    corpus = emb.unionByName(shifted)
+    codes = pq_encode(corpus, books)
+    queries = emb.orderBy("vec_id").limit(4)
+    a = sorted(map(tuple, pq_topk(codes.repartition(2), queries, books,
+                                  k=10).collect()))
+    b = sorted(map(tuple, pq_topk(codes.repartition(17), queries, books,
+                                  k=10).collect()))
+    assert a == b
+
+
+def test_pq_load_rejects_incomplete_codebook(spark, books, tmp_path):
+    path = str(tmp_path / "pq_bad")
+    pq_save(spark, books, path)
+    kept = spark.read.parquet(path)
+    kept.filter("NOT (subspace = 3 AND centroid_id = 5)") \
+        .write.mode("overwrite").parquet(str(tmp_path / "pq_bad2"))
+    with pytest.raises(ValueError, match="incomplete"):
+        pq_load(spark, str(tmp_path / "pq_bad2"))
