@@ -188,7 +188,8 @@ def pq_load(spark, path: str) -> PqCodebooks:
 
 def pq_encode(df: DataFrame, books: PqCodebooks, *,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              skip_bad: bool = False) -> DataFrame:
+              skip_bad: bool = False,
+              keep_cols: list[str] | None = None) -> DataFrame:
     """Compress vectors: (id, code binary) with len(code) == m bytes.
     Row-local (no shuffle); the codebooks travel in the UDF closure
     (a few KiB).
@@ -239,7 +240,8 @@ def pq_encode(df: DataFrame, books: PqCodebooks, *,
         return pd.Series([c.tobytes() for c in codes])
 
     encode = pandas_udf(_encode_fn, BinaryType())
-    return df.select(id_col, encode(F.col(vec_col)).alias("code"))
+    return df.select(id_col, *(keep_cols or []),
+                     encode(F.col(vec_col)).alias("code"))
 
 
 def _adc_scan_fn(books: PqCodebooks, queries: list, k: int):
@@ -320,20 +322,14 @@ def pq_topk(codes: DataFrame, queries: DataFrame, books: PqCodebooks, *,
             .filter(F.col("rank") <= k))
 
 
-def pq_topk_refined(corpus: DataFrame, codes: DataFrame,
-                    queries: DataFrame, books: PqCodebooks, *,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    k: int = 10, expand: int = 4,
-                    round_to: int | None = 6) -> DataFrame:
-    """Compressed retrieve + exact re-rank: ADC fetches k × expand
-    candidates per query from the codes scan, then the raw vectors are
-    read ONLY for those candidates (broadcast equi-join — the candidate
-    side is queries × k × expand rows) and re-ranked by exact cosine.
-    Output matches ivf_query's contract: (query_id, neighbor_id,
-    cosine, rank)."""
-    cand = pq_topk(codes, queries, books, id_col=id_col,
-                   vec_col=vec_col, k=k * expand).select(
-        "query_id", "neighbor_id")
+def _exact_rerank(corpus: DataFrame, cand: DataFrame,
+                  queries: DataFrame, *, id_col: str, vec_col: str,
+                  k: int, round_to: int | None) -> DataFrame:
+    """Re-rank a (query_id, neighbor_id) candidate set by exact cosine
+    against the raw vectors — full-precision reads touch only the
+    candidate rows (broadcast equi-join both sides: candidates and
+    queries are tiny by construction). Output matches ivf_query's
+    contract: (query_id, neighbor_id, cosine, rank)."""
     vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("__cv"),
                          _norm(F.col(vec_col)).alias("__cn"))
@@ -353,3 +349,114 @@ def pq_topk_refined(corpus: DataFrame, codes: DataFrame,
             .select("query_id", "neighbor_id", cos.alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pq_topk_refined(corpus: DataFrame, codes: DataFrame,
+                    queries: DataFrame, books: PqCodebooks, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 10, expand: int = 4,
+                    round_to: int | None = 6) -> DataFrame:
+    """Compressed retrieve + exact re-rank: ADC fetches k × expand
+    candidates per query from the codes scan, then the raw vectors are
+    read ONLY for those candidates and re-ranked by exact cosine."""
+    cand = pq_topk(codes, queries, books, id_col=id_col,
+                   vec_col=vec_col, k=k * expand).select(
+        "query_id", "neighbor_id")
+    return _exact_rerank(corpus, cand, queries, id_col=id_col,
+                         vec_col=vec_col, k=k, round_to=round_to)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale shape (FAISS's IndexIVFPQ, public
+# design): the coarse quantizer (operators/similarity.IvfIndex) prunes the
+# scan to nprobe/nlist of the corpus; within probed lists the ADC scan
+# reads m-byte codes instead of raw vectors; an exact re-rank touches only
+# the final candidates. At 100 TB: a probe reads nprobe/nlist of a
+# 16×-compressed table, then k × expand full-precision rows per query.
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_encode(index, books: PqCodebooks) -> DataFrame:
+    """Codes co-located with the coarse assignment: (id, __list, code).
+    Persist with ``.write.partitionBy("__list")`` and probes prune to
+    the probed lists' files — the same layout contract as ivf_save."""
+    return pq_encode(index.assigned, books, id_col=index.id_col,
+                     vec_col=index.vec_col, keep_cols=["__list"])
+
+
+def _adc_score_udf(books: PqCodebooks, queries: list):
+    """Row-local ADC scoring for (query_id, code) pairs: the per-query
+    LUTs ride in the closure (queries × m × ksub × 8 bytes, driver-
+    built — same budget note as _adc_scan_fn)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    centers = books.centers
+    m, dsub, norm = books.m, books.dsub, books.normalize
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    if norm and len(qmat):
+        qmat = _normalize_rows(qmat)
+    luts = {queries[i][0]: np.stack([
+        (((centers[j] - qmat[i, j * dsub:(j + 1) * dsub]) ** 2)
+         .sum(axis=1)) for j in range(m)])
+        for i in range(len(qmat))}
+
+    def _score(qid_s, code_s):
+        import pandas as pd
+        out = np.empty(len(qid_s), dtype=np.float64)
+        ar = np.arange(m)
+        if len(qid_s):
+            codes = np.frombuffer(b"".join(code_s),
+                                  dtype=np.uint8).reshape(-1, m)
+            for qid in pd.unique(qid_s):
+                mask = (qid_s == qid).to_numpy()
+                out[mask] = luts[qid][ar[None, :],
+                                      codes[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    return pandas_udf(_score, DoubleType())
+
+
+def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
+                queries: DataFrame, books: PqCodebooks, *,
+                k: int = 10, nprobe: int = 4, expand: int = 4,
+                round_to: int | None = 6) -> DataFrame:
+    """IVF-PQ search: probe the nprobe nearest lists per query (tiny
+    broadcast centroid compare), equi-join the probed lists' CODES
+    (never the vectors), ADC-score row-locally, keep k × expand per
+    query, exact-rerank those. Shuffle volume: the list-id equi-join
+    carries only probed-list code rows; everything after is bounded by
+    queries × k × expand. ``codes`` is ``ivf_pq_encode``'s output."""
+    id_col, vec_col = index.id_col, index.vec_col
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       _norm(F.col(vec_col)).alias("__qn"))
+    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
+                      F.col("__qn") * _norm(F.col("centroid")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("list_id").asc())
+    probes = (
+        q.crossJoin(broadcast(index.centroids))
+        .withColumn("__ccos", c_cos)
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("list_id").alias("__list"))
+    )
+    qrows = [(r[0], list(r[1])) for r in
+             queries.select(id_col, vec_col).collect()]
+    adc = _adc_score_udf(books, qrows)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc())
+    cand = (
+        codes.filter(F.col("code").isNotNull())
+        .join(broadcast(probes), "__list")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc(F.col("query_id"), F.col("code")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(corpus, cand, queries, id_col=id_col,
+                         vec_col=vec_col, k=k, round_to=round_to)

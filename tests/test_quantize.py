@@ -173,3 +173,72 @@ def test_pq_load_rejects_incomplete_codebook(spark, books, tmp_path):
         .write.mode("overwrite").parquet(str(tmp_path / "pq_bad2"))
     with pytest.raises(ValueError, match="incomplete"):
         pq_load(spark, str(tmp_path / "pq_bad2"))
+
+
+# ------------------------------ IVF-PQ --------------------------------------
+
+from dexscraper_spark.operators.quantize import (  # noqa: E402
+    ivf_pq_encode, ivf_pq_topk,
+)
+from dexscraper_spark.operators.similarity import ivf_build  # noqa: E402
+
+
+def test_ivf_pq_recall_and_schema(spark, emb, books):
+    """IVF-PQ must return the ivf_query-compatible schema with recall
+    bounded below by the probe coverage (nprobe/nlist), and full-probe
+    IVF-PQ with generous expand must recover most exact neighbors."""
+    index = ivf_build(emb, nlist=8, cache=False)
+    try:
+        codes = ivf_pq_encode(index, books)
+        assert set(codes.columns) == {"vec_id", "__list", "code"}
+        queries = emb.orderBy("vec_id").limit(8)
+        exact = cosine_topk(emb, queries, k=5)
+        exact_sets = {}
+        for r in exact.collect():
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        # full probe (nprobe = nlist) + expand: PQ is the only loss
+        full = ivf_pq_topk(emb, index, codes, queries, books,
+                           k=5, nprobe=8, expand=8)
+        assert full.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        got = {}
+        for r in full.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(got.get(q, set()) & s) / len(s)
+                   for q, s in exact_sets.items()]
+        assert sum(recalls) / len(recalls) >= 0.7
+
+        # partial probe still returns valid ranked rows
+        part = ivf_pq_topk(emb, index, codes, queries, books,
+                           k=5, nprobe=2, expand=4).collect()
+        assert part and all(r.rank <= 5 for r in part)
+        by_q = {}
+        for r in part:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+        for rows in by_q.values():
+            rows.sort()
+            cos = [c for _, c in rows]
+            assert cos == sorted(cos, reverse=True)  # ranked by cosine
+    finally:
+        index.unpersist()
+
+
+def test_ivf_pq_full_probe_generous_expand_equals_pq_refined(spark, emb,
+                                                             books):
+    """With nprobe=nlist the list pruning is a no-op, so IVF-PQ must
+    equal the flat refined PQ search run at the same expand — pinning
+    that the composition adds pruning, not different math."""
+    index = ivf_build(emb, nlist=4, cache=False)
+    try:
+        codes = ivf_pq_encode(index, books)
+        queries = emb.orderBy("vec_id").limit(6)
+        a = sorted(map(tuple,
+                       ivf_pq_topk(emb, index, codes, queries, books,
+                                   k=5, nprobe=4, expand=6).collect()))
+        flat = pq_encode(emb, books)
+        b = sorted(map(tuple,
+                       pq_topk_refined(emb, flat, queries, books,
+                                       k=5, expand=6).collect()))
+        assert a == b
+    finally:
+        index.unpersist()
