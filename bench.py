@@ -307,6 +307,49 @@ def main() -> None:
             print(f"bench: pipeline-ops column failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # Sketch + quantization family (also outside the registry): measured
+    # rows for heavy hitters and the PQ/IVF-PQ compressed-search path.
+    if "--no-cold" not in sys.argv:
+        try:
+            from pyspark.sql import functions as F
+
+            from dexscraper_spark.operators.quantize import (
+                ivf_pq_encode, ivf_pq_topk, pq_encode, pq_topk_refined,
+                pq_train)
+            from dexscraper_spark.operators.similarity import ivf_build
+            from dexscraper_spark.operators.sketch import mg_sketch
+            from dexscraper_spark.plans.registry import clear_plan_cache
+
+            events = spark.read.parquet(f"{sf_dir}/events.parquet")
+            t0 = time.time()
+            mg_sketch(events, cols=["user_id"], group_by=["event_type"],
+                      k=64).toPandas()
+            cold["sketch_mg_heavy_hitters"] = round(time.time() - t0, 3)
+
+            emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                   .select("vec_id", "embedding"))
+            queries = emb.orderBy("vec_id").limit(8)
+            t0 = time.time()
+            books = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+            codes = pq_encode(emb, books)
+            codes.toPandas()
+            cold["pq_train_encode"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            pq_topk_refined(emb, codes, queries, books,
+                            k=10, expand=4).toPandas()
+            cold["pq_topk_refined"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            index = ivf_build(emb, nlist=16, cache=False)
+            ivf_codes = ivf_pq_encode(index, books)
+            ivf_pq_topk(emb, index, ivf_codes, queries, books,
+                        k=10, nprobe=4, expand=4).toPandas()
+            index.unpersist()
+            cold["ivf_pq_build_query"] = round(time.time() - t0, 3)
+            clear_plan_cache()
+        except Exception as e:
+            print(f"bench: sketch/quantize column failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     out = {
         "metric": "total_query_sec",
         "value": total,
