@@ -102,58 +102,79 @@ _Z_NUMERIC = {"byte", "short", "integer", "long", "float", "double",
 _Z_TEMPORAL = {"timestamp", "timestamp_ntz", "date"}
 
 
-def zorder_key(df: DataFrame, cols: list[str], *, bits: int | None = None):
-    """Morton key Column over 2-4 columns: each column is EQUI-DEPTH
-    bucketed to 2^bits ranks via sampled quantile cut points (one
-    approxQuantile pass over all columns — rank-based, so a single
-    outlier cannot collapse the other rows' buckets the way min/max
-    value-scaling would), then the rank bits are interleaved. NULL and
-    NaN rank lowest (bucket 0), clustering together instead of
-    scattering. Numeric and timestamp/date columns only — anything
-    else raises (a string silently casting to all-null would write an
-    unclustered layout while reporting success).
+def _z_as_num(df: DataFrame, c: str):
+    t = df.schema[c].dataType.typeName()
+    col = F.col(c)
+    if t in _Z_TEMPORAL:
+        return col.cast("timestamp").cast("double")
+    if t not in _Z_NUMERIC:
+        raise TypeError(
+            f"zorder_key: column {c!r} has type {t}, not orderable-"
+            f"numeric; cast or hash it explicitly first")
+    col = col.cast("double")
+    # scrub NaN -> NULL: NaN wins every max() and would poison the
+    # cut points; as a value it belongs with NULLs in bucket 0
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
-    ``bits=None`` picks min(8, 63 // len(cols)) — 256 buckets per
-    dimension discriminates file-level stats up to ~thousands of files
-    while keeping the quantile pass cheap."""
-    k = len(cols)
+
+def _z_bits(k: int, bits: int | None) -> int:
     if not 2 <= k <= 4:
-        raise ValueError("zorder_key wants 2-4 columns")
+        raise ValueError("zorder wants 2-4 columns")
     if bits is None:
         bits = min(8, 63 // k)
     if bits * k > 63:
         raise ValueError(f"{bits} bits x {k} cols exceeds a long")
+    return bits
+
+
+def zorder_cuts(df: DataFrame, cols: list[str], *,
+                bits: int | None = None) -> dict:
+    """Sampled equi-depth cut points per column — the persistable part
+    of the layout (one approxQuantile pass over all columns). Dedup'd:
+    heavy values repeat across quantiles."""
+    k = len(cols)
+    bits = _z_bits(k, bits)
     nbuckets = 1 << bits
-
-    def as_num(c: str):
-        t = df.schema[c].dataType.typeName()
-        col = F.col(c)
-        if t in _Z_TEMPORAL:
-            return col.cast("timestamp").cast("double")
-        if t not in _Z_NUMERIC:
-            raise TypeError(
-                f"zorder_key: column {c!r} has type {t}, not orderable-"
-                f"numeric; cast or hash it explicitly first")
-        col = col.cast("double")
-        # scrub NaN -> NULL: NaN wins every max() and would poison the
-        # cut points; as a value it belongs with NULLs in bucket 0
-        return F.when(F.isnan(col), F.lit(None)).otherwise(col)
-
-    numeric = df.select(*[as_num(c).alias(f"__z_{i}")
+    numeric = df.select(*[_z_as_num(df, c).alias(f"__z_{i}")
                           for i, c in enumerate(cols)])
     probs = [i / nbuckets for i in range(1, nbuckets)]
-    # one sampled pass for every column's interior cut points
     quantiles = numeric.stat.approxQuantile(
         [f"__z_{i}" for i in range(k)], probs, 1.0 / (4 * nbuckets))
+    return {c: sorted(set(quantiles[j])) for j, c in enumerate(cols)}
+
+
+def zorder_key(df: DataFrame, cols: list[str], *,
+               bits: int | None = None, cuts: dict | None = None):
+    """Morton key Column over 2-4 columns: each column is EQUI-DEPTH
+    bucketed to 2^bits ranks via sampled quantile cut points
+    (rank-based, so a single outlier cannot collapse the other rows'
+    buckets the way min/max value-scaling would), then the rank bits
+    are interleaved. NULL and NaN rank lowest (bucket 0), clustering
+    together instead of scattering. Numeric and timestamp/date columns
+    only — anything else raises (a string silently casting to all-null
+    would write an unclustered layout while reporting success).
+
+    ``bits=None`` picks min(8, 63 // len(cols)) — 256 buckets per
+    dimension discriminates file-level stats up to ~thousands of files
+    while keeping the quantile pass cheap. Pass ``cuts`` (from
+    ``zorder_cuts`` or ``zorder_spec_load``) to key a DELTA batch with
+    the TABLE's cut points — appended files then cluster consistently
+    with the existing layout instead of re-deriving skewed delta-local
+    buckets."""
+    bits = _z_bits(len(cols), bits)
+    if cuts is None:
+        cuts = zorder_cuts(df, cols, bits=bits)
+    k = len(cols)
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        cuts = sorted(set(quantiles[j]))  # dedup: heavy values repeat
-        if cuts:
+        ccuts = cuts.get(c) or []
+        if ccuts:
             # rank = #cuts <= v (equi-depth bucket); NULL/NaN -> 0
-            v = as_num(c)
+            v = _z_as_num(df, c)
             rank = F.coalesce(
                 F.size(F.filter(
-                    F.lit([float(x) for x in cuts]).cast("array<double>"),
+                    F.lit([float(x) for x in ccuts])
+                    .cast("array<double>"),
                     lambda cut: v >= cut)),
                 F.lit(0)).cast("long")
         else:
@@ -166,6 +187,30 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int | None = None):
     return key
 
 
+def zorder_spec_save(spark, path: str, *, cols: list[str], bits: int,
+                     cuts: dict) -> None:
+    """Persist the layout spec next to the table (``<path>/_zorder``):
+    column order, bits, and each column's cut points — everything an
+    append needs to key new data identically."""
+    rows = [(i, c, bits, [float(x) for x in cuts[c]])
+            for i, c in enumerate(cols)]
+    spark.createDataFrame(
+        rows, "pos int, col string, bits int, cuts array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_zorder")
+
+
+def zorder_spec_load(spark, path: str) -> tuple:
+    """(cols, bits, cuts) from a table written by write_zordered."""
+    rows = spark.read.parquet(f"{path}/_zorder").collect()
+    if not rows:
+        raise ValueError(f"empty z-order spec at {path}/_zorder")
+    rows.sort(key=lambda r: r.pos)
+    cols = [r.col for r in rows]
+    if len(set(cols)) != len(cols) or len({r.bits for r in rows}) != 1:
+        raise ValueError(f"corrupt z-order spec at {path}/_zorder")
+    return cols, rows[0].bits, {r.col: list(r.cuts) for r in rows}
+
+
 def write_zordered(df: DataFrame, path: str, *, cols: list[str],
                    bits: int | None = None, n_files: int = 32,
                    mode: str = "overwrite") -> None:
@@ -174,24 +219,48 @@ def write_zordered(df: DataFrame, path: str, *, cols: list[str],
     a hash repartition would scatter the curve and destroy locality),
     sort within files, drop the key. Readers need nothing special:
     parquet min/max stats on the ORIGINAL columns do the pruning via
-    ordinary predicate pushdown. Measured (200k uniform 2-d rows,
-    64 files): a 5%-selective predicate on EITHER column overlaps
-    12-17/64 row groups — unchanged with a 1e9 outlier row injected
-    (equi-depth ranks absorb it) — while the single-column-sorted
-    baseline overlaps 64/64 on its off-axis column.
+    ordinary predicate pushdown; the spec written to ``<path>/_zorder``
+    lets ``append_zordered`` cluster nightly deltas consistently.
+    Measured (200k uniform 2-d rows, 64 files): a 5%-selective
+    predicate on EITHER column overlaps 12-17/64 row groups —
+    unchanged with a 1e9 outlier row injected (equi-depth ranks absorb
+    it) — while the single-column-sorted baseline overlaps 64/64 on
+    its off-axis column.
 
     ``df`` is persisted for the duration (tracked via persist.py): the
     quantile pass and the write would otherwise each recompute the
     upstream plan."""
     from dexscraper_spark.persist import tracked_persist
 
+    k = len(cols)
+    bits = _z_bits(k, bits)
     pinned = tracked_persist(df)
     try:
-        keyed = pinned.withColumn("__zkey",
-                                  zorder_key(pinned, cols, bits=bits))
+        cuts = zorder_cuts(pinned, cols, bits=bits)
+        keyed = pinned.withColumn(
+            "__zkey", zorder_key(pinned, cols, bits=bits, cuts=cuts))
         (keyed.repartitionByRange(n_files, "__zkey")
          .sortWithinPartitions("__zkey")
          .drop("__zkey")
          .write.mode(mode).parquet(path))
     finally:
         pinned.unpersist()
+    zorder_spec_save(df.sparkSession, path, cols=cols, bits=bits,
+                     cuts=cuts)
+
+
+def append_zordered(df: DataFrame, path: str, *,
+                    n_files: int = 8) -> None:
+    """Append a delta batch to an existing z-ordered table using the
+    TABLE's stored cut points — the nightly-pipeline shape: delta files
+    land clustered in the same curve coordinates, so multi-column
+    pruning keeps working across base + appends without rewriting the
+    table (re-run write_zordered periodically to compact and refresh
+    cuts if the value distribution drifts)."""
+    cols, bits, cuts = zorder_spec_load(df.sparkSession, path)
+    keyed = df.withColumn(
+        "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
+    (keyed.repartitionByRange(n_files, "__zkey")
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode("append").parquet(path))

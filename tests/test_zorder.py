@@ -134,3 +134,40 @@ def test_zorder_four_columns_default_bits(spark, tmp_path):
     path = str(tmp_path / "z4c")
     write_zordered(df, path, cols=["x", "y", "w", "v"], n_files=4)
     assert spark.read.parquet(path).count() == 2_000
+
+
+def test_zorder_append_keeps_pruning(spark, tmp_path):
+    """Nightly append with the table's stored cuts: pruning must hold
+    across base + delta files, and the read must see all rows."""
+    from dexscraper_spark.sinks.lake import append_zordered
+
+    base = _grid(spark, 30_000)
+    delta = _grid(spark, 40_000).filter(F.col("id") >= 30_000)
+    path = str(tmp_path / "ztab")
+    write_zordered(base, path, cols=["x", "y"], n_files=16)
+    append_zordered(delta, path, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 40_000
+    zy, zt = _overlapping_row_groups(path, 0.4, 0.45, "y")
+    assert zt >= 24                       # both generations of files
+    assert zy < zt / 2                    # pruning survives the append
+
+
+def test_zorder_spec_roundtrip_and_validation(spark, tmp_path):
+    from dexscraper_spark.sinks.lake import (
+        zorder_cuts, zorder_spec_load, zorder_spec_save)
+
+    df = _grid(spark, 2_000)
+    path = str(tmp_path / "zspec")
+    cuts = zorder_cuts(df, ["x", "y"], bits=6)
+    zorder_spec_save(spark, path, cols=["x", "y"], bits=6, cuts=cuts)
+    cols, bits, cuts2 = zorder_spec_load(spark, path)
+    assert cols == ["x", "y"] and bits == 6 and cuts2 == cuts
+
+    # corrupt spec (duplicate column rows) must raise, not mis-cluster
+    spark.createDataFrame(
+        [(0, "x", 6, [0.5]), (1, "x", 6, [0.5])],
+        "pos int, col string, bits int, cuts array<double>") \
+        .write.mode("overwrite").parquet(str(tmp_path / "zbad" / "_zorder"))
+    with pytest.raises(ValueError, match="corrupt"):
+        zorder_spec_load(spark, str(tmp_path / "zbad"))
