@@ -100,7 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
     p.add_argument("command",
                    choices=list(PRESETS) + ["stream", "curate", "bars",
-                                            "pack"])
+                                            "pack", "zorder"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -160,6 +160,20 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--num-shards", type=int, default=64,
                     help="pack bins: independent packing shards")
+    zo = p.add_argument_group(
+        "zorder (multi-column clustered lake writes: full rewrite, or "
+        "--delta append keyed by the table's stored cut points; shares "
+        "--out)")
+    zo.add_argument("--input", default=None,
+                    help="zorder: parquet path/dir to (re)cluster")
+    zo.add_argument("--zorder-cols", default=None,
+                    help="zorder: 2-4 comma-separated numeric/timestamp "
+                         "columns, e.g. ts,value")
+    zo.add_argument("--bits", type=int, default=None,
+                    help="zorder: rank bits per column "
+                         "(default min(8, 63//k))")
+    zo.add_argument("--n-files", type=int, default=32,
+                    help="zorder: output files (curve segments)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -191,6 +205,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "pack":
         return _run_pack(args, spark)
+
+    if args.command == "zorder":
+        return _run_zorder(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -496,6 +513,56 @@ def _run_pack(args, spark) -> int:
     finally:
         packed.unpersist()
     _emit(json.dumps(summary), args.output)
+    return 0
+
+
+def _run_zorder(args, spark) -> int:
+    """Z-order lake maintenance as a CLI: full rewrite clusters --input
+    on the Morton curve of --zorder-cols and stores the layout spec;
+    --delta appends --input to an existing table using ITS stored cut
+    points (the nightly shape). Emits one JSON summary line."""
+    import json as _json
+
+    from dexscraper_spark.sinks.lake import (
+        append_zordered, write_zordered, zorder_spec_load)
+
+    if not args.input or not args.out:
+        print("zorder: --input and --out are required", file=sys.stderr)
+        return 2
+    if args.delta:
+        cols = None  # the table's stored spec decides
+    else:
+        cols = [c.strip() for c in (args.zorder_cols or "").split(",")
+                if c.strip()]
+        if not 2 <= len(cols) <= 4:
+            print("zorder: --zorder-cols wants 2-4 comma-separated "
+                  "columns", file=sys.stderr)
+            return 2
+        # overwrite DELETES --out before the lazy read of --input
+        # completes: out == input is verified data loss (same hazard
+        # class as curate's --state guard)
+        if os.path.realpath(args.input) == os.path.realpath(args.out):
+            print("zorder: --out must differ from --input (overwrite "
+                  "would destroy the input mid-read)", file=sys.stderr)
+            return 2
+
+    df = spark.read.parquet(args.input)
+    try:
+        if args.delta:
+            append_zordered(df, args.out,
+                            n_files=max(1, args.n_files // 4))
+            cols, bits, _ = zorder_spec_load(spark, args.out)
+        else:
+            write_zordered(df, args.out, cols=cols, bits=args.bits,
+                           n_files=args.n_files)
+            _, bits, _ = zorder_spec_load(spark, args.out)
+    except (TypeError, ValueError) as e:
+        print(f"zorder: {e}", file=sys.stderr)
+        return 2
+    summary = {"mode": "delta" if args.delta else "full",
+               "cols": cols, "bits": bits,
+               "rows": spark.read.parquet(args.out).count()}
+    _emit(_json.dumps(summary), args.output)
     return 0
 
 

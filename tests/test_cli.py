@@ -304,3 +304,52 @@ def test_cli_pack_both_modes(spark, tmp_path, capsys):
     assert b["avg_fill"] <= 128
     back = spark.read.parquet(str(tmp_path / "b/packed"))
     assert back.count() == b["docs"]  # every doc in exactly one bin
+
+
+def test_cli_zorder_full_then_delta(spark, tmp_path, capsys):
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    base = spark.range(0, 20_000).select(
+        "id",
+        (F.pmod(F.col("id") * 2654435761, F.lit(100003)).cast("double")
+         / 100003.0).alias("x"),
+        (F.pmod(F.col("id") * 40503 + 7, F.lit(99991)).cast("double")
+         / 99991.0).alias("y"))
+    base.write.parquet(str(tmp_path / "in"))
+    rc = run(["zorder", "--input", str(tmp_path / "in"),
+              "--out", str(tmp_path / "tab"),
+              "--zorder-cols", "x,y", "--n-files", "8"], spark=spark)
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"mode": "full", "cols": ["x", "y"], "bits": 8,
+                       "rows": 20_000}
+
+    base.limit(2_000).write.parquet(str(tmp_path / "delta"))
+    rc = run(["zorder", "--delta", "--input", str(tmp_path / "delta"),
+              "--out", str(tmp_path / "tab")], spark=spark)
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "delta" and summary["rows"] == 22_000
+    assert len(_glob.glob(str(tmp_path / "tab" / "*.parquet"))) >= 10
+
+
+def test_cli_zorder_argument_validation(spark, tmp_path, capsys):
+    from dexscraper_spark.cli import run
+
+    assert run(["zorder", "--out", "/tmp/x"], spark=spark) == 2
+    assert "required" in capsys.readouterr().err
+    spark.range(5).selectExpr("id", "id * 1.0 as x") \
+        .write.mode("overwrite").parquet(str(tmp_path / "zin"))
+    assert run(["zorder", "--input", str(tmp_path / "zin"),
+                "--out", "/tmp/x", "--zorder-cols", "x"],
+               spark=spark) == 2
+    assert "2-4" in capsys.readouterr().err
+    assert run(["zorder", "--input", str(tmp_path / "zin"),
+                "--out", str(tmp_path / "zin"),
+                "--zorder-cols", "id,x"], spark=spark) == 2
+    assert "destroy the input" in capsys.readouterr().err
