@@ -48,6 +48,19 @@ MATERIALIZED_ROWS = (
 )
 
 
+def _bpe_bench(spark, sf_dir):
+    """Train a 512-vocab BPE on the documents table and encode it —
+    the full tokenizer loop (one distributed word count + driver merges
+    + distributed encode)."""
+    from dexscraper_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    model = bpe_train(docs, vocab_size=512)
+    return bpe_encode(docs, model).selectExpr("doc_id",
+                                              "size(pieces) as n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -297,6 +310,8 @@ def main() -> None:
                  lambda: stratified_sample_exact(
                      docs, strata_cols=["lang"], n_per_stratum=100,
                      key_col="doc_id")),
+                ("bpe_train_encode",
+                 lambda: _bpe_bench(spark, sf_dir)),
             ):
                 clear_plan_cache()
                 t0 = time.time()

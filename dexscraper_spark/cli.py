@@ -524,10 +524,20 @@ def _run_zorder(args, spark) -> int:
     import json as _json
 
     from dexscraper_spark.sinks.lake import (
-        append_zordered, write_zordered, zorder_spec_load)
+        append_zordered, write_zordered)
 
     if not args.input or not args.out:
         print("zorder: --input and --out are required", file=sys.stderr)
+        return 2
+    # out == input destroys data in BOTH modes: full mode's overwrite
+    # deletes --out before the lazy read of --input completes (same
+    # hazard class as curate's --state guard); delta mode would append
+    # the table onto itself, silently doubling every row
+    if os.path.realpath(args.input) == os.path.realpath(args.out):
+        print("zorder: --out must differ from --input "
+              + ("(self-append would duplicate every row)" if args.delta
+                 else "(overwrite would destroy the input mid-read)"),
+              file=sys.stderr)
         return 2
     if args.delta:
         cols = None  # the table's stored spec decides
@@ -538,24 +548,17 @@ def _run_zorder(args, spark) -> int:
             print("zorder: --zorder-cols wants 2-4 comma-separated "
                   "columns", file=sys.stderr)
             return 2
-        # overwrite DELETES --out before the lazy read of --input
-        # completes: out == input is verified data loss (same hazard
-        # class as curate's --state guard)
-        if os.path.realpath(args.input) == os.path.realpath(args.out):
-            print("zorder: --out must differ from --input (overwrite "
-                  "would destroy the input mid-read)", file=sys.stderr)
-            return 2
 
     df = spark.read.parquet(args.input)
     try:
         if args.delta:
-            append_zordered(df, args.out,
-                            n_files=max(1, args.n_files // 4))
-            cols, bits, _ = zorder_spec_load(spark, args.out)
+            cols, bits = append_zordered(df, args.out,
+                                         n_files=max(1, args.n_files // 4))
         else:
-            write_zordered(df, args.out, cols=cols, bits=args.bits,
+            from dexscraper_spark.sinks.lake import _z_bits
+            bits = _z_bits(len(cols), args.bits)
+            write_zordered(df, args.out, cols=cols, bits=bits,
                            n_files=args.n_files)
-            _, bits, _ = zorder_spec_load(spark, args.out)
     except (TypeError, ValueError) as e:
         print(f"zorder: {e}", file=sys.stderr)
         return 2

@@ -122,6 +122,11 @@ def _z_bits(k: int, bits: int | None) -> int:
         raise ValueError("zorder wants 2-4 columns")
     if bits is None:
         bits = min(8, 63 // k)
+    if bits < 1:
+        # bits=0 would silently write ONE unordered curve segment while
+        # reporting success — the silent-failure class zorder_key's
+        # type check exists to prevent
+        raise ValueError(f"bits must be >= 1, got {bits}")
     if bits * k > 63:
         raise ValueError(f"{bits} bits x {k} cols exceeds a long")
     return bits
@@ -250,13 +255,13 @@ def write_zordered(df: DataFrame, path: str, *, cols: list[str],
 
 
 def append_zordered(df: DataFrame, path: str, *,
-                    n_files: int = 8) -> None:
+                    n_files: int = 8) -> tuple:
     """Append a delta batch to an existing z-ordered table using the
     TABLE's stored cut points — the nightly-pipeline shape: delta files
     land clustered in the same curve coordinates, so multi-column
     pruning keeps working across base + appends without rewriting the
     table (re-run write_zordered periodically to compact and refresh
-    cuts if the value distribution drifts)."""
+    cuts if the value distribution drifts). Returns (cols, bits)."""
     cols, bits, cuts = zorder_spec_load(df.sparkSession, path)
     keyed = df.withColumn(
         "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
@@ -264,3 +269,4 @@ def append_zordered(df: DataFrame, path: str, *,
      .sortWithinPartitions("__zkey")
      .drop("__zkey")
      .write.mode("append").parquet(path))
+    return cols, bits

@@ -353,3 +353,18 @@ def test_cli_zorder_argument_validation(spark, tmp_path, capsys):
                 "--out", str(tmp_path / "zin"),
                 "--zorder-cols", "id,x"], spark=spark) == 2
     assert "destroy the input" in capsys.readouterr().err
+
+
+def test_cli_zorder_bits_and_self_append_guards(spark, tmp_path, capsys):
+    from dexscraper_spark.cli import run
+
+    spark.range(50).selectExpr("id", "id * 1.0 as x", "id * 2.0 as y") \
+        .write.mode("overwrite").parquet(str(tmp_path / "zin2"))
+    assert run(["zorder", "--input", str(tmp_path / "zin2"),
+                "--out", str(tmp_path / "zo2"), "--zorder-cols", "x,y",
+                "--bits", "0"], spark=spark) == 2
+    assert "bits must be >= 1" in capsys.readouterr().err
+    # delta self-append would silently double every row
+    assert run(["zorder", "--delta", "--input", str(tmp_path / "zin2"),
+                "--out", str(tmp_path / "zin2")], spark=spark) == 2
+    assert "duplicate every row" in capsys.readouterr().err
