@@ -109,3 +109,37 @@ def null_free(df, string_default: str = "", numeric_default: float = 0.0,
         else:
             exprs.append(c)
     return df.select(*exprs)
+
+
+# --- PII redaction -----------------------------------------------------------
+# Training corpora must not memorize contact details; redaction patterns
+# are the standard public ones (emails, E.164-ish phones, IPv4, 13-19
+# digit card numbers). Pure regexp_replace chain: map-side, codegen'd,
+# no UDF. Order matters twice: emails before phones (an email's digits
+# must not be half-eaten as a phone number), and IPv4 before phones
+# (the phone pattern's dotted-separator form would otherwise eat
+# dotted quads).
+
+_PII_PATTERNS = (
+    # email: local@domain.tld (conservative: no quoted locals)
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4
+    (r"(?<![0-9])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9])", "<IP>"),
+    # card-ish: 13-19 digits with optional space/dash separators, only
+    # when delimited (lookarounds keep longer ids intact)
+    (r"(?<![0-9])(?:[0-9][ \-]?){12,18}[0-9](?![0-9])", "<NUMBER>"),
+    # phone: +country / (area) forms, 7-15 digits total
+    (r"(?<![0-9A-Za-z])\+?[0-9]{1,3}[ \-.]?\(?[0-9]{2,4}\)?"
+     r"(?:[ \-.]?[0-9]{2,4}){1,3}(?![0-9])", "<PHONE>"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails, card-like digit runs, phone numbers, and IPv4
+    addresses with typed placeholders. Deliberately recall-leaning: a
+    training pipeline prefers over-redacting a rare product code to
+    leaking a real person's number (tune _PII_PATTERNS per corpus)."""
+    out = c
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

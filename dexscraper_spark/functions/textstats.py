@@ -129,3 +129,21 @@ def char_ngram_minhash(text_col: str, *, n: int = 8, num_hashes: int = 4) -> Col
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), s -> "
         f"array_min(transform({sh}, g -> xxhash64(g, s))))")
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams within the document —
+    the Gopher-style repetition quality rule (Rae et al. 2021 §A1.1,
+    public): boilerplate and degenerate generations repeat themselves;
+    natural prose doesn't. 0.0 = all n-grams distinct, →1.0 = the doc
+    is one repeated phrase. Docs with < n+1 words score 0.0 (no
+    repetition is expressible). Map-side HOF — no shuffle, no UDF."""
+    t = tokens(text)
+    n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    dup = n_grams - F.size(F.array_distinct(grams))
+    return F.when(n_grams > 0, dup / n_grams).otherwise(F.lit(0.0))

@@ -326,3 +326,51 @@ def test_safe_divide_null_numerator_hits_default(spark):
     [r] = spark.createDataFrame([(None, 2.0)], "n double, d double").select(
         safe_divide(F.col("n"), F.col("d")).alias("q")).collect()
     assert r.q == 0.0
+
+
+# --------------------- repetition ratio + PII redaction ----------------------
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.functions.textstats import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat while the dog slept outside"),
+         (1, "buy now buy now buy now buy now buy now buy now"),
+         (2, "too short"),
+         (3, "a b c a b c a b c a b c")],
+        "i long, text string")
+    out = {r.i: r.rr for r in df.select(
+        "i", repetition_ratio(F.col("text")).alias("rr")).collect()}
+    assert out[0] == 0.0                 # natural prose: distinct 3-grams
+    assert out[1] > 0.7                  # repeated phrase
+    assert out[2] == 0.0                 # < n+1 words
+    # "a b c" x4: 10 trigrams, 3 distinct -> 7/10
+    assert abs(out[3] - 0.7) < 1e-9
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.functions.cleaning import redact_pii
+
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk for info",
+            "contact <EMAIL> for info"),
+        (1, "call +1 (415) 555-0134 or 020 7946 0958 now",
+            "call <PHONE> or <PHONE> now"),
+        (2, "server at 192.168.10.255 responded",
+            "server at <IP> responded"),
+        (3, "card 4111 1111 1111 1111 declined",
+            "card <NUMBER> declined"),
+        (4, "order id ABC123 qty 7 price 19.99 unchanged",
+            "order id ABC123 qty 7 price 19.99 unchanged"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "i long, text string")
+    out = {r.i: r.red for r in df.select(
+        "i", redact_pii(F.col("text")).alias("red")).collect()}
+    for i, _, want in rows:
+        assert out[i] == want, (i, out[i], want)
