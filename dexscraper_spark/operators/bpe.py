@@ -44,6 +44,16 @@ _EOW = "▁"  # end-of-word marker (SentencePiece's visible space)
 _WS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
+def norm_words(text_col: str):
+    """Normalized word array (lowercase, ASCII-whitespace split, no
+    empties) — THE tokenization every corpus-pipeline stage shares
+    (decontamination, LM scoring); two hand-copied variants would
+    silently drift."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), _WS),
+        lambda w: F.length(w) > 0)
+
+
 class BpeModel:
     """Ordered merge table + the alphabet it grew from."""
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from dexscraper_spark.operators.bpe import _WS
+from dexscraper_spark.operators.bpe import norm_words
 
 
 def ngram_hashes(df: DataFrame, *, id_col: str = "doc_id",
@@ -38,7 +38,7 @@ def ngram_hashes(df: DataFrame, *, id_col: str = "doc_id",
     slide is a map-side HOF (sequence → slice → hash) — no shuffle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    words = norm_words(text_col)
     # guard the short-doc case explicitly: sequence(1, 0) DESCENDS in
     # Spark (yielding slice(start=0) errors), it does not return empty
     grams = F.when(
