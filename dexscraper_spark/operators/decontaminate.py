@@ -38,7 +38,11 @@ def ngram_hashes(df: DataFrame, *, id_col: str = "doc_id",
     slide is a map-side HOF (sequence → slice → hash) — no shuffle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    words = norm_words(text_col)
+    # word array as a COLUMN, not an inline HOF expression: slicing the
+    # norm_words expression inside the transform re-evaluates the filter
+    # chain per position — O(len²) per doc (see operators/lm.py)
+    src = df.select(F.col(id_col), norm_words(text_col).alias("__w"))
+    words = F.col("__w")
     # guard the short-doc case explicitly: sequence(1, 0) DESCENDS in
     # Spark (yielding slice(start=0) errors), it does not return empty
     grams = F.when(
@@ -47,7 +51,7 @@ def ngram_hashes(df: DataFrame, *, id_col: str = "doc_id",
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " "))
         )).otherwise(F.array().cast("array<bigint>"))
-    return (df.select(F.col(id_col), F.explode(grams).alias("gram")))
+    return (src.select(F.col(id_col), F.explode(grams).alias("gram")))
 
 
 def contamination_report(train: DataFrame, eval_docs: DataFrame, *,

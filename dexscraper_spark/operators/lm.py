@@ -63,19 +63,31 @@ def lm_train(docs: DataFrame, *, n: int = 3,
     """(key, cnt): counts for every order-1..n gram, keyed by
     hash(order, gram); plus the corpus token total under the reserved
     order-0 key. Contexts need no separate rows — an order-o context IS
-    an order-(o-1) gram. One unionByName of n narrow partial-agg'd
-    groupBys."""
+    an order-(o-1) gram. ONE corpus scan: per-order key arrays concat
+    map-side, one explode, one partial-agg'd groupBy."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    words = norm_words(text_col)
-    out = None
-    for o in range(1, n + 1):
-        grams = (docs
-                 .select(F.explode(_order_grams(words, o)).alias("g"))
-                 .select(_gram_key(o, F.col("g")).alias("key"))
-                 .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
-        out = grams if out is None else out.unionByName(grams)
-    total = (docs
+    # materialize the word array as a COLUMN first: referencing the
+    # norm_words HOF expression inside the gram transforms re-evaluates
+    # the whole filter chain per slice — O(len^2) per doc, measured
+    # 6.6x slower at sf0.1
+    src = docs.select(norm_words(text_col).alias("__w"))
+    words = F.col("__w")
+    # ONE corpus scan for every order: hash each order's grams map-side,
+    # concat the per-order key arrays, one explode + one partial-agg'd
+    # groupBy (a per-order pass re-reads the text column n times)
+    def _keyed(o: int):
+        # factory, NOT a default-arg lambda: F.transform treats a
+        # two-parameter lambda as (element, index) — `lambda g, o=o:`
+        # silently receives the array INDEX as o
+        return F.transform(_order_grams(words, o),
+                           lambda g: _gram_key(o, g))
+
+    all_keys = F.concat(*[_keyed(o) for o in range(1, n + 1)])
+    out = (src
+           .select(F.explode(all_keys).alias("key"))
+           .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    total = (src
              .select(F.size(words).alias("m"))
              .agg(F.sum("m").alias("cnt"))
              .select(_gram_key(_TOTAL_KEY_ORDER, F.lit("")).alias("key"),
