@@ -220,6 +220,60 @@ def _list_bar_versions(state_root: str) -> list[int]:
         and os.path.exists(os.path.join(state_root, d, "_SUCCESS")))
 
 
+def versioned_fold_builder(state_root: str, *, init: Callable,
+                           update: Callable,
+                           keep_versions: int = 2,
+                           name: str = "state") -> Callable:
+    """Generic foreachBatch builder for a VERSIONED monoid store —
+    the machinery behind ``bars_fold_builder``, reusable for any state
+    whose update is a deterministic merge (OHLC partials, KMV sketches,
+    Misra-Gries summaries, DD histograms...).
+
+    ``init(batch_df) -> DataFrame`` builds the state from the first
+    batch; ``update(prev_state_df, batch_df) -> DataFrame`` folds a
+    batch into the immutable previous version. ``v{N}`` derives only
+    from ``v{N-1}`` + batch N and commits atomically via parquet's
+    ``_SUCCESS`` marker, so non-idempotent merges replay exactly-once:
+    a post-crash replay of batch N recomputes the same ``v{N}`` (update
+    must be deterministic!) and never touches ``v{N-1}``. Versions
+    AHEAD of the incoming batch id fail loudly (lost/reset checkpoint
+    while the store survived — folding would silently shadow the
+    stored history)."""
+    import os
+    import shutil
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        versions = _list_bar_versions(state_root)
+        if any(v > batch_id for v in versions):
+            raise RuntimeError(
+                f"{name} store {state_root} holds version "
+                f"v{max(versions)} ahead of incoming batch {batch_id}: "
+                "checkpoint/state mismatch (lost or reset checkpoint?) "
+                "— folding would silently drop the stored history")
+        prev = max((v for v in versions if v < batch_id), default=None)
+        spark = batch_df.sparkSession
+        if prev is None:
+            state = init(batch_df)
+        else:
+            state = update(
+                spark.read.parquet(f"{state_root}/v{prev}"), batch_df)
+        out = f"{state_root}/v{batch_id}"
+        shutil.rmtree(out, ignore_errors=True)  # crashed partial attempt
+        state.write.parquet(out)
+        # retention counts batch_id separately: on a REPLAY the current
+        # id is already in the committed list and must not crowd out
+        # the older versions a concurrent reader may still be scanning
+        others = [v for v in versions if v != batch_id]
+        keep = set(others[-(keep_versions - 1):] if keep_versions > 1
+                   else []) | {batch_id}
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(f"{state_root}/v{v}", ignore_errors=True)
+
+    return fold
+
+
 def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
                       ts_col: str = "ts", price_col: str = "price",
                       qty_col: str | None = "qty",
@@ -261,9 +315,6 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
     Paths are driver-visible (local/NFS); object storage swaps only
     :func:`_list_bar_versions` and the prune deletes.
     """
-    import os
-    import shutil
-
     from dexscraper_spark.operators.ohlc import ohlc_partials, ohlc_update
 
     if order_col is None and tiebreak_col is None:
@@ -275,36 +326,93 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
               tiebreak_col=tiebreak_col, bucket_seconds=bucket_seconds,
               volume_scale=volume_scale)
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(state_root, exist_ok=True)
-        versions = _list_bar_versions(state_root)
-        if any(v > batch_id for v in versions):
-            raise RuntimeError(
-                f"bar store {state_root} holds version "
-                f"v{max(versions)} ahead of incoming batch {batch_id}: "
-                "checkpoint/state mismatch (lost or reset checkpoint?) — "
-                "folding would silently drop the stored history")
-        prev = max((v for v in versions if v < batch_id), default=None)
-        spark = batch_df.sparkSession
-        if prev is None:
-            state = ohlc_partials(batch_df, **kw)
-        else:
-            state = ohlc_update(
-                spark.read.parquet(f"{state_root}/v{prev}"), batch_df, **kw)
-        out = f"{state_root}/v{batch_id}"
-        shutil.rmtree(out, ignore_errors=True)  # crashed partial attempt
-        state.write.parquet(out)
-        # retention counts batch_id separately: on a REPLAY the current
-        # id is already in the committed list and must not crowd out
-        # the older versions a concurrent reader may still be scanning
-        others = [v for v in versions if v != batch_id]
-        keep = set(others[-(keep_versions - 1):] if keep_versions > 1
-                   else []) | {batch_id}
-        for v in versions:
-            if v not in keep:
-                shutil.rmtree(f"{state_root}/v{v}", ignore_errors=True)
+    return versioned_fold_builder(
+        state_root,
+        init=lambda batch: ohlc_partials(batch, **kw),
+        update=lambda prev, batch: ohlc_update(prev, batch, **kw),
+        keep_versions=keep_versions, name="bar")
 
-    return fold
+
+def sketch_fold_builder(state_root: str, *, cols: list,
+                        group_by: list | None = None, k: int = 256,
+                        keep_versions: int = 2) -> Callable:
+    """foreachBatch callback maintaining per-group KMV distinct-count
+    sketches as a versioned store — the streaming twin of storing
+    per-day sketches and rolling them up. KMV merge is EXACTLY the
+    sketch of the union (pinned in test_sketch), so the folded state
+    equals the one-shot sketch of everything seen — bit-identical, any
+    batching. Empty micro-batches pass the previous state through."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    groups = list(group_by or [])
+
+    def snap(batch: DataFrame) -> DataFrame:
+        return kmv_sketch(batch, cols=cols, group_by=groups, k=k) \
+            .select(*groups, "sketch")
+
+    def update(prev: DataFrame, batch: DataFrame) -> DataFrame:
+        new = snap(batch).select(
+            *[F.col(g).alias(f"__n_{g}") for g in groups],
+            F.col("sketch").alias("__new"))
+        if groups:
+            cond = None
+            for g in groups:
+                # eqNullSafe: a NULL group key is a real group — a
+                # plain equi-join would silently drop its state
+                c = F.col(g).eqNullSafe(F.col(f"__n_{g}"))
+                cond = c if cond is None else cond & c
+            joined = prev.join(new, cond, "full")
+        else:
+            joined = prev.join(new, F.lit(True), "full")
+        return joined.select(
+            *[F.coalesce(F.col(g), F.col(f"__n_{g}")).alias(g)
+              for g in groups],
+            kmv_merge(F.col("sketch"), F.col("__new"), k=k)
+            .alias("sketch"))
+
+    return versioned_fold_builder(state_root, init=snap, update=update,
+                                  keep_versions=keep_versions,
+                                  name="kmv-sketch")
+
+
+def heavy_hitters_fold_builder(state_root: str, *, cols: list,
+                               group_by: list | None = None,
+                               k: int = 64,
+                               keep_versions: int = 2) -> Callable:
+    """foreachBatch callback maintaining per-group Misra-Gries
+    heavy-hitter summaries as a versioned store. The merge is NOT
+    idempotent (counts add) — exactly the case the versioned store
+    exists for: replayed batches recompute v{N} from the immutable
+    v{N-1}. The folded summary keeps the mergeable-summaries
+    guarantee (cnt <= true <= cnt + n_total/(k+1)) under any
+    batching; in the exact regime (distinct <= k) it equals the
+    one-shot summary."""
+    from dexscraper_spark.operators.sketch import mg_merge, mg_sketch
+
+    groups = list(group_by or [])
+
+    def snap(batch: DataFrame) -> DataFrame:
+        return mg_sketch(batch, cols=cols, group_by=groups, k=k)
+
+    def update(prev: DataFrame, batch: DataFrame) -> DataFrame:
+        return mg_merge(prev, snap(batch), group_by=groups, k=k)
+
+    return versioned_fold_builder(state_root, init=snap, update=update,
+                                  keep_versions=keep_versions,
+                                  name="mg-summary")
+
+
+def latest_versioned_state(spark: SparkSession,
+                           state_root: str) -> DataFrame:
+    """Newest COMMITTED version of ANY versioned fold store (bars,
+    sketches, summaries) as a batch DataFrame."""
+    versions = _list_bar_versions(state_root)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed state versions in {state_root}")
+    return spark.read.parquet(f"{state_root}/v{versions[-1]}")
 
 
 def latest_bars_state(spark: SparkSession, state_root: str) -> DataFrame:

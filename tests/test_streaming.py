@@ -522,3 +522,50 @@ def test_bars_fold_keep_versions_retention(spark, tmp_path):
     assert _list_bar_versions(root) == [1, 2, 3]
     fold(batches[3], 3)   # replay of the newest batch
     assert _list_bar_versions(root) == [1, 2, 3]  # readers keep 1 and 2
+
+
+def test_streaming_sketch_fold_equals_one_shot(spark, tmp_path):
+    """KMV fold across micro-batches is bit-identical to the one-shot
+    sketch of all data (merge == union sketch); MG fold is exact in the
+    distinct<=k regime."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import kmv_sketch, mg_sketch
+    from dexscraper_spark.streaming.pipeline import (
+        heavy_hitters_fold_builder, latest_versioned_state,
+        sketch_fold_builder)
+
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "event_type", "user_id")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(fold, ckpt):
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    kroot = str(tmp_path / "kmvstate")
+    run(sketch_fold_builder(kroot, cols=["user_id"],
+                            group_by=["event_type"], k=64), "ck1")
+    got = {r.event_type: r.sketch for r in
+           latest_versioned_state(spark, kroot).collect()}
+    want = {r.event_type: r.sketch for r in
+            kmv_sketch(ev, cols=["user_id"], group_by=["event_type"],
+                       k=64).collect()}
+    assert got == want          # bit-identical to one-shot
+
+    mroot = str(tmp_path / "mgstate")
+    run(heavy_hitters_fold_builder(mroot, cols=["event_type"], k=64),
+        "ck2")
+    got_mg = {r.item: r.cnt for r in
+              latest_versioned_state(spark, mroot).collect()}
+    want_mg = {r.item: r.cnt for r in
+               mg_sketch(ev, cols=["event_type"], k=64).collect()}
+    assert got_mg == want_mg    # exact regime: distinct event types <= k
