@@ -404,6 +404,32 @@ def heavy_hitters_fold_builder(state_root: str, *, cols: list,
                                   name="mg-summary")
 
 
+def quantile_fold_builder(state_root: str, *, value_col: str,
+                          group_cols: list | None = None,
+                          alpha: float = 0.01,
+                          keep_versions: int = 2) -> Callable:
+    """foreachBatch callback maintaining DD-style quantile histograms
+    as a versioned store — completes the streaming sketch triad
+    (distinct counts, heavy hitters, quantiles). dd_merge is exact
+    integer vector addition, so the folded histogram is BIT-IDENTICAL
+    to the one-shot histogram of all data under any batching; query
+    it any time with ``dd_quantiles(latest_versioned_state(...))``."""
+    from dexscraper_spark.operators.sketch import dd_histogram, dd_merge
+
+    gcols = list(group_cols or [])
+
+    def snap(batch: DataFrame) -> DataFrame:
+        return dd_histogram(batch, value_col=value_col,
+                            group_cols=gcols, alpha=alpha)
+
+    def update(prev: DataFrame, batch: DataFrame) -> DataFrame:
+        return dd_merge(prev, snap(batch), group_cols=gcols)
+
+    return versioned_fold_builder(state_root, init=snap, update=update,
+                                  keep_versions=keep_versions,
+                                  name="dd-histogram")
+
+
 def latest_versioned_state(spark: SparkSession,
                            state_root: str) -> DataFrame:
     """Newest COMMITTED version of ANY versioned fold store (bars,

@@ -569,3 +569,38 @@ def test_streaming_sketch_fold_equals_one_shot(spark, tmp_path):
     want_mg = {r.item: r.cnt for r in
                mg_sketch(ev, cols=["event_type"], k=64).collect()}
     assert got_mg == want_mg    # exact regime: distinct event types <= k
+
+
+def test_streaming_quantile_fold_equals_one_shot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import dd_histogram, dd_quantiles
+    from dexscraper_spark.streaming.pipeline import (
+        latest_versioned_state, quantile_fold_builder)
+
+    src = str(tmp_path / "vals")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "event_type", "value") \
+        .filter(~F.isnan("value"))
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    root = str(tmp_path / "ddstate")
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(quantile_fold_builder(
+             root, value_col="value", group_cols=["event_type"]))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, latest_versioned_state(spark, root).collect()))
+    want = sorted(map(tuple, dd_histogram(
+        ev, value_col="value", group_cols=["event_type"]).collect()))
+    assert got == want            # exact integer merge: bit-identical
+    # and the folded state answers quantile queries
+    qs = dd_quantiles(latest_versioned_state(spark, root), [0.5],
+                      group_cols=["event_type"]).collect()
+    assert qs and all(r.value is not None for r in qs)
