@@ -100,7 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
     p.add_argument("command",
                    choices=list(PRESETS) + ["stream", "curate", "bars",
-                                            "pack", "zorder"])
+                                            "pack", "zorder", "ann"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -154,9 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
     pk = p.add_argument_group(
         "pack (sequence packing: curated docs -> fixed-token training "
         "rows; shares --docs/--out with curate)")
-    pk.add_argument("--mode", default="chunk", choices=["chunk", "bins"],
-                    help="pack: chunk = concat-and-chunk (docs may span "
-                         "chunks); bins = greedy first-fit, whole docs")
+    pk.add_argument("--mode", default=None,
+                    choices=["chunk", "bins", "build", "query", "extend"],
+                    help="pack: chunk (default; concat-and-chunk, docs may "
+                         "span chunks) | bins (greedy first-fit, whole "
+                         "docs). ann: build (default) | query | extend")
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--num-shards", type=int, default=64,
                     help="pack bins: independent packing shards")
@@ -174,6 +176,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "(default min(8, 63//k))")
     zo.add_argument("--n-files", type=int, default=32,
                     help="zorder: output files (curve segments)")
+    an = p.add_argument_group(
+        "ann (IVF-PQ vector index maintenance: --mode build trains and "
+        "persists the compressed index; query searches it; extend "
+        "appends new vectors with the STORED centroids/codebooks)")
+    an.add_argument("--vectors", default=None,
+                    help="ann build/extend: parquet with (vec_id, "
+                         "embedding)")
+    an.add_argument("--index", default=None,
+                    help="ann: index directory (build writes, "
+                         "query/extend read)")
+    an.add_argument("--queries", default=None,
+                    help="ann query: parquet with query vectors")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nlist", type=int, default=16)
+    an.add_argument("--nprobe", type=int, default=4)
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -208,6 +225,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "zorder":
         return _run_zorder(args, spark)
+
+    if args.command == "ann":
+        return _run_ann(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -486,10 +506,14 @@ def _run_pack(args, spark) -> int:
     if not args.docs or not args.out:
         print("pack: --docs and --out are required", file=sys.stderr)
         return 2
+    mode = args.mode or "chunk"
+    if mode not in ("chunk", "bins"):
+        print("pack: --mode must be chunk or bins", file=sys.stderr)
+        return 2
     docs = spark.read.parquet(args.docs).select(
         "doc_id", token_count(F.col("text")).cast("long")
         .alias("n_tokens"))
-    if args.mode == "chunk":
+    if mode == "chunk":
         packed = chunk_token_stream(docs, max_tokens=args.max_tokens)
         group, fill = "chunk_id", F.sum(
             F.col("tok_end") - F.col("tok_start"))
@@ -506,7 +530,7 @@ def _run_pack(args, spark) -> int:
             F.count(F.lit(1)).alias("units"),
             F.avg("f").alias("avg_fill")).first()
         summary = {
-            "mode": args.mode, "max_tokens": args.max_tokens,
+            "mode": mode, "max_tokens": args.max_tokens,
             "docs": docs.count(), "units": stats["units"],
             "avg_fill": round(float(stats["avg_fill"] or 0.0), 2),
         }
@@ -566,6 +590,75 @@ def _run_zorder(args, spark) -> int:
                "cols": cols, "bits": bits,
                "rows": spark.read.parquet(args.out).count()}
     _emit(_json.dumps(summary), args.output)
+    return 0
+
+
+def _run_ann(args, spark) -> int:
+    """IVF-PQ index maintenance as a CLI. --mode build: fit coarse
+    quantizer + PQ codebooks on --vectors and persist the compressed
+    index to --index; --mode query: search it (writes JSON lines of
+    (query_id, neighbor_id, cosine, rank)); --mode extend: assign+encode
+    NEW vectors with the stored centroids/codebooks and append — the
+    nightly shape (idempotent: already-indexed ids are skipped)."""
+    import json as _json
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_load, ivf_pq_save, ivf_pq_topk, pq_encode,
+        pq_train)
+    from dexscraper_spark.operators.similarity import (
+        _ivf_assign, ivf_build, ivf_load)
+
+    mode = args.mode or "build"
+    if mode not in ("build", "query", "extend"):
+        print("ann: --mode must be build, query, or extend",
+              file=sys.stderr)
+        return 2
+    if not args.index:
+        print("ann: --index is required", file=sys.stderr)
+        return 2
+    if mode in ("build", "extend") and not args.vectors:
+        print(f"ann {mode}: --vectors is required", file=sys.stderr)
+        return 2
+    if mode == "query" and not args.queries:
+        print("ann query: --queries is required", file=sys.stderr)
+        return 2
+    try:
+        if mode == "build":
+            vecs = spark.read.parquet(args.vectors)                 .select("vec_id", "embedding")
+            index = ivf_build(vecs, nlist=args.nlist, cache=False)
+            books = pq_train(vecs)
+            codes = ivf_pq_encode(index, books)
+            ivf_pq_save(spark, index, books, codes, args.index)
+            n = spark.read.parquet(f"{args.index}/codes").count()
+            _emit(_json.dumps({"mode": "build", "indexed": n,
+                               "nlist": args.nlist}), args.output)
+        elif mode == "extend":
+            from dexscraper_spark.operators.quantize import pq_load
+            new = spark.read.parquet(args.vectors)                 .select("vec_id", "embedding")
+            index = ivf_load(spark, args.index)
+            books = pq_load(spark, f"{args.index}/pq_books")
+            # idempotent append: drop ids the index already holds
+            new = new.join(index.assigned.select("vec_id"),
+                           "vec_id", "left_anti")
+            assigned = _ivf_assign(index, new)
+            assigned.write.mode("append").partitionBy("__list")                 .parquet(f"{args.index}/assigned")
+            pq_encode(assigned, books, keep_cols=["__list"])                 .write.mode("append").partitionBy("__list")                 .parquet(f"{args.index}/codes")
+            n = spark.read.parquet(f"{args.index}/codes").count()
+            _emit(_json.dumps({"mode": "extend", "indexed": n}),
+                  args.output)
+        else:
+            index, books, codes = ivf_pq_load(spark, args.index)
+            queries = spark.read.parquet(args.queries)                 .select("vec_id", "embedding")
+            out = ivf_pq_topk(index.assigned, index, codes, queries,
+                              books, k=args.k, nprobe=args.nprobe)
+            lines = [_json.dumps({"query_id": r.query_id,
+                                  "neighbor_id": r.neighbor_id,
+                                  "cosine": r.cosine, "rank": r.rank})
+                     for r in out.collect()]
+            _emit("\n".join(lines), args.output)
+    except Exception as e:
+        print(f"ann: {type(e).__name__}: {e}", file=sys.stderr)
+        return 2
     return 0
 
 

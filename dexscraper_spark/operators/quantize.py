@@ -460,3 +460,28 @@ def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
     )
     return _exact_rerank(corpus, cand, queries, id_col=id_col,
                          vec_col=vec_col, k=k, round_to=round_to)
+
+
+def ivf_pq_save(spark, index, books: PqCodebooks, codes: DataFrame,
+                path: str) -> None:
+    """Persist the full compressed-search artifact as one directory:
+    the IVF assignment + centroids (ivf_save layout), the PQ codebooks,
+    and the codes partitioned by list id — probes then prune code FILES
+    to nprobe/nlist, the on-disk twin of the in-memory plan."""
+    from dexscraper_spark.operators.similarity import ivf_save
+
+    ivf_save(index, path)
+    pq_save(spark, books, f"{path}/pq_books")
+    codes.write.mode("overwrite").partitionBy("__list") \
+        .parquet(f"{path}/codes")
+
+
+def ivf_pq_load(spark, path: str, *, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> tuple:
+    """(index, books, codes) from an ivf_pq_save directory."""
+    from dexscraper_spark.operators.similarity import ivf_load
+
+    index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
+    books = pq_load(spark, f"{path}/pq_books")
+    codes = spark.read.parquet(f"{path}/codes")
+    return index, books, codes

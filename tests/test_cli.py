@@ -368,3 +368,69 @@ def test_cli_zorder_bits_and_self_append_guards(spark, tmp_path, capsys):
     assert run(["zorder", "--delta", "--input", str(tmp_path / "zin2"),
                 "--out", str(tmp_path / "zin2")], spark=spark) == 2
     assert "duplicate every row" in capsys.readouterr().err
+
+
+def test_cli_ann_build_query_extend(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    emb.filter("vec_id < 400").write.parquet(str(tmp_path / "vecs"))
+    emb.filter("vec_id >= 400") \
+        .write.parquet(str(tmp_path / "newvecs"))
+    emb.orderBy("vec_id").limit(4) \
+        .write.parquet(str(tmp_path / "queries"))
+    idx = str(tmp_path / "index")
+
+    rc = run(["ann", "--vectors", str(tmp_path / "vecs"),
+              "--index", idx, "--nlist", "8"], spark=spark)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "build", "indexed": 400, "nlist": 8}
+
+    rc = run(["ann", "--mode", "query", "--index", idx,
+              "--queries", str(tmp_path / "queries"),
+              "--k", "5", "--nprobe", "8"], spark=spark)
+    assert rc == 0
+    lines = [_json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    by_q = {}
+    for r in lines:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(r["neighbor_id"] != q for q, v in by_q.items() for r in v)
+
+    # extend appends only NEW ids (rerun-idempotent)
+    rc = run(["ann", "--mode", "extend", "--index", idx,
+              "--vectors", str(tmp_path / "newvecs")], spark=spark)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "extend", "indexed": 500}
+    rc = run(["ann", "--mode", "extend", "--index", idx,
+              "--vectors", str(tmp_path / "newvecs")], spark=spark)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "extend", "indexed": 500}  # no double-add
+
+    # queries can now reach the extended ids
+    rc = run(["ann", "--mode", "query", "--index", idx,
+              "--queries", str(tmp_path / "newvecs"),
+              "--k", "3", "--nprobe", "8"], spark=spark)
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_cli_ann_validation(spark, capsys):
+    from dexscraper_spark.cli import run
+
+    assert run(["ann"], spark=spark) == 2
+    assert "required" in capsys.readouterr().err
+    assert run(["ann", "--mode", "query", "--index", "/tmp/nope"],
+               spark=spark) == 2
+    assert "queries" in capsys.readouterr().err
