@@ -191,6 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--nlist", type=int, default=16)
     an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--pq-m", type=int, default=16,
+                    help="ann build: PQ subspaces (must divide the "
+                         "embedding dim)")
+    an.add_argument("--pq-ksub", type=int, default=64,
+                    help="ann build: centroids per subspace (<=256)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -597,16 +602,18 @@ def _run_ann(args, spark) -> int:
     """IVF-PQ index maintenance as a CLI. --mode build: fit coarse
     quantizer + PQ codebooks on --vectors and persist the compressed
     index to --index; --mode query: search it (writes JSON lines of
-    (query_id, neighbor_id, cosine, rank)); --mode extend: assign+encode
-    NEW vectors with the stored centroids/codebooks and append — the
-    nightly shape (idempotent: already-indexed ids are skipped)."""
+    (query_id, neighbor_id, cosine, rank)); --mode extend: assign and
+    encode NEW vectors with the stored centroids/codebooks — append-
+    only, rerun-idempotent, and self-repairing after a crash between
+    the two table writes (see ivf_pq_extend_saved)."""
     import json as _json
 
+    from pyspark.sql import functions as F
+
     from dexscraper_spark.operators.quantize import (
-        ivf_pq_encode, ivf_pq_load, ivf_pq_save, ivf_pq_topk, pq_encode,
-        pq_train)
-    from dexscraper_spark.operators.similarity import (
-        _ivf_assign, ivf_build, ivf_load)
+        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_load, ivf_pq_save,
+        ivf_pq_topk, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
 
     mode = args.mode or "build"
     if mode not in ("build", "query", "extend"):
@@ -624,31 +631,31 @@ def _run_ann(args, spark) -> int:
         return 2
     try:
         if mode == "build":
-            vecs = spark.read.parquet(args.vectors)                 .select("vec_id", "embedding")
+            vecs = (spark.read.parquet(args.vectors)
+                    .select("vec_id", "embedding"))
+            # infer the dimension from the data — a hardcoded 64 turns
+            # a 128-dim corpus into an opaque 'empty training sample'
+            [probe] = vecs.select(
+                F.size("embedding").alias("d")).limit(1).collect()
             index = ivf_build(vecs, nlist=args.nlist, cache=False)
-            books = pq_train(vecs)
+            books = pq_train(vecs, dim=int(probe.d), m=args.pq_m,
+                             ksub=args.pq_ksub)
             codes = ivf_pq_encode(index, books)
             ivf_pq_save(spark, index, books, codes, args.index)
             n = spark.read.parquet(f"{args.index}/codes").count()
             _emit(_json.dumps({"mode": "build", "indexed": n,
                                "nlist": args.nlist}), args.output)
         elif mode == "extend":
-            from dexscraper_spark.operators.quantize import pq_load
-            new = spark.read.parquet(args.vectors)                 .select("vec_id", "embedding")
-            index = ivf_load(spark, args.index)
-            books = pq_load(spark, f"{args.index}/pq_books")
-            # idempotent append: drop ids the index already holds
-            new = new.join(index.assigned.select("vec_id"),
-                           "vec_id", "left_anti")
-            assigned = _ivf_assign(index, new)
-            assigned.write.mode("append").partitionBy("__list")                 .parquet(f"{args.index}/assigned")
-            pq_encode(assigned, books, keep_cols=["__list"])                 .write.mode("append").partitionBy("__list")                 .parquet(f"{args.index}/codes")
-            n = spark.read.parquet(f"{args.index}/codes").count()
-            _emit(_json.dumps({"mode": "extend", "indexed": n}),
+            new = (spark.read.parquet(args.vectors)
+                   .select("vec_id", "embedding"))
+            stats = ivf_pq_extend_saved(spark, args.index, new)
+            _emit(_json.dumps({"mode": "extend",
+                               "indexed": stats["indexed"]}),
                   args.output)
         else:
             index, books, codes = ivf_pq_load(spark, args.index)
-            queries = spark.read.parquet(args.queries)                 .select("vec_id", "embedding")
+            queries = (spark.read.parquet(args.queries)
+                       .select("vec_id", "embedding"))
             out = ivf_pq_topk(index.assigned, index, codes, queries,
                               books, k=args.k, nprobe=args.nprobe)
             lines = [_json.dumps({"query_id": r.query_id,

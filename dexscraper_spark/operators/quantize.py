@@ -485,3 +485,48 @@ def ivf_pq_load(spark, path: str, *, id_col: str = "vec_id",
     books = pq_load(spark, f"{path}/pq_books")
     codes = spark.read.parquet(f"{path}/codes")
     return index, books, codes
+
+
+def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> dict:
+    """Append new vectors to an ivf_pq_save artifact using its STORED
+    centroids and codebooks — the nightly shape. Idempotent AND
+    self-repairing: the two appends (assigned, then codes) are not
+    atomic, so each table is backfilled independently by what IT is
+    missing — a rerun after a crash between the writes (or after a
+    bad-row failure in the encode) completes the orphaned ids instead
+    of skipping the whole batch forever (idempotence keyed only on the
+    first write would do exactly that). Returns counts."""
+    from dexscraper_spark.operators.similarity import (
+        _ivf_assign, ivf_load)
+
+    index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
+    books = pq_load(spark, f"{path}/pq_books")
+    code_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+
+    todo_assign = new_vectors.select(id_col, vec_col).join(
+        index.assigned.select(id_col), id_col, "left_anti")
+    # persist: both the assigned append and the codes backfill read
+    # this plan, and the second read must NOT re-list the directory
+    # the first write just appended to
+    assigned_new = _ivf_assign(index, todo_assign).persist()
+    try:
+        n_assigned = assigned_new.count()
+        if n_assigned:
+            assigned_new.write.mode("append").partitionBy("__list") \
+                .parquet(f"{path}/assigned")
+        # codes backfill: everything assigned (old rows included — a
+        # prior crash may have left orphans) that has no code yet
+        all_assigned = index.assigned \
+            .select(id_col, vec_col, "__list") \
+            .unionByName(assigned_new.select(id_col, vec_col, "__list"))
+        todo_codes = all_assigned.join(code_ids, id_col, "left_anti")
+        new_codes = pq_encode(todo_codes, books, id_col=id_col,
+                              vec_col=vec_col, keep_cols=["__list"])
+        new_codes.write.mode("append").partitionBy("__list") \
+            .parquet(f"{path}/codes")
+    finally:
+        assigned_new.unpersist()
+    total = spark.read.parquet(f"{path}/codes").count()
+    return {"appended": n_assigned, "indexed": total}

@@ -223,7 +223,8 @@ def _list_bar_versions(state_root: str) -> list[int]:
 def versioned_fold_builder(state_root: str, *, init: Callable,
                            update: Callable,
                            keep_versions: int = 2,
-                           name: str = "state") -> Callable:
+                           name: str = "state",
+                           spec: dict | None = None) -> Callable:
     """Generic foreachBatch builder for a VERSIONED monoid store —
     the machinery behind ``bars_fold_builder``, reusable for any state
     whose update is a deterministic merge (OHLC partials, KMV sketches,
@@ -238,12 +239,39 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
     must be deterministic!) and never touches ``v{N-1}``. Versions
     AHEAD of the incoming batch id fail loudly (lost/reset checkpoint
     while the store survived — folding would silently shadow the
-    stored history)."""
+    stored history).
+
+    ``spec``: the merge's parameters (sketch k, histogram alpha, bar
+    bucket size...). Written to ``{state_root}/_spec.json`` on first
+    fold and VALIDATED on every later one — restarting a stream with a
+    different k/alpha over surviving state would otherwise merge
+    incompatible summaries silently (dd_merge's 'same alpha!' contract,
+    kmv_estimate's size<k exactness branch)."""
+    import json as _json
     import os
     import shutil
 
+    def _check_spec() -> None:
+        if spec is None:
+            return
+        sp = os.path.join(state_root, "_spec.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                stored = _json.load(f)
+            if stored != spec:
+                raise RuntimeError(
+                    f"{name} store {state_root} was built with spec "
+                    f"{stored}, fold constructed with {spec}: merging "
+                    "under different parameters silently corrupts the "
+                    "state — use a fresh state_root or the stored "
+                    "parameters")
+        else:
+            with open(sp, "w") as f:
+                _json.dump(spec, f)
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_root, exist_ok=True)
+        _check_spec()
         versions = _list_bar_versions(state_root)
         if any(v > batch_id for v in versions):
             raise RuntimeError(
@@ -330,7 +358,9 @@ def bars_fold_builder(state_root: str, *, symbol_col: str = "symbol",
         state_root,
         init=lambda batch: ohlc_partials(batch, **kw),
         update=lambda prev, batch: ohlc_update(prev, batch, **kw),
-        keep_versions=keep_versions, name="bar")
+        keep_versions=keep_versions, name="bar",
+        spec={"bucket_seconds": bucket_seconds,
+              "volume_scale": volume_scale})
 
 
 def sketch_fold_builder(state_root: str, *, cols: list,
@@ -374,7 +404,9 @@ def sketch_fold_builder(state_root: str, *, cols: list,
 
     return versioned_fold_builder(state_root, init=snap, update=update,
                                   keep_versions=keep_versions,
-                                  name="kmv-sketch")
+                                  name="kmv-sketch",
+                                  spec={"k": k, "cols": list(cols),
+                                        "group_by": groups})
 
 
 def heavy_hitters_fold_builder(state_root: str, *, cols: list,
@@ -401,7 +433,9 @@ def heavy_hitters_fold_builder(state_root: str, *, cols: list,
 
     return versioned_fold_builder(state_root, init=snap, update=update,
                                   keep_versions=keep_versions,
-                                  name="mg-summary")
+                                  name="mg-summary",
+                                  spec={"k": k, "cols": list(cols),
+                                        "group_by": groups})
 
 
 def quantile_fold_builder(state_root: str, *, value_col: str,
@@ -427,7 +461,10 @@ def quantile_fold_builder(state_root: str, *, value_col: str,
 
     return versioned_fold_builder(state_root, init=snap, update=update,
                                   keep_versions=keep_versions,
-                                  name="dd-histogram")
+                                  name="dd-histogram",
+                                  spec={"alpha": alpha,
+                                        "value_col": value_col,
+                                        "group_cols": gcols})
 
 
 def latest_versioned_state(spark: SparkSession,
@@ -446,11 +483,7 @@ def latest_bars_state(spark: SparkSession, state_root: str) -> DataFrame:
     present — an in-flight fold's partial directory is never served; see
     :func:`bars_fold_builder`) as a batch DataFrame — feed it to
     ``ohlc_frames_from_partials`` for live multi-frame bars."""
-    versions = _list_bar_versions(state_root)
-    if not versions:
-        raise FileNotFoundError(
-            f"no committed bar-state versions in {state_root}")
-    return spark.read.parquet(f"{state_root}/v{versions[-1]}")
+    return latest_versioned_state(spark, state_root)
 
 
 def streaming_bars_maintenance(ticks: DataFrame, state_root: str, *,

@@ -242,3 +242,34 @@ def test_ivf_pq_full_probe_generous_expand_equals_pq_refined(spark, emb,
         assert a == b
     finally:
         index.unpersist()
+
+
+def test_ivf_pq_extend_saved_self_repairs(spark, emb, books, tmp_path):
+    """A crash between the assigned append and the codes append leaves
+    orphaned ids; the next extend run must backfill their codes instead
+    of skipping the batch (idempotence keyed on one table would lose
+    them forever)."""
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_extend_saved, ivf_pq_save)
+    from dexscraper_spark.operators.similarity import (
+        _ivf_assign, ivf_build, ivf_load)
+
+    base = emb.filter("vec_id < 400")
+    extra = emb.filter("vec_id >= 400")
+    path = str(tmp_path / "idx")
+    index = ivf_build(base, nlist=4, cache=False)
+    codes = ivf_pq_encode(index, books)
+    ivf_pq_save(spark, index, books, codes, path)
+
+    # simulate the crash: append extra's ASSIGNMENTS but not its codes
+    idx2 = ivf_load(spark, path)
+    _ivf_assign(idx2, extra).write.mode("append") \
+        .partitionBy("__list").parquet(f"{path}/assigned")
+    assert spark.read.parquet(f"{path}/codes").count() == 400  # orphans
+
+    stats = ivf_pq_extend_saved(spark, path, extra)
+    assert stats["appended"] == 0          # ids already assigned
+    assert stats["indexed"] == 500         # ...but codes backfilled
+    # and a clean rerun is a no-op
+    stats = ivf_pq_extend_saved(spark, path, extra)
+    assert stats == {"appended": 0, "indexed": 500}

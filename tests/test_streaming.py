@@ -604,3 +604,24 @@ def test_streaming_quantile_fold_equals_one_shot(spark, tmp_path):
     qs = dd_quantiles(latest_versioned_state(spark, root), [0.5],
                       group_cols=["event_type"]).collect()
     assert qs and all(r.value is not None for r in qs)
+
+
+def test_fold_store_spec_mismatch_fails_loudly(spark, tmp_path):
+    """Restarting a fold with different sketch parameters over
+    surviving state must raise, not silently merge incompatible
+    summaries."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.streaming.pipeline import sketch_fold_builder
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "event_type", "user_id")
+    root = str(tmp_path / "state")
+    fold = sketch_fold_builder(root, cols=["user_id"], k=64)
+    fold(ev, 0)
+    fold2 = sketch_fold_builder(root, cols=["user_id"], k=128)
+    with _pytest.raises(RuntimeError, match="spec"):
+        fold2(ev.limit(10), 1)
+    # same params resume fine
+    sketch_fold_builder(root, cols=["user_id"], k=64)(ev.limit(10), 1)
