@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="curate ONLY the new batch against --state")
     cur.add_argument("--min-quality", type=float, default=0.5)
     cur.add_argument("--min-tokens", type=int, default=5)
+    cur.add_argument("--eval-docs", default=None,
+                     help="curate: parquet of benchmark/eval documents "
+                          "— training docs sharing a 13-gram are "
+                          "removed BEFORE curation (GPT-3-style "
+                          "decontamination) and logged to "
+                          "<out>/contaminated/")
     bar = p.add_argument_group(
         "bars (OHLC hypertable maintenance: full rebuild or nightly "
         "delta; shares --out/--state/--state-out/--delta with curate)")
@@ -400,6 +406,17 @@ def _run_curate(args, spark) -> int:
     cfg = CurationConfig(min_quality=args.min_quality,
                          min_tokens=args.min_tokens)
     docs = spark.read.parquet(args.docs)
+    n_contaminated = None
+    if args.eval_docs:
+        from dexscraper_spark.operators.decontaminate import decontaminate
+
+        eval_docs = spark.read.parquet(args.eval_docs)
+        docs, removed = decontaminate(docs, eval_docs)
+        removed = removed.persist()
+        n_contaminated = removed.count()
+        removed.write.mode("overwrite").parquet(
+            f"{args.out}/contaminated")
+        removed.unpersist()
     # Counting strategy for the summary, both branches: persist the
     # result frames and count THOSE, not the written dirs — (a) a
     # zero-survivor partitionBy write leaves no parquet footers, and
@@ -421,6 +438,8 @@ def _run_curate(args, spark) -> int:
             summary = {
                 "mode": "delta",
                 "new_survivors": res.curated_new.count(),
+                **({"contaminated": n_contaminated}
+                   if n_contaminated is not None else {}),
                 "retracted": res.retracted.count(),
                 "state_rows": spark.read.parquet(args.state_out).count(),
             }
@@ -437,6 +456,8 @@ def _run_curate(args, spark) -> int:
             summary = {
                 "mode": "full",
                 "survivors": curated.count(),
+                **({"contaminated": n_contaminated}
+                   if n_contaminated is not None else {}),
                 "state_rows": spark.read.parquet(state_out).count(),
             }
         finally:

@@ -434,3 +434,34 @@ def test_cli_ann_validation(spark, capsys):
     assert run(["ann", "--mode", "query", "--index", "/tmp/nope"],
                spark=spark) == 2
     assert "queries" in capsys.readouterr().err
+
+
+def test_cli_curate_eval_docs_decontamination(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(100)
+    [probe] = docs.orderBy("doc_id").limit(1).collect()
+    docs.write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame([(0, probe.text)],
+                          "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "eval"))
+
+    rc = run(["curate", "--docs", str(tmp_path / "docs"),
+              "--out", str(tmp_path / "out"),
+              "--state", str(tmp_path / "state"),
+              "--eval-docs", str(tmp_path / "eval")], spark=spark)
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "full" and summary["contaminated"] >= 1
+    removed = spark.read.parquet(str(tmp_path / "out" / "contaminated"))
+    assert probe.doc_id in {r.doc_id for r in removed.collect()}
+    # the contaminated doc never reaches the curated corpus
+    curated = spark.read.parquet(str(tmp_path / "out" / "curated"))
+    assert curated.filter(
+        F.col("doc_id") == probe.doc_id).count() == 0
