@@ -85,3 +85,53 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, *,
     clean = train.join(broadcast(report.select(id_col)),
                        id_col, "left_anti")
     return clean, report
+
+
+# ---------------------------------------------------------------------------
+# Self-duplication diagnostics — the within-corpus twin of eval
+# decontamination (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", 2021: repeated ~50-token spans are what the
+# model memorizes). Exact-substring dedup via suffix arrays doesn't
+# distribute; the standard scalable proxy is span-gram counting, which
+# is two partial-agg'd groupBys here.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 50,
+                    min_count: int = 2) -> DataFrame:
+    """(gram, n_occurrences, n_docs, min_doc, max_doc): word n-gram
+    spans appearing ≥ min_count times across the corpus. Example doc
+    ids are min/max — NOT collect_set, which a boilerplate span
+    repeated in millions of docs would blow up; counts stay bounded
+    per gram no matter how viral the span."""
+    grams = ngram_hashes(docs, id_col=id_col, text_col=text_col, n=n)
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct(id_col).alias("n_docs"),
+                 F.min(id_col).alias("min_doc"),
+                 F.max(id_col).alias("max_doc"))
+            .filter(F.col("n_occurrences") >= min_count))
+
+
+def span_duplication_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 50,
+                           min_count: int = 2) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_ratio): how much of each
+    document consists of corpus-duplicated spans — the filter column
+    for dropping boilerplate-dominated docs. Two linear passes over
+    grams + one equi-join on gram hashes; nothing quadratic."""
+    grams = ngram_hashes(docs, id_col=id_col, text_col=text_col, n=n)
+    dups = duplicate_spans(docs, id_col=id_col, text_col=text_col,
+                           n=n, min_count=min_count).select("gram")
+    per_doc = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = (grams.join(dups, "gram")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    return (per_doc.join(dup_per_doc, id_col, "left")
+            .select(id_col, "n_spans",
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    .alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.col("n_dup_spans") / F.col("n_spans")))

@@ -88,3 +88,30 @@ def test_plan_is_broadcast_join_no_train_shuffle(spark, eval_docs):
 def test_ngram_validation(spark, eval_docs):
     with pytest.raises(ValueError, match=">= 1"):
         ngram_hashes(eval_docs, n=0)
+
+
+def test_duplicate_spans_and_stats(spark):
+    from dexscraper_spark.operators.decontaminate import (
+        duplicate_spans, span_duplication_stats)
+
+    boiler = "all rights reserved contact the legal department for terms " \
+             "of use and privacy policy details here"  # 17 words
+    uniq = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec")
+    docs = spark.createDataFrame(
+        [(0, f"{uniq} {boiler}"),
+         (1, f"{boiler} something quite different trails afterward here "
+             "with more words to extend the document"),
+         (2, "sierra tango uniform victor whiskey xray yankee zulu "
+             "one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    dups = duplicate_spans(docs, n=10).collect()
+    assert dups  # the shared boilerplate yields duplicated 10-grams
+    assert all(r.n_docs >= 2 and r.min_doc == 0 and r.max_doc == 1
+               for r in dups)
+
+    stats = {r.doc_id: r for r in
+             span_duplication_stats(docs, n=10).collect()}
+    assert stats[0].n_dup_spans > 0 and stats[1].n_dup_spans > 0
+    assert stats[2].n_dup_spans == 0 and stats[2].dup_ratio == 0.0
+    assert 0 < stats[0].dup_ratio < 1
