@@ -226,3 +226,66 @@ def test_packing_properties_random_corpora(spark, sizes, cap):
         ref.append((did, local, False))
         fill += n
     assert out == sorted((d, b, o) for d, b, o in ref)
+
+
+# -- Misra-Gries bound on arbitrary streams ----------------------------------
+
+
+@given(items=st.lists(st.integers(min_value=0, max_value=30),
+                      min_size=1, max_size=400),
+       k=st.integers(min_value=2, max_value=12),
+       splits=st.integers(min_value=1, max_value=4))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mg_bound_property(spark, items, k, splits):
+    """For any stream, any k, any partitioning: every reported count is
+    a lower bound within n/(k+1), and every item with true frequency
+    above the bound is present."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.sketch import mg_sketch
+
+    df = spark.createDataFrame([(str(x),) for x in items], "v string") \
+        .repartition(splits)
+    got = {r.item: r.cnt for r in mg_sketch(df, cols=["v"], k=k).collect()}
+    truth = {}
+    for x in items:
+        truth[str(x)] = truth.get(str(x), 0) + 1
+    n = len(items)
+    bound = n / (k + 1)
+    # an EMPTY summary is valid MG output when every count ties at or
+    # below the bound (all mass decremented away)
+    assert len(got) <= k
+    for item, cnt in got.items():
+        assert cnt <= truth[item]
+        assert truth[item] - cnt <= bound
+    for item, c in truth.items():
+        if c > bound:
+            assert item in got
+
+
+# -- BPE merge-table parity on random corpora --------------------------------
+
+
+@given(words=st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=6),
+    min_size=1, max_size=40),
+    extra_merges=st.integers(min_value=1, max_value=15))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_matches_reference_property(spark, words, extra_merges):
+    """Distributed trainer == independent occurrence-list reference on
+    arbitrary corpora, and encoding is always lossless."""
+    from dexscraper_spark.operators.bpe import (
+        _EOW, bpe_encode, bpe_train)
+    from tests.test_bpe import _naive_bpe
+
+    texts = [" ".join(words[i:i + 5]) for i in range(0, len(words), 5)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    alphabet = {c for w in words for c in w} | {_EOW}
+    model = bpe_train(docs, vocab_size=len(alphabet) + extra_merges)
+    assert model.merges == _naive_bpe(texts, extra_merges)
+    for r in bpe_encode(docs, model).collect():
+        joined = "".join(r.pieces).replace(_EOW, " ").strip()
+        assert joined == " ".join(texts[r.doc_id].split())
