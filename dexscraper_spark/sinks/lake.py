@@ -270,3 +270,32 @@ def append_zordered(df: DataFrame, path: str, *,
      .drop("__zkey")
      .write.mode("append").parquet(path))
     return cols, bits
+
+
+def compact_zordered(spark, path: str, *, n_files: int = 32) -> None:
+    """Periodic maintenance for an appended table: rewrite ALL files as
+    fresh curve segments using the table's STORED cut points (appends
+    keep curve coordinates but fragment files; compaction restores the
+    one-contiguous-segment-per-file layout without re-deriving the
+    layout — re-run write_zordered instead when the value distribution
+    has drifted). Writes to a temp sibling then swaps, so a crash never
+    leaves the table half-deleted."""
+    import os
+    import shutil
+
+    cols, bits, cuts = zorder_spec_load(spark, path)
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    keyed = df.withColumn(
+        "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
+    (keyed.repartitionByRange(n_files, "__zkey")
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.parquet(tmp))
+    zorder_spec_save(spark, tmp, cols=cols, bits=bits, cuts=cuts)
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -171,3 +171,30 @@ def test_zorder_spec_roundtrip_and_validation(spark, tmp_path):
         .write.mode("overwrite").parquet(str(tmp_path / "zbad" / "_zorder"))
     with pytest.raises(ValueError, match="corrupt"):
         zorder_spec_load(spark, str(tmp_path / "zbad"))
+
+
+def test_zorder_compact_restores_layout(spark, tmp_path):
+    from dexscraper_spark.sinks.lake import compact_zordered
+
+    base = _grid(spark, 30_000)
+    path = str(tmp_path / "ctab")
+    write_zordered(base, path, cols=["x", "y"], n_files=16)
+    for lo in (30_000, 34_000):
+        delta = _grid(spark, 38_000).filter(
+            (F.col("id") >= lo) & (F.col("id") < lo + 4_000))
+        from dexscraper_spark.sinks.lake import append_zordered
+        append_zordered(delta, path, n_files=4)
+    import glob as _glob
+    assert len(_glob.glob(f"{path}/*.parquet")) >= 24  # fragmented
+
+    compact_zordered(spark, path, n_files=16)
+    files = _glob.glob(f"{path}/*.parquet")
+    assert len(files) == 16                            # compacted
+    back = spark.read.parquet(path)
+    assert back.count() == 38_000                      # nothing lost
+    zy, zt = _overlapping_row_groups(path, 0.4, 0.45, "y")
+    assert zy < zt / 2                                 # pruning restored
+    # spec survives the swap: further appends still work
+    from dexscraper_spark.sinks.lake import zorder_spec_load
+    cols, bits, _ = zorder_spec_load(spark, path)
+    assert cols == ["x", "y"] and bits == 8
