@@ -412,11 +412,15 @@ def _run_curate(args, spark) -> int:
 
         eval_docs = spark.read.parquet(args.eval_docs)
         docs, removed = decontaminate(docs, eval_docs)
-        removed = removed.persist()
+        # tracked persist, released only by clear_plan_cache: the clean
+        # frame's anti-join embeds this report, so unpersisting it here
+        # would recompute the full-corpus 13-gram scan inside every
+        # downstream curation action
+        from dexscraper_spark.persist import tracked_persist
+        removed = tracked_persist(removed)
         n_contaminated = removed.count()
         removed.write.mode("overwrite").parquet(
             f"{args.out}/contaminated")
-        removed.unpersist()
     # Counting strategy for the summary, both branches: persist the
     # result frames and count THOSE, not the written dirs — (a) a
     # zero-survivor partitionBy write leaves no parquet footers, and

@@ -119,19 +119,36 @@ def span_duplication_stats(docs: DataFrame, *, id_col: str = "doc_id",
                            min_count: int = 2) -> DataFrame:
     """(doc_id, n_spans, n_dup_spans, dup_ratio): how much of each
     document consists of corpus-duplicated spans — the filter column
-    for dropping boilerplate-dominated docs. Two linear passes over
-    grams + one equi-join on gram hashes; nothing quadratic."""
-    grams = ngram_hashes(docs, id_col=id_col, text_col=text_col, n=n)
-    dups = duplicate_spans(docs, id_col=id_col, text_col=text_col,
-                           n=n, min_count=min_count).select("gram")
+    for dropping boilerplate-dominated docs. The gram explode (the
+    dominant cost) runs ONCE, persisted for its three consumers; docs
+    too short for a single n-gram (or with NULL text) report 0.0, not
+    a missing row — a pipeline filtering on dup_ratio must not
+    silently drop them."""
+    from dexscraper_spark.persist import tracked_persist
+
+    # tracked persist, NOT an eager checkpoint: the three consumers
+    # below share the cached explode lazily; clear_plan_cache releases
+    # the blocks (the engine-wide internal-persist discipline)
+    grams = tracked_persist(
+        ngram_hashes(docs, id_col=id_col, text_col=text_col, n=n))
+    dups = (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= min_count)
+            .select("gram"))
     per_doc = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"))
     dup_per_doc = (grams.join(dups, "gram")
                    .groupBy(id_col)
                    .agg(F.count(F.lit(1)).alias("n_dup_spans")))
-    return (per_doc.join(dup_per_doc, id_col, "left")
-            .select(id_col, "n_spans",
+    return (docs.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .join(dup_per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_spans"), F.lit(0))
+                    .alias("n_spans"),
                     F.coalesce(F.col("n_dup_spans"), F.lit(0))
                     .alias("n_dup_spans"))
             .withColumn("dup_ratio",
-                        F.col("n_dup_spans") / F.col("n_spans")))
+                        F.when(F.col("n_spans") > 0,
+                               F.col("n_dup_spans") / F.col("n_spans"))
+                        .otherwise(F.lit(0.0))))

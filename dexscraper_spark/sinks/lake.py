@@ -216,6 +216,18 @@ def zorder_spec_load(spark, path: str) -> tuple:
     return cols, rows[0].bits, {r.col: list(r.cuts) for r in rows}
 
 
+def _write_curve(keyed: DataFrame, path: str, *, n_files: int,
+                 mode: str = "overwrite") -> None:
+    """One curve-segment write: contiguous Z-ranges per file (range
+    partition — a hash repartition would scatter the curve), sorted
+    within files, key dropped. Shared by write/append/compact so the
+    layout can never silently diverge between them."""
+    (keyed.repartitionByRange(n_files, "__zkey")
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode(mode).parquet(path))
+
+
 def write_zordered(df: DataFrame, path: str, *, cols: list[str],
                    bits: int | None = None, n_files: int = 32,
                    mode: str = "overwrite") -> None:
@@ -244,10 +256,7 @@ def write_zordered(df: DataFrame, path: str, *, cols: list[str],
         cuts = zorder_cuts(pinned, cols, bits=bits)
         keyed = pinned.withColumn(
             "__zkey", zorder_key(pinned, cols, bits=bits, cuts=cuts))
-        (keyed.repartitionByRange(n_files, "__zkey")
-         .sortWithinPartitions("__zkey")
-         .drop("__zkey")
-         .write.mode(mode).parquet(path))
+        _write_curve(keyed, path, n_files=n_files, mode=mode)
     finally:
         pinned.unpersist()
     zorder_spec_save(df.sparkSession, path, cols=cols, bits=bits,
@@ -265,10 +274,7 @@ def append_zordered(df: DataFrame, path: str, *,
     cols, bits, cuts = zorder_spec_load(df.sparkSession, path)
     keyed = df.withColumn(
         "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
-    (keyed.repartitionByRange(n_files, "__zkey")
-     .sortWithinPartitions("__zkey")
-     .drop("__zkey")
-     .write.mode("append").parquet(path))
+    _write_curve(keyed, path, n_files=n_files, mode="append")
     return cols, bits
 
 
@@ -278,24 +284,42 @@ def compact_zordered(spark, path: str, *, n_files: int = 32) -> None:
     keep curve coordinates but fragment files; compaction restores the
     one-contiguous-segment-per-file layout without re-deriving the
     layout — re-run write_zordered instead when the value distribution
-    has drifted). Writes to a temp sibling then swaps, so a crash never
-    leaves the table half-deleted."""
+    has drifted).
+
+    Swap protocol (two renames are not atomic together, so recovery is
+    explicit): the new table is fully written + committed to a temp
+    sibling, then path→__old, then temp→path. A rerun after a crash at
+    ANY point self-repairs — if ``path`` is missing it either finishes
+    the swap (committed temp exists) or rolls ``__old`` back; readers
+    during the rename window must retry (local/NFS driver-visible
+    paths, same stance as the fold stores)."""
     import os
     import shutil
 
+    tmp = f"{path}__compacting"
+    old = f"{path}__old"
+    if not os.path.exists(path):
+        # crashed mid-swap on a previous run: roll forward if the
+        # compacted table committed, else roll back the original
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.exists(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(f"no table at {path} (nor a "
+                                    "recoverable __old/__compacting)")
     cols, bits, cuts = zorder_spec_load(spark, path)
     df = spark.read.parquet(path)
-    tmp = f"{path}__compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     keyed = df.withColumn(
         "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
-    (keyed.repartitionByRange(n_files, "__zkey")
-     .sortWithinPartitions("__zkey")
-     .drop("__zkey")
-     .write.parquet(tmp))
+    _write_curve(keyed, tmp, n_files=n_files)
     zorder_spec_save(spark, tmp, cols=cols, bits=bits, cuts=cuts)
-    old = f"{path}__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    # post-success cleanup only — the swap is already complete, and the
+    # next run clears a leftover __old anyway
+    shutil.rmtree(old, ignore_errors=True)

@@ -198,3 +198,36 @@ def test_zorder_compact_restores_layout(spark, tmp_path):
     from dexscraper_spark.sinks.lake import zorder_spec_load
     cols, bits, _ = zorder_spec_load(spark, path)
     assert cols == ["x", "y"] and bits == 8
+
+
+def test_zorder_compact_crash_recovery(spark, tmp_path):
+    """Reruns self-repair from a crash at either rename: committed temp
+    rolls forward; uncommitted temp rolls the original back."""
+    import os
+    import shutil
+
+    from dexscraper_spark.sinks.lake import compact_zordered
+
+    base = _grid(spark, 3_000)
+    path = str(tmp_path / "ctab2")
+    write_zordered(base, path, cols=["x", "y"], n_files=4)
+
+    # crash AFTER the compacted temp committed, between the renames:
+    compact_zordered(spark, path, n_files=4)   # produce a valid table
+    shutil.copytree(path, f"{path}__compacting")  # committed temp
+    os.rename(path, f"{path}__old")               # first rename done
+    compact_zordered(spark, path, n_files=4)      # rerun: rolls forward
+    assert spark.read.parquet(path).count() == 3_000
+    assert not os.path.exists(f"{path}__old")
+
+    # crash BEFORE the temp committed (no _SUCCESS): roll back
+    os.rename(path, f"{path}__old")
+    os.makedirs(f"{path}__compacting", exist_ok=True)  # junk, no marker
+    compact_zordered(spark, path, n_files=4)
+    assert spark.read.parquet(path).count() == 3_000
+
+    # nothing recoverable: loud failure
+    shutil.rmtree(path)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="recoverable"):
+        compact_zordered(spark, path, n_files=4)
