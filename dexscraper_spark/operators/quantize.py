@@ -530,3 +530,143 @@ def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
         assigned_new.unpersist()
     total = spark.read.parquet(f"{path}/codes").count()
     return {"appended": n_assigned, "indexed": total}
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — the full FAISS IndexIVFPQ form (Jégou et al. §IV):
+# PQ-encode each vector's RESIDUAL to its coarse centroid instead of the
+# raw vector. Residuals concentrate near zero with far smaller variance
+# than raw vectors, so the same m×ksub code budget quantizes them with
+# materially lower error — measured here as reconstruction MSE and
+# recall uplift over raw-vector IVF-PQ at identical parameters (pinned
+# by test). Cosine contract: everything operates on UNIT vectors (the
+# helper below), so L2 order == cosine order end-to-end; the final
+# re-rank uses exact cosine on the raw vectors regardless.
+# ---------------------------------------------------------------------------
+
+
+def unit_vectors(df: DataFrame, *, vec_col: str = "embedding"):
+    """Replace ``vec_col`` with its L2-normalized form (zero vectors
+    stay zero — the engine's cosine-0 convention)."""
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    unit = F.when(nrm > 0,
+                  F.transform(v, lambda x: x.cast("double") / nrm)) \
+        .otherwise(F.transform(v, lambda x: x.cast("double")))
+    return df.withColumn(vec_col, unit)
+
+
+def _residuals(index) -> DataFrame:
+    """(id, __list, __resid): each assigned unit vector minus its list
+    centroid (broadcast join — the centroid table is tiny)."""
+    r = F.zip_with(F.col(index.vec_col), F.col("centroid"),
+                   lambda x, y: x.cast("double") - y.cast("double"))
+    return (index.assigned
+            .join(broadcast(index.centroids.withColumnRenamed(
+                "list_id", "__list")), "__list")
+            .select(index.id_col, "__list", r.alias("__resid")))
+
+
+def ivf_pq_residual_build(corpus: DataFrame, *,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64,
+                          nlist: int = 16, m: int = 16, ksub: int = 64,
+                          seed: int = 42) -> tuple:
+    """(index, books, codes): coarse quantizer fit on UNIT vectors,
+    PQ codebooks fit on residuals (normalize=False — residuals are not
+    unit vectors and must not be re-normalized), codes co-located with
+    list ids. The returned index's ``assigned`` holds the unit vectors;
+    keep the raw corpus around for the exact re-rank."""
+    from dexscraper_spark.operators.similarity import ivf_build
+
+    unit = unit_vectors(corpus.select(id_col, vec_col),
+                        vec_col=vec_col)
+    index = ivf_build(unit, id_col=id_col, vec_col=vec_col,
+                      nlist=nlist, seed=seed, cache=False)
+    resid = _residuals(index)
+    books = pq_train(resid, vec_col="__resid", dim=dim, m=m,
+                     ksub=ksub, seed=seed, normalize=False)
+    codes = pq_encode(resid, books, id_col=id_col, vec_col="__resid",
+                      keep_cols=["__list"])
+    return index, books, codes
+
+
+def ivf_pq_residual_topk(corpus: DataFrame, index, codes: DataFrame,
+                         queries: DataFrame, books: PqCodebooks, *,
+                         k: int = 10, nprobe: int = 4, expand: int = 4,
+                         round_to: int | None = 6) -> DataFrame:
+    """Residual ADC search: per (query, probed list) the LUT measures
+    ‖(q_unit − centroid_list) − residual‖² — m × ksub exact
+    subdistances against the residual codebooks — then candidates
+    score by m lookups and the top k × expand re-rank with exact
+    cosine on ``corpus``'s raw vectors. LUT budget is queries × nlist
+    × m × ksub × 8 bytes, driver-built (same stance as _adc_scan_fn —
+    all lists are pre-built since the centroid table is tiny and the
+    probe set is query-dependent).
+    """
+    import numpy as np
+
+    id_col, vec_col = index.id_col, index.vec_col
+    uq = unit_vectors(queries.select(id_col, vec_col), vec_col=vec_col)
+    q = uq.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("__qv"),
+                  _norm(F.col(vec_col)).alias("__qn"))
+    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
+                      F.col("__qn") * _norm(F.col("centroid")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("list_id").asc())
+    probes = (
+        q.crossJoin(broadcast(index.centroids))
+        .withColumn("__ccos", c_cos)
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("list_id").alias("__list"))
+    )
+    qvecs = {r[0]: np.array(r[1], dtype=np.float64)
+             for r in uq.collect()}
+    cents = {r.list_id: np.array(r.centroid, dtype=np.float64)
+             for r in index.centroids.collect()}
+    centers = books.centers
+    mm, dsub = books.m, books.dsub
+    luts = {}
+    for qid, qv in qvecs.items():
+        for lid, c in cents.items():
+            t = qv - c
+            luts[(qid, lid)] = np.stack([
+                (((centers[j] - t[j * dsub:(j + 1) * dsub]) ** 2)
+                 .sum(axis=1)) for j in range(mm)])
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _score(qid_s, list_s, code_s):
+        import pandas as pd
+        out = np.empty(len(qid_s), dtype=np.float64)
+        if len(qid_s):
+            ar = np.arange(mm)
+            codes_arr = np.frombuffer(
+                b"".join(code_s), dtype=np.uint8).reshape(-1, mm)
+            key = pd.DataFrame({"q": qid_s, "l": list_s})
+            for (qid, lid), grp in key.groupby(["q", "l"], sort=False):
+                mask = grp.index.to_numpy()
+                out[mask] = luts[(qid, lid)][
+                    ar[None, :], codes_arr[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    adc = pandas_udf(_score, DoubleType())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc())
+    cand = (
+        codes.filter(F.col("code").isNotNull())
+        .join(broadcast(probes), "__list")
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "__list", "code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc(F.col("query_id"), F.col("__list"),
+                                 F.col("code")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(corpus, cand, queries, id_col=id_col,
+                         vec_col=vec_col, k=k, round_to=round_to)

@@ -273,3 +273,102 @@ def test_ivf_pq_extend_saved_self_repairs(spark, emb, books, tmp_path):
     # and a clean rerun is a no-op
     stats = ivf_pq_extend_saved(spark, path, extra)
     assert stats == {"appended": 0, "indexed": 500}
+
+
+# --------------------------- residual IVF-PQ --------------------------------
+
+from dexscraper_spark.operators.quantize import (  # noqa: E402
+    ivf_pq_residual_build, ivf_pq_residual_topk, unit_vectors,
+)
+
+
+def _clustered_vectors(spark, n=480, n_clusters=8, dim=64):
+    """Deterministic clustered unit-ish vectors: 8 hash-derived centers
+    plus small per-point hash noise — the regime residual encoding
+    exists for (real embedding spaces cluster; the uniform-sphere
+    synthetic table barely does, residual gain there is ~6%)."""
+    import numpy as np
+    rows = []
+    centers = np.array([[((c * 2654435761 + d * 97) % 1000) / 500.0 - 1.0
+                         for d in range(dim)] for c in range(n_clusters)])
+    for i in range(n):
+        c = i % n_clusters
+        noise = np.array([(((i * 40503 + d * 13 + 7) % 1000) / 1000.0
+                           - 0.5) * 0.1 for d in range(dim)])
+        rows.append((i, [float(x) for x in centers[c] + noise]))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+
+
+def test_residual_books_quantize_finer(spark):
+    """The point of residual encoding: at identical (m, ksub) the
+    residual codebooks reconstruct with materially lower error than
+    raw-vector codebooks — on clustered data, where residuals
+    concentrate near zero."""
+    import numpy as np
+
+    emb = _clustered_vectors(spark)
+    books = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    index, rbooks, rcodes = ivf_pq_residual_build(
+        emb, nlist=8, m=16, ksub=64, seed=7)
+    try:
+        cents = {r.list_id: np.array(r.centroid)
+                 for r in index.centroids.collect()}
+        unit = {r.vec_id: np.array(r.embedding)
+                for r in unit_vectors(emb).collect()}
+        assign = {r.vec_id: r["__list"]
+                  for r in index.assigned.select("vec_id", "__list")
+                  .collect()}
+        codes = {r.vec_id: r.code for r in rcodes.collect()}
+        errs = []
+        for vid, u in unit.items():
+            resid_rec = np.concatenate(
+                [rbooks.centers[j, codes[vid][j]]
+                 for j in range(rbooks.m)])
+            rec = cents[assign[vid]] + resid_rec
+            errs.append(((u - rec) ** 2).sum())
+        resid_mse = float(np.mean(errs))
+    finally:
+        index.unpersist()
+
+    # raw-vector books at the same parameters (module fixture), on the
+    # same unit vectors
+    raw_codes = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+    raw_errs = []
+    for vid, u in unit.items():
+        rec = np.concatenate([books.centers[j, raw_codes[vid][j]]
+                              for j in range(books.m)])
+        raw_errs.append(((u - rec) ** 2).sum())
+    raw_mse = float(np.mean(raw_errs))
+    assert resid_mse < raw_mse * 0.5   # clustered data: big win
+
+
+def test_residual_ivf_pq_recall(spark, emb):
+    """Full probe + refine recovers the exact neighbors at least as
+    well as raw IVF-PQ at the same parameters."""
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    index, rbooks, rcodes = ivf_pq_residual_build(
+        emb, nlist=8, m=16, ksub=64, seed=7)
+    try:
+        res = ivf_pq_residual_topk(emb, index, rcodes, queries, rbooks,
+                                   k=5, nprobe=8, expand=8)
+        assert res.columns == ["query_id", "neighbor_id", "cosine",
+                               "rank"]
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(got.get(q, set()) & s) / len(s)
+                   for q, s in exact_sets.items()]
+        assert sum(recalls) / len(recalls) >= 0.7
+        # partial probe still returns validly ranked rows
+        part = ivf_pq_residual_topk(emb, index, rcodes, queries,
+                                    rbooks, k=5, nprobe=2,
+                                    expand=4).collect()
+        assert part and all(r.rank <= 5 for r in part)
+    finally:
+        index.unpersist()
