@@ -603,8 +603,8 @@ def _run_zorder(args, spark) -> int:
                   "columns", file=sys.stderr)
             return 2
 
-    df = spark.read.parquet(args.input)
     try:
+        df = spark.read.parquet(args.input)
         if args.delta:
             cols, bits = append_zordered(df, args.out,
                                          n_files=max(1, args.n_files // 4))
@@ -613,8 +613,10 @@ def _run_zorder(args, spark) -> int:
             bits = _z_bits(len(cols), args.bits)
             write_zordered(df, args.out, cols=cols, bits=bits,
                            n_files=args.n_files)
-    except (TypeError, ValueError) as e:
-        print(f"zorder: {e}", file=sys.stderr)
+    except Exception as e:
+        # AnalysisException (missing paths/spec) included — a CLI must
+        # report and exit 2, not dump a JVM traceback
+        print(f"zorder: {type(e).__name__}: {e}", file=sys.stderr)
         return 2
     summary = {"mode": "delta" if args.delta else "full",
                "cols": cols, "bits": bits,
@@ -662,11 +664,17 @@ def _run_ann(args, spark) -> int:
             # a 128-dim corpus into an opaque 'empty training sample'
             [probe] = vecs.select(
                 F.size("embedding").alias("d")).limit(1).collect()
-            index = ivf_build(vecs, nlist=args.nlist, cache=False)
-            books = pq_train(vecs, dim=int(probe.d), m=args.pq_m,
-                             ksub=args.pq_ksub)
-            codes = ivf_pq_encode(index, books)
-            ivf_pq_save(spark, index, books, codes, args.index)
+            # cache=True: ivf_pq_save writes `assigned` AND the codes
+            # derive from it — uncached, the KMeans transform would run
+            # the full corpus twice
+            index = ivf_build(vecs, nlist=args.nlist, cache=True)
+            try:
+                books = pq_train(vecs, dim=int(probe.d), m=args.pq_m,
+                                 ksub=args.pq_ksub)
+                codes = ivf_pq_encode(index, books)
+                ivf_pq_save(spark, index, books, codes, args.index)
+            finally:
+                index.unpersist()
             n = spark.read.parquet(f"{args.index}/codes").count()
             _emit(_json.dumps({"mode": "build", "indexed": n,
                                "nlist": args.nlist}), args.output)

@@ -138,12 +138,10 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     natural prose doesn't. 0.0 = all n-grams distinct, →1.0 = the doc
     is one repeated phrase. Docs with < n+1 words score 0.0 (no
     repetition is expressible). Map-side HOF — no shuffle, no UDF."""
+    from dexscraper_spark.operators.bpe import word_ngrams
+
     t = tokens(text)
     n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    lambda i: F.array_join(F.slice(t, i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(t, n)
     dup = n_grams - F.size(F.array_distinct(grams))
     return F.when(n_grams > 0, dup / n_grams).otherwise(F.lit(0.0))

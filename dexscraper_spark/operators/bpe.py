@@ -54,6 +54,23 @@ def norm_words(text_col: str):
         lambda w: F.length(w) > 0)
 
 
+def word_ngrams(words, n: int):
+    """Array of space-joined word n-grams over a word-array COLUMN —
+    the one shared gram constructor (LM, decontamination, repetition
+    scoring must agree on what an n-gram is). Carries the two pitfalls
+    once: docs shorter than n yield an EMPTY array (F.sequence(1, 0)
+    DESCENDS in Spark, then slice(start=0) errors), and callers must
+    pass a materialized column, not an inline HOF expression (O(len²)
+    re-evaluation — see operators/lm.py)."""
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.array_join(F.slice(words, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 class BpeModel:
     """Ordered merge table + the alphabet it grew from."""
 

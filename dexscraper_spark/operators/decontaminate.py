@@ -41,16 +41,11 @@ def ngram_hashes(df: DataFrame, *, id_col: str = "doc_id",
     # word array as a COLUMN, not an inline HOF expression: slicing the
     # norm_words expression inside the transform re-evaluates the filter
     # chain per position — O(len²) per doc (see operators/lm.py)
+    from dexscraper_spark.operators.bpe import word_ngrams
+
     src = df.select(F.col(id_col), norm_words(text_col).alias("__w"))
-    words = F.col("__w")
-    # guard the short-doc case explicitly: sequence(1, 0) DESCENDS in
-    # Spark (yielding slice(start=0) errors), it does not return empty
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " "))
-        )).otherwise(F.array().cast("array<bigint>"))
+    grams = F.transform(word_ngrams(F.col("__w"), n),
+                        lambda g: F.xxhash64(g))
     return (src.select(F.col(id_col), F.explode(grams).alias("gram")))
 
 
@@ -82,8 +77,10 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, *,
     report = contamination_report(train, eval_docs, id_col=id_col,
                                   text_col=text_col, n=n) \
         .filter(F.col("hits") >= min_hits)
-    clean = train.join(broadcast(report.select(id_col)),
-                       id_col, "left_anti")
+    # NO broadcast hint here: the report is bounded by the TRAIN corpus
+    # (one boilerplate eval gram can match millions of docs) — only the
+    # eval-gram side is small by contract. AQE picks the strategy.
+    clean = train.join(report.select(id_col), id_col, "left_anti")
     return clean, report
 
 

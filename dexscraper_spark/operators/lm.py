@@ -48,14 +48,9 @@ def _gram_key(order: int, gram_str):
 
 def _order_grams(words, order: int):
     """Array of this order's gram strings across the doc (empty when
-    the doc is shorter than ``order``)."""
-    if order == 1:
-        return words
-    return F.when(
-        F.size(words) >= order,
-        F.transform(F.sequence(F.lit(1), F.size(words) - (order - 1)),
-                    lambda i: F.array_join(F.slice(words, i, order), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    the doc is shorter than ``order``) — the shared constructor."""
+    from dexscraper_spark.operators.bpe import word_ngrams
+    return word_ngrams(words, order)
 
 
 def lm_train(docs: DataFrame, *, n: int = 3,
@@ -140,11 +135,19 @@ def lm_score(docs: DataFrame, lm: DataFrame, *, n: int = 3,
            .agg(*[F.max(F.when(F.col("role") == f"g{o}", F.col("cnt")))
                   .alias(f"c{o}") for o in range(1, n + 1)]))
 
-    # corpus total rides along as a broadcast scalar column
-    total_df = lm.filter(
+    # corpus total as a literal scalar — and a LOUD check: an lm frame
+    # that was filtered/re-aggregated and lost the reserved total row
+    # would otherwise crossJoin-annihilate every scored document
+    totals = lm.filter(
         F.col("key") == _gram_key(_TOTAL_KEY_ORDER, F.lit(""))) \
-        .select(F.col("cnt").alias("__total"))
-    piv = piv.crossJoin(F.broadcast(total_df))
+        .select("cnt").collect()
+    if not totals:
+        raise ValueError(
+            "lm_score: the LM table has no corpus-total row (reserved "
+            "order-0 key) — was it filtered or re-aggregated after "
+            "lm_train?")
+    piv = piv.withColumn("__total",
+                         F.lit(float(totals[0][0])))
 
     # stupid backoff, longest order first: S_o = c_o(i) / ctx where
     # ctx = count of the order-(o-1) CONTEXT gram words[i-o+1..i-1] —

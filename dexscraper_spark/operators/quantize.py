@@ -418,6 +418,25 @@ def _adc_score_udf(books: PqCodebooks, queries: list):
     return pandas_udf(_score, DoubleType())
 
 
+def _probe_lists(index, queries: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, __list): the nprobe cosine-nearest coarse lists per
+    query — tiny broadcast centroid compare, shared by the raw and
+    residual IVF-PQ searches so probe tie-breaking can never diverge."""
+    id_col, vec_col = index.id_col, index.vec_col
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       _norm(F.col(vec_col)).alias("__qn"))
+    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
+                      F.col("__qn") * _norm(F.col("centroid")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("list_id").asc())
+    return (q.crossJoin(broadcast(index.centroids))
+            .withColumn("__ccos", c_cos)
+            .withColumn("__pr", F.row_number().over(w_probe))
+            .filter(F.col("__pr") <= nprobe)
+            .select("query_id", F.col("list_id").alias("__list")))
+
+
 def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
                 queries: DataFrame, books: PqCodebooks, *,
                 k: int = 10, nprobe: int = 4, expand: int = 4,
@@ -429,20 +448,7 @@ def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
     carries only probed-list code rows; everything after is bounded by
     queries × k × expand. ``codes`` is ``ivf_pq_encode``'s output."""
     id_col, vec_col = index.id_col, index.vec_col
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"),
-                       _norm(F.col(vec_col)).alias("__qn"))
-    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
-                      F.col("__qn") * _norm(F.col("centroid")))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__ccos").desc(), F.col("list_id").asc())
-    probes = (
-        q.crossJoin(broadcast(index.centroids))
-        .withColumn("__ccos", c_cos)
-        .withColumn("__pr", F.row_number().over(w_probe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", F.col("list_id").alias("__list"))
-    )
+    probes = _probe_lists(index, queries, nprobe)
     qrows = [(r[0], list(r[1])) for r in
              queries.select(id_col, vec_col).collect()]
     adc = _adc_score_udf(books, qrows)
@@ -608,20 +614,7 @@ def ivf_pq_residual_topk(corpus: DataFrame, index, codes: DataFrame,
 
     id_col, vec_col = index.id_col, index.vec_col
     uq = unit_vectors(queries.select(id_col, vec_col), vec_col=vec_col)
-    q = uq.select(F.col(id_col).alias("query_id"),
-                  F.col(vec_col).alias("__qv"),
-                  _norm(F.col(vec_col)).alias("__qn"))
-    c_cos = _safe_div(_dot(F.col("__qv"), F.col("centroid")),
-                      F.col("__qn") * _norm(F.col("centroid")))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__ccos").desc(), F.col("list_id").asc())
-    probes = (
-        q.crossJoin(broadcast(index.centroids))
-        .withColumn("__ccos", c_cos)
-        .withColumn("__pr", F.row_number().over(w_probe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", F.col("list_id").alias("__list"))
-    )
+    probes = _probe_lists(index, uq, nprobe)
     qvecs = {r[0]: np.array(r[1], dtype=np.float64)
              for r in uq.collect()}
     cents = {r.list_id: np.array(r.centroid, dtype=np.float64)

@@ -192,7 +192,13 @@ def mg_sketch(df: DataFrame, *, cols: list[str],
     independent, the same discipline as ``kmv_sketch``.
     """
     groups = list(group_by or [])
-    item = F.concat_ws("\x1f", *cols).alias("__item")
+    # null-marked per-column encoding: bare concat_ws SKIPS NULL
+    # columns, conflating ("x", NULL) with (NULL, "x") and NULL with ""
+    # — phantom heavy hitters. \x00 marks NULL, \x1f separates.
+    item = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str)
+                   else c.cast("string"), F.lit("\x00"))
+        for c in cols]).alias("__item")
     src = df.select(*groups, item)
     gcols = groups or ["__g"]
     if not groups:

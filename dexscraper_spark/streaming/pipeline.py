@@ -266,8 +266,12 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
                     "state — use a fresh state_root or the stored "
                     "parameters")
         else:
-            with open(sp, "w") as f:
+            # atomic: a crash mid-dump would leave a truncated file
+            # that bricks every later fold with JSONDecodeError
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
                 _json.dump(spec, f)
+            os.replace(tmp, sp)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_root, exist_ok=True)
