@@ -43,3 +43,11 @@ from dexscraper_spark.functions.exact import (  # noqa: F401
     avg_money,
     round_half_up,
 )
+from dexscraper_spark.functions.textstats import (  # noqa: F401
+    tokens,
+    token_count,
+    bpe_ish_token_count,
+    quality_score,
+    repetition_ratio,
+)
+from dexscraper_spark.functions.cleaning import redact_pii  # noqa: F401

@@ -289,3 +289,38 @@ def test_bpe_matches_reference_property(spark, words, extra_merges):
     for r in bpe_encode(docs, model).collect():
         joined = "".join(r.pieces).replace(_EOW, " ").strip()
         assert joined == " ".join(texts[r.doc_id].split())
+
+
+# -- Z-order write fidelity on adversarial values -----------------------------
+
+
+@given(vals=st.lists(
+    st.tuples(
+        st.one_of(st.none(),
+                  st.floats(allow_nan=True, allow_infinity=False,
+                            width=64)),
+        st.floats(min_value=-1e12, max_value=1e12, allow_nan=False)),
+    min_size=1, max_size=60),
+    n_files=st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_write_fidelity_property(spark, tmp_path_factory, vals,
+                                        n_files):
+    """write_zordered is a LAYOUT, never a transform: arbitrary values
+    (NULLs, NaNs, huge outliers, duplicates) come back row-for-row."""
+    from dexscraper_spark.sinks.lake import write_zordered
+
+    path = str(tmp_path_factory.mktemp("zprop") / "t")
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(vals)],
+        "id long, x double, y double")
+    write_zordered(df, path, cols=["x", "y"], n_files=n_files)
+    back = spark.read.parquet(path)
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            x = "NaN" if r.x is not None and math.isnan(r.x) else r.x
+            out.append((r.id, x, r.y))
+        return sorted(out, key=str)
+    assert norm(back.collect()) == norm(df.collect())
