@@ -58,3 +58,29 @@ def salted_broadcast_left(fact: DataFrame, dim: DataFrame, *, key: str,
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return salted_fact.join(dim_rep, [key, "__salt"]).drop("__salt")
+
+
+def skew_report(df: DataFrame, *, keys: list[str], k: int = 32,
+                threshold: float = 2.0) -> DataFrame:
+    """Pre-flight skew diagnosis for a planned groupBy/join key:
+    (item, cnt, share, skewed) — the top-k key values by (lower-bound)
+    frequency via the mergeable Misra-Gries sketch, each flagged when
+    its share of rows exceeds ``threshold``× the fair 1/k share. ONE
+    bounded-shuffle pass (O(partitions × k) rows — never a full exact
+    groupBy over a possibly-skewed key, which is itself the skewed job
+    this report exists to avoid). Feed flagged keys to salted_agg /
+    salted_broadcast_left, or trust AQE for joins.
+
+    cnt is the MG lower bound (within n/(k+1) of truth), so shares are
+    conservative: a key flagged here is REALLY hot; a borderline key
+    under n/(k+1) can hide."""
+    from dexscraper_spark.operators.sketch import mg_sketch
+
+    total = df.count()
+    summary = mg_sketch(df, cols=keys, k=k)
+    fair = max(total / k, 1.0)
+    return (summary
+            .withColumn("share", F.col("cnt") / F.lit(float(total)))
+            .withColumn("skewed",
+                        F.col("cnt") > F.lit(float(threshold)) * fair)
+            .orderBy(F.col("cnt").desc()))

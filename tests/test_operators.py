@@ -787,3 +787,18 @@ def test_ivf_add_extended_index_releases_base_artifact(spark):
     assert ext.assigned.count() == emb.count()
     ext.unpersist()
     assert not os.path.exists(path) and P._ARTIFACT_DIRS == []
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.skew import skew_report
+
+    # 10k rows: one key owns half, the rest spread over 500 keys
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise((F.col("id") % 500).cast("string")).alias("k"))
+    rep = skew_report(df, keys=["k"], k=16, threshold=2.0).collect()
+    assert rep[0].item == "HOT" and rep[0].skewed
+    assert rep[0].share > 0.4
+    assert all(not r.skewed for r in rep[1:])
