@@ -1,9 +1,19 @@
 """Benchmark harness — times every registered query at the bench scale factor.
 
-Prints ONE JSON line:
+The FINAL stdout line is ONE compact JSON object (warm pass only — the
+driver persists a bounded tail of stdout, so this line must stay small):
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...},
-   "cold_queries": {name: sec, ...}, "cold_total_sec": N, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "load1": L, "ncpu": C}
+
+The cold pass (first-build artifact costs, delta-vs-rebuild economics,
+pipeline/sketch rows) is printed as a SEPARATE earlier stdout line and the
+complete document (warm + cold + environment) is written to the sidecar
+file BENCH_FULL.json next to this script, so the full record survives any
+stdout truncation.
+
+``load1``/``ncpu`` record os.getloadavg()[0] and the CPU count at bench
+start: a reader (and tools/bench_gate.py) can distinguish plan regressions
+from a run taken on a loaded machine.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -62,6 +72,16 @@ def _bpe_bench(spark, sf_dir):
 
 
 def main() -> None:
+    # Environment snapshot up front: a run taken on a loaded machine
+    # produces uniformly-inflated timings that read as regressions (the
+    # r7 artifact recorded ~1.6x noise on eight queries that re-measured
+    # clean). Recording load lets the gate annotate instead of alarm.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    ncpu = os.cpu_count() or -1
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -371,11 +391,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num if sf_num is not None else sf,
+        "load1": load1,
+        "ncpu": ncpu,
     }
+    full = dict(out)
     if cold:
-        out["cold_queries"] = cold
-        out["cold_total_sec"] = round(
-            sum(t for t in cold.values() if t >= 0), 3)
+        cold_doc = {
+            "cold_queries": cold,
+            "cold_total_sec": round(
+                sum(t for t in cold.values() if t >= 0), 3),
+        }
+        full.update(cold_doc)
+        # separate line: informational, may be truncated by the driver —
+        # the sidecar below is the durable copy
+        print(json.dumps(cold_doc))
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"bench: sidecar write failed: {e}", file=sys.stderr)
+    # the ONE compact line the driver parses — keep it LAST and small
     print(json.dumps(out))
 
 

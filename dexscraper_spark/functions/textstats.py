@@ -137,11 +137,20 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     public): boilerplate and degenerate generations repeat themselves;
     natural prose doesn't. 0.0 = all n-grams distinct, →1.0 = the doc
     is one repeated phrase. Docs with < n+1 words score 0.0 (no
-    repetition is expressible). Map-side HOF — no shuffle, no UDF."""
+    repetition is expressible). Map-side HOF — no shuffle, no UDF.
+
+    The word array is materialized ONCE per row by binding it to a
+    lambda variable (transform over a one-element array — a per-row
+    let-binding): passing the inline ``tokens(text)`` HOF expression
+    into ``word_ngrams`` re-evaluates the whole filter+split chain per
+    slice and per reference, the O(len²) pitfall word_ngrams' docstring
+    forbids (measured 6.6x at sf0.1 in operators/lm.py)."""
     from dexscraper_spark.operators.bpe import word_ngrams
 
-    t = tokens(text)
-    n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    grams = word_ngrams(t, n)
-    dup = n_grams - F.size(F.array_distinct(grams))
-    return F.when(n_grams > 0, dup / n_grams).otherwise(F.lit(0.0))
+    def _ratio(t: Column) -> Column:
+        n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        grams = word_ngrams(t, n)
+        dup = n_grams - F.size(F.array_distinct(grams))
+        return F.when(n_grams > 0, dup / n_grams).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(tokens(text)), _ratio)[0]

@@ -89,6 +89,83 @@ def test_gate_reads_driver_wrapped_format(tmp_path):
     assert bench_gate.main([new, str(p)]) == 0
 
 
+def test_gate_reads_parsed_null_with_truncated_tail(tmp_path, capsys):
+    """The r7 failure mode: the driver's 2000-char tail capture cut the
+    leading '{' off bench.py's one JSON line and recorded parsed: null.
+    load() must reconstruct the surviving queries, not crash."""
+    inner = {"metric": "total_query_sec", "value": 2.0, "unit": "sec",
+             "queries": {f"q{i}": 0.1 for i in range(20)}, "sf": 0.1,
+             "cold_queries": {"c1": 1.0}, "cold_total_sec": 1.0}
+    line = json.dumps(inner) + "\n"
+    p = tmp_path / "trunc.json"
+    p.write_text(json.dumps(
+        {"n": 7, "rc": 0, "tail": line[-200:], "parsed": None}))
+    doc = bench_gate.load(str(p))
+    assert doc.get("_reconstructed")
+    assert doc["queries"]  # a suffix of the warm dict survived
+    assert all(v == 0.1 for v in doc["queries"].values())
+    old = _write(tmp_path, "old.json",
+                 {f"q{i}": 0.1 for i in range(20)})
+    assert bench_gate.main([str(p), old]) == 0
+    assert "reconstructed" in capsys.readouterr().out
+
+
+def test_gate_reconstruction_inside_cold_dict_relabels(tmp_path):
+    """A cut landing inside cold_queries must not surface cold rows as
+    warm queries."""
+    inner = {"metric": "total_query_sec", "value": 1.0, "unit": "sec",
+             "queries": {"q1": 1.0}, "sf": 0.1,
+             "cold_queries": {f"c{i}": 1.0 for i in range(10)},
+             "cold_total_sec": 10.0}
+    line = json.dumps(inner)
+    cut = line.index('"c3"')  # mid-cold
+    p = tmp_path / "coldcut.json"
+    p.write_text(json.dumps({"tail": line[cut:], "parsed": None}))
+    doc = bench_gate.load(str(p))
+    assert not doc.get("queries")
+    assert "c3" in doc.get("cold_queries", {})
+
+
+def test_gate_unparseable_artifacts_render_clean_verdicts(tmp_path, capsys):
+    garbage = tmp_path / "garbage.json"
+    garbage.write_text(json.dumps({"n": 1, "rc": 1, "tail": "oom kill",
+                                   "parsed": None}))
+    good = _write(tmp_path, "good.json", {"q1": 1.0})
+    assert bench_gate.main([str(garbage), str(good)]) == 1
+    assert "unparseable" in capsys.readouterr().out
+    assert bench_gate.main([good, str(garbage)]) == 0
+    assert "nothing to compare" in capsys.readouterr().out
+
+
+def test_gate_annotates_loaded_machine(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {"q1": 1.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.0},
+                 load1=31.5, ncpu=32)
+    assert bench_gate.main([new, old]) == 0
+    out = capsys.readouterr().out
+    assert "load1=31.5" in out and "MACHINE LOADED" in out
+    calm = _write(tmp_path, "calm.json", {"q1": 1.0}, load1=0.8, ncpu=32)
+    assert bench_gate.main([calm, old]) == 0
+    out = capsys.readouterr().out
+    assert "load1=0.8" in out and "MACHINE LOADED" not in out
+
+
+def test_bench_final_line_fits_driver_tail_capture():
+    """The driver persists only the last 2000 chars of bench stdout; the
+    final JSON line must fit with headroom even as the registry grows.
+    Simulate the line bench.py prints for the CURRENT registry with
+    worst-case timing widths."""
+    import bench  # noqa: F401  (asserts import side effects stay clean)
+    from dexscraper_spark.plans.registry import all_queries
+    line = json.dumps({
+        "metric": "total_query_sec", "value": 99999.999, "unit": "sec",
+        "queries": {name: 99.999 for name in all_queries()},
+        "sf": 0.1, "load1": 99.99, "ncpu": 32})
+    assert len(line) < 1900, (
+        f"bench final line would be {len(line)} chars; the driver tail "
+        "capture is 2000 — shorten query names or drop fields")
+
+
 def test_gate_cli_runs_against_repo_history():
     """End-to-end through the CLI against the real prior-round files."""
     bench_files = sorted(REPO.glob("BENCH_r*.json"))
