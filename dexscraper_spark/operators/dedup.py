@@ -278,11 +278,21 @@ def _banded_pairs(fps: DataFrame, probe: DataFrame | None, *,
     for c in fp_cols:
         t = F.bit_count(F.col(f"__fa_{c}").bitwiseXOR(F.col(f"__fb_{c}")))
         hamming = t if hamming is None else hamming + t
+    # Self-join (probe=None): both sides enumerate the same set, so each
+    # pair arrives in both orders — prefilter ia<ib at the band join and
+    # HALVE the Hamming-verify volume. The symmetric !=/least/greatest
+    # form is only needed when a probe side exists (a probe row must
+    # pair with corpus ids on both sides of it).
+    if probe is None:
+        pair_filter = F.col("__ia") < F.col("__ib")
+        ida, idb = F.col("__ia"), F.col("__ib")
+    else:
+        pair_filter = F.col("__ia") != F.col("__ib")
+        ida, idb = F.least("__ia", "__ib"), F.greatest("__ia", "__ib")
     return (
         a.join(b, ["band_id", "band_value"])
-        .filter(F.col("__ia") != F.col("__ib"))
-        .select(F.least("__ia", "__ib").alias("id_a"),
-                F.greatest("__ia", "__ib").alias("id_b"),
+        .filter(pair_filter)
+        .select(ida.alias("id_a"), idb.alias("id_b"),
                 hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

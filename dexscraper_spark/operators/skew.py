@@ -73,11 +73,15 @@ def skew_report(df: DataFrame, *, keys: list[str], k: int = 32,
 
     cnt is the MG lower bound (within n/(k+1) of truth), so shares are
     conservative: a key flagged here is REALLY hot; a borderline key
-    under n/(k+1) can hide."""
-    from dexscraper_spark.operators.sketch import mg_sketch
+    under n/(k+1) can hide.
 
-    total = df.count()
-    summary = mg_sketch(df, cols=keys, k=k)
+    The total comes from the SAME scan as the sketch (the local MG pass
+    emits per-partition row counts; only the O(partitions × k)-row
+    partials frame is persisted) — a separate ``df.count()`` would
+    recompute the possibly-expensive upstream plan a second time."""
+    from dexscraper_spark.operators.sketch import mg_sketch_and_total
+
+    summary, total = mg_sketch_and_total(df, cols=keys, k=k)
     fair = max(total / k, 1.0)
     return (summary
             .withColumn("share", F.col("cnt") / F.lit(float(total)))
