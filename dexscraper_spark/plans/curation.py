@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.functions import textstats as tx
 from dexscraper_spark.operators.dedup import (
-    dedup_components, simhash, simhash_band_pairs, split_assignment)
+    dedup_components, simhash, simhash_band_pairs, simhash_wide,
+    simhash_wide_band_pairs, split_assignment)
 from dexscraper_spark.persist import release_tracked, tracked_persist
 
 
@@ -53,6 +54,54 @@ class CurationConfig:
     simhash_bands: int = 4
     train_pct: int = 80
     valid_pct: int = 10
+    # Near-dup fingerprint tier. 64 = standard simhash (16-bit bands);
+    # 128 = simhash_wide (4 × 32-bit bands) for corpora where 16-bit
+    # bands saturate with chance candidates — collisions per band grow
+    # ~n²/2¹⁷ at 64 bits vs ~n²/2³³ at 128 (SCALE.md, banding-saturation
+    # note), so nightly 100 TB curation runs the wide tier. Note the
+    # Hamming scale doubles with width: max_hamming=3 over 128 bits is a
+    # STRICTER similarity rate than 3 over 64. ``simhash_bands`` applies
+    # to the 64-bit tier only (the wide tier's 4 × 32-bit banding is
+    # fixed, complete for max_hamming < 4).
+    fingerprint_bits: int = 64
+
+    def __post_init__(self):
+        if self.fingerprint_bits not in (64, 128):
+            raise ValueError(
+                f"fingerprint_bits must be 64 or 128, "
+                f"got {self.fingerprint_bits}")
+
+    @property
+    def fp_cols(self) -> tuple:
+        """The state-schema fingerprint columns for this tier."""
+        return ("simhash",) if self.fingerprint_bits == 64 \
+            else ("simhash_lo", "simhash_hi")
+
+
+def _fingerprint(df: DataFrame, cfg: CurationConfig, *, id_col: str,
+                 text_col: str, hash_fn) -> DataFrame:
+    """Tier dispatch: (id, simhash) at 64 bits, (id, simhash_lo,
+    simhash_hi) at 128."""
+    if cfg.fingerprint_bits == 64:
+        return simhash(df, id_col=id_col, text_col=text_col,
+                       hash_fn=hash_fn)
+    if hash_fn is not None:
+        raise ValueError(
+            "simhash_hash_fn is a 64-bit-tier knob (oracle portability); "
+            "the wide tier pins its own two xxhash64 families")
+    return simhash_wide(df, id_col=id_col, text_col=text_col)
+
+
+def _near_pairs(fps: DataFrame, cfg: CurationConfig, *, id_col: str,
+                probe: DataFrame | None = None) -> DataFrame:
+    """Tier dispatch for the banded candidate join."""
+    if cfg.fingerprint_bits == 64:
+        return simhash_band_pairs(
+            fps, id_col=id_col, num_bands=cfg.simhash_bands,
+            max_hamming=cfg.simhash_max_hamming, probe=probe)
+    return simhash_wide_band_pairs(
+        fps, id_col=id_col, max_hamming=cfg.simhash_max_hamming,
+        probe=probe)
 
 
 def _gate(docs: DataFrame, id_col: str, text_col: str,
@@ -119,11 +168,15 @@ def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
     State schema, one row per gated + exact-deduped document (near-dup
     LOSERS included — a future doc can join an old cluster only through
     a loser's fingerprint):
-      (id_col, exact_h long, simhash long, component long)
+      (id_col, exact_h long, <fingerprint cols>, component long)
     ``exact_h`` is the xxhash64 content hash (future exact dups drop
-    against it), ``simhash`` the 64-bit near-dup fingerprint (future
-    batches band against it), ``component`` the doc's duplicate-cluster
-    label = its cluster's min id (the published survivor).
+    against it), the fingerprint columns are the near-dup tier's
+    (``simhash`` at 64 bits; ``simhash_lo, simhash_hi`` at
+    ``config.fingerprint_bits=128`` — future batches band against
+    them), ``component`` the doc's duplicate-cluster label = its
+    cluster's min id (the published survivor). The tier is baked into
+    the stored schema: :func:`curate_delta` must run with the SAME
+    ``fingerprint_bits`` the store was built with (it checks).
     Both frames are lazy; computing only the corpus costs nothing extra.
     """
     cfg = config
@@ -151,12 +204,10 @@ def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
     # (invoked by registry.clear_plan_cache()) releases it — refresh
     # cycles must not accumulate orphaned block-manager storage.
     deduped = tracked_persist(deduped)
-    fps = tracked_persist(simhash(
-        deduped, id_col=id_col, text_col=text_col,
+    fps = tracked_persist(_fingerprint(
+        deduped, cfg, id_col=id_col, text_col=text_col,
         hash_fn=simhash_hash_fn))
-    pairs = simhash_band_pairs(
-        fps, id_col=id_col, num_bands=cfg.simhash_bands,
-        max_hamming=cfg.simhash_max_hamming)
+    pairs = _near_pairs(fps, cfg, id_col=id_col)
     comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
     # "component" is the declared output column of dedup_components —
     # filtering on the pre-alias "label" only resolved through lineage
@@ -257,6 +308,13 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
     monotone ids.
     """
     cfg = config
+    missing = [c for c in cfg.fp_cols if c not in state.columns]
+    if missing:
+        raise ValueError(
+            f"curate_delta: stored state lacks fingerprint column(s) "
+            f"{missing} — the store was built at a different "
+            f"fingerprint_bits tier than config ({cfg.fingerprint_bits}); "
+            f"state columns: {state.columns}")
     if check_ids:
         lo_new = new_docs.agg(F.min(F.col(id_col))).first()[0]
         hi_old = state.agg(F.max(F.col(id_col))).first()[0]
@@ -281,13 +339,13 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
     fresh = tracked_persist(fresh)
 
     # delta fingerprints, banded against (store ∪ delta)
-    fps_new = tracked_persist(simhash(
-        fresh, id_col=id_col, text_col=text_col, hash_fn=simhash_hash_fn))
-    all_fps = (state.select(F.col(id_col), F.col("simhash"))
+    fps_new = tracked_persist(_fingerprint(
+        fresh, cfg, id_col=id_col, text_col=text_col,
+        hash_fn=simhash_hash_fn))
+    all_fps = (state.select(F.col(id_col),
+                            *[F.col(c) for c in cfg.fp_cols])
                .unionByName(fps_new))
-    pairs = simhash_band_pairs(
-        all_fps, id_col=id_col, num_bands=cfg.simhash_bands,
-        max_hamming=cfg.simhash_max_hamming, probe=fps_new)
+    pairs = _near_pairs(all_fps, cfg, id_col=id_col, probe=fps_new)
 
     # contract old endpoints to their stored cluster labels: connectivity
     # through a dropped old doc (a near-dup LOSER) must reach its cluster
@@ -349,6 +407,7 @@ def apply_state_updates(state: DataFrame, delta: DeltaResult, *,
     """The fingerprint-store update a nightly run persists after
     :func:`curate_delta`: old rows with merged labels rewritten to the
     new label, delta rows appended. Returns the next run's ``state``."""
+    orig_cols = list(state.columns)  # tier-agnostic: whatever fp cols
     lbl = delta.relabeled.withColumnRenamed("old_label", "component")
     updated = (
         state.join(lbl, "component", "left")
@@ -356,16 +415,16 @@ def apply_state_updates(state: DataFrame, delta: DeltaResult, *,
                     F.coalesce(F.col("new_label"), F.col("component")))
         .drop("new_label")
         # restore canonical column order (the join moved the key first)
-        .select(F.col(id_col), "exact_h", "simhash", "component")
+        .select(*[F.col(c) for c in orig_cols])
     )
     return updated.unionByName(
-        delta.state_new.select(F.col(id_col), "exact_h", "simhash",
-                               "component"))
+        delta.state_new.select(*[F.col(c) for c in orig_cols]))
 
 
 def write_curation_state(state: DataFrame, path: str) -> None:
-    """Materialize the fingerprint store (32 bytes/doc + id): the
-    artifact :func:`curate_delta` reads tomorrow. Plain parquet — the
+    """Materialize the fingerprint store (32 bytes/doc + id at the
+    64-bit tier, 40 at 128): the artifact :func:`curate_delta` reads
+    tomorrow. Plain parquet — the
     banded join re-derives its bands per run, so no band partitioning is
     baked into the layout (band count is a config, not a schema)."""
     state.write.mode("overwrite").parquet(path)

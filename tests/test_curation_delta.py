@@ -34,22 +34,23 @@ def _assert_frames_equal(a, b, cols):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def _check_delta_equivalence(spark, old_docs, new_docs):
+def _check_delta_equivalence(spark, old_docs, new_docs, cfg=CFG):
     """The full contract: corpus equivalence AND state equivalence (the
     applied state must be exactly what a full recompute would store —
     any stale label would surface here even without a third-cluster
     bridge in the fixture)."""
+    state_cols = ["doc_id", "exact_h", *cfg.fp_cols, "component"]
     full_cur, full_state = curate_corpus_with_state(
-        old_docs.unionByName(new_docs), config=CFG)
-    old_cur, old_state = curate_corpus_with_state(old_docs, config=CFG)
-    res = curate_delta(new_docs, old_state, config=CFG)
+        old_docs.unionByName(new_docs), config=cfg)
+    old_cur, old_state = curate_corpus_with_state(old_docs, config=cfg)
+    res = curate_delta(new_docs, old_state, config=cfg)
 
     merged = (old_cur.join(res.retracted, "doc_id", "left_anti")
               .unionByName(res.curated_new.select(*CURATED_COLS)))
     _assert_frames_equal(full_cur, merged, CURATED_COLS)
 
     next_state = apply_state_updates(old_state, res)
-    _assert_frames_equal(full_state, next_state, STATE_COLS)
+    _assert_frames_equal(full_state, next_state, state_cols)
     return res, next_state
 
 
@@ -228,3 +229,88 @@ def test_delta_rejects_non_monotone_ids(spark):
         curate_delta(new, state, config=CFG)
     res = curate_delta(new, state, config=CFG, check_ids=False)
     assert res.curated_new.count() >= 0  # runs; caller owns the contract
+
+
+# ---------------------------------------------------------------------------
+# 128-bit (wide) fingerprint tier — the nightly-100TB configuration where
+# 16-bit bands saturate with chance candidates (SCALE.md)
+
+WIDE_CFG = CurationConfig(min_quality=0.3, min_tokens=3,
+                          simhash_max_hamming=3, fingerprint_bits=128)
+
+
+def test_delta_equivalence_wide_tier_on_real_corpus(spark):
+    """delta ≡ full recuration at fingerprint_bits=128 — same contract,
+    wide fingerprints and 4×32-bit banding end to end (state schema
+    carries simhash_lo/simhash_hi)."""
+    docs, extra = _real_docs(spark)
+    hi, lo = docs.select(F.max("doc_id"), F.min("doc_id")).first()
+    mid = (hi + lo) // 2
+    old = docs.filter(F.col("doc_id") <= mid)
+    new = docs.filter(F.col("doc_id") > mid).unionByName(extra)
+    res, next_state = _check_delta_equivalence(spark, old, new,
+                                               cfg=WIDE_CFG)
+    assert {"simhash_lo", "simhash_hi"} <= set(next_state.columns)
+    new_ids = {r["doc_id"]
+               for r in res.curated_new.select("doc_id").collect()}
+    assert 100001 not in new_ids        # exact dup vs store dropped
+    assert 100004 not in new_ids        # gated junk dropped
+    assert 100005 in new_ids and 100006 not in new_ids
+
+
+def test_delta_wide_successive_rounds_match_full_recompute(spark):
+    docs, extra = _real_docs(spark)
+    hi = docs.select(F.max("doc_id")).first()[0]
+    b0 = docs.filter(F.col("doc_id") <= hi // 3)
+    b1 = docs.filter((F.col("doc_id") > hi // 3)
+                     & (F.col("doc_id") <= 2 * hi // 3))
+    b2 = docs.filter(F.col("doc_id") > 2 * hi // 3).unionByName(extra)
+    wide_cols = ["doc_id", "exact_h", "simhash_lo", "simhash_hi",
+                 "component"]
+
+    _, state0 = curate_corpus_with_state(b0, config=WIDE_CFG)
+    res1 = curate_delta(b1, state0, config=WIDE_CFG)
+    state1 = apply_state_updates(state0, res1)
+    full_cur, full_state = curate_corpus_with_state(
+        b0.unionByName(b1).unionByName(b2), config=WIDE_CFG)
+    res2 = curate_delta(b2, state1, config=WIDE_CFG)
+    state2 = apply_state_updates(state1, res2)
+    _assert_frames_equal(full_state, state2, wide_cols)
+
+    cur01 = curate_corpus(b0.unionByName(b1), config=WIDE_CFG)
+    merged = (cur01.join(res2.retracted, "doc_id", "left_anti")
+              .unionByName(res2.curated_new.select(*CURATED_COLS)))
+    _assert_frames_equal(full_cur, merged, CURATED_COLS)
+
+
+def test_delta_rejects_tier_mismatched_state(spark):
+    """A 64-bit store fed to a 128-bit-config delta must fail loudly —
+    silently banding the wrong columns would corrupt the corpus."""
+    import pytest
+
+    state64 = spark.createDataFrame(
+        [(50, 1, 2, 50)], "doc_id long, exact_h long, simhash long, "
+                          "component long")
+    new = spark.createDataFrame(
+        [(60, "a perfectly reasonable english document with words")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="fingerprint_bits"):
+        curate_delta(new, state64, config=WIDE_CFG)
+
+
+def test_wide_tier_rejects_hash_fn_override(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some words that pass the quality and length gates fine")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="64-bit"):
+        curate_corpus(docs, config=WIDE_CFG,
+                      simhash_hash_fn=F.xxhash64)
+
+
+def test_config_rejects_bad_fingerprint_bits():
+    import pytest
+
+    with pytest.raises(ValueError, match="64 or 128"):
+        CurationConfig(fingerprint_bits=96)
