@@ -1,0 +1,83 @@
+"""The recall artifact + regression gate (tools/recall.py): gate logic
+is pure-Python; the measurement path is smoke-tested at sf0.001."""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
+
+import recall as recall_tool  # noqa: E402
+
+
+def _write(tmp_path, name, recalls, k=5):
+    p = tmp_path / name
+    p.write_text(json.dumps({"sf_dir": "x", "k": k, "n_queries": 8,
+                             "recalls": recalls, "configs": {}}))
+    return str(p)
+
+
+def test_gate_passes_on_stable_recall(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {"lsh": 0.9, "ivf": 0.65})
+    new = _write(tmp_path, "new.json", {"lsh": 0.88, "ivf": 0.66})
+    assert recall_tool.main(["--gate", new, old]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_gate_alarms_on_recall_regression(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {"lsh": 0.9})
+    new = _write(tmp_path, "new.json", {"lsh": 0.8})
+    assert recall_tool.main(["--gate", new, old]) == 1
+    assert "REGRESSED lsh" in capsys.readouterr().out
+
+
+def test_gate_alarms_on_dropped_measurement(tmp_path, capsys):
+    """A config that silently stops being measured is how a recall
+    regression hides — dropping a row must alarm, not note."""
+    old = _write(tmp_path, "old.json", {"lsh": 0.9, "ivf": 0.65})
+    new = _write(tmp_path, "new.json", {"lsh": 0.9})
+    assert recall_tool.main(["--gate", new, old]) == 1
+    assert "DROPPED measurement: ivf" in capsys.readouterr().out
+
+
+def test_gate_drop_threshold_flag(tmp_path):
+    old = _write(tmp_path, "old.json", {"lsh": 0.9})
+    new = _write(tmp_path, "new.json", {"lsh": 0.82})
+    assert recall_tool.main(["--gate", new, old]) == 1
+    assert recall_tool.main(["--gate", new, old, "--drop", "0.1"]) == 0
+
+
+def test_gate_notes_new_config(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {"lsh": 0.9})
+    new = _write(tmp_path, "new.json", {"lsh": 0.9, "pq": 0.95})
+    assert recall_tool.main(["--gate", new, old]) == 0
+    assert "new: pq" in capsys.readouterr().out
+
+
+def test_measure_smoke_sf0001(tmp_path):
+    """End-to-end measurement at the smallest SF: every config in
+    CONFIGS gets a recall in [0, 1], and the artifact round-trips
+    through the gate against itself."""
+    doc = recall_tool.measure("/root/testdata/sf0.001", n_queries=8)
+    assert set(doc["recalls"]) == set(recall_tool.CONFIGS)
+    assert all(0.0 <= v <= 1.0 for v in doc["recalls"].values())
+    # exactness twins aside, the refined configs should be strong even
+    # at tiny scale (mirrors the pytest thresholds they graduated from)
+    assert doc["recalls"]["pq_refined"] >= 0.7
+    assert doc["recalls"]["ivf_pq_residual"] >= 0.7
+    assert doc["recalls"]["lsh_multiprobe2"] >= doc["recalls"]["lsh_single"]
+    p = tmp_path / "self.json"
+    p.write_text(json.dumps(doc))
+    assert recall_tool.main(["--gate", str(p), str(p)]) == 0
+
+
+def test_repo_artifact_is_current_schema():
+    """RECALL.json (the committed round artifact) must parse and cover
+    every config the tool measures — the judge and the next round's
+    gate both read it."""
+    p = REPO / "RECALL.json"
+    if not p.exists():
+        return
+    doc = json.loads(p.read_text())
+    assert set(doc["recalls"]) == set(recall_tool.CONFIGS)

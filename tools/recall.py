@@ -1,0 +1,180 @@
+"""Approximate-ANN recall artifact + regression gate.
+
+The approximate configs (LSH multiprobe, IVF nprobe<nlist, PQ/IVF-PQ
+refined) are correctness-checked in pytest against brute force with
+fixed thresholds; this tool promotes the measured recall@k numbers to
+a RECORDED artifact so recall regressions are tracked round-over-round
+like latency (VERDICT r7 §next-4).
+
+Usage:
+    python tools/recall.py [SF_DIR] [--out RECALL.json]
+    python tools/recall.py --gate NEW.json OLD.json [--drop 0.05]
+
+Measure mode writes one JSON document:
+    {"sf_dir": ..., "k": 5, "n_queries": 32,
+     "recalls": {"lsh_single": 0.84, "lsh_multiprobe2": 0.95, ...},
+     "configs": {name: {params...}}}
+Recall@k = mean over queries of |approx top-k ∩ exact top-k| / k, with
+exact = the brute-force :func:`cosine_topk` oracle on the same frame.
+
+Gate mode compares two artifacts: exit 1 if any config's recall dropped
+by more than ``--drop`` (absolute), 0 otherwise. New configs are notes;
+dropped configs alarm (a silently-lost measurement is how regressions
+hide).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+# name -> (builder kwargs recorded verbatim in the artifact)
+CONFIGS = {
+    "lsh_single": {"num_planes": 24, "num_bands": 8},
+    "lsh_multiprobe2": {"num_planes": 24, "num_bands": 8,
+                        "multiprobe": 2},
+    "ivf_nprobe4": {"nlist": 16, "nprobe": 4},
+    "pq_refined": {"m": 16, "ksub": 64, "seed": 7, "expand": 8},
+    "ivf_pq": {"nlist": 16, "nprobe": 4, "m": 16, "ksub": 64,
+               "seed": 7, "expand": 4},
+    "ivf_pq_residual": {"nlist": 8, "nprobe": 8, "m": 16, "ksub": 64,
+                        "seed": 7, "expand": 8},
+}
+
+
+def _topk_sets(df, k: int) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        if r["rank"] <= k:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_residual_build, ivf_pq_residual_topk,
+        ivf_pq_topk, pq_encode, pq_topk_refined, pq_train)
+    from dexscraper_spark.operators.similarity import (
+        cosine_topk, ivf_build, ivf_query, lsh_bucketed_topk)
+    from dexscraper_spark.session import get_spark
+
+    spark = get_spark("recall", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    queries = emb.orderBy("vec_id").limit(n_queries)
+    exact = _topk_sets(cosine_topk(emb, queries, k=k), k)
+
+    def recall_of(df) -> float:
+        got = _topk_sets(df, k)
+        per_q = [len(got.get(q, set()) & s) / len(s)
+                 for q, s in exact.items()]
+        return round(sum(per_q) / len(per_q), 4)
+
+    recalls: dict = {}
+    c = CONFIGS
+    recalls["lsh_single"] = recall_of(lsh_bucketed_topk(
+        emb, queries, k=k, **c["lsh_single"]))
+    recalls["lsh_multiprobe2"] = recall_of(lsh_bucketed_topk(
+        emb, queries, k=k, **c["lsh_multiprobe2"]))
+
+    index = ivf_build(emb, nlist=c["ivf_nprobe4"]["nlist"], cache=False)
+    recalls["ivf_nprobe4"] = recall_of(ivf_query(
+        index, queries, k=k, nprobe=c["ivf_nprobe4"]["nprobe"]))
+
+    books = pq_train(emb, dim=64, m=c["pq_refined"]["m"],
+                     ksub=c["pq_refined"]["ksub"],
+                     seed=c["pq_refined"]["seed"])
+    codes = pq_encode(emb, books)
+    recalls["pq_refined"] = recall_of(pq_topk_refined(
+        emb, codes, queries, books, k=k,
+        expand=c["pq_refined"]["expand"]))
+
+    ivf_codes = ivf_pq_encode(index, books)
+    recalls["ivf_pq"] = recall_of(ivf_pq_topk(
+        emb, index, ivf_codes, queries, books, k=k,
+        nprobe=c["ivf_pq"]["nprobe"], expand=c["ivf_pq"]["expand"]))
+    index.unpersist()
+
+    rindex, rbooks, rcodes = ivf_pq_residual_build(
+        emb, nlist=c["ivf_pq_residual"]["nlist"],
+        m=c["ivf_pq_residual"]["m"], ksub=c["ivf_pq_residual"]["ksub"],
+        seed=c["ivf_pq_residual"]["seed"])
+    try:
+        recalls["ivf_pq_residual"] = recall_of(ivf_pq_residual_topk(
+            emb, rindex, rcodes, queries, rbooks, k=k,
+            nprobe=c["ivf_pq_residual"]["nprobe"],
+            expand=c["ivf_pq_residual"]["expand"]))
+    finally:
+        rindex.unpersist()
+
+    return {"sf_dir": sf_dir, "k": k, "n_queries": len(exact),
+            "recalls": recalls, "configs": CONFIGS}
+
+
+def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
+    with open(new_path) as f:
+        new = json.load(f)
+    with open(old_path) as f:
+        old = json.load(f)
+    nr, od = new.get("recalls", {}), old.get("recalls", {})
+    print(f"recall_gate: {old_path} -> {new_path} (max drop {drop})")
+    failures = []
+    for name, old_r in sorted(od.items()):
+        if name not in nr:
+            failures.append(f"  DROPPED measurement: {name} "
+                            f"(was {old_r:.3f})")
+            continue
+        new_r = nr[name]
+        delta = new_r - old_r
+        marker = ""
+        if delta < -drop:
+            failures.append(f"  REGRESSED {name}: "
+                            f"{old_r:.3f} -> {new_r:.3f}")
+            marker = "  <-- REGRESSED"
+        print(f"  {name}: {old_r:.3f} -> {new_r:.3f} "
+              f"({delta:+.3f}){marker}")
+    for name in sorted(set(nr) - set(od)):
+        print(f"  new: {name} ({nr[name]:.3f})")
+    if failures:
+        print(f"{len(failures)} recall failure(s):")
+        for x in failures:
+            print(x)
+        return 1
+    print(f"PASS — no config's recall@{new.get('k')} dropped more "
+          f"than {drop}")
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="recall.py")
+    ap.add_argument("paths", nargs="*",
+                    help="measure: [SF_DIR]; gate: NEW.json OLD.json")
+    ap.add_argument("--gate", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--drop", type=float, default=0.05)
+    try:
+        ns = ap.parse_args(argv)
+    except SystemExit as e:
+        return e.code if isinstance(e.code, int) else 2
+    if ns.gate:
+        if len(ns.paths) != 2:
+            print("recall.py --gate needs NEW.json OLD.json")
+            return 2
+        return gate(ns.paths[0], ns.paths[1], drop=ns.drop)
+    sf_dir = ns.paths[0] if ns.paths else "/root/testdata/sf0.1"
+    doc = measure(sf_dir)
+    line = json.dumps(doc)
+    if ns.out:
+        with open(ns.out, "w") as f:
+            json.dump(doc, f, indent=1)
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
