@@ -501,3 +501,67 @@ def streaming_bars_maintenance(ticks: DataFrame, state_root: str, *,
         ticks, bars_fold_builder(state_root, **fold_kw),
         checkpoint=checkpoint, once=once,
         trigger_seconds=trigger_seconds)
+
+
+def ann_extend_fold_builder(index_path: str, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> Callable:
+    """foreachBatch callback maintaining an IVF-PQ search artifact
+    (``ivf_pq_save`` layout) from a live vector stream — the ANN twin
+    of :func:`bars_fold_builder` / :func:`sketch_fold_builder`: day-0
+    builds the artifact (train centroids + codebooks on a bounded
+    sample, ``ivf_pq_save``), then the stream keeps it queryable as
+    vectors arrive.
+
+    Unlike the sketch/bar folds this needs NO versioned store:
+    :func:`~dexscraper_spark.operators.quantize.ivf_pq_extend_saved` is
+    id-keyed idempotent (anti-join against the stored ids) and
+    self-repairing (each table backfills what IT is missing), so a
+    post-crash micro-batch replay appends nothing the artifact already
+    holds, and a crash BETWEEN the assigned/codes appends is completed
+    by the next batch. Model parameters cannot drift: assignment and
+    encoding always use the artifact's own stored centroids/codebooks
+    (the _spec.json analogue is the artifact itself).
+
+    Within-batch duplicate ids are collapsed to one arbitrary-but-
+    deterministic row first (max struct by id — streams can deliver a
+    vector twice in one trigger; the stored-id anti-join only guards
+    across batches). Empty batches are no-ops.
+
+    Query while streaming with
+    :func:`~dexscraper_spark.operators.quantize.ivf_pq_load` +
+    ``ivf_pq_topk`` in any batch session. Centroids/codebooks are
+    day-0 frozen — retrain offline and republish when drift costs
+    recall (the recall artifact tracks it: tools/recall.py).
+    """
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import ivf_pq_extend_saved
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col)
+        # one row per id: groupBy-max over a (vec) struct is
+        # deterministic under replays, unlike dropDuplicates
+        batch = (batch
+                 .groupBy(id_col)
+                 .agg(F.max(F.struct(vec_col)).alias("__v"))
+                 .select(id_col, F.col(f"__v.{vec_col}")))
+        if batch.isEmpty():
+            return
+        ivf_pq_extend_saved(batch.sparkSession, index_path, batch,
+                            id_col=id_col, vec_col=vec_col)
+
+    return fold
+
+
+def streaming_ann_maintenance(vectors: DataFrame, index_path: str, *,
+                              checkpoint: str, once: bool = False,
+                              trigger_seconds: int = 5,
+                              **fold_kw):
+    """Run the ANN-index maintenance loop: every micro-batch of
+    ``vectors`` extends the saved IVF-PQ artifact. Returns the
+    StreamingQuery. ``fold_kw`` forwards to
+    :func:`ann_extend_fold_builder`."""
+    return run_foreach_batch(
+        vectors, ann_extend_fold_builder(index_path, **fold_kw),
+        checkpoint=checkpoint, once=once,
+        trigger_seconds=trigger_seconds)

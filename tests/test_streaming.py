@@ -661,3 +661,105 @@ def test_streaming_decontamination_filter(spark, tmp_path):
     ids = {r.doc_id for r in landed.select("doc_id").collect()}
     assert probe.doc_id not in ids          # never landed
     assert len(ids) >= 40                   # the rest flowed through
+
+
+def test_streaming_ann_maintenance_equals_batch_extend(spark, tmp_path):
+    """Streamed IVF-PQ extends must leave the artifact exactly where
+    one batch ivf_pq_extend_saved of the same vectors would — same
+    ids, same codes, same list assignment — and the live artifact
+    answers ivf_pq_topk identically in both worlds."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_load, ivf_pq_save,
+        ivf_pq_topk, pq_encode, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.streaming.pipeline import (
+        streaming_ann_maintenance)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    seed = emb.filter(F.col("vec_id") <= hi // 3)
+    rest = emb.filter(F.col("vec_id") > hi // 3)
+
+    def build_seed(path):
+        index = ivf_build(seed, nlist=8, cache=False)
+        books = pq_train(seed, dim=64, m=16, ksub=64, seed=7)
+        codes = ivf_pq_encode(index, books)
+        ivf_pq_save(spark, index, books, codes, path)
+        index.unpersist()
+
+    # world A: stream the rest in file-sized micro-batches
+    a = str(tmp_path / "idx_stream")
+    build_seed(a)
+    src = str(tmp_path / "vecs")
+    for i in range(3):
+        rest.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_ann_maintenance(
+        stream, a, checkpoint=str(tmp_path / "ck"), once=True)
+    q.awaitTermination(180)
+
+    # world B: one batch extend of the same vectors
+    b = str(tmp_path / "idx_batch")
+    build_seed(b)
+    ivf_pq_extend_saved(spark, b, rest)
+
+    for sub in ("assigned", "codes"):
+        got = spark.read.parquet(f"{a}/{sub}")
+        want = spark.read.parquet(f"{b}/{sub}")
+        assert got.count() == emb.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    ia, ba, ca = ivf_pq_load(spark, a)
+    ib, bb, cb = ivf_pq_load(spark, b)
+    queries = emb.orderBy("vec_id").limit(4)
+    ra = ivf_pq_topk(emb, ia, ca, queries, ba, k=5, nprobe=8,
+                     expand=4).collect()
+    rb = ivf_pq_topk(emb, ib, cb, queries, bb, k=5, nprobe=8,
+                     expand=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in ra)) == \
+           sorted(((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in rb))
+    ia.unpersist(), ib.unpersist()
+
+
+def test_ann_fold_replay_and_within_batch_dupes(spark, tmp_path):
+    """A replayed micro-batch (same batch after a 'crash') must append
+    nothing, and duplicate ids WITHIN one batch collapse to one row —
+    both failure modes would silently corrupt top-k ranks."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_save, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.streaming.pipeline import ann_extend_fold_builder
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    seed = emb.filter(F.col("vec_id") <= hi // 2)
+    delta = emb.filter(F.col("vec_id") > hi // 2)
+
+    path = str(tmp_path / "idx")
+    index = ivf_build(seed, nlist=8, cache=False)
+    books = pq_train(seed, dim=64, m=16, ksub=64, seed=7)
+    ivf_pq_save(spark, index, books, ivf_pq_encode(index, books), path)
+    index.unpersist()
+
+    fold = ann_extend_fold_builder(path)
+    doubled = delta.unionByName(delta)      # within-batch dupes
+    fold(doubled, 1)
+    n1 = spark.read.parquet(f"{path}/codes").count()
+    assert n1 == emb.count()                # each id exactly once
+    fold(delta, 1)                          # crash replay of batch 1
+    fold(delta.limit(0), 2)                 # empty batch no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n1
+    assert spark.read.parquet(f"{path}/assigned").count() == emb.count()
