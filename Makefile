@@ -1,4 +1,5 @@
-.PHONY: test check check-big difftest bench bench-gate stress smoke
+.PHONY: test check check-big difftest bench bench-gate recall \
+	recall-gate stress smoke
 
 test:
 	python -m pytest tests/ -q
@@ -23,6 +24,16 @@ bench-gate:
 	python bench.py --no-cold | tail -1 > /tmp/bench_new.json
 	python tools/bench_gate.py /tmp/bench_new.json \
 	  $$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+
+# Re-measure approximate-ANN recall@5 at the bench SF and alarm if any
+# config dropped >0.05 vs the committed RECALL.json, then refresh it.
+recall:
+	python tools/recall.py /root/testdata/sf0.1 --out RECALL.json
+
+recall-gate:
+	python tools/recall.py /root/testdata/sf0.1 --out /tmp/recall_new.json
+	python tools/recall.py --gate /tmp/recall_new.json RECALL.json
+	cp /tmp/recall_new.json RECALL.json
 
 stress:
 	python tools/stress.py all 10

@@ -139,6 +139,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="curate ONLY the new batch against --state")
     cur.add_argument("--min-quality", type=float, default=0.5)
     cur.add_argument("--min-tokens", type=int, default=5)
+    cur.add_argument("--fingerprint-bits", type=int, default=64,
+                     choices=(64, 128),
+                     help="curate: near-dup fingerprint tier — 128 for "
+                          "very large corpora where 16-bit bands "
+                          "saturate with chance candidates (the store "
+                          "and every later --delta must use the same "
+                          "tier; mismatches fail loudly)")
     cur.add_argument("--eval-docs", default=None,
                      help="curate: parquet of benchmark/eval documents "
                           "— training docs sharing a 13-gram are "
@@ -404,7 +411,8 @@ def _run_curate(args, spark) -> int:
     if rc:
         return rc
     cfg = CurationConfig(min_quality=args.min_quality,
-                         min_tokens=args.min_tokens)
+                         min_tokens=args.min_tokens,
+                         fingerprint_bits=args.fingerprint_bits)
     docs = spark.read.parquet(args.docs)
     n_contaminated = None
     if args.eval_docs:

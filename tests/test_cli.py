@@ -465,3 +465,60 @@ def test_cli_curate_eval_docs_decontamination(spark, tmp_path, capsys):
     curated = spark.read.parquet(str(tmp_path / "out" / "curated"))
     assert curated.filter(
         F.col("doc_id") == probe.doc_id).count() == 0
+
+
+def test_cli_curate_wide_tier_roundtrip_and_mismatch(spark, tmp_path,
+                                                     capsys):
+    """--fingerprint-bits 128 end to end: full run writes a wide-schema
+    store, a delta against it matches the full recompute, and a delta
+    run at the DEFAULT tier against the wide store fails loudly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 120)
+    old = docs.filter(F.col("doc_id") < 80)
+    new = docs.filter(F.col("doc_id") >= 80)
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    docs.write.parquet(str(tmp_path / "all"))
+
+    base = ["--min-quality", "0.3", "--min-tokens", "3",
+            "--fingerprint-bits", "128"]
+    assert run(["curate", "--docs", str(tmp_path / "old"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "store0"), *base],
+               spark=spark) == 0
+    capsys.readouterr()
+    store0 = spark.read.parquet(str(tmp_path / "store0"))
+    assert {"simhash_lo", "simhash_hi"} <= set(store0.columns)
+
+    assert run(["curate", "--docs", str(tmp_path / "new"), "--delta",
+                "--state", str(tmp_path / "store0"),
+                "--state-out", str(tmp_path / "store1"),
+                "--out", str(tmp_path / "day1"), *base],
+               spark=spark) == 0
+    capsys.readouterr()
+    assert run(["curate", "--docs", str(tmp_path / "all"),
+                "--out", str(tmp_path / "ref"),
+                "--state", str(tmp_path / "storeref"), *base],
+               spark=spark) == 0
+    capsys.readouterr()
+    s1 = spark.read.parquet(str(tmp_path / "store1"))
+    sref = spark.read.parquet(str(tmp_path / "storeref"))
+    assert sref.exceptAll(s1).count() == 0
+    assert s1.exceptAll(sref).count() == 0
+
+    # tier mismatch: default (64) config against the wide store
+    import pytest
+
+    with pytest.raises(ValueError, match="fingerprint_bits"):
+        run(["curate", "--docs", str(tmp_path / "new"), "--delta",
+             "--state", str(tmp_path / "store0"),
+             "--state-out", str(tmp_path / "store2"),
+             "--out", str(tmp_path / "day2"),
+             "--min-quality", "0.3", "--min-tokens", "3"],
+            spark=spark)
