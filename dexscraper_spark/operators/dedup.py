@@ -599,3 +599,59 @@ def simhash_wide_band_pairs(fps: DataFrame, *, id_col: str,
     return _banded_pairs(fps, probe, id_col=id_col,
                          fp_cols=("simhash_lo", "simhash_hi"),
                          band_array=band_array, max_hamming=max_hamming)
+
+
+def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", nlist: int = 16,
+                   threshold: float = 0.95, seed: int = 42,
+                   round_to: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): k-means cluster the embedding space,
+    then WITHIN each cluster drop all but one of every group of vectors
+    whose pairwise cosine exceeds ``threshold``. Survivor = the group's
+    minimum id via connected components over the above-threshold pair
+    graph — the same deterministic min-id convention as the simhash
+    path, so reruns and different cluster layouts keep identical rows.
+
+    Composition of existing scale-shaped pieces, nothing new shuffles:
+    :func:`~dexscraper_spark.operators.similarity.
+    ivf_build_deterministic` fits the coarse quantizer (hash-sampled
+    driver Lloyd — layout-independent, so the survivor set is
+    reproducible on ANY partitioning; MLlib's k-means|| init is not)
+    and assigns every vector to a list;
+    :func:`exact_cosine_pairs_blocked` finds within-cluster pairs with
+    the BLAS-filter + exact-verify kernel (O(n²/nlist) per cluster,
+    never a global cross join); :func:`dedup_components` resolves
+    transitive groups in O(log diameter) pair-scale rounds.
+
+    Caveat by construction (same as the paper's): near-dups SPLIT
+    ACROSS cluster boundaries are not candidates — size ``nlist`` so
+    clusters stay semantically coherent, and treat the result as
+    high-precision/approximate-recall. Returns the surviving rows of
+    ``emb`` (all original columns).
+    """
+    from dexscraper_spark.operators.similarity import (
+        exact_cosine_pairs_blocked, ivf_build_deterministic)
+    from dexscraper_spark.persist import materialize_artifact
+
+    index = ivf_build_deterministic(emb, id_col=id_col, vec_col=vec_col,
+                                    nlist=nlist, seed=seed, cache=True)
+    try:
+        pairs = exact_cosine_pairs_blocked(
+            index.assigned.select(id_col, vec_col,
+                                  F.col("__list").alias("__sem_block")),
+            id_col=id_col, vec_col=vec_col, block_col="__sem_block",
+            threshold=threshold, round_to=round_to)
+        comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
+        losers = comps.filter(F.col("node") != F.col("component")) \
+                      .select(F.col("node").alias(id_col))
+        # Truncate lineage: losers is answer-sized (pair-graph nodes
+        # only) but its plan reads the cluster-assignment artifact —
+        # materialize it so the returned frame survives the index
+        # release below (a mere persist() could evict and then
+        # recompute against the deleted artifact). Released by
+        # clear_plan_cache() like every other artifact.
+        losers = materialize_artifact(losers, "semdedup_losers")
+    finally:
+        index.unpersist()
+    return emb.join(losers, id_col, "left_anti")

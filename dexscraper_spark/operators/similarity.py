@@ -476,6 +476,52 @@ def ivf_build(corpus: DataFrame, *, id_col: str = "vec_id",
                     nlist=nlist)
 
 
+def ivf_build_deterministic(corpus: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding", nlist: int = 16,
+                            seed: int = 42, sample_n: int = 20_000,
+                            cache: bool = True) -> IvfIndex:
+    """LAYOUT-INDEPENDENT IVF build: centroids fit with the driver-side
+    Lloyd kernel over a deterministic hash-ordered bounded sample (the
+    :func:`~dexscraper_spark.operators.quantize.pq_train` discipline),
+    assignment via :func:`_ivf_assign`'s exact nearest-centroid rule.
+
+    :func:`ivf_build` (MLlib KMeans) is layout-DEPENDENT: k-means||
+    init draws its seeding per partition, so a repartition changes the
+    fitted centroids and therefore the index. That is fine for a
+    one-shot cached index, but anything whose OUTPUT must be
+    reproducible across layouts — :func:`~dexscraper_spark.operators.
+    dedup.semantic_dedup`'s survivor set, a nightly republished
+    artifact compared against yesterday's — needs this build. Cost: one
+    bounded sample collect (≤ sample_n × dim doubles, corpus-size
+    independent) + |corpus| × nlist broadcast compares for assignment.
+    """
+    import numpy as np
+
+    from dexscraper_spark.operators.quantize import _lloyd
+
+    sample = (corpus
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .filter(F.size("v") > 0)
+              .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+              .limit(sample_n).collect())
+    if not sample:
+        raise ValueError("empty training sample")
+    mat = np.array([r.v for r in sample], dtype=np.float64)
+    centers = _lloyd(mat, nlist, seed)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id int, centroid array<double>")
+    shell = IvfIndex(corpus.limit(0), centroids, id_col=id_col,
+                     vec_col=vec_col, nlist=nlist, release_handles=[])
+    assigned = _ivf_assign(shell, corpus)
+    if cache:
+        from dexscraper_spark.persist import materialize_artifact
+        assigned = materialize_artifact(assigned, "ivfdet")
+    return IvfIndex(assigned, centroids, id_col=id_col, vec_col=vec_col,
+                    nlist=nlist)
+
+
 def ivf_save(index: IvfIndex, path: str) -> None:
     """Persist the index: assignment parquet partitioned by list id (probe
     joins prune to nprobe/nlist of the files), centroid table alongside."""

@@ -101,3 +101,122 @@ def test_write_tokens_salt_spreads_hot_chain(spark, tmp_path):
     # exactly files_per_chain files (AQE cannot coalesce a numbered
     # repartition; a low-cardinality salt could not reach all buckets)
     assert len(files) == 8, files
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (k-means blocks + within-cluster cosine)
+
+
+def _cluster_assignment(spark, emb, nlist, seed):
+    from dexscraper_spark.operators.similarity import (
+        ivf_build_deterministic)
+
+    idx = ivf_build_deterministic(emb, nlist=nlist, seed=seed,
+                                  cache=False)
+    rows = {r["vec_id"]: r["__list"] for r in idx.assigned.collect()}
+    return rows
+
+
+def test_semantic_dedup_no_surviving_near_pair(spark):
+    """No two survivors in the SAME cluster may exceed the threshold —
+    verified by brute force over the survivors, with the clusters
+    recomputed independently (same seed => same KMeans fit)."""
+    import numpy as np
+
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    out = semantic_dedup(emb, nlist=8, threshold=0.4, seed=5)
+    survivors = out.collect()
+    assert 0 < len(survivors) < emb.count()   # something was dropped
+    clusters = _cluster_assignment(spark, emb, 8, 5)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in survivors}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        # mirror the operator's round_to=6 half-up rounding
+        import math
+        return math.floor((a @ b) / (na * nb) * 1e6 + 0.5) / 1e6
+
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if clusters[a] == clusters[b]:
+                assert cos(vecs[a], vecs[b]) <= 0.4, (a, b)
+
+
+def test_semantic_dedup_dropped_connect_to_survivor(spark):
+    """Every dropped vector must be connected to its cluster's surviving
+    min-id through above-threshold pairs (it is REPRESENTED, not lost),
+    and survivors must be exactly the min ids of the pair-graph
+    components plus all untouched vectors."""
+    from dexscraper_spark.operators.dedup import (dedup_components,
+                                                  semantic_dedup)
+    from dexscraper_spark.operators.similarity import (
+        exact_cosine_pairs_blocked, ivf_build_deterministic)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    kept = {r["vec_id"] for r in
+            semantic_dedup(emb, nlist=8, threshold=0.4, seed=5).collect()}
+
+    idx = ivf_build_deterministic(emb, nlist=8, seed=5,
+                                  cache=False)
+    try:
+        pairs = exact_cosine_pairs_blocked(
+            idx.assigned.selectExpr("vec_id", "embedding",
+                                    "__list as blk"),
+            block_col="blk", threshold=0.4)
+        comp = {r["node"]: r["component"] for r in
+                dedup_components(pairs).collect()}
+    finally:
+        idx.unpersist()
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    want = {i for i in all_ids if comp.get(i, i) == i}
+    assert kept == want
+
+
+def test_semantic_dedup_layout_independent(spark):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 400)
+    a = sorted(r["vec_id"] for r in
+               semantic_dedup(emb, nlist=4, threshold=0.4).collect())
+    b = sorted(r["vec_id"] for r in
+               semantic_dedup(emb.repartition(9), nlist=4,
+                              threshold=0.4).collect())
+    assert a == b
+
+
+def test_ivf_build_deterministic_layout_independent_and_queryable(spark):
+    """Identical centroids AND assignments on any partitioning (the
+    MLlib build is layout-dependent — k-means|| seeds per partition),
+    and the index answers ivf_query with valid ranked rows."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.similarity import (
+        ivf_build_deterministic, ivf_query)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    a = ivf_build_deterministic(emb, nlist=8, seed=11, cache=False)
+    b = ivf_build_deterministic(emb.repartition(13), nlist=8, seed=11,
+                                cache=False)
+    ca = [tuple(r) for r in a.centroids.orderBy("list_id").collect()]
+    cb = [tuple(r) for r in b.centroids.orderBy("list_id").collect()]
+    assert ca == cb
+    aa = {r["vec_id"]: r["__list"] for r in a.assigned.collect()}
+    ab = {r["vec_id"]: r["__list"] for r in b.assigned.collect()}
+    assert aa == ab
+    assert len(set(aa.values())) > 1   # actually clustered, not one list
+    queries = emb.orderBy("vec_id").limit(3)
+    got = ivf_query(a, queries, k=5, nprobe=8).collect()
+    assert got and all(1 <= r["rank"] <= 5 for r in got)
+    assert {r["query_id"] for r in got} == {0, 1, 2}

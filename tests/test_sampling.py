@@ -121,3 +121,141 @@ def test_stratified_null_stratum_is_sampled(spark):
         .select("doc_id", F.xxhash64("doc_id", F.lit(42))
                 .bitwiseXOR(F.lit(-(1 << 63))).alias("h")).collect())
     assert got == {d for _, d in ref[:3]}
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k weighted sampling + DSIR-style importance resampling
+
+
+def test_gumbel_topk_exact_vs_driver_reference(spark):
+    """Given the same hash-derived noise, the selected set must equal a
+    driver-side Gumbel-top-k over the same keys — the distributed
+    orderBy+limit adds nothing beyond the trick itself."""
+    import math
+
+    from dexscraper_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("logw"))
+    got = sorted(r["k"] for r in
+                 gumbel_topk_sample(df, weight_col="logw", n=20,
+                                    key_col="k", seed=9).collect())
+    # reference: same u derivation, hashes read back through Spark
+    hs = {r["k"]: r["h"] for r in df.select(
+        "k", F.shiftrightunsigned(F.xxhash64(F.col("k"), F.lit(9)), 11)
+        .alias("h")).collect()}
+    keys = {}
+    for r in df.collect():
+        u = (hs[r["k"]] + 1.0) / float((1 << 53) + 2)
+        keys[r["k"]] = r["logw"] + (-math.log(-math.log(u)))
+    want = sorted(sorted(keys, key=lambda k: (-keys[k], k))[:20])
+    assert got == want
+
+
+def test_gumbel_topk_layout_independent_and_sized(spark):
+    from dexscraper_spark.operators.sampling import gumbel_topk_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", F.length("text").cast("double").alias("logw"))
+    a = _ids(gumbel_topk_sample(docs, weight_col="logw", n=50,
+                                key_col="doc_id"))
+    b = _ids(gumbel_topk_sample(docs.repartition(13), weight_col="logw",
+                                n=50, key_col="doc_id"))
+    assert a == b and len(a) == 50
+    # NULL weights are excluded, never sampled
+    withnull = docs.withColumn(
+        "logw", F.when(F.col("doc_id") % 2 == 0, F.col("logw")))
+    got = gumbel_topk_sample(withnull, weight_col="logw", n=50,
+                             key_col="doc_id").collect()
+    assert got and all(r["doc_id"] % 2 == 0 for r in got)
+
+
+def test_gumbel_topk_weight_dominance(spark):
+    """An item with overwhelming log-weight must be selected under
+    (almost) every seed — the weights actually steer the sample."""
+    from dexscraper_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 7, F.lit(50.0)).otherwise(F.lit(0.0))
+        .alias("logw"))
+    hits = sum(
+        any(r["k"] == 7 for r in
+            gumbel_topk_sample(df, weight_col="logw", n=5, key_col="k",
+                               seed=s).collect())
+        for s in range(20))
+    assert hits == 20   # P(miss) ~ exp(-50) per seed
+    # and temperature -> inf flattens it: with huge temperature the
+    # heavy item wins only ~5/100 of the time across seeds
+    hits_flat = sum(
+        any(r["k"] == 7 for r in
+            gumbel_topk_sample(df, weight_col="logw", n=5, key_col="k",
+                               seed=s, temperature=1e9).collect())
+        for s in range(20))
+    assert hits_flat < 10
+
+
+def test_gumbel_topk_plan_is_take_ordered(spark):
+    from dexscraper_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("logw"))
+    plan = gumbel_topk_sample(df, weight_col="logw", n=10, key_col="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gumbel_topk_validation(spark):
+    import pytest
+
+    from dexscraper_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.range(1).select(F.col("id").alias("k"),
+                               F.lit(0.0).alias("logw"))
+    with pytest.raises(ValueError, match="n must be"):
+        gumbel_topk_sample(df, weight_col="logw", n=0, key_col="k")
+    with pytest.raises(ValueError, match="temperature"):
+        gumbel_topk_sample(df, weight_col="logw", n=1, key_col="k",
+                           temperature=0.0)
+
+
+def test_importance_resample_moves_toward_target(spark):
+    """Docs drawn by importance_resample must skew toward the target
+    domain: with a target LM trained on 'en'-labelled docs and a raw LM
+    on everything, the selected set's en-share must exceed the
+    corpus's, and logw must rank in-domain docs above scrambled ones."""
+    from dexscraper_spark.operators.lm import lm_train
+    from dexscraper_spark.operators.sampling import importance_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    target = lm_train(docs.filter(F.col("lang") == "en")
+                      .select("text"), n=2)
+    raw = lm_train(docs.select("text"), n=2)
+
+    picked = importance_resample(docs, target, raw, n=100, lm_order=2,
+                                 seed=3).collect()
+    assert len(picked) == 100
+    assert {r["doc_id"] for r in picked}  # ids unique (no replacement)
+    en_share_corpus = docs.filter(F.col("lang") == "en").count() \
+        / docs.count()
+    en_share_picked = sum(r["lang"] == "en" for r in picked) / 100
+    assert en_share_picked > en_share_corpus
+    # all original columns plus logw ride through
+    assert {"doc_id", "lang", "text", "logw"} <= set(picked[0].asDict())
+
+
+def test_importance_resample_deterministic(spark):
+    from dexscraper_spark.operators.lm import lm_train
+    from dexscraper_spark.operators.sampling import importance_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 200)
+    target = lm_train(docs.filter(F.col("lang") == "en")
+                      .select("text"), n=2)
+    raw = lm_train(docs.select("text"), n=2)
+    a = _ids(importance_resample(docs, target, raw, n=30, lm_order=2))
+    b = _ids(importance_resample(docs.repartition(7), target, raw,
+                                 n=30, lm_order=2))
+    assert a == b and len(a) == 30
