@@ -100,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dexscraper_spark")
     p.add_argument("command",
                    choices=list(PRESETS) + ["stream", "curate", "bars",
-                                            "pack", "zorder", "ann"])
+                                            "pack", "zorder", "ann",
+                                            "select"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -209,6 +210,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "embedding dim)")
     an.add_argument("--pq-ksub", type=int, default=64,
                     help="ann build: centroids per subspace (<=256)")
+    se = p.add_argument_group(
+        "select (DSIR-style importance resampling: sample --n docs from "
+        "--docs proportional to p_target/p_raw, LMs trained on "
+        "--target-docs vs --docs; shares --docs/--out with curate)")
+    se.add_argument("--target-docs", default=None,
+                    help="select: parquet of target-domain documents "
+                         "(doc_id, text) the selection should move "
+                         "toward")
+    se.add_argument("--n", type=int, default=None,
+                    help="select: number of documents to draw "
+                         "(without replacement)")
+    se.add_argument("--lm-order", type=int, default=3,
+                    help="select: n-gram order of both LMs")
+    se.add_argument("--temperature", type=float, default=1.0,
+                    help="select: softmax temperature over log-weights "
+                         "(higher = flatter, closer to uniform)")
+    se.add_argument("--seed", type=int, default=42)
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -246,6 +264,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "ann":
         return _run_ann(args, spark)
+
+    if args.command == "select":
+        return _run_select(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -757,3 +778,55 @@ def _run_stream(args, spark) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(run())
+
+
+def _run_select(args, spark) -> int:
+    """DSIR-style data selection:
+
+        select --docs RAW.parquet --target-docs TARGET.parquet \
+               --n 100000 --out OUT
+
+    trains one stupid-backoff LM per side (--lm-order grams), computes
+    per-doc log importance ratios, draws --n docs without replacement
+    via Gumbel top-k (deterministic under --seed, layout-independent),
+    and writes OUT/selected/ (the drawn docs + their logw). Emits one
+    JSON summary line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.lm import lm_train
+    from dexscraper_spark.operators.sampling import importance_resample
+    from dexscraper_spark.persist import tracked_persist
+
+    if not args.docs or not args.target_docs or not args.out:
+        print("select: --docs, --target-docs and --out are required",
+              file=sys.stderr)
+        return 2
+    if not args.n or args.n < 1:
+        print("select: --n (a positive sample size) is required",
+              file=sys.stderr)
+        return 2
+    docs = spark.read.parquet(args.docs)
+    target_docs = spark.read.parquet(args.target_docs)
+    target_lm = lm_train(target_docs.select("text"), n=args.lm_order)
+    raw_lm = lm_train(docs.select("text"), n=args.lm_order)
+    picked = tracked_persist(importance_resample(
+        docs, target_lm, raw_lm, n=args.n, lm_order=args.lm_order,
+        seed=args.seed, temperature=args.temperature))
+    n_out = picked.count()
+    picked.write.mode("overwrite").parquet(f"{args.out}/selected")
+    stats = picked.agg(F.min("logw").alias("lo"),
+                       F.avg("logw").alias("mean"),
+                       F.max("logw").alias("hi")).first()
+    print(_json.dumps({
+        "mode": "select", "requested": args.n, "selected": n_out,
+        "lm_order": args.lm_order, "temperature": args.temperature,
+        "seed": args.seed,
+        "logw_min": round(stats["lo"], 4) if stats["lo"] is not None
+        else None,
+        "logw_mean": round(stats["mean"], 4) if stats["mean"] is not None
+        else None,
+        "logw_max": round(stats["hi"], 4) if stats["hi"] is not None
+        else None}))
+    return 0

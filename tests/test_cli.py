@@ -522,3 +522,40 @@ def test_cli_curate_wide_tier_roundtrip_and_mismatch(spark, tmp_path,
              "--out", str(tmp_path / "day2"),
              "--min-quality", "0.3", "--min-tokens", "3"],
             spark=spark)
+
+
+def test_cli_select_importance_resampling(spark, tmp_path, capsys):
+    """select end to end: draws exactly --n docs, writes selected/ with
+    logw, summary line carries the weight stats, and the selection
+    skews toward the target domain."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(str(tmp_path / "raw"))
+    docs.filter(F.col("lang") == "en").select("doc_id", "text") \
+        .write.parquet(str(tmp_path / "target"))
+
+    assert run(["select", "--docs", str(tmp_path / "raw"),
+                "--target-docs", str(tmp_path / "target"),
+                "--n", "80", "--lm-order", "2",
+                "--out", str(tmp_path / "sel")], spark=spark) == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["mode"] == "select" and doc["selected"] == 80
+    assert doc["logw_min"] <= doc["logw_mean"] <= doc["logw_max"]
+    out = spark.read.parquet(str(tmp_path / "sel/selected"))
+    assert out.count() == 80 and "logw" in out.columns
+    en_corpus = docs.filter(F.col("lang") == "en").count() / docs.count()
+    en_picked = out.filter(F.col("lang") == "en").count() / 80
+    assert en_picked > en_corpus
+
+
+def test_cli_select_argument_validation(spark, capsys):
+    from dexscraper_spark.cli import run
+
+    assert run(["select"], spark=spark) == 2
+    assert run(["select", "--docs", "x", "--target-docs", "y",
+                "--out", "z"], spark=spark) == 2  # missing --n
