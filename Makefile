@@ -25,8 +25,11 @@ bench-gate:
 	python tools/bench_gate.py /tmp/bench_new.json \
 	  $$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
 
-# Re-measure approximate-ANN recall@5 at the bench SF and alarm if any
-# config dropped >0.05 vs the committed RECALL.json, then refresh it.
+# recall: re-measure approximate-ANN recall@5 at the bench SF and
+# OVERWRITE the committed RECALL.json baseline (no gate — use after an
+# intentional config change). recall-gate: measure, alarm if any config
+# dropped >0.05 vs the committed baseline (or the setups are
+# incomparable), and refresh the baseline only on PASS.
 recall:
 	python tools/recall.py /root/testdata/sf0.1 --out RECALL.json
 

@@ -405,13 +405,16 @@ def main() -> None:
         # separate line: informational, may be truncated by the driver —
         # the sidecar below is the durable copy
         print(json.dumps(cold_doc))
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_FULL.json")
-    try:
-        with open(side, "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError as e:
-        print(f"bench: sidecar write failed: {e}", file=sys.stderr)
+    # sidecar only for FULL runs: a --no-cold iteration run must not
+    # overwrite the committed warm+cold record with a warm-only one
+    if "--no-cold" not in sys.argv:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FULL.json")
+        try:
+            with open(side, "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError as e:
+            print(f"bench: sidecar write failed: {e}", file=sys.stderr)
     # the ONE compact line the driver parses — keep it LAST and small
     print(json.dumps(out))
 

@@ -776,9 +776,6 @@ def _run_stream(args, spark) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(run())
-
 
 def _run_select(args, spark) -> int:
     """DSIR-style data selection:
@@ -830,3 +827,6 @@ def _run_select(args, spark) -> int:
         "logw_max": round(stats["hi"], 4) if stats["hi"] is not None
         else None}))
     return 0
+
+if __name__ == "__main__":
+    raise SystemExit(run())

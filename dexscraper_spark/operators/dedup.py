@@ -256,11 +256,15 @@ def _banded_pairs(fps: DataFrame, probe: DataFrame | None, *,
                   max_hamming: int) -> DataFrame:
     """Shared banded-candidate machinery for every fingerprint width:
     explode ``band_array`` per row, equi-join probe-vs-all on
-    (band_id, band_value), normalize pair order with least/greatest
-    (NOT ia<ib: a probe row must pair with corpus ids on both sides of
-    it, and probe x probe pairs arrive in both orders), verify
-    Hamming = sum of bit_count(xor) over ``fp_cols`` BEFORE dedup so
-    only near pairs shuffle, then distinct."""
+    (band_id, band_value), verify Hamming = sum of bit_count(xor) over
+    ``fp_cols`` BEFORE dedup so only near pairs shuffle, then distinct.
+
+    Pair-order normalization is branch-specific: a SELF-join
+    (probe=None) enumerates every pair in both orders, so ia<ib at the
+    band join halves the verify volume; a PROBE join must keep the
+    symmetric !=/least/greatest form — a probe row pairs with corpus
+    ids on both sides of it, and ia<ib there would silently drop the
+    half where the probe id is larger."""
     def banded(f):
         return f.select(
             F.col(id_col), *[F.col(c) for c in fp_cols],

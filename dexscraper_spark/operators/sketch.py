@@ -139,11 +139,16 @@ def kmv_estimate(sketch_col: Column, *, k: int = 256) -> Column:
 # ---------------------------------------------------------------------------
 
 
-# Reserved item marking a per-(group, partition) exact row-count row in
-# the partials stream (emit_total=True). \x02 cannot collide with real
-# items: mg_sketch's encoding only ever produces \x00 (null) and \x1f
-# (separator) control bytes.
-MG_TOTAL_ITEM = "\x02__mg_rows__"
+def _mg_item_expr(cols: list):
+    """The shared null-marked item encoding: bare concat_ws SKIPS NULL
+    columns, conflating ("x", NULL) with (NULL, "x") and NULL with ""
+    — phantom heavy hitters. \\x00 marks NULL, \\x1f separates. Every
+    MG entry point must use this one expression or summaries stop
+    being merge-comparable."""
+    return F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str)
+                   else c.cast("string"), F.lit("\x00"))
+        for c in cols]).alias("__item")
 
 
 def _mg_local_fn(gcols: list[str], k: int, emit_total: bool = False):
@@ -155,10 +160,14 @@ def _mg_local_fn(gcols: list[str], k: int, emit_total: bool = False):
     is bounded), add into the running counters, then reduce to k by
     subtracting the (k+1)th largest count.
 
-    ``emit_total`` additionally yields one ``MG_TOTAL_ITEM`` row per
-    (group, partition) carrying the exact rows seen — so callers that
-    need both the sketch and n (skew_report's share denominator) pay
-    ONE scan, not two."""
+    ``emit_total`` additionally yields one item=NULL row per (group,
+    partition) carrying the exact rows seen — so callers that need
+    both the sketch and n (skew_report's share denominator) pay ONE
+    scan, not two. NULL is collision-proof as the marker: the item
+    encoding (:func:`_mg_item_expr`) coalesces every real value to a
+    non-null string, so no data row can ever encode to SQL NULL —
+    unlike any sentinel STRING, which adversarial or binary-garbage
+    key bytes could reproduce."""
     def local_mg(batches):
         import pandas as pd
         acc: dict[tuple, dict] = {}
@@ -180,7 +189,7 @@ def _mg_local_fn(gcols: list[str], k: int, emit_total: bool = False):
         rows = [list(key) + [item, c]
                 for key, cnt in acc.items() for item, c in cnt.items()]
         if emit_total:
-            rows += [list(key) + [MG_TOTAL_ITEM, n]
+            rows += [list(key) + [None, n]
                      for key, n in seen.items()]
         if rows:
             yield pd.DataFrame(rows, columns=gcols + ["item", "cnt"])
@@ -209,14 +218,7 @@ def mg_sketch(df: DataFrame, *, cols: list[str],
     independent, the same discipline as ``kmv_sketch``.
     """
     groups = list(group_by or [])
-    # null-marked per-column encoding: bare concat_ws SKIPS NULL
-    # columns, conflating ("x", NULL) with (NULL, "x") and NULL with ""
-    # — phantom heavy hitters. \x00 marks NULL, \x1f separates.
-    item = F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string") if isinstance(c, str)
-                   else c.cast("string"), F.lit("\x00"))
-        for c in cols]).alias("__item")
-    src = df.select(*groups, item)
+    src = df.select(*groups, _mg_item_expr(cols))
     gcols = groups or ["__g"]
     if not groups:
         src = src.withColumn("__g", F.lit(0))
@@ -233,25 +235,22 @@ def mg_sketch(df: DataFrame, *, cols: list[str],
 def mg_sketch_and_total(df: DataFrame, *, cols: list[str],
                         k: int = 64) -> tuple[DataFrame, int]:
     """(heavy-hitter summary, exact total row count) from ONE scan of
-    ``df``: the local MG pass also emits per-partition row-count rows
-    (``MG_TOTAL_ITEM``), the tiny partials frame (O(partitions × k)
+    ``df``: the local MG pass also emits item=NULL per-partition
+    row-count rows (no data row can encode to NULL — see
+    :func:`_mg_local_fn`), the tiny partials frame (O(partitions × k)
     rows) is persisted, and the total is summed from the count rows
     while the item rows merge as usual. For callers like
     :func:`~dexscraper_spark.operators.skew.skew_report` that would
     otherwise pay a second full scan just for ``df.count()``."""
     from dexscraper_spark.persist import tracked_persist
 
-    item = F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string") if isinstance(c, str)
-                   else c.cast("string"), F.lit("\x00"))
-        for c in cols]).alias("__item")
-    src = df.select(item).withColumn("__g", F.lit(0))
+    src = df.select(_mg_item_expr(cols)).withColumn("__g", F.lit(0))
     partials = tracked_persist(src.mapInPandas(
         _mg_local_fn(["__g"], k, emit_total=True),
         schema="`__g` int, item string, cnt long"))
-    total = partials.filter(F.col("item") == MG_TOTAL_ITEM) \
+    total = partials.filter(F.col("item").isNull()) \
         .agg(F.sum("cnt")).first()[0] or 0
-    summary = mg_merge(partials.filter(F.col("item") != MG_TOTAL_ITEM),
+    summary = mg_merge(partials.filter(F.col("item").isNotNull()),
                        group_by=["__g"], k=k).select("item", "cnt")
     return summary, int(total)
 

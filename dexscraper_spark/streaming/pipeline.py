@@ -538,17 +538,24 @@ def ann_extend_fold_builder(index_path: str, *, id_col: str = "vec_id",
     from dexscraper_spark.operators.quantize import ivf_pq_extend_saved
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(id_col, vec_col)
+        # empty-check the RAW batch (pre-shuffle — empty keep-alive
+        # triggers must not pay an aggregation job each)
+        if batch_df.isEmpty():
+            return
         # one row per id: groupBy-max over a (vec) struct is
-        # deterministic under replays, unlike dropDuplicates
-        batch = (batch
+        # deterministic under replays, unlike dropDuplicates. Persist:
+        # the extend's assignment and codes-backfill branches both read
+        # the batch — without it the dedup shuffle re-executes.
+        batch = (batch_df.select(id_col, vec_col)
                  .groupBy(id_col)
                  .agg(F.max(F.struct(vec_col)).alias("__v"))
-                 .select(id_col, F.col(f"__v.{vec_col}")))
-        if batch.isEmpty():
-            return
-        ivf_pq_extend_saved(batch.sparkSession, index_path, batch,
-                            id_col=id_col, vec_col=vec_col)
+                 .select(id_col, F.col(f"__v.{vec_col}"))
+                 .persist())
+        try:
+            ivf_pq_extend_saved(batch.sparkSession, index_path, batch,
+                                id_col=id_col, vec_col=vec_col)
+        finally:
+            batch.unpersist()
 
     return fold
 

@@ -81,3 +81,20 @@ def test_repo_artifact_is_current_schema():
         return
     doc = json.loads(p.read_text())
     assert set(doc["recalls"]) == set(recall_tool.CONFIGS)
+
+
+def test_gate_refuses_incomparable_setups(tmp_path, capsys):
+    """recall@k at one scale is not comparable to recall@k' at another:
+    the gate must refuse (exit 2), not alarm or silently pass."""
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps({"sf_dir": "sfA", "k": 5, "n_queries": 32,
+                             "recalls": {"lsh": 0.9}, "configs": {}}))
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps({"sf_dir": "sfA", "k": 10, "n_queries": 32,
+                             "recalls": {"lsh": 0.9}, "configs": {}}))
+    assert recall_tool.main(["--gate", str(b), str(a)]) == 2
+    assert "INCOMPARABLE" in capsys.readouterr().out
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps({"sf_dir": "sfB", "k": 5, "n_queries": 32,
+                             "recalls": {"lsh": 0.9}, "configs": {}}))
+    assert recall_tool.main(["--gate", str(c), str(a)]) == 2

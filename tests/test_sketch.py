@@ -265,8 +265,7 @@ def test_mg_sketch_and_total_one_scan_matches(spark):
     """mg_sketch_and_total must return the EXACT row count plus a
     summary satisfying the same MG guarantee as mg_sketch — from one
     scan (total rows ride the partials stream, never a second count)."""
-    from dexscraper_spark.operators.sketch import (MG_TOTAL_ITEM,
-                                                   mg_sketch_and_total)
+    from dexscraper_spark.operators.sketch import mg_sketch_and_total
 
     df = _zipf_df(spark).repartition(8)
     n_true = df.count()
@@ -274,8 +273,8 @@ def test_mg_sketch_and_total_one_scan_matches(spark):
     assert total == n_true
     rows = {r.item: r.cnt for r in summary.collect()}
     assert 0 < len(rows) <= 32
-    # the reserved total row never leaks into the summary
-    assert MG_TOTAL_ITEM not in rows
+    # the NULL-marked total rows never leak into the summary
+    assert None not in rows and all(i is not None for i in rows)
     truth = {r.v: r.c for r in
              df.groupBy("v").agg(F.count("*").alias("c")).collect()}
     bound = n_true / 33

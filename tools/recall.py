@@ -123,6 +123,17 @@ def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
         old = json.load(f)
     nr, od = new.get("recalls", {}), old.get("recalls", {})
     print(f"recall_gate: {old_path} -> {new_path} (max drop {drop})")
+    # apples-to-apples guard: recall@k at one scale is not comparable
+    # to recall@k' at another — refuse rather than alarm spuriously or
+    # mask a real regression
+    mismatched = [f"{field} {old.get(field)!r} -> {new.get(field)!r}"
+                  for field in ("k", "n_queries", "sf_dir")
+                  if new.get(field) != old.get(field)]
+    if mismatched:
+        print("  INCOMPARABLE artifacts — measurement setup differs: "
+              + "; ".join(mismatched))
+        print("  re-measure the baseline at the new setup before gating")
+        return 2
     failures = []
     for name, old_r in sorted(od.items()):
         if name not in nr:
