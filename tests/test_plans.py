@@ -313,3 +313,44 @@ def test_stratified_sample_plan_broadcast_no_data_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     P.release_tracked()
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """Semantic dedup's survivor frame: the only pair generation is the
+    per-cluster Gram kernel (one Python stage) and the anti-join is an
+    equi-join — never a cartesian product over the corpus. (The
+    centroid fit is driver-side on a bounded sample, so nothing here
+    depends on an MLlib transform plan.)"""
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    out = semantic_dedup(emb, nlist=4, threshold=0.4)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # survivors = corpus LEFT ANTI losers-artifact-scan
+    assert "LeftAnti" in plan
+
+
+def test_importance_resample_plan_shapes(spark):
+    """The selection plan: no cartesian pair products anywhere, and the
+    final draw is TakeOrderedAndProject (per-partition heaps) — the
+    only Window nodes are lm_score's two lag windows (one per LM side,
+    documented design); the draw itself must not add a ranking
+    window."""
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.lm import lm_train
+    from dexscraper_spark.operators.sampling import importance_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 300)
+    target = lm_train(docs.filter(F.col("lang") == "en")
+                      .select("text"), n=2)
+    raw = lm_train(docs.select("text"), n=2)
+    out = importance_resample(docs, target, raw, n=20, lm_order=2)
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan_of(out, "simple").count("Window") == 2
