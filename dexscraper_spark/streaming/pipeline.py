@@ -572,3 +572,89 @@ def streaming_ann_maintenance(vectors: DataFrame, index_path: str, *,
         vectors, ann_extend_fold_builder(index_path, **fold_kw),
         checkpoint=checkpoint, once=once,
         trigger_seconds=trigger_seconds)
+
+
+def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
+                                  threshold: float = 0.95,
+                                  nprobe: int = 4, expand: int = 4,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> Callable:
+    """Streaming SEMANTIC-DEDUP INGEST — the online twin of
+    :func:`~dexscraper_spark.operators.dedup.semantic_dedup`: each
+    micro-batch of vectors is (1) deduped within itself (exact
+    within-batch cosine pairs → min-id connected-component survivors),
+    (2) searched against the indexed corpus (IVF-PQ top-1; a hit with
+    cosine ≥ ``threshold`` means the corpus already holds this
+    content → drop), and the survivors are (3) published to
+    ``{out_path}/batch={batch_id}`` and (4) appended to the index so
+    LATER batches dedup against them.
+
+    Exactly-once without a versioned store: the within-batch stage is
+    deterministic, the corpus search excludes self-matches BY ID
+    (ivf_pq_topk's query_id != neighbor_id), so a post-crash replay —
+    where this batch's survivors may already sit in the index under
+    their own ids — recomputes the identical survivor set; the publish
+    is an overwrite of the batch's own directory and the index append
+    is id-keyed idempotent (:func:`~dexscraper_spark.operators.
+    quantize.ivf_pq_extend_saved`).
+
+    Honesty note: the vs-corpus stage inherits IVF-PQ's recall — a
+    true near-dup can slip through when its list isn't probed or ADC
+    misranks it out of the k×expand window (tracked in RECALL.json).
+    Raise ``nprobe``/``expand`` (up to nprobe=nlist) to trade
+    per-batch cost for dedup recall; the within-batch stage is always
+    exact. Batches are micro-batch-sized by contract (the search
+    collects query vectors driver-side, same stance as ivf_pq_topk).
+    """
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.dedup import dedup_components
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_extend_saved, ivf_pq_load, ivf_pq_topk)
+    from dexscraper_spark.operators.similarity import (
+        exact_cosine_pairs_blocked)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = (batch_df.select(id_col, vec_col)
+                 .groupBy(id_col)
+                 .agg(F.max(F.struct(vec_col)).alias("__v"))
+                 .select(id_col, F.col(f"__v.{vec_col}"))
+                 .persist())
+        try:
+            # 1) exact within-batch dedup (batch-scale pair graph)
+            pairs = exact_cosine_pairs_blocked(
+                batch.withColumn("__blk", F.lit(0)),
+                id_col=id_col, vec_col=vec_col, block_col="__blk",
+                threshold=threshold)
+            comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
+            batch_losers = (comps
+                            .filter(F.col("node") != F.col("component"))
+                            .select(F.col("node").alias(id_col)))
+            fresh = batch.join(batch_losers, id_col, "left_anti")
+
+            # 2) vs the indexed corpus: top-1 ≥ threshold → duplicate
+            index, books, codes = ivf_pq_load(
+                spark, index_path, id_col=id_col, vec_col=vec_col)
+            hits = ivf_pq_topk(index.assigned, index, codes, fresh,
+                               books, k=1, nprobe=nprobe, expand=expand)
+            dup_ids = (hits.filter(F.col("cosine") >= threshold)
+                       .select(F.col("query_id").alias(id_col))
+                       .distinct())
+            survivors = fresh.join(dup_ids, id_col, "left_anti") \
+                             .persist()
+            try:
+                # 3) publish (idempotent: the batch owns its directory)
+                survivors.write.mode("overwrite").parquet(
+                    f"{out_path}/batch={batch_id}")
+                # 4) index append so later batches dedup against these
+                ivf_pq_extend_saved(spark, index_path, survivors,
+                                    id_col=id_col, vec_col=vec_col)
+            finally:
+                survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    return fold

@@ -763,3 +763,66 @@ def test_ann_fold_replay_and_within_batch_dupes(spark, tmp_path):
     fold(delta.limit(0), 2)                 # empty batch no-op
     assert spark.read.parquet(f"{path}/codes").count() == n1
     assert spark.read.parquet(f"{path}/assigned").count() == emb.count()
+
+
+def test_streaming_semantic_dedup_ingest(spark, tmp_path):
+    """The online semantic-dedup filter: exact copies of indexed
+    corpus vectors are dropped, novel vectors survive + get published
+    and appended (so a LATER batch's copy of them is dropped too), the
+    within-batch copy of a novel vector keeps the min id, and a crash
+    replay recomputes identically (no double-append, same published
+    rows)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_save, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.streaming.pipeline import (
+        ann_dedup_extend_fold_builder)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    index = ivf_build(emb, nlist=8, cache=False)
+    books = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    ivf_pq_save(spark, index, books, ivf_pq_encode(index, books), path)
+    index.unpersist()
+    n_codes0 = spark.read.parquet(f"{path}/codes").count()
+
+    v0 = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    rng = np.random.default_rng(5)
+    novel = [float(x) for x in rng.normal(size=64)]
+    batch1 = spark.createDataFrame(
+        [(1_000_001, list(v0)),       # exact copy of corpus vec 3 → drop
+         (1_000_002, novel),          # novel → survives
+         (1_000_003, novel)],         # within-batch copy → loses to _002
+        "vec_id long, embedding array<float>")
+
+    out = str(tmp_path / "clean")
+    # full probe + generous expand: the test pins dedup LOGIC, not
+    # IVF-PQ recall (that has its own artifact)
+    fold = ann_dedup_extend_fold_builder(path, out, threshold=0.99,
+                                         nprobe=8, expand=16)
+    fold(batch1, 1)
+    pub1 = {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=1").collect()}
+    assert pub1 == {1_000_002}
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes0 + 1
+
+    # crash replay of batch 1: identical publish, no double-append
+    fold(batch1, 1)
+    assert {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=1").collect()} == pub1
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes0 + 1
+
+    # batch 2: a copy of batch 1's survivor must now be dropped too
+    batch2 = spark.createDataFrame(
+        [(1_000_004, novel),
+         (1_000_005, [float(x) for x in rng.normal(size=64)])],
+        "vec_id long, embedding array<float>")
+    fold(batch2, 2)
+    pub2 = {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=2").collect()}
+    assert pub2 == {1_000_005}
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes0 + 2
