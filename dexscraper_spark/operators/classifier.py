@@ -57,25 +57,29 @@ def _buckets(text_col: str, bits: int) -> Column:
     return F.transform(F.array(norm_words(text_col)), feats)[0]
 
 
-def _featurize_sample(rows: list, bits: int):
-    """Driver-side twin of :func:`_buckets` over collected (buckets)
-    rows — training reuses the SPARK-side featurization (the sample is
+def _featurize_sample(rows: list):
+    """Driver-side COO featurization of collected bucket arrays —
+    training reuses the SPARK-side featurization (the sample is
     collected WITH its buckets), so there is no Python re-tokenization
-    to drift from the JVM path."""
+    to drift from the JVM path. Returns (row_idx, col_idx, val) with
+    per-doc L2-normalized values (doc length must not dominate the
+    decision). SPARSE by construction: a dense samples × 2**bits
+    matrix is gigabytes at bits=18 and makes the GD loop thrash."""
     import numpy as np
 
-    n = 1 << bits
-    mats = []
-    for buckets in rows:
-        v = np.zeros(n, dtype=np.float64)
+    rs, cs, vs = [], [], []
+    for i, buckets in enumerate(rows):
+        cnt: dict = {}
         for b in buckets:
-            v[b] += 1.0
-        # L2-normalize: doc length must not dominate the decision
-        nrm = np.linalg.norm(v)
-        if nrm > 0:
-            v /= nrm
-        mats.append(v)
-    return np.array(mats)
+            cnt[b] = cnt.get(b, 0) + 1
+        nrm = float(np.sqrt(sum(c * c for c in cnt.values())))
+        for b, c in cnt.items():
+            rs.append(i)
+            cs.append(b)
+            vs.append(c / nrm)
+    return (np.asarray(rs, dtype=np.int64),
+            np.asarray(cs, dtype=np.int64),
+            np.asarray(vs, dtype=np.float64))
 
 
 def qc_train(positive: DataFrame, negative: DataFrame, *,
@@ -105,16 +109,21 @@ def qc_train(positive: DataFrame, negative: DataFrame, *,
         raise ValueError(
             f"qc_train: empty class sample (pos={len(pos)}, "
             f"neg={len(neg)}) — both classes need non-empty docs")
-    x = np.vstack([_featurize_sample(pos, bits),
-                   _featurize_sample(neg, bits)])
+    rows, cols, vals = _featurize_sample(pos + neg)
+    n = len(pos) + len(neg)
+    d = 1 << bits
     y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
-    w = np.zeros(x.shape[1])
+    # full-batch GD over the COO triplets via bincount (the C fast
+    # path): z = X w, grad = Xᵀ(p − y) — O(nnz) per iteration, never a
+    # dense n × 2**bits matrix
+    w = np.zeros(d)
     b = 0.0
     for _ in range(iters):
-        z = x @ w + b
+        z = np.bincount(rows, weights=vals * w[cols], minlength=n) + b
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y
-        w -= lr * ((x.T @ g) / len(y) + l2 * w)
+        gw = np.bincount(cols, weights=vals * g[rows], minlength=d)
+        w -= lr * (gw / n + l2 * w)
         b -= lr * float(g.mean())
     nz = np.flatnonzero(w)
     weights = spark.createDataFrame(
