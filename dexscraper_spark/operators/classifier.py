@@ -185,3 +185,35 @@ def qc_filter(docs: DataFrame, model: QcModel, *,
     u = (h53.cast("double") + F.lit(1.0)) / F.lit(float((1 << 53) + 2))
     pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.filter(F.col("prob") > F.lit(1.0) - pareto)
+
+
+def qc_save(spark, model: QcModel, path: str) -> None:
+    """Persist the classifier: one parquet of the non-zero weight rows
+    plus the scalar meta (bias, bits) on every row — the pq_save
+    layout discipline (single directory, no sidecar files)."""
+    (model.weights
+     .withColumn("bias", F.lit(model.bias))
+     .withColumn("bits", F.lit(model.bits))
+     .write.mode("overwrite").parquet(path))
+
+
+def qc_load(spark, path: str) -> QcModel:
+    """Load and VALIDATE a stored classifier: bits/bias must be
+    consistent across rows and buckets in range — a partially written
+    or mixed-generation directory would otherwise score silently
+    wrong."""
+    df = spark.read.parquet(path)
+    meta = df.select("bias", "bits").distinct().collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"classifier at {path} has {len(meta)} distinct "
+            "(bias, bits) pairs — mixed or partial write")
+    bias, bits = float(meta[0]["bias"]), int(meta[0]["bits"])
+    n_bad = df.filter((F.col("bucket") < 0)
+                      | (F.col("bucket") >= (1 << bits))).count()
+    if n_bad:
+        raise ValueError(
+            f"classifier at {path}: {n_bad} weight rows outside "
+            f"[0, 2**{bits}) — wrong bits or corrupt store")
+    return QcModel(weights=df.select("bucket", "weight"),
+                   bias=bias, bits=bits)

@@ -140,3 +140,28 @@ def test_qc_train_validation(spark):
         qc_filter(docs, qc_train(docs, _junk(spark, n=10),
                                  sample_n=10, iters=5, bits=12),
                   alpha=0.0)
+
+
+def test_qc_save_load_roundtrip_and_validation(spark, model, tmp_path):
+    import pytest
+
+    from dexscraper_spark.operators.classifier import qc_load, qc_save
+
+    p = str(tmp_path / "qc")
+    qc_save(spark, model, p)
+    back = qc_load(spark, p)
+    assert back.bias == model.bias and back.bits == model.bits
+    w0 = {(r["bucket"], r["weight"]) for r in model.weights.collect()}
+    w1 = {(r["bucket"], r["weight"]) for r in back.weights.collect()}
+    assert w0 == w1
+    # scoring through the roundtripped model is identical
+    docs = _docs(spark).filter(F.col("doc_id") < 10)
+    a = {r["doc_id"]: r["logit"] for r in qc_score(docs, model).collect()}
+    b = {r["doc_id"]: r["logit"] for r in qc_score(docs, back).collect()}
+    assert a == b
+    # mixed-generation store fails loudly
+    model.weights.withColumn("bias", F.lit(99.0)) \
+        .withColumn("bits", F.lit(model.bits)) \
+        .write.mode("append").parquet(p)
+    with pytest.raises(ValueError, match="distinct"):
+        qc_load(spark, p)
