@@ -147,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "saturate with chance candidates (the store "
                           "and every later --delta must use the same "
                           "tier; mismatches fail loudly)")
+    cur.add_argument("--quality-model", default=None,
+                     help="curate: qc_save directory of a trained "
+                          "quality classifier — docs are filtered with "
+                          "the GPT-3 Pareto keep rule BEFORE curation")
+    cur.add_argument("--quality-alpha", type=float, default=9.0,
+                     help="curate: Pareto alpha for --quality-model "
+                          "(higher = stricter)")
     cur.add_argument("--eval-docs", default=None,
                      help="curate: parquet of benchmark/eval documents "
                           "— training docs sharing a 13-gram are "
@@ -450,6 +457,17 @@ def _run_curate(args, spark) -> int:
         n_contaminated = removed.count()
         removed.write.mode("overwrite").parquet(
             f"{args.out}/contaminated")
+    n_quality_dropped = None
+    if args.quality_model:
+        from dexscraper_spark.operators.classifier import (qc_filter,
+                                                           qc_load)
+        from dexscraper_spark.persist import tracked_persist
+
+        qcm = qc_load(spark, args.quality_model)
+        kept = tracked_persist(
+            qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
+        n_quality_dropped = docs.count() - kept.count()
+        docs = kept
     # Counting strategy for the summary, both branches: persist the
     # result frames and count THOSE, not the written dirs — (a) a
     # zero-survivor partitionBy write leaves no parquet footers, and
@@ -473,6 +491,8 @@ def _run_curate(args, spark) -> int:
                 "new_survivors": res.curated_new.count(),
                 **({"contaminated": n_contaminated}
                    if n_contaminated is not None else {}),
+                **({"quality_dropped": n_quality_dropped}
+                   if n_quality_dropped is not None else {}),
                 "retracted": res.retracted.count(),
                 "state_rows": spark.read.parquet(args.state_out).count(),
             }
@@ -491,6 +511,8 @@ def _run_curate(args, spark) -> int:
                 "survivors": curated.count(),
                 **({"contaminated": n_contaminated}
                    if n_contaminated is not None else {}),
+                **({"quality_dropped": n_quality_dropped}
+                   if n_quality_dropped is not None else {}),
                 "state_rows": spark.read.parquet(state_out).count(),
             }
         finally:

@@ -559,3 +559,46 @@ def test_cli_select_argument_validation(spark, capsys):
     assert run(["select"], spark=spark) == 2
     assert run(["select", "--docs", "x", "--target-docs", "y",
                 "--out", "z"], spark=spark) == 2  # missing --n
+
+
+def test_cli_curate_with_quality_model(spark, tmp_path, capsys):
+    """--quality-model end to end: junk docs die before curation (the
+    summary accounts for them) and the curated output contains only
+    real-text survivors."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+    from dexscraper_spark.operators.classifier import qc_save, qc_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 300)
+    junk = spark.range(200).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit(f"j{i}"))), 1, 8)
+            for i in range(20)]).alias("text"),
+        F.lit("en").alias("lang"), F.lit("syn").alias("source"),
+        F.lit(160).alias("n_chars"))
+    model = qc_train(docs.select("doc_id", "text"),
+                     junk.select("doc_id", "text"),
+                     bits=14, sample_n=200, iters=100)
+    qc_save(spark, model, str(tmp_path / "qcm"))
+
+    mixed = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 300).unionByName(junk)
+    mixed.write.parquet(str(tmp_path / "mixed"))
+    assert run(["curate", "--docs", str(tmp_path / "mixed"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "store"),
+                "--quality-model", str(tmp_path / "qcm"),
+                "--min-quality", "0.3", "--min-tokens", "3"],
+               spark=spark) == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["quality_dropped"] > 150       # junk died pre-curation
+    curated = spark.read.parquet(str(tmp_path / "day0/curated"))
+    junk_survived = curated.filter(F.col("doc_id") >= 5_000_000).count()
+    assert junk_survived < 10                 # the thin Pareto tail only
