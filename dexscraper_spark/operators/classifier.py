@@ -153,13 +153,15 @@ def qc_score(docs: DataFrame, model: QcModel, *,
                     .alias("__dot"),
                     F.sqrt(F.sum(F.col("cnt") * F.col("cnt")))
                     .alias("__nrm")))
+    # explode_outer guarantees one per_doc row per input doc (empty/
+    # NULL docs contribute a NULL-bucket row), so no rejoin against
+    # docs is needed — that would re-scan the corpus purely to
+    # re-attach rows already all present here
     logit = (F.when(F.col("__nrm") > 0,
                     F.col("__dot") / F.col("__nrm"))
              .otherwise(F.lit(0.0)) + F.lit(model.bias))
-    return (docs.select(id_col)
-            .join(per_doc, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce(logit, F.lit(model.bias)).alias("logit"))
+    return (per_doc
+            .select(F.col(id_col), logit.alias("logit"))
             .withColumn("prob", F.lit(1.0)
                         / (F.lit(1.0) + F.exp(-F.col("logit")))))
 
@@ -177,21 +179,30 @@ def qc_filter(docs: DataFrame, model: QcModel, *,
     with ``prob``."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    scored = docs.join(
-        qc_score(docs, model, id_col=id_col, text_col=text_col)
-        .select(id_col, "prob"), id_col)
+    # decide on the (id, prob) score frame FIRST — the Pareto rule
+    # needs only id + prob — then one equi-join attaches the surviving
+    # ids back to the full rows: docs is scanned once for features and
+    # once here, and the join carries survivors only
     h53 = F.shiftrightunsigned(
         F.xxhash64(F.col(id_col), F.lit(seed)), 11)
     u = (h53.cast("double") + F.lit(1.0)) / F.lit(float((1 << 53) + 2))
     pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    return scored.filter(F.col("prob") > F.lit(1.0) - pareto)
+    kept = (qc_score(docs, model, id_col=id_col, text_col=text_col)
+            .filter(F.col("prob") > F.lit(1.0) - pareto)
+            .select(id_col, "prob"))
+    return docs.join(kept, id_col)
 
 
 def qc_save(spark, model: QcModel, path: str) -> None:
     """Persist the classifier: one parquet of the non-zero weight rows
-    plus the scalar meta (bias, bits) on every row — the pq_save
-    layout discipline (single directory, no sidecar files)."""
-    (model.weights
+    plus ONE meta row (bucket = −1, weight = 0) carrying the scalar
+    (bias, bits) — the pq_save layout discipline (single directory,
+    no sidecar files). The meta row, not per-row meta columns, is what
+    makes a valid-but-degenerate ALL-ZERO-weights model representable:
+    with meta only on weight rows, an empty-weights model would save
+    as a zero-row parquet and lose bias/bits entirely."""
+    meta = spark.createDataFrame([(-1, 0.0)], "bucket int, weight double")
+    (model.weights.unionByName(meta)
      .withColumn("bias", F.lit(model.bias))
      .withColumn("bits", F.lit(model.bits))
      .write.mode("overwrite").parquet(path))
@@ -199,9 +210,9 @@ def qc_save(spark, model: QcModel, path: str) -> None:
 
 def qc_load(spark, path: str) -> QcModel:
     """Load and VALIDATE a stored classifier: bits/bias must be
-    consistent across rows and buckets in range — a partially written
-    or mixed-generation directory would otherwise score silently
-    wrong."""
+    consistent across rows, exactly one meta row present, and buckets
+    in range — a partially written or mixed-generation directory would
+    otherwise score silently wrong."""
     df = spark.read.parquet(path)
     meta = df.select("bias", "bits").distinct().collect()
     if len(meta) != 1:
@@ -209,11 +220,15 @@ def qc_load(spark, path: str) -> QcModel:
             f"classifier at {path} has {len(meta)} distinct "
             "(bias, bits) pairs — mixed or partial write")
     bias, bits = float(meta[0]["bias"]), int(meta[0]["bits"])
-    n_bad = df.filter((F.col("bucket") < 0)
-                      | (F.col("bucket") >= (1 << bits))).count()
+    if df.filter(F.col("bucket") == -1).count() != 1:
+        raise ValueError(
+            f"classifier at {path} lacks exactly one meta row — "
+            "partial write or pre-meta-format store")
+    weights = df.filter(F.col("bucket") >= 0)
+    n_bad = weights.filter(F.col("bucket") >= (1 << bits)).count()
     if n_bad:
         raise ValueError(
             f"classifier at {path}: {n_bad} weight rows outside "
             f"[0, 2**{bits}) — wrong bits or corrupt store")
-    return QcModel(weights=df.select("bucket", "weight"),
+    return QcModel(weights=weights.select("bucket", "weight"),
                    bias=bias, bits=bits)

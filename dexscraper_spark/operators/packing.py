@@ -234,7 +234,7 @@ def split_documents(docs: DataFrame, *, max_tokens: int,
     standard guard against training on tiny fragments. Docs with NULL
     text produce no rows.
     """
-    from dexscraper_spark.operators.bpe import norm_words
+    from dexscraper_spark.operators.bpe import _WS
 
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -243,6 +243,15 @@ def split_documents(docs: DataFrame, *, max_tokens: int,
         raise ValueError(
             f"stride must be in [1, max_tokens], got {stride} "
             f"(> max_tokens would skip tokens)")
+    if not 1 <= min_tail <= max_tokens:
+        raise ValueError(
+            f"min_tail must be in [1, max_tokens], got {min_tail} "
+            f"(larger would silently drop every non-first window)")
+
+    # verbatim tokens — norm_words lowercases, which destroys training
+    # text; same ASCII-whitespace class, no case folding
+    raw_words = F.filter(F.split(F.trim(F.col(text_col)), _WS),
+                         lambda w: F.length(w) > 0)
 
     def windows(w):
         n = F.size(w)
@@ -264,7 +273,7 @@ def split_documents(docs: DataFrame, *, max_tokens: int,
     exploded = (docs
                 .select(F.col(id_col),
                         F.posexplode(
-                            F.transform(F.array(norm_words(text_col)),
+                            F.transform(F.array(raw_words),
                                         windows)[0])
                         .alias("window_id", "__w")))
     return exploded.select(

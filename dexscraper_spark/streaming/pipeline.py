@@ -590,13 +590,19 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
     LATER batches dedup against them.
 
     Exactly-once without a versioned store: the within-batch stage is
-    deterministic, the corpus search excludes self-matches BY ID
-    (ivf_pq_topk's query_id != neighbor_id), so a post-crash replay —
-    where this batch's survivors may already sit in the index under
-    their own ids — recomputes the identical survivor set; the publish
-    is an overwrite of the batch's own directory and the index append
-    is id-keyed idempotent (:func:`~dexscraper_spark.operators.
-    quantize.ivf_pq_extend_saved`).
+    deterministic, and the corpus search runs against the stored index
+    MINUS this batch's ids — not merely excluding self-matches: after
+    a crash the batch's survivors already sit in the index, and their
+    codes would otherwise perturb the ADC k×expand candidate window on
+    replay (a true near-dup's corpus twin could be pushed out of the
+    window and the dup would slip through — replay would not recompute
+    the same survivor set). Anti-joining the batch ids out of the code
+    and re-rank tables restores the exact pre-append search universe,
+    so a replay recomputes identical decisions; the publish is an
+    overwrite of the batch's own directory and the index append is
+    id-keyed idempotent (:func:`~dexscraper_spark.operators.quantize.
+    ivf_pq_extend_saved`). Centroids/codebooks never change on extend,
+    so the probe side is replay-stable by construction.
 
     Honesty note: the vs-corpus stage inherits IVF-PQ's recall — a
     true near-dup can slip through when its list isn't probed or ADC
@@ -635,10 +641,17 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
                             .select(F.col("node").alias(id_col)))
             fresh = batch.join(batch_losers, id_col, "left_anti")
 
-            # 2) vs the indexed corpus: top-1 ≥ threshold → duplicate
+            # 2) vs the indexed corpus MINUS this batch's ids: a crashed
+            # run's appends must not perturb the replay's ADC window
+            # (see docstring) — anti-join the batch out of both the
+            # code table and the re-rank corpus
             index, books, codes = ivf_pq_load(
                 spark, index_path, id_col=id_col, vec_col=vec_col)
-            hits = ivf_pq_topk(index.assigned, index, codes, fresh,
+            batch_ids = batch.select(id_col)
+            clean_codes = codes.join(batch_ids, id_col, "left_anti")
+            clean_corpus = index.assigned.join(batch_ids, id_col,
+                                               "left_anti")
+            hits = ivf_pq_topk(clean_corpus, index, clean_codes, fresh,
                                books, k=1, nprobe=nprobe, expand=expand)
             dup_ids = (hits.filter(F.col("cosine") >= threshold)
                        .select(F.col("query_id").alias(id_col))

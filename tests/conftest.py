@@ -45,3 +45,23 @@ def sample_ohlc(spark):
           1_000_000.50, 150)],
         schema=OHLC,
     )
+
+
+def junk_docs(spark, n=400, offset=10_000_000, salt="w", doc_cols=False):
+    """Shared negative-class generator: hex-gibberish 'documents' with
+    a vocabulary disjoint from real text (md5 hunks). ``doc_cols`` adds
+    the documents-table companion columns (lang/source/n_chars) for
+    tests that union with the real table."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).select(
+        (F.col("id") + offset).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit(f"{salt}{i}"))), 1, 8)
+            for i in range(20)]).alias("text"))
+    if not doc_cols:
+        return base
+    return base.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"), F.lit(160).alias("n_chars"))

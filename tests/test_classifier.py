@@ -18,13 +18,8 @@ def _docs(spark):
 
 
 def _junk(spark, n=400, offset=10_000_000):
-    """Negative class: hex-gibberish 'documents' — disjoint vocabulary."""
-    return spark.range(n).select(
-        (F.col("id") + offset).alias("doc_id"),
-        F.concat_ws(" ", *[
-            F.substring(F.md5(F.concat(F.col("id").cast("string"),
-                                       F.lit(f"w{i}"))), 1, 8)
-            for i in range(20)]).alias("text"))
+    from tests.conftest import junk_docs
+    return junk_docs(spark, n=n, offset=offset)
 
 
 @pytest.fixture(scope="module")
@@ -165,3 +160,22 @@ def test_qc_save_load_roundtrip_and_validation(spark, model, tmp_path):
         .write.mode("append").parquet(p)
     with pytest.raises(ValueError, match="distinct"):
         qc_load(spark, p)
+
+
+def test_qc_save_load_empty_weights_model(spark, tmp_path):
+    """A valid-but-degenerate all-zero-weights model must roundtrip
+    (bias/bits ride the meta row, not the weight rows)."""
+    from dexscraper_spark.operators.classifier import (QcModel, qc_load,
+                                                       qc_save, qc_score)
+
+    empty_w = spark.createDataFrame([], "bucket int, weight double")
+    m = QcModel(weights=empty_w, bias=-1.25, bits=14)
+    p = str(tmp_path / "degenerate")
+    qc_save(spark, m, p)
+    back = qc_load(spark, p)
+    assert back.bias == -1.25 and back.bits == 14
+    assert back.weights.count() == 0
+    docs = spark.createDataFrame([(1, "anything at all")],
+                                 "doc_id long, text string")
+    got = qc_score(docs, back).first()
+    assert abs(got["logit"] - (-1.25)) < 1e-12

@@ -574,14 +574,9 @@ def test_cli_curate_with_quality_model(spark, tmp_path, capsys):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
         .filter(F.col("doc_id") < 300)
-    junk = spark.range(200).select(
-        (F.col("id") + 5_000_000).alias("doc_id"),
-        F.concat_ws(" ", *[
-            F.substring(F.md5(F.concat(F.col("id").cast("string"),
-                                       F.lit(f"j{i}"))), 1, 8)
-            for i in range(20)]).alias("text"),
-        F.lit("en").alias("lang"), F.lit("syn").alias("source"),
-        F.lit(160).alias("n_chars"))
+    from tests.conftest import junk_docs
+    junk = junk_docs(spark, n=200, offset=5_000_000, salt="j",
+                     doc_cols=True)
     model = qc_train(docs.select("doc_id", "text"),
                      junk.select("doc_id", "text"),
                      bits=14, sample_n=200, iters=100)

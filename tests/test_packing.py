@@ -168,7 +168,7 @@ def test_split_documents_matches_reference(spark):
                                         stride=s).collect()}
         want = {}
         for did, text in texts.items():
-            toks = text.lower().split()
+            toks = text.split()
             if not toks:
                 continue
             k = 0
@@ -241,3 +241,18 @@ def test_split_documents_validation_and_plan(spark):
     plan = split_documents(docs, max_tokens=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan    # pure map-side: no shuffle
+
+
+def test_split_documents_preserves_case_and_validates_min_tail(spark):
+    import pytest
+
+    from dexscraper_spark.operators.packing import split_documents
+
+    docs = spark.createDataFrame(
+        [(1, "The CEO of IBM said No")], "doc_id long, text string")
+    rows = split_documents(docs, max_tokens=4, stride=4).collect()
+    texts = [r["window_text"] for r in
+             sorted(rows, key=lambda r: r["window_id"])]
+    assert texts == ["The CEO of IBM", "said No"]   # verbatim case
+    with pytest.raises(ValueError, match="min_tail"):
+        split_documents(docs, max_tokens=4, min_tail=5)
