@@ -671,3 +671,19 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
             batch.unpersist()
 
     return fold
+
+
+def streaming_semantic_dedup_ingest(vectors: DataFrame, index_path: str,
+                                    out_path: str, *, checkpoint: str,
+                                    once: bool = False,
+                                    trigger_seconds: int = 5,
+                                    **fold_kw):
+    """Run the online semantic-dedup ingest loop: every micro-batch of
+    ``vectors`` is deduped (within-batch exact + vs the indexed corpus)
+    and its survivors published + appended. Returns the StreamingQuery.
+    ``fold_kw`` forwards to :func:`ann_dedup_extend_fold_builder`."""
+    return run_foreach_batch(
+        vectors, ann_dedup_extend_fold_builder(index_path, out_path,
+                                               **fold_kw),
+        checkpoint=checkpoint, once=once,
+        trigger_seconds=trigger_seconds)

@@ -826,3 +826,58 @@ def test_streaming_semantic_dedup_ingest(spark, tmp_path):
             spark.read.parquet(f"{out}/batch=2").collect()}
     assert pub2 == {1_000_005}
     assert spark.read.parquet(f"{path}/codes").count() == n_codes0 + 2
+
+
+def test_streaming_semantic_dedup_ingest_real_stream(spark, tmp_path):
+    """The ingest filter through an actual Structured Streaming query
+    (file source, one file per trigger): corpus copies die, novel
+    vectors flow through in every batch, the index grows only by the
+    survivors, and a checkpointed restart replays nothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_save, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.streaming.pipeline import (
+        streaming_semantic_dedup_ingest)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    index = ivf_build(emb, nlist=8, cache=False)
+    books = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    ivf_pq_save(spark, index, books, ivf_pq_encode(index, books), path)
+    index.unpersist()
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    v3 = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    v9 = list(emb.filter(F.col("vec_id") == 9).first()["embedding"])
+    rng = np.random.default_rng(11)
+    nov = [[float(x) for x in rng.normal(size=64)] for _ in range(2)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(2_000_001, v3), (2_000_002, nov[0])],
+                          "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(2_000_003, v9), (2_000_004, nov[1])],
+                          "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "clean")
+
+    def start():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return streaming_semantic_dedup_ingest(
+            stream, path, out, checkpoint=str(tmp_path / "ck"),
+            once=True, threshold=0.99, nprobe=8, expand=16)
+
+    start().awaitTermination(180)
+    pub = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert pub == {2_000_002, 2_000_004}       # copies of 3 and 9 died
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
+    # restart on the same checkpoint: no new batches, nothing replayed
+    start().awaitTermination(180)
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == pub
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
