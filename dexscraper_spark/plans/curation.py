@@ -458,3 +458,67 @@ def curation_stats(curated: DataFrame) -> DataFrame:
              F.avg("quality").alias("mean_quality"))
         .orderBy("split", "lang")
     )
+
+
+def write_training_shards(curated: DataFrame, path: str, *,
+                          n_shards: int = 64, id_col: str = "doc_id",
+                          token_col: str | None = "n_tokens",
+                          seed: int = 42,
+                          format: str = "parquet") -> dict:
+    """The pipeline's LAST step: materialize a curated corpus as ``n``
+    uniform training shards plus a machine-readable manifest — what a
+    data loader actually mounts.
+
+    Shard assignment is ``pmod(xxhash64(id, seed), n)``: deterministic,
+    layout-independent, and uniform regardless of id clustering (ids
+    are often range-clustered by crawl time; hashing breaks that
+    correlation so every shard is an unbiased sample — the property
+    multi-epoch training needs from its shard sampler). Layout:
+    ``path/shard=K/part-*.parquet`` (partition-pruned reads per shard)
+    and ``path/_manifest.json`` with per-shard doc counts (and token
+    sums when ``token_col`` is present) — underscore-prefixed, so
+    table-level reads ignore it.
+
+    Returns the manifest dict. One shuffle (the partitioned write's
+    clustering); the manifest aggregate is n-shards-sized.
+    """
+    import json as _json
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(n_shards)).cast("int")
+    with_shard = curated.withColumn("shard", shard)
+    # cluster rows by shard before the write so each shard directory
+    # gets ONE file per task that owns it, not one per input partition
+    (with_shard.repartition(n_shards, "shard")
+     .write.mode("overwrite").partitionBy("shard")
+     .format(format).save(path))
+    # manifest from the WRITTEN table — it must describe what a reader
+    # will actually see, not what the plan intended
+    spark = curated.sparkSession
+    written = spark.read.format(format).load(path)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col and token_col in written.columns:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    rows = written.groupBy("shard").agg(*aggs).collect()
+    shards = {
+        int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
+        for r in rows
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "total_docs": sum(s["n_docs"] for s in shards.values()),
+        **({"total_tokens": sum(s.get("n_tokens", 0)
+                                for s in shards.values())}
+           if token_col and token_col in written.columns else {}),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+    }
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest
