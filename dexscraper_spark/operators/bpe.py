@@ -54,6 +54,16 @@ def norm_words(text_col: str):
         lambda w: F.length(w) > 0)
 
 
+def raw_words(text_col: str):
+    """:func:`norm_words` WITHOUT case folding — same whitespace class
+    and empty-token handling, for stages that must return text verbatim
+    (split_documents' training windows). Lives here so the two
+    tokenizations cannot drift on the split rule."""
+    return F.filter(
+        F.split(F.trim(F.col(text_col)), _WS),
+        lambda w: F.length(w) > 0)
+
+
 def word_ngrams(words, n: int):
     """Array of space-joined word n-grams over a word-array COLUMN —
     the one shared gram constructor (LM, decontamination, repetition

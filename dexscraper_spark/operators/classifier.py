@@ -224,11 +224,14 @@ def qc_load(spark, path: str) -> QcModel:
         raise ValueError(
             f"classifier at {path} lacks exactly one meta row — "
             "partial write or pre-meta-format store")
-    weights = df.filter(F.col("bucket") >= 0)
-    n_bad = weights.filter(F.col("bucket") >= (1 << bits)).count()
+    # range check BOTH bounds on the raw rows: silently dropping a
+    # bucket < -1 row would load a corrupt store as a smaller model
+    n_bad = df.filter((F.col("bucket") < -1)
+                      | (F.col("bucket") >= (1 << bits))).count()
     if n_bad:
         raise ValueError(
-            f"classifier at {path}: {n_bad} weight rows outside "
-            f"[0, 2**{bits}) — wrong bits or corrupt store")
+            f"classifier at {path}: {n_bad} rows outside "
+            f"{{-1}} ∪ [0, 2**{bits}) — wrong bits or corrupt store")
+    weights = df.filter(F.col("bucket") >= 0)
     return QcModel(weights=weights.select("bucket", "weight"),
                    bias=bias, bits=bits)

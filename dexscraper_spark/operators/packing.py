@@ -234,7 +234,7 @@ def split_documents(docs: DataFrame, *, max_tokens: int,
     standard guard against training on tiny fragments. Docs with NULL
     text produce no rows.
     """
-    from dexscraper_spark.operators.bpe import _WS
+    from dexscraper_spark.operators.bpe import raw_words as _raw
 
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -249,9 +249,8 @@ def split_documents(docs: DataFrame, *, max_tokens: int,
             f"(larger would silently drop every non-first window)")
 
     # verbatim tokens — norm_words lowercases, which destroys training
-    # text; same ASCII-whitespace class, no case folding
-    raw_words = F.filter(F.split(F.trim(F.col(text_col)), _WS),
-                         lambda w: F.length(w) > 0)
+    # text; raw_words (bpe.py) shares the whitespace/empty rules
+    raw_words = _raw(text_col)
 
     def windows(w):
         n = F.size(w)

@@ -440,13 +440,21 @@ def _probe_lists(index, queries: DataFrame, nprobe: int) -> DataFrame:
 def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
                 queries: DataFrame, books: PqCodebooks, *,
                 k: int = 10, nprobe: int = 4, expand: int = 4,
-                round_to: int | None = 6) -> DataFrame:
+                round_to: int | None = 6,
+                exclude_ids: DataFrame | None = None) -> DataFrame:
     """IVF-PQ search: probe the nprobe nearest lists per query (tiny
     broadcast centroid compare), equi-join the probed lists' CODES
     (never the vectors), ADC-score row-locally, keep k × expand per
     query, exact-rerank those. Shuffle volume: the list-id equi-join
     carries only probed-list code rows; everything after is bounded by
-    queries × k × expand. ``codes`` is ``ivf_pq_encode``'s output."""
+    queries × k × expand. ``codes`` is ``ivf_pq_encode``'s output.
+
+    ``exclude_ids`` (an ``(id_col)`` frame) removes those corpus ids
+    from the candidate set BEFORE the ADC ranking window — the knob the
+    streaming dedup-ingest fold needs for replay-exact decisions. It is
+    applied AFTER the probed-list equi-join so the list-partitioned
+    codes scan keeps its file pruning (an anti-join upstream of the
+    probe join would force a full code-table read per call)."""
     id_col, vec_col = index.id_col, index.vec_col
     probes = _probe_lists(index, queries, nprobe)
     qrows = [(r[0], list(r[1])) for r in
@@ -454,9 +462,13 @@ def ivf_pq_topk(corpus: DataFrame, index, codes: DataFrame,
     adc = _adc_score_udf(books, qrows)
     w = Window.partitionBy("query_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc())
+    probed = (codes.filter(F.col("code").isNotNull())
+              .join(broadcast(probes), "__list"))
+    if exclude_ids is not None:
+        probed = probed.join(exclude_ids.select(id_col), id_col,
+                             "left_anti")
     cand = (
-        codes.filter(F.col("code").isNotNull())
-        .join(broadcast(probes), "__list")
+        probed
         .select("query_id", F.col(id_col).alias("neighbor_id"), "code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__adc", adc(F.col("query_id"), F.col("code")))

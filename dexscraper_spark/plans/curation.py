@@ -477,10 +477,16 @@ def write_training_shards(curated: DataFrame, path: str, *,
     ``path/shard=K/part-*.parquet`` (partition-pruned reads per shard)
     and ``path/_manifest.json`` with per-shard doc counts (and token
     sums when ``token_col`` is present) — underscore-prefixed, so
-    table-level reads ignore it.
+    table-level reads ignore it. EVERY shard id 0..n−1 appears in the
+    manifest; an empty shard records zeros and has NO shard=K directory
+    on disk (loaders must consult the manifest, not the dir listing).
 
     Returns the manifest dict. One shuffle (the partitioned write's
-    clustering); the manifest aggregate is n-shards-sized.
+    clustering); the manifest aggregate is n-shards-sized. The manifest
+    file itself is written with local-filesystem I/O — like
+    streaming's version listing, this is the single point to swap for
+    a Hadoop FileSystem client on object storage (the shard data goes
+    through Spark's writer and needs no change).
     """
     import json as _json
     import os
@@ -496,17 +502,25 @@ def write_training_shards(curated: DataFrame, path: str, *,
      .write.mode("overwrite").partitionBy("shard")
      .format(format).save(path))
     # manifest from the WRITTEN table — it must describe what a reader
-    # will actually see, not what the plan intended
+    # will actually see, not what the plan intended. Explicit schema:
+    # a zero-survivor corpus writes only _SUCCESS, and schema inference
+    # over that throws instead of returning the (valid) empty table.
     spark = curated.sparkSession
-    written = spark.read.format(format).load(path)
+    written = spark.read.schema(with_shard.schema).format(format) \
+        .load(path)
+    has_tokens = bool(token_col) and token_col in written.columns
     aggs = [F.count(F.lit(1)).alias("n_docs")]
-    if token_col and token_col in written.columns:
-        aggs.append(F.sum(token_col).alias("n_tokens"))
+    if has_tokens:
+        # coalesce: an all-NULL-token shard sums to NULL, and int(None)
+        # would crash the manifest after the corpus is already written
+        aggs.append(F.coalesce(F.sum(token_col), F.lit(0))
+                    .alias("n_tokens"))
     rows = written.groupBy("shard").agg(*aggs).collect()
-    shards = {
-        int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
-        for r in rows
-    }
+    empty = {"n_docs": 0, **({"n_tokens": 0} if has_tokens else {})}
+    shards = {k: dict(empty) for k in range(n_shards)}
+    for r in rows:
+        shards[int(r["shard"])] = {
+            k: int(r[k]) for k in r.asDict() if k != "shard"}
     manifest = {
         "n_shards": n_shards,
         "seed": seed,
@@ -514,7 +528,7 @@ def write_training_shards(curated: DataFrame, path: str, *,
         "total_docs": sum(s["n_docs"] for s in shards.values()),
         **({"total_tokens": sum(s.get("n_tokens", 0)
                                 for s in shards.values())}
-           if token_col and token_col in written.columns else {}),
+           if has_tokens else {}),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
     tmp = os.path.join(path, "_manifest.json.tmp")

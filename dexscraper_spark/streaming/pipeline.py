@@ -643,16 +643,15 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
 
             # 2) vs the indexed corpus MINUS this batch's ids: a crashed
             # run's appends must not perturb the replay's ADC window
-            # (see docstring) — anti-join the batch out of both the
-            # code table and the re-rank corpus
+            # (see docstring). exclude_ids applies after the probed-
+            # list join inside ivf_pq_topk, so the list-partitioned
+            # codes scan keeps its file pruning; the re-rank only ever
+            # sees candidate ids, which are already exclusion-filtered.
             index, books, codes = ivf_pq_load(
                 spark, index_path, id_col=id_col, vec_col=vec_col)
-            batch_ids = batch.select(id_col)
-            clean_codes = codes.join(batch_ids, id_col, "left_anti")
-            clean_corpus = index.assigned.join(batch_ids, id_col,
-                                               "left_anti")
-            hits = ivf_pq_topk(clean_corpus, index, clean_codes, fresh,
-                               books, k=1, nprobe=nprobe, expand=expand)
+            hits = ivf_pq_topk(index.assigned, index, codes, fresh,
+                               books, k=1, nprobe=nprobe, expand=expand,
+                               exclude_ids=batch.select(id_col))
             dup_ids = (hits.filter(F.col("cosine") >= threshold)
                        .select(F.col("query_id").alias(id_col))
                        .distinct())

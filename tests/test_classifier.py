@@ -179,3 +179,16 @@ def test_qc_save_load_empty_weights_model(spark, tmp_path):
                                  "doc_id long, text string")
     got = qc_score(docs, back).first()
     assert abs(got["logit"] - (-1.25)) < 1e-12
+
+
+def test_qc_load_rejects_negative_bucket_corruption(spark, model,
+                                                    tmp_path):
+    from dexscraper_spark.operators.classifier import qc_load, qc_save
+
+    p = str(tmp_path / "qc2")
+    qc_save(spark, model, p)
+    spark.createDataFrame([(-7, 0.5, model.bias, model.bits)],
+                          "bucket int, weight double, bias double, "
+                          "bits int").write.mode("append").parquet(p)
+    with pytest.raises(ValueError, match="corrupt"):
+        qc_load(spark, p)

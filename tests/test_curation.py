@@ -196,3 +196,30 @@ def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(curated, str(tmp_path / "bad"), n_shards=0)
+
+
+def test_write_training_shards_empty_and_null_tokens(spark, tmp_path):
+    """Zero-survivor corpora and NULL token columns must not crash the
+    manifest step after the table is already written, and every shard
+    id 0..n-1 appears with zeros when empty."""
+    import json
+
+    from dexscraper_spark.plans.curation import write_training_shards
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, n_tokens long")
+    p = str(tmp_path / "empty")
+    m = write_training_shards(empty, p, n_shards=4)
+    assert m["total_docs"] == 0 and m["total_tokens"] == 0
+    assert set(m["shards"]) == {"0", "1", "2", "3"}
+    assert all(s == {"n_docs": 0, "n_tokens": 0}
+               for s in m["shards"].values())
+    assert json.loads((tmp_path / "empty" / "_manifest.json")
+                      .read_text()) == m
+
+    nulls = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)],
+        "doc_id long, text string, n_tokens long")
+    m2 = write_training_shards(nulls, str(tmp_path / "nulls"),
+                               n_shards=2)
+    assert m2["total_docs"] == 2 and m2["total_tokens"] == 5
