@@ -385,6 +385,13 @@ def main() -> None:
             print(f"bench: sketch/quantize column failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # end-of-run load too: contention often ARRIVES mid-run (observed:
+    # start 0.02, end 3.45, totals inflated 1.7x) — one sample at start
+    # would certify a polluted run as clean
+    try:
+        load1_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1_end = -1.0
     out = {
         "metric": "total_query_sec",
         "value": total,
@@ -392,6 +399,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num if sf_num is not None else sf,
         "load1": load1,
+        "load1_end": load1_end,
         "ncpu": ncpu,
     }
     full = dict(out)

@@ -160,7 +160,7 @@ def test_bench_final_line_fits_driver_tail_capture():
     line = json.dumps({
         "metric": "total_query_sec", "value": 99999.999, "unit": "sec",
         "queries": {name: 99.999 for name in all_queries()},
-        "sf": 0.1, "load1": 99.99, "ncpu": 32})
+        "sf": 0.1, "load1": 99.99, "load1_end": 99.99, "ncpu": 32})
     assert len(line) < 1900, (
         f"bench final line would be {len(line)} chars; the driver tail "
         "capture is 2000 — shorten query names or drop fields")

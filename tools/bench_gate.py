@@ -162,13 +162,16 @@ def main(argv: list[str]) -> int:
             print(f"  note: {label} artifact reconstructed from a "
                   f"truncated tail ({len(doc.get('queries', {}))} warm "
                   "queries recovered; leading fields lost)")
-        l1, nc = doc.get("load1"), doc.get("ncpu")
+        l1, l1e, nc = (doc.get("load1"), doc.get("load1_end"),
+                       doc.get("ncpu"))
         if isinstance(l1, (int, float)) and l1 >= 0:
+            peak = max(l1, l1e if isinstance(l1e, (int, float)) else l1)
             loaded = (isinstance(nc, int) and nc > 0
-                      and l1 > max(2.0, nc * 0.5))
+                      and peak > max(2.0, nc * 0.5))
             flag = " — MACHINE LOADED, timings may be inflated" \
                 if loaded else ""
-            print(f"  env: {label} load1={l1} ncpu={nc}{flag}")
+            end = f" load1_end={l1e}" if l1e is not None else ""
+            print(f"  env: {label} load1={l1}{end} ncpu={nc}{flag}")
     for n in notes:
         print(n)
     if "cold_queries" in new:
