@@ -402,6 +402,15 @@ def main() -> None:
         "load1_end": load1_end,
         "ncpu": ncpu,
     }
+    # Loud self-annotation (VERDICT r8 §wrong-1): sf0.1 timings are only
+    # meaningful on a near-idle machine, yet r8's artifact shipped from
+    # load1=6.12 and nothing nudged the operator. The field lets `make
+    # bench` retry once after an idle wait and readers discount the run.
+    if ncpu > 0 and load1 > max(2.0, ncpu / 8):
+        out["loaded"] = True
+        print(f"bench: START LOAD HIGH (load1={load1}, ncpu={ncpu}) — "
+              "timings may be inflated; re-run on an idle machine",
+              file=sys.stderr)
     full = dict(out)
     if cold:
         cold_doc = {

@@ -464,9 +464,16 @@ def _run_curate(args, spark) -> int:
         from dexscraper_spark.persist import tracked_persist
 
         qcm = qc_load(spark, args.quality_model)
+        # persist the UPSTREAM frame before counting: docs may embed the
+        # decontamination 13-gram anti-join, and an unpersisted
+        # docs.count() would re-execute that whole plan a second time
+        # solely for the summary (the double-execution cost the counting
+        # strategy below warns about)
+        docs = tracked_persist(docs)
+        n_docs = docs.count()
         kept = tracked_persist(
             qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
-        n_quality_dropped = docs.count() - kept.count()
+        n_quality_dropped = n_docs - kept.count()
         docs = kept
     # Counting strategy for the summary, both branches: persist the
     # result frames and count THOSE, not the written dirs — (a) a

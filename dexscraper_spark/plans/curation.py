@@ -70,6 +70,15 @@ class CurationConfig:
             raise ValueError(
                 f"fingerprint_bits must be 64 or 128, "
                 f"got {self.fingerprint_bits}")
+        # The wide tier's fixed 4 × 32-bit banding is pigeonhole-complete
+        # only for max_hamming < 4 (4 bands catch ≤3 differing bits); a
+        # larger radius would SILENTLY miss near-dup pairs — fail loudly
+        # instead (repo convention), same as the tier-mismatch check.
+        if self.fingerprint_bits == 128 and self.simhash_max_hamming >= 4:
+            raise ValueError(
+                f"fingerprint_bits=128 supports simhash_max_hamming <= 3 "
+                f"(4 x 32-bit bands are complete only below the band "
+                f"count), got {self.simhash_max_hamming}")
 
     @property
     def fp_cols(self) -> tuple:
@@ -483,13 +492,13 @@ def write_training_shards(curated: DataFrame, path: str, *,
 
     Returns the manifest dict. One shuffle (the partitioned write's
     clustering); the manifest aggregate is n-shards-sized. The manifest
-    file itself is written with local-filesystem I/O — like
-    streaming's version listing, this is the single point to swap for
-    a Hadoop FileSystem client on object storage (the shard data goes
-    through Spark's writer and needs no change).
+    file goes through :mod:`dexscraper_spark.fsio` (atomic tmp+rename),
+    so ``path`` may live on any filesystem Spark itself can write —
+    local, hdfs, s3a, abfss.
     """
     import json as _json
-    import os
+
+    from dexscraper_spark import fsio
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -531,8 +540,6 @@ def write_training_shards(curated: DataFrame, path: str, *,
            if has_tokens else {}),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    fsio.write_text_atomic(spark, fsio.join(path, "_manifest.json"),
+                           _json.dumps(manifest, indent=1))
     return manifest

@@ -291,35 +291,37 @@ def compact_zordered(spark, path: str, *, n_files: int = 32) -> None:
     sibling, then path→__old, then temp→path. A rerun after a crash at
     ANY point self-repairs — if ``path`` is missing it either finishes
     the swap (committed temp exists) or rolls ``__old`` back; readers
-    during the rename window must retry (local/NFS driver-visible
-    paths, same stance as the fold stores)."""
-    import os
-    import shutil
+    during the rename window must retry (same stance as the fold
+    stores). All probe/rename/delete calls go through
+    :mod:`dexscraper_spark.fsio`, so ``path`` may be an hdfs/s3a/abfss
+    URI (renames on object stores are copy-backed but the recovery
+    protocol only needs them to complete, not to be fast)."""
+    from dexscraper_spark import fsio
 
     tmp = f"{path}__compacting"
     old = f"{path}__old"
-    if not os.path.exists(path):
+    if not fsio.exists(spark, path):
         # crashed mid-swap on a previous run: roll forward if the
         # compacted table committed, else roll back the original
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
+        if fsio.exists(spark, fsio.join(tmp, "_SUCCESS")):
+            fsio.rename(spark, tmp, path)
+            fsio.delete(spark, old)
             return
-        if os.path.exists(old):
-            os.rename(old, path)
+        if fsio.exists(spark, old):
+            fsio.rename(spark, old, path)
         else:
             raise FileNotFoundError(f"no table at {path} (nor a "
                                     "recoverable __old/__compacting)")
     cols, bits, cuts = zorder_spec_load(spark, path)
     df = spark.read.parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsio.delete(spark, tmp)
     keyed = df.withColumn(
         "__zkey", zorder_key(df, cols, bits=bits, cuts=cuts))
     _write_curve(keyed, tmp, n_files=n_files)
     zorder_spec_save(spark, tmp, cols=cols, bits=bits, cuts=cuts)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
+    fsio.delete(spark, old)
+    fsio.rename(spark, path, old)
+    fsio.rename(spark, tmp, path)
     # post-success cleanup only — the swap is already complete, and the
     # next run clears a leftover __old anyway
-    shutil.rmtree(old, ignore_errors=True)
+    fsio.delete(spark, old)

@@ -204,20 +204,20 @@ def run_foreach_batch(decoded: DataFrame, sink: Callable[[DataFrame, int], None]
     return writer.start()
 
 
-def _list_bar_versions(state_root: str) -> list[int]:
+def _list_bar_versions(state_root: str, spark=None) -> list[int]:
     """COMMITTED versions of a bar store, ascending: a ``v{N}`` dir
     counts only once Spark's job commit wrote its ``_SUCCESS`` marker —
     an in-flight or crashed partial write is invisible to readers and
-    never picked as a fold's merge base. Single point to swap for a
-    Hadoop FileSystem client on object storage."""
-    import os
+    never picked as a fold's merge base. Listing/probing goes through
+    :mod:`dexscraper_spark.fsio`, so ``state_root`` may live on any
+    filesystem Spark can write (``spark`` is only needed for non-local
+    schemes; local paths keep the pure-``os`` fast path)."""
+    from dexscraper_spark import fsio
 
-    if not os.path.isdir(state_root):
-        return []
     return sorted(
-        int(d[1:]) for d in os.listdir(state_root)
+        int(d[1:]) for d in fsio.list_names(spark, state_root)
         if d.startswith("v") and d[1:].isdigit()
-        and os.path.exists(os.path.join(state_root, d, "_SUCCESS")))
+        and fsio.exists(spark, fsio.join(state_root, d, "_SUCCESS")))
 
 
 def versioned_fold_builder(state_root: str, *, init: Callable,
@@ -246,18 +246,21 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
     fold and VALIDATED on every later one — restarting a stream with a
     different k/alpha over surviving state would otherwise merge
     incompatible summaries silently (dd_merge's 'same alpha!' contract,
-    kmv_estimate's size<k exactness branch)."""
-    import json as _json
-    import os
-    import shutil
+    kmv_estimate's size<k exactness branch).
 
-    def _check_spec() -> None:
+    All control-plane I/O (spec read/write, version listing, partial
+    cleanup) goes through :mod:`dexscraper_spark.fsio`, so
+    ``state_root`` may be an hdfs/s3a/abfss URI."""
+    import json as _json
+
+    from dexscraper_spark import fsio
+
+    def _check_spec(spark) -> None:
         if spec is None:
             return
-        sp = os.path.join(state_root, "_spec.json")
-        if os.path.exists(sp):
-            with open(sp) as f:
-                stored = _json.load(f)
+        sp = fsio.join(state_root, "_spec.json")
+        if fsio.exists(spark, sp):
+            stored = _json.loads(fsio.read_text(spark, sp))
             if stored != spec:
                 raise RuntimeError(
                     f"{name} store {state_root} was built with spec "
@@ -268,15 +271,13 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
         else:
             # atomic: a crash mid-dump would leave a truncated file
             # that bricks every later fold with JSONDecodeError
-            tmp = sp + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(spec, f)
-            os.replace(tmp, sp)
+            fsio.write_text_atomic(spark, sp, _json.dumps(spec))
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(state_root, exist_ok=True)
-        _check_spec()
-        versions = _list_bar_versions(state_root)
+        spark = batch_df.sparkSession
+        fsio.mkdirs(spark, state_root)
+        _check_spec(spark)
+        versions = _list_bar_versions(state_root, spark)
         if any(v > batch_id for v in versions):
             raise RuntimeError(
                 f"{name} store {state_root} holds version "
@@ -284,14 +285,13 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
                 "checkpoint/state mismatch (lost or reset checkpoint?) "
                 "— folding would silently drop the stored history")
         prev = max((v for v in versions if v < batch_id), default=None)
-        spark = batch_df.sparkSession
         if prev is None:
             state = init(batch_df)
         else:
             state = update(
                 spark.read.parquet(f"{state_root}/v{prev}"), batch_df)
         out = f"{state_root}/v{batch_id}"
-        shutil.rmtree(out, ignore_errors=True)  # crashed partial attempt
+        fsio.delete(spark, out)  # crashed partial attempt
         state.write.parquet(out)
         # retention counts batch_id separately: on a REPLAY the current
         # id is already in the committed list and must not crowd out
@@ -301,7 +301,7 @@ def versioned_fold_builder(state_root: str, *, init: Callable,
                    else []) | {batch_id}
         for v in versions:
             if v not in keep:
-                shutil.rmtree(f"{state_root}/v{v}", ignore_errors=True)
+                fsio.delete(spark, f"{state_root}/v{v}")
 
     return fold
 
@@ -475,7 +475,7 @@ def latest_versioned_state(spark: SparkSession,
                            state_root: str) -> DataFrame:
     """Newest COMMITTED version of ANY versioned fold store (bars,
     sketches, summaries) as a batch DataFrame."""
-    versions = _list_bar_versions(state_root)
+    versions = _list_bar_versions(state_root, spark)
     if not versions:
         raise FileNotFoundError(
             f"no committed state versions in {state_root}")

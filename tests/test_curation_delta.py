@@ -314,3 +314,18 @@ def test_config_rejects_bad_fingerprint_bits():
 
     with pytest.raises(ValueError, match="64 or 128"):
         CurationConfig(fingerprint_bits=96)
+
+
+def test_wide_tier_rejects_wide_hamming_radius():
+    """The 4 x 32-bit banding is pigeonhole-complete only for
+    max_hamming < 4: a caller combining fingerprint_bits=128 with a
+    larger radius would SILENTLY miss pairs — the config must refuse
+    (ADVICE r8). The same radius is fine at the 64-bit tier, whose band
+    count is configurable."""
+    import pytest
+
+    with pytest.raises(ValueError, match="simhash_max_hamming"):
+        CurationConfig(fingerprint_bits=128, simhash_max_hamming=4)
+    CurationConfig(fingerprint_bits=128, simhash_max_hamming=3)  # ok
+    CurationConfig(fingerprint_bits=64, simhash_max_hamming=4,
+                   simhash_bands=8)  # 64-bit tier: radius is free

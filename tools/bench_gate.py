@@ -174,10 +174,27 @@ def main(argv: list[str]) -> int:
             print(f"  env: {label} load1={l1}{end} ncpu={nc}{flag}")
     for n in notes:
         print(n)
-    if "cold_queries" in new:
+    # Cold-pass report: bench.py emits cold_queries on a separate stdout
+    # line + the BENCH_FULL.json sidecar only (the driver-parsed final
+    # line is warm-only), so driver artifacts never carry cold_queries —
+    # fall back to the sidecar EXPLICITLY rather than silently skipping.
+    cold_doc, cold_src = new, new_path
+    if "cold_queries" not in cold_doc:
+        side = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_FULL.json")
+        if os.path.exists(side):
+            try:
+                with open(side) as f:
+                    cold_doc, cold_src = json.load(f), side
+            except ValueError:
+                pass
+    if "cold_queries" in cold_doc:
+        note = ("" if cold_src == new_path
+                else f" [from sidecar {cold_src}; may predate NEW]")
         print(f"  cold pass (informational): "
-              f"{new.get('cold_total_sec')}s over "
-              f"{len(new['cold_queries'])} materialized rows")
+              f"{cold_doc.get('cold_total_sec')}s over "
+              f"{len(cold_doc['cold_queries'])} materialized rows{note}")
     if regressions:
         print(f"{len(regressions)} per-query regression(s):")
         for r in regressions:

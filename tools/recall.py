@@ -27,18 +27,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# name -> (builder kwargs recorded verbatim in the artifact)
+
+# name -> (builder kwargs recorded verbatim in the artifact).
+# The shared IVF index is built with ivf_build_deterministic (seeded,
+# layout-independent): MLlib k-means|| init draws per partition, so an
+# ivf_build-backed measurement could shift round-over-round from
+# partition layout alone and trip the gate spuriously — recall deltas
+# must reflect config changes, not layout (ADVICE r8).
 CONFIGS = {
     "lsh_single": {"num_planes": 24, "num_bands": 8},
     "lsh_multiprobe2": {"num_planes": 24, "num_bands": 8,
                         "multiprobe": 2},
-    "ivf_nprobe4": {"nlist": 16, "nprobe": 4},
+    "ivf_nprobe4": {"nlist": 16, "nprobe": 4, "build": "deterministic",
+                    "seed": 42},
     "pq_refined": {"m": 16, "ksub": 64, "seed": 7, "expand": 8},
     "ivf_pq": {"nlist": 16, "nprobe": 4, "m": 16, "ksub": 64,
-               "seed": 7, "expand": 4},
+               "seed": 7, "expand": 4, "build": "deterministic"},
     "ivf_pq_residual": {"nlist": 8, "nprobe": 8, "m": 16, "ksub": 64,
                         "seed": 7, "expand": 8},
 }
@@ -59,7 +68,8 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
         ivf_pq_encode, ivf_pq_residual_build, ivf_pq_residual_topk,
         ivf_pq_topk, pq_encode, pq_topk_refined, pq_train)
     from dexscraper_spark.operators.similarity import (
-        cosine_topk, ivf_build, ivf_query, lsh_bucketed_topk)
+        cosine_topk, ivf_build_deterministic, ivf_query,
+        lsh_bucketed_topk)
     from dexscraper_spark.session import get_spark
 
     spark = get_spark("recall", shuffle_partitions=8)
@@ -82,7 +92,9 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
     recalls["lsh_multiprobe2"] = recall_of(lsh_bucketed_topk(
         emb, queries, k=k, **c["lsh_multiprobe2"]))
 
-    index = ivf_build(emb, nlist=c["ivf_nprobe4"]["nlist"], cache=False)
+    index = ivf_build_deterministic(
+        emb, nlist=c["ivf_nprobe4"]["nlist"],
+        seed=c["ivf_nprobe4"]["seed"], cache=False)
     recalls["ivf_nprobe4"] = recall_of(ivf_query(
         index, queries, k=k, nprobe=c["ivf_nprobe4"]["nprobe"]))
 
