@@ -550,6 +550,182 @@ def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
     return {"appended": n_assigned, "indexed": total}
 
 
+def ivf_pq_recover(spark, path: str) -> str:
+    """Finish or undo a :func:`ivf_pq_republish` swap interrupted by a
+    crash. Returns ``"ok"`` (nothing to do — live artifact present;
+    stale siblings cleaned), ``"rolled_forward"`` (the rebuilt artifact
+    had committed — the swap is completed), or ``"rolled_back"`` (it had
+    not — the previous artifact is restored). Raises when neither the
+    artifact nor a recoverable sibling exists."""
+    from dexscraper_spark import fsio
+
+    tmp, old = f"{path}__rebuilding", f"{path}__old"
+    if fsio.exists(spark, path):
+        # live artifact: any siblings are a stale crashed attempt —
+        # clear them so the next republish starts clean
+        fsio.delete(spark, tmp)
+        fsio.delete(spark, old)
+        return "ok"
+    if fsio.exists(spark, fsio.join(tmp, "_committed")):
+        fsio.rename(spark, tmp, path)
+        fsio.delete(spark, old)
+        return "rolled_forward"
+    if fsio.exists(spark, old):
+        fsio.delete(spark, tmp)
+        fsio.rename(spark, old, path)
+        return "rolled_back"
+    raise FileNotFoundError(
+        f"no IVF-PQ artifact at {path} (nor a recoverable "
+        "__old/__rebuilding sibling)")
+
+
+def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     nlist: int = 16, m: int = 16, ksub: int = 64,
+                     seed: int = 42, k: int = 5, n_queries: int = 32,
+                     nprobe: int = 4, expand: int = 4,
+                     max_drop: float = 0.05,
+                     min_recall: float | None = None) -> dict:
+    """RECALL-GATED retrain + atomic republish of an ivf_pq_save
+    artifact — the periodic maintenance op that closes the drift story:
+    :func:`ivf_pq_extend_saved` (and the streaming fold) keep the
+    centroids/codebooks day-0 frozen by design, so under distribution
+    shift the assignment degrades and recall decays (RECALL.json tracks
+    it). This composes the existing pieces into one safe operation:
+
+    1. **Rebuild** on the CURRENT corpus with
+       :func:`~dexscraper_spark.operators.similarity.
+       ivf_build_deterministic` (layout-independent — yesterday's and
+       today's artifacts differ only by data, never by partitioning) +
+       :func:`pq_train` + :func:`ivf_pq_encode`.
+    2. **Gate** — recall@k of the rebuilt index AND of the currently
+       published artifact, measured against the brute-force oracle on
+       one deterministic hash-ordered query sample (the tools/recall.py
+       methodology and thresholds). Publish only if the rebuild is no
+       worse than ``old - max_drop`` (and ≥ ``min_recall`` when given):
+       a mis-parameterized retrain must never replace a healthy index.
+    3. **Swap** — the 2-rename protocol proven in
+       ``sinks.lake.compact_zordered``: write to ``<path>__rebuilding``,
+       stamp a ``_committed`` marker (which doubles as the gate record),
+       then ``path→__old``, ``tmp→path``. A crash at ANY point is
+       repaired by :func:`ivf_pq_recover` (called at entry too): roll
+       forward iff the marker exists, else roll back. All control-plane
+       probes/renames go through fsio, so ``path`` may be an
+       hdfs/s3a/abfss URI. Readers during the rename window retry; the
+       streaming extend fold keeps working across the swap because it
+       re-loads the artifact from ``path`` on every micro-batch.
+
+    Cost: deterministic build = one bounded sample collect +
+    |corpus| × nlist broadcast compares; PQ train = bounded sample;
+    encode = one corpus pass; the gate's exact oracle is bounded by
+    ``n_queries`` (n_queries × |corpus| dot products, the recall-tool
+    budget). The rebuilt assignment is materialized once and feeds both
+    the gate probe and the save (no double execution).
+
+    Returns ``{"published": bool, "recall_new": .., "recall_old": ..,
+    "reason": ..}`` — recall_old is None when no artifact exists yet
+    (first publish: gate is min_recall only).
+    """
+    from dexscraper_spark import fsio
+    from dexscraper_spark.operators.similarity import (
+        cosine_topk, ivf_build_deterministic)
+
+    # entry recovery: finish/undo any interrupted prior swap first (a
+    # first-ever publish legitimately finds nothing — skip, don't raise)
+    if fsio.exists(spark, path) \
+            or fsio.exists(spark, f"{path}__rebuilding") \
+            or fsio.exists(spark, f"{path}__old"):
+        ivf_pq_recover(spark, path)
+
+    vecs = corpus.select(id_col, vec_col)
+    [probe_row] = vecs.select(F.size(vec_col).alias("d")) \
+        .limit(1).collect()
+    dim = int(probe_row.d)
+
+    # deterministic hash-ordered query sample: spans the whole corpus
+    # (head-of-table ids would test only the oldest distribution) and
+    # reproduces bit-for-bit across layouts/reruns
+    queries = (vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+               .limit(n_queries))
+    exact = _recall_sets(cosine_topk(vecs, queries, id_col=id_col,
+                                     vec_col=vec_col, k=k, dim=dim), k)
+
+    index = ivf_build_deterministic(vecs, id_col=id_col,
+                                    vec_col=vec_col, nlist=nlist,
+                                    seed=seed, cache=True)
+    try:
+        books = pq_train(vecs, vec_col=vec_col, dim=dim, m=m,
+                         ksub=ksub, seed=seed)
+        codes = ivf_pq_encode(index, books).persist()
+        try:
+            codes.count()
+            recall_new = _recall_vs(exact, ivf_pq_topk(
+                vecs, index, codes, queries, books, k=k,
+                nprobe=nprobe, expand=expand), k)
+
+            recall_old = None
+            if fsio.exists(spark, path):
+                oidx, obooks, ocodes = ivf_pq_load(
+                    spark, path, id_col=id_col, vec_col=vec_col)
+                recall_old = _recall_vs(exact, ivf_pq_topk(
+                    vecs, oidx, ocodes, queries, obooks, k=k,
+                    nprobe=nprobe, expand=expand), k)
+
+            if min_recall is not None and recall_new < min_recall:
+                return {"published": False, "recall_new": recall_new,
+                        "recall_old": recall_old,
+                        "reason": f"recall_new {recall_new} < "
+                                  f"min_recall {min_recall}"}
+            if recall_old is not None \
+                    and recall_new < recall_old - max_drop:
+                return {"published": False, "recall_new": recall_new,
+                        "recall_old": recall_old,
+                        "reason": f"rebuild regressed recall "
+                                  f"{recall_old} -> {recall_new} "
+                                  f"(max_drop {max_drop})"}
+
+            import json as _json
+            tmp, old = f"{path}__rebuilding", f"{path}__old"
+            fsio.delete(spark, tmp)
+            ivf_pq_save(spark, index, books, codes, tmp)
+            fsio.write_text_atomic(spark, fsio.join(tmp, "_committed"),
+                                   _json.dumps({
+                                       "recall_new": recall_new,
+                                       "recall_old": recall_old,
+                                       "k": k, "n_queries": n_queries,
+                                       "nlist": nlist, "m": m,
+                                       "ksub": ksub, "seed": seed}))
+            fsio.delete(spark, old)
+            if fsio.exists(spark, path):
+                fsio.rename(spark, path, old)
+            fsio.rename(spark, tmp, path)
+            fsio.delete(spark, old)
+            return {"published": True, "recall_new": recall_new,
+                    "recall_old": recall_old, "reason": "gate passed"}
+        finally:
+            codes.unpersist()
+    finally:
+        index.unpersist()
+
+
+def _recall_sets(topk_df: DataFrame, k: int) -> dict:
+    """query_id -> set(neighbor_id) from a ranked top-k frame (bounded:
+    n_queries × k rows)."""
+    out: dict = {}
+    for r in topk_df.collect():
+        if r["rank"] <= k:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall_vs(exact: dict, approx_df: DataFrame, k: int) -> float:
+    got = _recall_sets(approx_df, k)
+    per_q = [len(got.get(q, set()) & s) / len(s)
+             for q, s in exact.items() if s]
+    return round(sum(per_q) / len(per_q), 4) if per_q else 0.0
+
+
 # ---------------------------------------------------------------------------
 # Residual IVF-PQ — the full FAISS IndexIVFPQ form (Jégou et al. §IV):
 # PQ-encode each vector's RESIDUAL to its coarse centroid instead of the

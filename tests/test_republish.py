@@ -1,0 +1,177 @@
+"""Recall-gated IVF-PQ retrain/republish (VERDICT r8 §next-2).
+
+The streaming/extend path keeps centroids + codebooks day-0 frozen by
+design; under distribution shift the frozen quantizers degrade and
+recall decays. ivf_pq_republish closes the loop: deterministic rebuild
+on the current corpus, recall@k gate against the brute-force oracle
+(old vs new on the SAME query sample), and the 2-rename atomic swap
+with crash roll-forward/back (ivf_pq_recover).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from dexscraper_spark import fsio
+from dexscraper_spark.operators.quantize import (
+    ivf_pq_load, ivf_pq_recover, ivf_pq_republish, ivf_pq_save,
+    ivf_pq_topk)
+
+
+def _vdf(spark, mat, offset=0):
+    rows = [(int(i + offset), [float(x) for x in v])
+            for i, v in enumerate(mat)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def _day0_and_drift(rng, *, n0=240, nd=720, dim=16):
+    """Day-0 mass in one subspace; drifted mass around NEW anchors in a
+    disjoint subspace — frozen day-0 centroids/codebooks quantize the
+    drifted region poorly (that's the drift being simulated)."""
+    a0 = rng.normal(size=(4, dim))
+    a0[:, dim // 2:] = 0.0
+    day0 = (a0[rng.integers(0, 4, n0)]
+            + 0.05 * rng.normal(size=(n0, dim)))
+    ad = rng.normal(size=(6, dim))
+    ad[:, :dim // 2] = 0.0
+    drift = (ad[rng.integers(0, 6, nd)]
+             + 0.05 * rng.normal(size=(nd, dim)))
+    return day0, drift
+
+
+PARAMS = dict(nlist=8, m=4, ksub=16, seed=11, k=5, n_queries=24,
+              nprobe=2, expand=2)
+
+
+def test_republish_recovers_drifted_recall(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    day0, drift = _day0_and_drift(rng)
+    path = str(tmp_path / "ann")
+
+    # day-0 publish (first publish: no old artifact, gate = min_recall)
+    r0 = ivf_pq_republish(spark, _vdf(spark, day0), path, **PARAMS)
+    assert r0["published"] and r0["recall_old"] is None
+
+    # nightly extends bring the drifted mass in with FROZEN quantizers
+    from dexscraper_spark.operators.quantize import ivf_pq_extend_saved
+    full = _vdf(spark, np.vstack([day0, drift]))
+    ivf_pq_extend_saved(
+        spark, path, _vdf(spark, drift, offset=len(day0)))
+
+    # republish on the full corpus: the gate measures old vs new on the
+    # same sample — drift must have cost recall, rebuild must recover it
+    res = ivf_pq_republish(spark, full, path, **PARAMS)
+    assert res["published"], res
+    assert res["recall_old"] is not None
+    assert res["recall_new"] >= res["recall_old"]
+    assert res["recall_old"] < 0.95          # drift hurt the old index
+    assert res["recall_new"] >= res["recall_old"] + 0.05  # and recovered
+
+    # the published artifact serves queries and records the gate
+    index, books, codes = ivf_pq_load(spark, path)
+    assert codes.count() == len(day0) + len(drift)
+    q = full.orderBy("vec_id").limit(3)
+    out = ivf_pq_topk(full, index, codes, q, books, k=3, nprobe=2,
+                      expand=2)
+    assert out.groupBy("query_id").count().count() == 3
+    marker = json.loads(
+        fsio.read_text(spark, fsio.join(path, "_committed")))
+    assert marker["recall_new"] == res["recall_new"]
+
+
+def test_republish_gate_rejects_and_preserves_artifact(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    day0, _ = _day0_and_drift(rng, n0=200, nd=0)
+    path = str(tmp_path / "ann")
+    corpus = _vdf(spark, day0)
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    before = spark.read.parquet(f"{path}/centroids").collect()
+
+    res = ivf_pq_republish(spark, corpus, path, min_recall=1.01,
+                           **PARAMS)
+    assert not res["published"]
+    assert "min_recall" in res["reason"]
+    # live artifact untouched, no stray siblings
+    after = spark.read.parquet(f"{path}/centroids").collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
+    assert not fsio.exists(spark, path + "__rebuilding")
+    assert not fsio.exists(spark, path + "__old")
+
+
+def test_recover_rolls_forward_and_back(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    day0, _ = _day0_and_drift(rng, n0=200, nd=0)
+    path = str(tmp_path / "ann")
+    corpus = _vdf(spark, day0)
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    n_live = spark.read.parquet(f"{path}/codes").count()
+
+    # (a) crash AFTER the marker, between the two renames: path gone,
+    # committed tmp present -> roll forward
+    fsio.rename(spark, path, path + "__rebuilding")
+    assert fsio.exists(spark,
+                       fsio.join(path + "__rebuilding", "_committed"))
+    assert ivf_pq_recover(spark, path) == "rolled_forward"
+    assert spark.read.parquet(f"{path}/codes").count() == n_live
+
+    # (b) abnormal state: path gone, tmp UNcommitted, __old present ->
+    # roll back (and clear the partial tmp)
+    fsio.rename(spark, path, path + "__old")
+    fsio.mkdirs(spark, path + "__rebuilding")
+    fsio.write_text_atomic(
+        spark, fsio.join(path + "__rebuilding", "partial"), "x")
+    assert ivf_pq_recover(spark, path) == "rolled_back"
+    assert spark.read.parquet(f"{path}/codes").count() == n_live
+    assert not fsio.exists(spark, path + "__rebuilding")
+
+    # (c) live artifact with stale siblings -> ok + cleanup
+    fsio.mkdirs(spark, path + "__old")
+    assert ivf_pq_recover(spark, path) == "ok"
+    assert not fsio.exists(spark, path + "__old")
+
+    # (d) nothing anywhere -> loud
+    with pytest.raises(FileNotFoundError):
+        ivf_pq_recover(spark, str(tmp_path / "absent"))
+
+    # (e) republish's OWN entry recovery: simulate (a) again, then call
+    # republish directly — it must finish the swap and keep going
+    fsio.rename(spark, path, path + "__rebuilding")
+    res = ivf_pq_republish(spark, corpus, path, **PARAMS)
+    assert res["published"] and res["recall_old"] is not None
+
+
+def test_streaming_extend_fold_survives_republish(spark, tmp_path):
+    """The ann maintenance fold holds only the PATH; a republish under
+    it must be transparent — the next micro-batch extends the NEW
+    artifact with its new quantizers."""
+    from dexscraper_spark.streaming.pipeline import (
+        ann_extend_fold_builder)
+
+    rng = np.random.default_rng(9)
+    day0, drift = _day0_and_drift(rng, n0=200, nd=200)
+    extra = drift[:100] + 0.01
+    path = str(tmp_path / "ann")
+    assert ivf_pq_republish(spark, _vdf(spark, day0), path,
+                            **PARAMS)["published"]
+
+    fold = ann_extend_fold_builder(path)
+    fold(_vdf(spark, drift, offset=len(day0)), 0)
+    assert spark.read.parquet(f"{path}/codes").count() == 400
+
+    full = _vdf(spark, np.vstack([day0, drift]))
+    assert ivf_pq_republish(spark, full, path, **PARAMS)["published"]
+    cents_new = spark.read.parquet(f"{path}/centroids").collect()
+
+    fold(_vdf(spark, extra, offset=400), 1)
+    assert spark.read.parquet(f"{path}/codes").count() == 500
+    # the fold extended the REBUILT artifact (centroids unchanged by
+    # extend — still the republished ones)
+    assert sorted(map(str, cents_new)) == sorted(
+        map(str, spark.read.parquet(f"{path}/centroids").collect()))
+    # replay of batch 1 is a no-op (id-keyed idempotence across swap)
+    fold(_vdf(spark, extra, offset=400), 1)
+    assert spark.read.parquet(f"{path}/codes").count() == 500
