@@ -138,6 +138,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "in place)")
     cur.add_argument("--delta", action="store_true",
                      help="curate ONLY the new batch against --state")
+    cur.add_argument("--migrate", action="store_true",
+                     help="curate: RETIER the stored fingerprint state "
+                          "to --fingerprint-bits (reads --docs + "
+                          "--state, writes the retiered corpus to "
+                          "--out and the new-tier store to --state-out; "
+                          "gates/exact-dedup are reused, near-dup "
+                          "clusters recompute at the new tier)")
     cur.add_argument("--min-quality", type=float, default=0.5)
     cur.add_argument("--min-tokens", type=int, default=5)
     cur.add_argument("--fingerprint-bits", type=int, default=64,
@@ -432,8 +439,44 @@ def _run_curate(args, spark) -> int:
     """
     from dexscraper_spark.plans.curation import (
         CurationConfig, apply_state_updates, curate_corpus_with_state,
-        curate_delta, read_curation_state, write_curated,
+        curate_delta, migrate_state, read_curation_state, write_curated,
         write_curation_state)
+
+    if args.migrate and args.delta:
+        print("curate: --migrate and --delta are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if args.migrate:
+        if not (args.docs and args.out and args.state and args.state_out):
+            print("curate --migrate: --docs, --out, --state and "
+                  "--state-out are required", file=sys.stderr)
+            return 2
+        if os.path.realpath(args.state) == os.path.realpath(
+                args.state_out):
+            print("curate --migrate: --state-out must differ from "
+                  "--state (in-place overwrite would destroy the store "
+                  "mid-read)", file=sys.stderr)
+            return 2
+        cfg = CurationConfig(min_quality=args.min_quality,
+                             min_tokens=args.min_tokens,
+                             fingerprint_bits=args.fingerprint_bits)
+        curated, state = migrate_state(
+            spark.read.parquet(args.docs),
+            read_curation_state(spark, args.state), config=cfg)
+        curated.persist()
+        try:
+            write_curated(curated, f"{args.out}/curated")
+            write_curation_state(state, args.state_out)
+            summary = {
+                "mode": "migrate",
+                "fingerprint_bits": args.fingerprint_bits,
+                "survivors": curated.count(),
+                "state_rows": spark.read.parquet(args.state_out).count(),
+            }
+        finally:
+            curated.unpersist()
+        _emit(json.dumps(summary), args.output)
+        return 0
 
     rc = _validate_pipeline_args("curate", "--docs", args.docs, args)
     if rc:

@@ -608,7 +608,7 @@ def simhash_wide_band_pairs(fps: DataFrame, *, id_col: str,
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", nlist: int = 16,
                    threshold: float = 0.95, seed: int = 42,
-                   round_to: int = 6) -> DataFrame:
+                   round_to: int = 6, assign_n: int = 1) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): k-means cluster the embedding space,
     then WITHIN each cluster drop all but one of every group of vectors
@@ -628,24 +628,42 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     never a global cross join); :func:`dedup_components` resolves
     transitive groups in O(log diameter) pair-scale rounds.
 
-    Caveat by construction (same as the paper's): near-dups SPLIT
-    ACROSS cluster boundaries are not candidates — size ``nlist`` so
-    clusters stay semantically coherent, and treat the result as
-    high-precision/approximate-recall. Returns the surviving rows of
-    ``emb`` (all original columns).
+    Caveat by construction (same as the paper's): with ``assign_n=1``
+    near-dups SPLIT ACROSS cluster boundaries are not candidates — size
+    ``nlist`` so clusters stay semantically coherent, and treat the
+    result as high-precision/approximate-recall. ``assign_n=2`` is the
+    recall knob for that exact failure mode: every vector becomes a
+    candidate in its 2 nearest lists (multi-assignment, standard IVF
+    practice), so a boundary-straddling pair shares a block whenever
+    either endpoint's second list is the other's first. Survivor math
+    is unchanged — components are global over the union pair graph —
+    at ~``assign_n²``× the within-block candidate flops (each list
+    holds ~assign_n× the vectors; SCALE.md has the measured row).
+    Returns the surviving rows of ``emb`` (all original columns).
     """
     from dexscraper_spark.operators.similarity import (
-        exact_cosine_pairs_blocked, ivf_build_deterministic)
+        _ivf_assign, exact_cosine_pairs_blocked, ivf_build_deterministic)
     from dexscraper_spark.persist import materialize_artifact
 
+    if assign_n < 1:
+        raise ValueError(f"assign_n must be >= 1, got {assign_n}")
     index = ivf_build_deterministic(emb, id_col=id_col, vec_col=vec_col,
                                     nlist=nlist, seed=seed, cache=True)
     try:
+        if assign_n == 1:
+            blocked = index.assigned.select(
+                id_col, vec_col, F.col("__list").alias("__sem_block"))
+            verify = None
+        else:
+            # one row per (vector, list) for the n nearest lists; the
+            # exact verify then needs the unique-id frame
+            blocked = _ivf_assign(index, emb, n=assign_n).select(
+                id_col, vec_col, F.col("__list").alias("__sem_block"))
+            verify = emb.select(id_col, vec_col)
         pairs = exact_cosine_pairs_blocked(
-            index.assigned.select(id_col, vec_col,
-                                  F.col("__list").alias("__sem_block")),
-            id_col=id_col, vec_col=vec_col, block_col="__sem_block",
-            threshold=threshold, round_to=round_to)
+            blocked, id_col=id_col, vec_col=vec_col,
+            block_col="__sem_block", threshold=threshold,
+            round_to=round_to, verify_against=verify)
         comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
         losers = comps.filter(F.col("node") != F.col("component")) \
                       .select(F.col("node").alias(id_col))

@@ -101,7 +101,9 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
                                threshold: float = 0.4,
                                margin: float = 1e-4,
                                round_to: int = 6,
-                               chunk: int | None = None) -> DataFrame:
+                               chunk: int | None = None,
+                               verify_against: DataFrame | None = None
+                               ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold within each block — BLAS filter,
     exact verify.
 
@@ -125,6 +127,14 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
     one pandas group (~100k × dim floats); beyond that, use the LSH
     path (``lsh_bucketed_topk``) — approximate candidates, same exact
     verify idea.
+
+    ``verify_against``: when ``emb`` holds MULTI-ASSIGNED rows (a
+    vector appearing in several blocks — semantic_dedup's
+    ``assign_n>1``), pass the one-row-per-id frame here: phase 2 must
+    re-score each pair against unique vectors (a duplicate-id join
+    would multiply candidate rows), and a pair co-assigned to two
+    shared blocks is generated once per block, so the candidate set is
+    deduped first (answer-sized — cheap).
     """
     import numpy as np
     import pandas as pd
@@ -163,12 +173,16 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
 
     cands = emb.groupBy(block_col).applyInPandas(
         gen, f"id_a {id_type}, id_b {id_type}")
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("__a"),
-                   _norm(F.col(vec_col)).alias("__an"))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("__b"),
-                   _norm(F.col(vec_col)).alias("__bn"))
+    base = emb
+    if verify_against is not None:
+        cands = cands.distinct()
+        base = verify_against
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__a"),
+                    _norm(F.col(vec_col)).alias("__an"))
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("__b"),
+                    _norm(F.col(vec_col)).alias("__bn"))
     cos_raw = _safe_div(_dot(F.col("__a"), F.col("__b")),
                         F.col("__an") * F.col("__bn"))
     p = float(10 ** round_to)
@@ -539,11 +553,18 @@ def ivf_load(spark, path: str, *, id_col: str = "vec_id",
                     nlist=nlist)
 
 
-def _ivf_assign(index: IvfIndex, new_vectors: DataFrame) -> DataFrame:
+def _ivf_assign(index: IvfIndex, new_vectors: DataFrame, *,
+                n: int = 1) -> DataFrame:
     """Assign new vectors to the index's existing coarse centroids —
     nearest squared-L2 centroid, ties to the lowest list id (KMeans
     transform's own rule, parity-pinned by test). Returns rows in the
-    ``assigned`` schema. Cost: |delta| × nlist broadcast compares."""
+    ``assigned`` schema. Cost: |delta| × nlist broadcast compares.
+
+    ``n > 1`` = MULTI-ASSIGNMENT: one row per (vector, list) for the
+    vector's n nearest lists — the recall knob for consumers where a
+    boundary-straddling pair must share at least one block
+    (semantic_dedup's ``assign_n``). Never feed n>1 rows into an index
+    artifact; the IVF contract is one list per vector."""
     v = F.col(index.vec_col)
     # EXACT element-wise Σ(x−y)² — not the ‖v‖²+‖c‖²−2·v·c norm
     # identity: for a vector nearly equidistant to two centroids the
@@ -563,7 +584,7 @@ def _ivf_assign(index: IvfIndex, new_vectors: DataFrame) -> DataFrame:
         .crossJoin(broadcast(index.centroids))
         .withColumn("__d2", d2)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n)
         .select(index.id_col, index.vec_col,
                 F.col("list_id").alias("__list"), "__vnorm")
     )

@@ -411,6 +411,71 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
                        state_new=state_new, relabeled=relabeled)
 
 
+def migrate_state(docs: DataFrame, state: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  config: CurationConfig = CurationConfig(
+                      fingerprint_bits=128),
+                  simhash_hash_fn=None) -> tuple[DataFrame, DataFrame]:
+    """RETIER an existing fingerprint store (typically 64 → 128 bits)
+    without re-ingesting from raw: returns ``(curated, state)`` at the
+    NEW tier, row-for-row identical to
+    ``curate_corpus_with_state(docs, config)`` — the corpus a store
+    rebuild would publish and the state every later
+    :func:`curate_delta` (at the new tier) folds against.
+
+    Why the corpus must be recomputed too, not just the fingerprints:
+    the near-dup graph is tier-dependent (max_hamming=3 over 128 bits
+    is a stricter similarity rate than over 64), so cluster membership
+    — and therefore which doc is each cluster's min-id survivor —
+    changes with the tier. Rewriting only the fingerprint columns would
+    leave 64-bit-era ``component`` labels that a later delta would
+    silently trust.
+
+    What IS reused from the store (the savings vs a full rerun):
+    * the gate decisions — per-doc deterministic, tier-independent, so
+      the stored id set IS the gated set (metrics are recomputed only
+      for the surviving docs the corpus output needs);
+    * the exact-dedup outcome — ``exact_h`` and the min-id winners are
+      tier-independent; the corpus-wide content-hash groupBy is
+      skipped entirely.
+    The near-dup stages (fingerprint, banded pairs, components) run
+    fresh at the new tier — that recompute is the migration.
+
+    ``docs`` must be the SAME corpus the store was built from, and
+    ``config`` must keep the store's gate parameters (quality/lang/
+    token gates) — only the fingerprint tier/banding may differ; the
+    id↔text mapping is taken on faith (one semi-join, no text rehash
+    audit: pass the store's own corpus, not a lookalike).
+    """
+    cfg = config
+    gated = tracked_persist(
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(state.select(F.col(id_col), F.col("exact_h")), id_col))
+    fps = tracked_persist(_fingerprint(
+        gated, cfg, id_col=id_col, text_col=text_col,
+        hash_fn=simhash_hash_fn))
+    pairs = _near_pairs(fps, cfg, id_col=id_col)
+    comps = dedup_components(pairs, id_a="id_a", id_b="id_b")
+    losers = comps.filter(F.col("node") != F.col("component")) \
+                  .select(F.col("node").alias(id_col))
+    survivors = gated.select(F.col(id_col), F.col(text_col)) \
+                     .join(losers, id_col, "left_anti")
+    # survivors passed the gates when the store was built (per-doc
+    # deterministic), so _gate here only recomputes their metrics —
+    # the filter drops nothing
+    curated = _gate(survivors, id_col, text_col, cfg).withColumn(
+        "split", split_assignment(F.col(id_col), train_pct=cfg.train_pct,
+                                  valid_pct=cfg.valid_pct))
+    state_new = (
+        gated.select(F.col(id_col), F.col("exact_h"))
+        .join(fps, id_col)
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return curated, state_new
+
+
 def apply_state_updates(state: DataFrame, delta: DeltaResult, *,
                         id_col: str = "doc_id") -> DataFrame:
     """The fingerprint-store update a nightly run persists after

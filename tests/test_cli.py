@@ -467,6 +467,59 @@ def test_cli_curate_eval_docs_decontamination(spark, tmp_path, capsys):
         F.col("doc_id") == probe.doc_id).count() == 0
 
 
+def test_cli_curate_migrate_retiers_store(spark, tmp_path, capsys):
+    """curate --migrate: a 64-bit store retiered to 128 must equal the
+    from-scratch 128-bit store (and validate its arg contract)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.cli import run
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 120)
+    docs.write.parquet(str(tmp_path / "docs"))
+    base = ["--min-quality", "0.3", "--min-tokens", "3"]
+    assert run(["curate", "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "day0"),
+                "--state", str(tmp_path / "store64"), *base],
+               spark=spark) == 0
+    capsys.readouterr()
+    assert run(["curate", "--migrate", "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "mig"),
+                "--state", str(tmp_path / "store64"),
+                "--state-out", str(tmp_path / "store128"),
+                "--fingerprint-bits", "128", *base], spark=spark) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "migrate" \
+        and summary["fingerprint_bits"] == 128
+    assert run(["curate", "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "ref"),
+                "--state", str(tmp_path / "storeref"),
+                "--fingerprint-bits", "128", *base], spark=spark) == 0
+    capsys.readouterr()
+    mig = spark.read.parquet(str(tmp_path / "store128"))
+    ref = spark.read.parquet(str(tmp_path / "storeref"))
+    assert mig.exceptAll(ref).count() == 0
+    assert ref.exceptAll(mig).count() == 0
+
+    # arg contract: mutually exclusive with --delta; state-out required
+    # and distinct from state
+    assert run(["curate", "--migrate", "--delta",
+                "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "x"),
+                "--state", str(tmp_path / "store64"),
+                "--state-out", str(tmp_path / "y")], spark=spark) == 2
+    assert run(["curate", "--migrate", "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "x"),
+                "--state", str(tmp_path / "store64")], spark=spark) == 2
+    assert run(["curate", "--migrate", "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "x"),
+                "--state", str(tmp_path / "store64"),
+                "--state-out", str(tmp_path / "store64")],
+               spark=spark) == 2
+
+
 def test_cli_curate_wide_tier_roundtrip_and_mismatch(spark, tmp_path,
                                                      capsys):
     """--fingerprint-bits 128 end to end: full run writes a wide-schema

@@ -309,6 +309,55 @@ def test_wide_tier_rejects_hash_fn_override(spark):
                       simhash_hash_fn=F.xxhash64)
 
 
+def test_migrate_state_64_to_128_then_delta_matches_full(spark):
+    """VERDICT r8 §next-6: an existing 64-bit store can be RETIERED
+    in place of a raw rebuild. Contract: migrate_state(docs, state64)
+    ≡ curate_corpus_with_state(docs, WIDE_CFG) row-for-row (corpus AND
+    state), and a subsequent curate_delta against the migrated store
+    reproduces the full 128-bit recuration of old ∪ new."""
+    from dexscraper_spark.plans.curation import migrate_state
+
+    wide_state_cols = ["doc_id", "exact_h", "simhash_lo", "simhash_hi",
+                       "component"]
+    docs, extra = _real_docs(spark)
+    hi, lo = docs.select(F.max("doc_id"), F.min("doc_id")).first()
+    mid = (hi + lo) // 2
+    old = docs.filter(F.col("doc_id") <= mid)
+    new = docs.filter(F.col("doc_id") > mid).unionByName(extra)
+
+    # day 0 ran at the 64-bit tier
+    _, state64 = curate_corpus_with_state(old, config=CFG)
+
+    # retier: must equal a from-scratch 128-bit run on the same corpus
+    cur_m, state_m = migrate_state(old, state64, config=WIDE_CFG)
+    full_cur, full_state = curate_corpus_with_state(old, config=WIDE_CFG)
+    _assert_frames_equal(full_cur, cur_m, CURATED_COLS)
+    _assert_frames_equal(full_state, state_m, wide_state_cols)
+
+    # nightly continues at the new tier against the MIGRATED store
+    res = curate_delta(new, state_m, config=WIDE_CFG)
+    merged = (cur_m.join(res.retracted, "doc_id", "left_anti")
+              .unionByName(res.curated_new.select(*CURATED_COLS)))
+    all_cur, all_state = curate_corpus_with_state(
+        old.unionByName(new), config=WIDE_CFG)
+    _assert_frames_equal(all_cur, merged, CURATED_COLS)
+    _assert_frames_equal(all_state, apply_state_updates(state_m, res),
+                         wide_state_cols)
+
+
+def test_migrate_state_noop_same_tier(spark):
+    """Migrating to the tier the store already has reproduces the store
+    (pure recompute — a sanity pin that the reuse logic is lossless)."""
+    from dexscraper_spark.plans.curation import migrate_state
+
+    docs, _ = _real_docs(spark)
+    old = docs.limit(300)
+    cur0, state0 = curate_corpus_with_state(old, config=CFG)
+    cur_m, state_m = migrate_state(old, state0, config=CFG)
+    _assert_frames_equal(cur0, cur_m, CURATED_COLS)
+    _assert_frames_equal(state0, state_m, STATE_COLS)
+
+
 def test_config_rejects_bad_fingerprint_bits():
     import pytest
 

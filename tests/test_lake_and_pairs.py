@@ -195,6 +195,68 @@ def test_semantic_dedup_layout_independent(spark):
     assert a == b
 
 
+def test_semantic_dedup_assign_n2_catches_boundary_pair(spark):
+    """The paper-shape recall caveat, and its fix (VERDICT r8 §next-3):
+    a near-dup pair straddling a k-means boundary is never a candidate
+    at assign_n=1 (each endpoint's single list differs) but IS caught
+    at assign_n=2 (multi-assignment makes them share a second list).
+    Crafted geometry: four tight blobs at ±e1/±e3; the pair sits
+    between the ±e1 blobs (cos ≈ 0.956) with a small +e3 lean so both
+    endpoints' SECOND-nearest centroid is deterministically the e3
+    blob."""
+    import numpy as np
+
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    anchors = np.zeros((4, dim))
+    anchors[0, 0], anchors[1, 0] = 1.0, -1.0
+    anchors[2, 2], anchors[3, 2] = 1.0, -1.0
+    blob = np.repeat(anchors, 60, axis=0) \
+        + 0.03 * rng.normal(size=(240, dim))
+    u = np.zeros(dim); u[1], u[2], u[0] = 1.0, 0.1, -0.15
+    v = np.zeros(dim); v[1], v[2], v[0] = 1.0, 0.1, 0.15
+    rows = [(i, [float(x) for x in w]) for i, w in enumerate(blob)]
+    rows += [(1000, [float(x) for x in u]), (1001, [float(x) for x in v])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+
+    kw = dict(nlist=4, threshold=0.9, seed=5)
+    kept1 = {r["vec_id"] for r in
+             semantic_dedup(emb, assign_n=1, **kw).collect()}
+    kept2 = {r["vec_id"] for r in
+             semantic_dedup(emb, assign_n=2, **kw).collect()}
+    # assign_n=1 misses the boundary pair: both endpoints survive
+    assert {1000, 1001} <= kept1
+    # assign_n=2 catches it: min-id survives, the other is dropped
+    assert 1000 in kept2 and 1001 not in kept2
+    # and multi-assignment only ADDS candidates — everything assign_n=2
+    # keeps, assign_n=1 kept too (blob collapses identical either way)
+    assert kept2 <= kept1
+    assert kept1 - kept2 == {1001}
+
+
+def test_semantic_dedup_assign_n2_layout_independent(spark):
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 400)
+    a = sorted(r["vec_id"] for r in
+               semantic_dedup(emb, nlist=4, threshold=0.4,
+                              assign_n=2).collect())
+    b = sorted(r["vec_id"] for r in
+               semantic_dedup(emb.repartition(9), nlist=4, threshold=0.4,
+                              assign_n=2).collect())
+    assert a == b
+    # still a valid dedup (monotone vs single-assign: can only drop more)
+    c = sorted(r["vec_id"] for r in
+               semantic_dedup(emb, nlist=4, threshold=0.4).collect())
+    assert set(a) <= set(c)
+
+
 def test_ivf_build_deterministic_layout_independent_and_queryable(spark):
     """Identical centroids AND assignments on any partitioning (the
     MLlib build is layout-dependent — k-means|| seeds per partition),
