@@ -101,7 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("command",
                    choices=list(PRESETS) + ["stream", "curate", "bars",
                                             "pack", "zorder", "ann",
-                                            "select"])
+                                            "select", "pipeline"])
     p.add_argument("--chain", default="solana",
                    choices=[c.value for c in Chain])
     p.add_argument("--timeframe", default="h6", choices=[t.value for t in Timeframe])
@@ -241,6 +241,36 @@ def build_parser() -> argparse.ArgumentParser:
                     help="select: softmax temperature over log-weights "
                          "(higher = flatter, closer to uniform)")
     se.add_argument("--seed", type=int, default=42)
+    pl = p.add_argument_group(
+        "pipeline (ONE-COMMAND training-data run: decontaminate -> "
+        "quality classifier -> curate [gates + exact + near dedup + "
+        "split assignment] -> semantic dedup -> sliding-window split "
+        "-> pack -> training shards; shares --docs/--out/--eval-docs/"
+        "--quality-model/--quality-alpha/--min-quality/--min-tokens/"
+        "--fingerprint-bits/--mode/--max-tokens/--num-shards)")
+    pl.add_argument("--config", default=None,
+                    help="pipeline: JSON file of flag values (keys = "
+                         "flag dests, e.g. min_quality); explicit "
+                         "command-line flags override it")
+    pl.add_argument("--embeddings", default=None,
+                    help="pipeline: parquet with (doc_id, embedding) — "
+                         "enables the semantic-dedup stage (docs "
+                         "without an embedding pass through)")
+    pl.add_argument("--semantic-threshold", type=float, default=0.95,
+                    help="pipeline: cosine threshold for semantic dedup")
+    pl.add_argument("--semantic-nlist", type=int, default=16,
+                    help="pipeline: k-means blocks for semantic dedup")
+    pl.add_argument("--assign-n", type=int, default=1,
+                    help="pipeline: semantic-dedup multi-assignment "
+                         "(2 = cross-cluster recall)")
+    pl.add_argument("--split-max-tokens", type=int, default=None,
+                    help="pipeline: sliding-window size (default: "
+                         "--max-tokens; 0 disables splitting)")
+    pl.add_argument("--stride", type=int, default=None,
+                    help="pipeline: window stride (default: window "
+                         "size = disjoint windows)")
+    pl.add_argument("--train-shards", type=int, default=16,
+                    help="pipeline: output training shard count")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -281,6 +311,9 @@ def run(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "select":
         return _run_select(args, spark)
+
+    if args.command == "pipeline":
+        return _run_pipeline(args, spark)
 
     if args.command == "stream":
         # before the batch source: the stream path generates its own
@@ -899,6 +932,211 @@ def _run_select(args, spark) -> int:
         "logw_max": round(stats["hi"], 4) if stats["hi"] is not None
         else None}))
     return 0
+
+def _run_pipeline(args, spark) -> int:
+    """ONE-COMMAND training-data pipeline — the composition a nightly
+    100 TB run executes, from one flags/JSON config:
+
+        pipeline --docs RAW.parquet --out RUN_DIR \
+                 [--eval-docs EVAL] [--quality-model QCM] \
+                 [--embeddings EMB] [--config run.json]
+
+    Stage order (each stage optional-by-flag except curation):
+      1. decontaminate      (--eval-docs: 13-gram leak removal, audited)
+      2. quality classifier (--quality-model: GPT-3 Pareto keep rule)
+      3. curate_corpus      (gates + exact dedup + near-dup dedup +
+                             train/valid/test split assignment)
+      4. semantic dedup     (--embeddings: SemDeDup over the curated
+                             set; docs without an embedding pass)
+      5. sliding-window split (--split-max-tokens; 0 disables)
+      6. pack               (--mode chunk|bins over the piece tokens)
+      7. write_training_shards (hash-sharded pieces + manifest)
+
+    Outputs under --out: contaminated/ (audit), state/ (fingerprint
+    store for later `curate --delta` runs), curated/ (split/lang-
+    partitioned docs), packed/ (pack assignment), shards/ (+ manifest),
+    and _run_summary.json (the same JSON line the command prints).
+
+    ``--config`` is a JSON object of flag dests (e.g. {"min_quality":
+    0.4, "train_shards": 64}); explicit command-line flags override it.
+    Counting strategy: every stage's frame is persisted before its
+    count + downstream read, so no stage's plan executes twice.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark import fsio
+    from dexscraper_spark.operators.packing import (
+        chunk_token_stream, pack_greedy, split_documents)
+    from dexscraper_spark.plans.curation import (
+        CurationConfig, curate_corpus_with_state, write_curated,
+        write_curation_state, write_training_shards)
+    from dexscraper_spark.persist import tracked_persist
+
+    if args.config:
+        try:
+            with open(args.config) as f:
+                conf = _json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"pipeline: cannot read --config: {e}", file=sys.stderr)
+            return 2
+        if not isinstance(conf, dict):
+            print("pipeline: --config must hold a JSON object",
+                  file=sys.stderr)
+            return 2
+        ref = build_parser()
+        for key, val in conf.items():
+            if key in ("command", "config") or not hasattr(args, key):
+                print(f"pipeline: unknown config key {key!r}",
+                      file=sys.stderr)
+                return 2
+            # explicit flags win: only fill values still at their default
+            if getattr(args, key) == ref.get_default(key):
+                setattr(args, key, val)
+    if not args.docs or not args.out:
+        print("pipeline: --docs and --out are required", file=sys.stderr)
+        return 2
+    mode = args.mode or "chunk"
+    if mode not in ("chunk", "bins"):
+        print("pipeline: --mode must be chunk or bins", file=sys.stderr)
+        return 2
+    split_max = args.split_max_tokens
+    if split_max is None:
+        split_max = args.max_tokens
+
+    summary: dict = {"mode": "pipeline"}
+    docs = spark.read.parquet(args.docs)
+    summary["input_docs"] = docs.count()
+
+    # 1. decontamination (same shape as `curate --eval-docs`)
+    if args.eval_docs:
+        from dexscraper_spark.operators.decontaminate import decontaminate
+
+        docs, removed = decontaminate(
+            docs, spark.read.parquet(args.eval_docs))
+        removed = tracked_persist(removed)
+        summary["contaminated"] = removed.count()
+        removed.write.mode("overwrite").parquet(
+            f"{args.out}/contaminated")
+
+    # 2. quality classifier (GPT-3 Pareto keep rule)
+    if args.quality_model:
+        from dexscraper_spark.operators.classifier import (qc_filter,
+                                                           qc_load)
+
+        docs = tracked_persist(docs)
+        n_docs = docs.count()
+        qcm = qc_load(spark, args.quality_model)
+        docs = tracked_persist(
+            qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
+        summary["quality_dropped"] = n_docs - docs.count()
+
+    # 3. curation: gates + exact + near-dup dedup + split assignment
+    cfg = CurationConfig(min_quality=args.min_quality,
+                         min_tokens=args.min_tokens,
+                         fingerprint_bits=args.fingerprint_bits)
+    curated, state = curate_corpus_with_state(docs, config=cfg)
+    curated = tracked_persist(curated)
+    summary["curated"] = curated.count()
+    write_curation_state(state, f"{args.out}/state")
+
+    # 4. semantic dedup over the curated survivors (SemDeDup)
+    if args.embeddings:
+        from dexscraper_spark.operators.dedup import semantic_dedup
+
+        emb = spark.read.parquet(args.embeddings)
+        if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+            emb = emb.withColumnRenamed("vec_id", "doc_id")
+        emb_cur = emb.select("doc_id", "embedding").join(
+            curated.select("doc_id"), "doc_id", "left_semi")
+        kept_emb = semantic_dedup(
+            emb_cur, id_col="doc_id", nlist=args.semantic_nlist,
+            threshold=args.semantic_threshold, assign_n=args.assign_n)
+        # drop curated docs whose embedding LOST; docs with no embedding
+        # never competed and pass through
+        dropped = emb_cur.select("doc_id").join(
+            kept_emb.select("doc_id"), "doc_id", "left_anti")
+        curated = tracked_persist(
+            curated.join(dropped, "doc_id", "left_anti"))
+        n_after = curated.count()
+        summary["semantic_dropped"] = summary["curated"] - n_after
+        summary["curated"] = n_after
+    write_curated(curated, f"{args.out}/curated")
+
+    # 5. sliding-window split -> one row per trainable piece
+    if split_max and split_max > 0:
+        pieces = split_documents(curated, max_tokens=split_max,
+                                 stride=args.stride)
+        pieces = (pieces.join(curated.select("doc_id", "split", "lang"),
+                              "doc_id")
+                  .select("doc_id", "window_id",
+                          F.col("window_text").alias("text"),
+                          F.col("n_window_tokens").alias("n_tokens"),
+                          "split", "lang"))
+    else:
+        pieces = curated.select(
+            "doc_id", F.lit(0).alias("window_id"), "text",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "split", "lang")
+    pieces = tracked_persist(pieces)
+    stats = pieces.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("window_id").alias("max_w"),
+        F.max("doc_id").alias("max_d"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok")).first()
+    summary["pieces"] = stats["n"]
+    summary["total_tokens"] = int(stats["tok"])
+    # composite numeric piece id: collision-free while window_id < 2^20
+    # and doc_id < 2^43 — checked, not assumed
+    if stats["n"] and (stats["max_w"] >= (1 << 20)
+                       or stats["max_d"] >= (1 << 43)):
+        print("pipeline: doc_id/window_id exceed the composite-id "
+              "budget (doc_id < 2^43, window_id < 2^20) — re-id the "
+              "corpus", file=sys.stderr)
+        return 2
+    pieces = pieces.withColumn(
+        "piece_id",
+        (F.col("doc_id") * F.lit(1 << 20)
+         + F.col("window_id")).cast("long"))
+
+    # 6. pack the piece token stream
+    sizes = pieces.select("piece_id", "n_tokens")
+    if mode == "chunk":
+        packed = chunk_token_stream(sizes, id_col="piece_id",
+                                    max_tokens=args.max_tokens)
+        group, fill = "chunk_id", F.sum(
+            F.col("tok_end") - F.col("tok_start"))
+    else:
+        packed = pack_greedy(sizes, id_col="piece_id",
+                             max_tokens=args.max_tokens,
+                             num_shards=args.num_shards)
+        group, fill = "bin_id", F.sum(
+            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0))
+    packed = tracked_persist(packed)
+    packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+    pstats = (packed.groupBy(group).agg(fill.alias("f"))
+              .agg(F.count(F.lit(1)).alias("units"),
+                   F.avg("f").alias("avg_fill")).first())
+    summary["pack_mode"] = mode
+    summary["pack_units"] = pstats["units"]
+    summary["avg_fill"] = round(float(pstats["avg_fill"] or 0.0), 2)
+
+    # 7. hash-sharded training export + manifest
+    manifest = write_training_shards(
+        pieces.select("piece_id", "doc_id", "window_id", "text",
+                      "n_tokens", "split", "lang"),
+        f"{args.out}/shards", n_shards=args.train_shards,
+        id_col="piece_id", token_col="n_tokens")
+    summary["shards"] = manifest["n_shards"]
+    summary["shard_docs"] = manifest["total_docs"]
+
+    line = _json.dumps(summary)
+    fsio.write_text_atomic(spark, fsio.join(args.out,
+                                            "_run_summary.json"), line)
+    _emit(line, args.output)
+    return 0
+
 
 if __name__ == "__main__":
     raise SystemExit(run())
