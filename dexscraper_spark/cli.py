@@ -183,10 +183,12 @@ def build_parser() -> argparse.ArgumentParser:
         "pack (sequence packing: curated docs -> fixed-token training "
         "rows; shares --docs/--out with curate)")
     pk.add_argument("--mode", default=None,
-                    choices=["chunk", "bins", "build", "query", "extend"],
+                    choices=["chunk", "bins", "build", "query", "extend",
+                             "republish"],
                     help="pack: chunk (default; concat-and-chunk, docs may "
                          "span chunks) | bins (greedy first-fit, whole "
-                         "docs). ann: build (default) | query | extend")
+                         "docs). ann: build (default) | query | extend | "
+                         "republish (recall-gated retrain + atomic swap)")
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--num-shards", type=int, default=64,
                     help="pack bins: independent packing shards")
@@ -224,6 +226,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "embedding dim)")
     an.add_argument("--pq-ksub", type=int, default=64,
                     help="ann build: centroids per subspace (<=256)")
+    an.add_argument("--max-drop", type=float, default=0.05,
+                    help="ann republish: max recall@k regression vs the "
+                         "live artifact before the swap is refused")
+    an.add_argument("--min-recall", type=float, default=None,
+                    help="ann republish: absolute recall@k floor for "
+                         "publishing")
     se = p.add_argument_group(
         "select (DSIR-style importance resampling: sample --n docs from "
         "--docs proportional to p_target/p_raw, LMs trained on "
@@ -766,25 +774,28 @@ def _run_ann(args, spark) -> int:
     (query_id, neighbor_id, cosine, rank)); --mode extend: assign and
     encode NEW vectors with the stored centroids/codebooks — append-
     only, rerun-idempotent, and self-repairing after a crash between
-    the two table writes (see ivf_pq_extend_saved)."""
+    the two table writes (see ivf_pq_extend_saved); --mode republish:
+    recall-gated retrain on --vectors (the current corpus) + atomic
+    swap — exits 1 without touching the artifact when the gate refuses
+    (see ivf_pq_republish)."""
     import json as _json
 
     from pyspark.sql import functions as F
 
     from dexscraper_spark.operators.quantize import (
-        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_load, ivf_pq_save,
-        ivf_pq_topk, pq_train)
+        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_load, ivf_pq_republish,
+        ivf_pq_save, ivf_pq_topk, pq_train)
     from dexscraper_spark.operators.similarity import ivf_build
 
     mode = args.mode or "build"
-    if mode not in ("build", "query", "extend"):
-        print("ann: --mode must be build, query, or extend",
+    if mode not in ("build", "query", "extend", "republish"):
+        print("ann: --mode must be build, query, extend, or republish",
               file=sys.stderr)
         return 2
     if not args.index:
         print("ann: --index is required", file=sys.stderr)
         return 2
-    if mode in ("build", "extend") and not args.vectors:
+    if mode in ("build", "extend", "republish") and not args.vectors:
         print(f"ann {mode}: --vectors is required", file=sys.stderr)
         return 2
     if mode == "query" and not args.queries:
@@ -819,6 +830,19 @@ def _run_ann(args, spark) -> int:
             _emit(_json.dumps({"mode": "extend",
                                "indexed": stats["indexed"]}),
                   args.output)
+        elif mode == "republish":
+            corpus = (spark.read.parquet(args.vectors)
+                      .select("vec_id", "embedding"))
+            res = ivf_pq_republish(
+                spark, corpus, args.index, nlist=args.nlist,
+                m=args.pq_m, ksub=args.pq_ksub, k=args.k,
+                nprobe=args.nprobe, max_drop=args.max_drop,
+                min_recall=args.min_recall)
+            _emit(_json.dumps({"mode": "republish", **res}),
+                  args.output)
+            # a refused gate is a failed maintenance run for the
+            # orchestrator, not a silent success
+            return 0 if res["published"] else 1
         else:
             index, books, codes = ivf_pq_load(spark, args.index)
             queries = (spark.read.parquet(args.queries)

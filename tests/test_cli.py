@@ -425,6 +425,25 @@ def test_cli_ann_build_query_extend(spark, tmp_path, capsys):
     assert rc == 0
     assert capsys.readouterr().out.strip()
 
+    # republish: recall-gated retrain on the full corpus, atomic swap
+    emb.write.parquet(str(tmp_path / "all"))
+    rc = run(["ann", "--mode", "republish", "--index", idx,
+              "--vectors", str(tmp_path / "all"), "--nlist", "8",
+              "--k", "5", "--nprobe", "4"], spark=spark)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "republish" and out["published"]
+    assert out["recall_old"] is not None
+    assert spark.read.parquet(f"{idx}/codes").count() == 500
+    # a refused gate exits nonzero and leaves the artifact alone
+    rc = run(["ann", "--mode", "republish", "--index", idx,
+              "--vectors", str(tmp_path / "all"), "--nlist", "8",
+              "--min-recall", "1.01"], spark=spark)
+    assert rc == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["published"] and "min_recall" in out["reason"]
+    assert spark.read.parquet(f"{idx}/codes").count() == 500
+
 
 def test_cli_ann_validation(spark, capsys):
     from dexscraper_spark.cli import run
