@@ -16,8 +16,11 @@ difftest:
 # If the run started on a loaded machine (bench.py stamps "loaded": true
 # on the final line when start load1 > max(2, ncpu/8)), wait for idle and
 # retry ONCE — a loaded-machine artifact reads as a uniform regression.
+# stdout is captured (not piped through tee) so a crashed bench run
+# still fails the target instead of hiding behind the pipe's status.
 bench:
-	@python bench.py | tee /tmp/bench_out.txt; \
+	@python bench.py > /tmp/bench_out.txt; rc=$$?; cat /tmp/bench_out.txt; \
+	if [ $$rc -ne 0 ]; then exit $$rc; fi; \
 	if tail -1 /tmp/bench_out.txt | grep -q '"loaded": true'; then \
 	  echo "bench: machine was loaded — retrying once after 90s idle wait"; \
 	  sleep 90; python bench.py; fi

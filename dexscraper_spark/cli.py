@@ -297,6 +297,10 @@ def _emit(text: str, output: str) -> None:
 
 def run(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
+    # raw tokens, so `pipeline --config` can tell an EXPLICIT flag from
+    # a default (comparing values against parser defaults misreads a
+    # flag deliberately set to its default value)
+    args._raw_argv = list(argv) if argv is not None else sys.argv[1:]
     if spark is None:
         from dexscraper_spark.session import get_spark
         spark = get_spark("dexscraper-cli")
@@ -973,7 +977,10 @@ def _run_pipeline(args, spark) -> int:
       4. semantic dedup     (--embeddings: SemDeDup over the curated
                              set; docs without an embedding pass)
       5. sliding-window split (--split-max-tokens; 0 disables)
-      6. pack               (--mode chunk|bins over the piece tokens)
+      6. pack               (--mode chunk|bins over the piece tokens,
+                             PER train/valid/test split — a shared
+                             stream would pack eval text into training
+                             sequences)
       7. write_training_shards (hash-sharded pieces + manifest)
 
     Outputs under --out: contaminated/ (audit), state/ (fingerprint
@@ -1009,14 +1016,21 @@ def _run_pipeline(args, spark) -> int:
             print("pipeline: --config must hold a JSON object",
                   file=sys.stderr)
             return 2
-        ref = build_parser()
+        raw = getattr(args, "_raw_argv", []) or []
+
+        def _explicit(dest: str) -> bool:
+            opt = "--" + dest.replace("_", "-")
+            return any(tok == opt or tok.startswith(opt + "=")
+                       for tok in raw)
+
         for key, val in conf.items():
             if key in ("command", "config") or not hasattr(args, key):
                 print(f"pipeline: unknown config key {key!r}",
                       file=sys.stderr)
                 return 2
-            # explicit flags win: only fill values still at their default
-            if getattr(args, key) == ref.get_default(key):
+            # explicit flags win — detected from the raw argv, so a flag
+            # deliberately set to its default value still overrides
+            if not _explicit(key):
                 setattr(args, key, val)
     if not args.docs or not args.out:
         print("pipeline: --docs and --out are required", file=sys.stderr)
@@ -1031,6 +1045,17 @@ def _run_pipeline(args, spark) -> int:
 
     summary: dict = {"mode": "pipeline"}
     docs = spark.read.parquet(args.docs)
+    # early contract check: the composite piece id (stage 5) needs an
+    # integral doc_id — fail HERE with a clear message, not four stages
+    # in with a bare TypeError
+    import pyspark.sql.types as _T
+    if "doc_id" not in docs.columns or not isinstance(
+            docs.schema["doc_id"].dataType,
+            (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)):
+        print("pipeline: --docs needs an integral doc_id column (the "
+              "composite piece id is doc_id*2^20 + window_id) — re-id "
+              "or cast the corpus first", file=sys.stderr)
+        return 2
     summary["input_docs"] = docs.count()
 
     # 1. decontamination (same shape as `curate --eval-docs`)
@@ -1124,22 +1149,35 @@ def _run_pipeline(args, spark) -> int:
         (F.col("doc_id") * F.lit(1 << 20)
          + F.col("window_id")).cast("long"))
 
-    # 6. pack the piece token stream
-    sizes = pieces.select("piece_id", "n_tokens")
-    if mode == "chunk":
-        packed = chunk_token_stream(sizes, id_col="piece_id",
+    # 6. pack the piece token stream — PER SPLIT: one concatenated
+    # stream over all splits would let a chunk span a train piece and a
+    # test piece (eval text leaking into training sequences, right
+    # after this very run assigned the splits). chunk/bin ids restart
+    # per split; (split, chunk_id/bin_id) is the unique key.
+    packed_parts = []
+    for sp in ("train", "valid", "test"):
+        sizes = pieces.filter(F.col("split") == sp) \
+            .select("piece_id", "n_tokens")
+        if mode == "chunk":
+            pk = chunk_token_stream(sizes, id_col="piece_id",
                                     max_tokens=args.max_tokens)
-        group, fill = "chunk_id", F.sum(
-            F.col("tok_end") - F.col("tok_start"))
-    else:
-        packed = pack_greedy(sizes, id_col="piece_id",
+        else:
+            pk = pack_greedy(sizes, id_col="piece_id",
                              max_tokens=args.max_tokens,
                              num_shards=args.num_shards)
-        group, fill = "bin_id", F.sum(
-            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0))
+        packed_parts.append(pk.withColumn("split", F.lit(sp)))
+    packed = packed_parts[0]
+    for pk in packed_parts[1:]:
+        packed = packed.unionByName(pk)
+    group = ["split", "chunk_id"] if mode == "chunk" \
+        else ["split", "bin_id"]
+    fill = (F.sum(F.col("tok_end") - F.col("tok_start"))
+            if mode == "chunk"
+            else F.sum(F.when(~F.col("oversize"),
+                              F.col("n_tokens")).otherwise(0)))
     packed = tracked_persist(packed)
     packed.write.mode("overwrite").parquet(f"{args.out}/packed")
-    pstats = (packed.groupBy(group).agg(fill.alias("f"))
+    pstats = (packed.groupBy(*group).agg(fill.alias("f"))
               .agg(F.count(F.lit(1)).alias("units"),
                    F.avg("f").alias("avg_fill")).first())
     summary["pack_mode"] = mode

@@ -647,8 +647,12 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
 
     if assign_n < 1:
         raise ValueError(f"assign_n must be >= 1, got {assign_n}")
+    # cache only when the index's own top-1 assignment is what we block
+    # on; the multi-assign branch re-assigns from the centroids and
+    # would pay a wasted full-corpus materialization otherwise
     index = ivf_build_deterministic(emb, id_col=id_col, vec_col=vec_col,
-                                    nlist=nlist, seed=seed, cache=True)
+                                    nlist=nlist, seed=seed,
+                                    cache=(assign_n == 1))
     try:
         if assign_n == 1:
             blocked = index.assigned.select(

@@ -552,21 +552,49 @@ def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
 
 def ivf_pq_recover(spark, path: str) -> str:
     """Finish or undo a :func:`ivf_pq_republish` swap interrupted by a
-    crash. Returns ``"ok"`` (nothing to do — live artifact present;
-    stale siblings cleaned), ``"rolled_forward"`` (the rebuilt artifact
-    had committed — the swap is completed), or ``"rolled_back"`` (it had
-    not — the previous artifact is restored). Raises when neither the
-    artifact nor a recoverable sibling exists."""
+    crash. Returns ``"ok"`` (live artifact present and complete; stale
+    siblings cleaned), ``"rolled_forward"`` (the rebuilt artifact had
+    committed — the swap is completed), or ``"rolled_back"`` (it had
+    not — the previous artifact is restored). Raises when neither a
+    complete artifact nor a recoverable sibling exists — after clearing
+    any UNCOMMITTED ``__rebuilding`` leftovers, so a first-ever publish
+    that crashed mid-save never wedges the path.
+
+    A bare directory at ``path`` is NOT trusted as live: on object
+    stores Hadoop rename is a copy, so a crash mid-swap can leave a
+    PARTIAL ``path`` while the only complete copy sits in a sibling.
+    Completeness witness = ``_committed`` (republish) or
+    ``codes/_SUCCESS`` (any completed ivf_pq_save — codes are written
+    last). A witness-less ``path`` is treated as partial and replaced
+    from the committed tmp / rolled back to ``__old``. Best-effort by
+    nature on copy-backed renames (a partially-copied dir could carry
+    the witness file already); on HDFS renames are atomic and the
+    witness is exact."""
     from dexscraper_spark import fsio
 
     tmp, old = f"{path}__rebuilding", f"{path}__old"
+    tmp_committed = fsio.exists(spark, fsio.join(tmp, "_committed"))
     if fsio.exists(spark, path):
-        # live artifact: any siblings are a stale crashed attempt —
-        # clear them so the next republish starts clean
-        fsio.delete(spark, tmp)
-        fsio.delete(spark, old)
-        return "ok"
-    if fsio.exists(spark, fsio.join(tmp, "_committed")):
+        complete = (fsio.exists(spark, fsio.join(path, "_committed"))
+                    or fsio.exists(spark,
+                                   fsio.join(path, "codes", "_SUCCESS")))
+        if complete:
+            # live artifact: any siblings are a stale crashed attempt —
+            # clear them so the next republish starts clean
+            fsio.delete(spark, tmp)
+            fsio.delete(spark, old)
+            return "ok"
+        # partial path (crashed copy-backed rename): the complete copy
+        # is in a sibling — never bless the partial. But never DELETE a
+        # witness-less path unless a recovery source actually exists
+        # (a hand-built artifact without markers must not be destroyed)
+        if not (tmp_committed or fsio.exists(spark, old)):
+            raise ValueError(
+                f"artifact at {path} lacks a completeness witness "
+                "(_committed or codes/_SUCCESS) and no recovery sibling "
+                "exists — refusing to touch it")
+        fsio.delete(spark, path)
+    if tmp_committed:
         fsio.rename(spark, tmp, path)
         fsio.delete(spark, old)
         return "rolled_forward"
@@ -574,9 +602,13 @@ def ivf_pq_recover(spark, path: str) -> str:
         fsio.delete(spark, tmp)
         fsio.rename(spark, old, path)
         return "rolled_back"
+    # nothing recoverable; an uncommitted tmp is a crashed FIRST publish
+    # — clear it so the retry starts clean instead of wedging here again
+    fsio.delete(spark, tmp)
     raise FileNotFoundError(
         f"no IVF-PQ artifact at {path} (nor a recoverable "
-        "__old/__rebuilding sibling)")
+        "__old/__rebuilding sibling; any uncommitted rebuild leftovers "
+        "were cleared)")
 
 
 def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
@@ -631,12 +663,17 @@ def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
     from dexscraper_spark.operators.similarity import (
         cosine_topk, ivf_build_deterministic)
 
-    # entry recovery: finish/undo any interrupted prior swap first (a
-    # first-ever publish legitimately finds nothing — skip, don't raise)
+    # entry recovery: finish/undo any interrupted prior swap first. A
+    # first-ever publish legitimately finds nothing — or only the
+    # uncommitted leftovers of its own crashed previous attempt, which
+    # recover clears before raising; either way, proceed to publish.
     if fsio.exists(spark, path) \
             or fsio.exists(spark, f"{path}__rebuilding") \
             or fsio.exists(spark, f"{path}__old"):
-        ivf_pq_recover(spark, path)
+        try:
+            ivf_pq_recover(spark, path)
+        except FileNotFoundError:
+            pass  # nothing recoverable: fresh publish
 
     vecs = corpus.select(id_col, vec_col)
     [probe_row] = vecs.select(F.size(vec_col).alias("d")) \

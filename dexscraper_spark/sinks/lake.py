@@ -300,6 +300,20 @@ def compact_zordered(spark, path: str, *, n_files: int = 32) -> None:
 
     tmp = f"{path}__compacting"
     old = f"{path}__old"
+    # A bare directory at `path` is not trusted as live: on object
+    # stores rename is a copy, so a crash mid-swap can leave a PARTIAL
+    # `path` while the complete copy sits in a sibling. Witness = the
+    # table's own `_SUCCESS` marker (every write_zordered/_write_curve
+    # table has one); a witness-less path is partial — replace it from
+    # the committed tmp / roll back to __old, never compact it.
+    if fsio.exists(spark, path) and not fsio.exists(
+            spark, fsio.join(path, "_SUCCESS")):
+        if not (fsio.exists(spark, fsio.join(tmp, "_SUCCESS"))
+                or fsio.exists(spark, old)):
+            raise ValueError(
+                f"table at {path} has no _SUCCESS marker and no "
+                "recovery sibling — refusing to compact or delete it")
+        fsio.delete(spark, path)
     if not fsio.exists(spark, path):
         # crashed mid-swap on a previous run: roll forward if the
         # compacted table committed, else roll back the original

@@ -71,8 +71,16 @@ def test_pipeline_matches_stage_by_stage_composition(spark, tmp_path,
               .withColumn("piece_id",
                           (F.col("doc_id") * F.lit(1 << 20)
                            + F.col("window_id")).cast("long")))
-    packed = chunk_token_stream(pieces.select("piece_id", "n_tokens"),
-                                id_col="piece_id", max_tokens=256)
+    # packing runs PER SPLIT (a shared stream would let a chunk span
+    # train and test pieces — eval leakage)
+    parts = []
+    for sp in ("train", "valid", "test"):
+        parts.append(chunk_token_stream(
+            pieces.filter(F.col("split") == sp)
+            .select("piece_id", "n_tokens"),
+            id_col="piece_id", max_tokens=256).withColumn(
+                "split", F.lit(sp)))
+    packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
 
     # ---- row-for-row: every written artifact equals the composition --
     _frames_equal(spark.read.parquet(f"{out}/contaminated"), removed,
@@ -85,7 +93,16 @@ def test_pipeline_matches_stage_by_stage_composition(spark, tmp_path,
                   ["piece_id", "doc_id", "window_id", "text",
                    "n_tokens", "split", "lang"])
     _frames_equal(spark.read.parquet(f"{out}/packed"), packed,
-                  ["piece_id", "chunk_id", "tok_start", "tok_end"])
+                  ["piece_id", "chunk_id", "tok_start", "tok_end",
+                   "split"])
+    # no packed unit mixes splits (the leakage guard, asserted directly:
+    # every packed row's split matches its piece's split)
+    pk = spark.read.parquet(f"{out}/packed")
+    sh = spark.read.parquet(f"{out}/shards").select(
+        "piece_id", F.col("split").alias("psplit"))
+    mixed = pk.join(sh, "piece_id").filter(
+        F.col("split") != F.col("psplit")).count()
+    assert mixed == 0
 
     # ---- summary + manifest consistency ----
     n_pieces = pieces.count()
@@ -93,7 +110,7 @@ def test_pipeline_matches_stage_by_stage_composition(spark, tmp_path,
     assert summary["curated"] == curated.count()
     assert summary["semantic_dropped"] == dropped.count() > 0
     assert summary["pieces"] == n_pieces
-    assert summary["pack_units"] == packed.select("chunk_id") \
+    assert summary["pack_units"] == packed.select("split", "chunk_id") \
         .distinct().count()
     man = json.loads((tmp_path / "run" / "shards" / "_manifest.json")
                      .read_text())
@@ -144,8 +161,8 @@ def test_pipeline_quality_stage_and_bins_mode(spark, tmp_path, capsys):
     assert summary["pieces"] == curated.count() == shards.count()
     assert shards.select(F.max("window_id")).first()[0] == 0
     packed = spark.read.parquet(f"{out}/packed")
-    assert {"bin_id", "oversize"} <= set(packed.columns)
-    assert summary["pack_units"] == packed.select("bin_id") \
+    assert {"bin_id", "oversize", "split"} <= set(packed.columns)
+    assert summary["pack_units"] == packed.select("split", "bin_id") \
         .distinct().count()
 
 
@@ -167,6 +184,32 @@ def test_pipeline_config_file_and_flag_precedence(spark, tmp_path,
     assert man["n_shards"] == 3
     # config values that were NOT overridden took effect (split off)
     assert summary["pieces"] == summary["curated"]
+
+    # an explicit flag set to its DEFAULT value still beats the config
+    # (precedence is detected from argv, not value comparison)
+    (tmp_path / "run2.json").write_text(json.dumps(
+        {**conf, "train_shards": 2}))
+    rc = run(["pipeline", "--docs", f"{SF}/documents.parquet",
+              "--out", str(tmp_path / "run2"),
+              "--config", str(tmp_path / "run2.json"),
+              "--train-shards", "16"],   # 16 == parser default
+             spark=spark)
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["shards"] == 16
+
+
+def test_pipeline_rejects_non_integral_doc_id(spark, tmp_path, capsys):
+    """The composite piece id needs an integral doc_id — the contract
+    fails EARLY with a clear message, not four stages in."""
+    spark.createDataFrame(
+        [("a1", "some perfectly fine document text here")],
+        "doc_id string, text string") \
+        .write.parquet(str(tmp_path / "strdocs"))
+    rc = run(["pipeline", "--docs", str(tmp_path / "strdocs"),
+              "--out", str(tmp_path / "x")], spark=spark)
+    assert rc == 2
+    assert "integral doc_id" in capsys.readouterr().err
 
 
 def test_pipeline_arg_validation(spark, tmp_path, capsys):

@@ -137,6 +137,44 @@ def test_recover_rolls_forward_and_back(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         ivf_pq_recover(spark, str(tmp_path / "absent"))
 
+    # (d2) crashed FIRST publish: only an UNCOMMITTED __rebuilding dir.
+    # recover clears it (so the path never wedges) and raises; a direct
+    # republish on the same state proceeds to a clean first publish.
+    p2 = str(tmp_path / "first")
+    fsio.mkdirs(spark, p2 + "__rebuilding")
+    fsio.write_text_atomic(
+        spark, fsio.join(p2 + "__rebuilding", "partial"), "x")
+    with pytest.raises(FileNotFoundError):
+        ivf_pq_recover(spark, p2)
+    assert not fsio.exists(spark, p2 + "__rebuilding")
+    fsio.mkdirs(spark, p2 + "__rebuilding")  # crash again, then retry
+    res2 = ivf_pq_republish(spark, corpus, p2, **PARAMS)
+    assert res2["published"] and res2["recall_old"] is None
+    assert spark.read.parquet(f"{p2}/codes").count() == n_live
+
+    # (d3) PARTIAL path (object-store copy-backed rename crashed
+    # mid-copy): a witness-less path is never blessed — replaced from
+    # the committed tmp, or rolled back to __old
+    fsio.rename(spark, path, path + "__rebuilding")  # committed tmp
+    fsio.mkdirs(spark, path)                          # partial, no marker
+    fsio.write_text_atomic(spark, fsio.join(path, "junk"), "x")
+    assert ivf_pq_recover(spark, path) == "rolled_forward"
+    assert spark.read.parquet(f"{path}/codes").count() == n_live
+    fsio.rename(spark, path, path + "__old")
+    fsio.mkdirs(spark, path)
+    fsio.write_text_atomic(spark, fsio.join(path, "junk"), "x")
+    assert ivf_pq_recover(spark, path) == "rolled_back"
+    assert spark.read.parquet(f"{path}/codes").count() == n_live
+
+    # (d4) witness-less path with NO recovery sibling: refuse, never
+    # delete (could be a hand-built artifact without markers)
+    p3 = str(tmp_path / "bare")
+    fsio.mkdirs(spark, p3)
+    fsio.write_text_atomic(spark, fsio.join(p3, "data"), "x")
+    with pytest.raises(ValueError, match="witness"):
+        ivf_pq_recover(spark, p3)
+    assert fsio.exists(spark, fsio.join(p3, "data"))
+
     # (e) republish's OWN entry recovery: simulate (a) again, then call
     # republish directly — it must finish the swap and keep going
     fsio.rename(spark, path, path + "__rebuilding")

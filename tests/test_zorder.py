@@ -231,3 +231,43 @@ def test_zorder_compact_crash_recovery(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="recoverable"):
         compact_zordered(spark, path, n_files=4)
+
+
+def test_zorder_compact_partial_path_not_blessed(spark, tmp_path):
+    """Object-store copy-backed rename hazard: a crash mid-swap can
+    leave a PARTIAL `path` (no _SUCCESS) while the complete copy sits
+    in a sibling — compaction must replace the partial, never compact
+    it; and a witness-less path with NO sibling is refused untouched."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from dexscraper_spark.sinks.lake import compact_zordered
+
+    base = _grid(spark, 2_000)
+    path = str(tmp_path / "ctab3")
+    write_zordered(base, path, cols=["x", "y"], n_files=4)
+
+    # partial path + committed temp -> replaced from the temp
+    shutil.copytree(path, f"{path}__compacting")
+    shutil.rmtree(path)
+    os.makedirs(path)
+    open(f"{path}/part-junk.parquet", "w").write("x")  # no _SUCCESS
+    compact_zordered(spark, path, n_files=4)
+    assert spark.read.parquet(path).count() == 2_000
+
+    # partial path + __old -> rolled back
+    os.rename(path, f"{path}__old")
+    os.makedirs(path)
+    open(f"{path}/part-junk.parquet", "w").write("x")
+    compact_zordered(spark, path, n_files=4)
+    assert spark.read.parquet(path).count() == 2_000
+
+    # witness-less path with no sibling: refuse, never delete
+    p2 = str(tmp_path / "bare")
+    os.makedirs(p2)
+    open(f"{p2}/data.parquet", "w").write("x")
+    with _pytest.raises(ValueError, match="_SUCCESS"):
+        compact_zordered(spark, p2, n_files=4)
+    assert os.path.exists(f"{p2}/data.parquet")
