@@ -251,11 +251,13 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--seed", type=int, default=42)
     pl = p.add_argument_group(
         "pipeline (ONE-COMMAND training-data run: decontaminate -> "
-        "quality classifier -> curate [gates + exact + near dedup + "
-        "split assignment] -> semantic dedup -> sliding-window split "
-        "-> pack -> training shards; shares --docs/--out/--eval-docs/"
-        "--quality-model/--quality-alpha/--min-quality/--min-tokens/"
-        "--fingerprint-bits/--mode/--max-tokens/--num-shards)")
+        "quality classifier -> DSIR selection -> curate [gates + exact "
+        "+ near dedup + split assignment] -> semantic dedup -> "
+        "sliding-window split -> pack -> training shards; shares "
+        "--docs/--out/--eval-docs/--quality-model/--quality-alpha/"
+        "--min-quality/--min-tokens/--fingerprint-bits/--mode/"
+        "--max-tokens/--num-shards and select's --target-docs/--n/"
+        "--lm-order/--temperature/--seed)")
     pl.add_argument("--config", default=None,
                     help="pipeline: JSON file of flag values (keys = "
                          "flag dests, e.g. min_quality); explicit "
@@ -972,6 +974,10 @@ def _run_pipeline(args, spark) -> int:
     Stage order (each stage optional-by-flag except curation):
       1. decontaminate      (--eval-docs: 13-gram leak removal, audited)
       2. quality classifier (--quality-model: GPT-3 Pareto keep rule)
+      2b. DSIR selection    (--target-docs + --n: importance-resample
+                             the cleaned pool toward the target domain
+                             BEFORE dedup/curation spends work on docs
+                             that would not be drawn)
       3. curate_corpus      (gates + exact dedup + near-dup dedup +
                              train/valid/test split assignment)
       4. semantic dedup     (--embeddings: SemDeDup over the curated
@@ -1080,6 +1086,29 @@ def _run_pipeline(args, spark) -> int:
         docs = tracked_persist(
             qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
         summary["quality_dropped"] = n_docs - docs.count()
+
+    # 2b. DSIR selection toward the target domain (select BEFORE the
+    # dedup/curation stages spend fingerprint work on docs that would
+    # not be drawn; selection from the decontaminated+quality-kept pool
+    # so leaked/junk docs can't win draws)
+    if args.target_docs:
+        if not args.n or args.n < 1:
+            print("pipeline: --target-docs needs --n (positive sample "
+                  "size)", file=sys.stderr)
+            return 2
+        from dexscraper_spark.operators.lm import lm_train
+        from dexscraper_spark.operators.sampling import (
+            importance_resample)
+
+        docs = tracked_persist(docs)
+        target_docs = spark.read.parquet(args.target_docs)
+        target_lm = lm_train(target_docs.select("text"),
+                             n=args.lm_order)
+        raw_lm = lm_train(docs.select("text"), n=args.lm_order)
+        docs = tracked_persist(importance_resample(
+            docs, target_lm, raw_lm, n=args.n, lm_order=args.lm_order,
+            seed=args.seed, temperature=args.temperature).drop("logw"))
+        summary["selected"] = docs.count()
 
     # 3. curation: gates + exact + near-dup dedup + split assignment
     cfg = CurationConfig(min_quality=args.min_quality,

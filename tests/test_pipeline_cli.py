@@ -199,6 +199,70 @@ def test_pipeline_config_file_and_flag_precedence(spark, tmp_path,
     assert s2["shards"] == 16
 
 
+def test_pipeline_dsir_selection_stage(spark, tmp_path, capsys):
+    """--target-docs + --n inserts DSIR importance resampling between
+    the cleaning stages and curation; pinned against the hand-composed
+    select-then-curate chain."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("lang") == "fr").select("doc_id", "text")
+    target.write.parquet(str(tmp_path / "target"))
+
+    out = str(tmp_path / "run")
+    rc = run(["pipeline", "--docs", f"{SF}/documents.parquet",
+              "--out", out, "--target-docs", str(tmp_path / "target"),
+              "--n", "120", "--lm-order", "2", "--seed", "7",
+              "--min-quality", "0.3", "--min-tokens", "3",
+              "--split-max-tokens", "0", "--train-shards", "2"],
+             spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["selected"] == 120
+
+    from dexscraper_spark.operators.lm import lm_train
+    from dexscraper_spark.operators.sampling import importance_resample
+    from dexscraper_spark.plans.curation import (CurationConfig,
+                                                 curate_corpus)
+    target_lm = lm_train(target.select("text"), n=2)
+    raw_lm = lm_train(docs.select("text"), n=2)
+    picked = importance_resample(docs, target_lm, raw_lm, n=120,
+                                 lm_order=2, seed=7).drop("logw")
+    curated = curate_corpus(picked, config=CurationConfig(
+        min_quality=0.3, min_tokens=3))
+    assert summary["curated"] == curated.count()
+    _frames_equal(spark.read.parquet(f"{out}/curated"), curated,
+                  ["doc_id", "text", "lang", "quality", "n_tokens",
+                   "split"])
+    # --target-docs without --n fails the arg contract
+    assert run(["pipeline", "--docs", f"{SF}/documents.parquet",
+                "--out", str(tmp_path / "x"),
+                "--target-docs", str(tmp_path / "target")],
+               spark=spark) == 2
+    capsys.readouterr()
+
+
+def test_pipeline_rerun_is_deterministic(spark, tmp_path, capsys):
+    """The nightly contract: rerunning the same pipeline config yields
+    byte-identical logical outputs (shards, manifest, summary)."""
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        rc = run(["pipeline", "--docs", f"{SF}/documents.parquet",
+                  "--out", out, "--min-quality", "0.3",
+                  "--min-tokens", "3", "--split-max-tokens", "64",
+                  "--train-shards", "4"], spark=spark)
+        assert rc == 0
+        outs.append((
+            json.loads(capsys.readouterr().out.strip().splitlines()[-1]),
+            json.loads((tmp_path / name / "shards" / "_manifest.json")
+                       .read_text())))
+    assert outs[0] == outs[1]
+    a = spark.read.parquet(str(tmp_path / "a" / "shards"))
+    b = spark.read.parquet(str(tmp_path / "b" / "shards"))
+    cols = ["piece_id", "text", "n_tokens", "split", "lang", "shard"]
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
 def test_pipeline_rejects_non_integral_doc_id(spark, tmp_path, capsys):
     """The composite piece id needs an integral doc_id — the contract
     fails EARLY with a clear message, not four stages in."""
