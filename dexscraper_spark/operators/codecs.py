@@ -5,9 +5,10 @@ no external libraries.
   rows, 4-byte row padding).
 * PNG: 8-bit greyscale/RGB/RGBA, non-interlaced — full zlib inflate
   (stdlib) + all five scanline filters (None/Sub/Up/Average/Paeth).
-* JPEG: baseline sequential DCT (operators/jpeg.py — from-spec Huffman
-  decode, dequantize, IDCT, subsampling, restart markers, JFIF
-  YCbCr→RGB). Progressive/arithmetic streams still raise.
+* JPEG: baseline sequential AND Huffman-progressive DCT
+  (operators/jpeg.py — from-spec Huffman decode, multi-scan progressive
+  coefficient accumulation, dequantize, IDCT, subsampling, restart
+  markers, JFIF YCbCr→RGB). Arithmetic-coded streams still raise.
 
 Decoded output is canonical row-major top-down pixel bytes, so
 ``decode_image`` gives the multimodal operators a real-codec path next to
@@ -267,9 +268,9 @@ def encode_png(width: int, height: int, pixels: bytes, *, channels: int = 3,
 
 
 def decode_image(data: bytes) -> dict:
-    """Dispatch: real BMP/PNG/baseline-JPEG decode; anything else
-    raises (progressive JPEG, WebP etc. genuinely need external
-    codecs)."""
+    """Dispatch: real BMP/PNG/JPEG (baseline AND progressive) decode;
+    anything else raises (WebP, arithmetic-coded JPEG etc. genuinely
+    need external codecs)."""
     fmt = sniff_format(data)
     if fmt == "bmp":
         return decode_bmp(data)
@@ -279,5 +280,5 @@ def decode_image(data: bytes) -> dict:
         from dexscraper_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(data)
     raise NotImplementedError(
-        "STUB: only BMP/PNG/baseline-JPEG have pure-Python decoders; "
+        "STUB: only BMP/PNG/JPEG have pure-Python decoders; "
         "other formats need a real codec library")

@@ -10,14 +10,29 @@ so any baseline encoder's stream decodes), DC prediction + amplitude
 extend, dequantize, inverse zigzag, orthonormal 8×8 IDCT (numpy),
 per-component subsampling up to 2×2 (4:4:4 / 4:2:2 / 4:2:0) with
 nearest upsample, restart-marker resync, JFIF full-range YCbCr→RGB.
-Greyscale (1-component) and colour (3-component) frames. Progressive
-(SOF2) and arithmetic coding stay honestly out of scope and raise.
+Greyscale (1-component) and colour (3-component) frames.
 
-Encoder (``encode_jpeg``): the test-fixture twin — 4:4:4, Annex K
-quantization tables scaled by a quality factor, Annex K typical Huffman
-tables (embedded in DHT like every real encoder), byte stuffing. It
-exists so the decoder is provable by roundtrip without any external
-image library in the container.
+PROGRESSIVE (SOF2) frames decode too — T.81 Annex G Huffman
+progressive: multi-scan coefficient accumulation (spectral selection
+bands + successive approximation), DC first/refine (interleaved or
+single-component), AC first/refine (single-component, EOB-run decoding
+across blocks, refinement correction bits), restart resync per scan,
+then one dequantize+IDCT pass over the accumulated coefficients —
+progressive is a pure reordering of the same quantized coefficients,
+so a progressive stream decodes to EXACTLY the pixels of its baseline
+twin (pinned by test). Arithmetic coding and 12-bit precision stay
+honestly out of scope and raise.
+
+Encoder (``encode_jpeg``): the test-fixture twin — 4:4:4/4:2:0, Annex
+K quantization tables scaled by a quality factor, Annex K typical
+Huffman tables (embedded in DHT like every real encoder), byte
+stuffing. ``encode_jpeg_progressive`` is the progressive twin (a
+5-scan spectral-selection + successive-approximation script with
+EOB-run accumulation and refinement-bit buffering, IJG-style). They
+exist so the decoder is provable by roundtrip without any external
+image library in the container; ``tests/test_jpeg.py`` additionally
+cross-checks both directions against the system libjpeg via a tiny
+ctypes/gcc harness when the toolchain is present.
 
 Scale shape: this is a per-payload kernel invoked from the multimodal
 ``mapInPandas`` stages (operators/multimodal.py) — each executor decodes
@@ -249,9 +264,10 @@ def _extend(value: int, nbits: int) -> int:
 # -- decoder ----------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline JFIF → {width, height, channels, pixels(bytes, row-major
-    top-down, RGB or greyscale)}. Raises ValueError on malformed input,
-    NotImplementedError on progressive/arithmetic/12-bit streams."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF → {width, height,
+    channels, pixels(bytes, row-major top-down, RGB or greyscale)}.
+    Raises ValueError on malformed input, NotImplementedError on
+    arithmetic-coded/12-bit/hierarchical streams."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -260,6 +276,7 @@ def decode_jpeg(data: bytes) -> dict:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component accumulated coefficients
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -296,7 +313,7 @@ def decode_jpeg(data: bytes) -> dict:
                 p += n
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -312,30 +329,57 @@ def decode_jpeg(data: bytes) -> dict:
                 hv = seg[7 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": seg[8 + 3 * i]})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": width, "h": height, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline sequential DCT (SOF0/SOF1)")
+                "jpeg: only baseline sequential (SOF0/1) and Huffman "
+                "progressive (SOF2) DCT frames")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            if not frame["progressive"]:
+                scan_sel = {}
+                for i in range(ns):
+                    cs = seg[1 + 2 * i]
+                    td_ta = seg[2 + 2 * i]
+                    scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+                pixels = _decode_scan(data, pos + seglen, frame,
+                                      scan_sel, qt, huff_dc, huff_ac,
+                                      restart_interval)
+                chans = len(frame["comps"])
+                return {"format": "jpeg", "width": frame["w"],
+                        "height": frame["h"],
+                        "channels": 3 if chans == 3 else 1,
+                        "pixels": pixels.tobytes()}
+            # progressive: accumulate this scan's coefficient bits
+            if coefs is None:
+                coefs = _prog_alloc(frame)
+            scan_comps = []
+            by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
             for i in range(ns):
                 cs = seg[1 + 2 * i]
                 td_ta = seg[2 + 2 * i]
-                scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
-            pixels = _decode_scan(data, pos + seglen, frame, scan_sel, qt,
-                                  huff_dc, huff_ac, restart_interval)
-            chans = len(frame["comps"])
-            return {"format": "jpeg", "width": frame["w"],
-                    "height": frame["h"],
-                    "channels": 3 if chans == 3 else 1,
-                    "pixels": pixels.tobytes()}
+                scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan_comps, ss, se,
+                ah_al >> 4, ah_al & 0x0F, huff_dc, huff_ac,
+                restart_interval, coefs)
+            continue  # pos already points at the next marker
         pos += seglen
+    if coefs is not None:
+        pixels = _planes_to_pixels(frame, _prog_planes(frame, coefs, qt))
+        chans = len(frame["comps"])
+        return {"format": "jpeg", "width": frame["w"],
+                "height": frame["h"],
+                "channels": 3 if chans == 3 else 1,
+                "pixels": pixels.tobytes()}
     raise ValueError("jpeg: no scan data")
 
 
@@ -397,7 +441,16 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _planes_to_pixels(frame, planes)
+
+
+def _planes_to_pixels(frame, planes):
+    """Upsample component planes to full resolution, crop to the frame,
+    and apply the JFIF colour transform — shared by the baseline and
+    progressive reconstruction paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -413,6 +466,212 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive decoding (T.81 Annex G, Huffman) ----------------------------
+
+def _grid(frame):
+    """(hmax, vmax, mcux, mcuy) for the frame, with the same 2x2
+    sampling bound as the baseline path."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(
+            c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("jpeg: sampling factors beyond 2x2")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _blocks_in_frame(frame, c):
+    """Non-interleaved block grid of one component (spec A.2.2): blocks
+    covering ceil(X*H/Hmax) x ceil(Y*V/Vmax) samples — NOT the padded
+    MCU grid."""
+    hmax = max(k["h"] for k in frame["comps"])
+    vmax = max(k["v"] for k in frame["comps"])
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _prog_alloc(frame):
+    """Per-component coefficient stores over the PADDED MCU grid
+    (interleaved DC scans walk MCU padding blocks too), zigzag order."""
+    hmax, vmax, mcux, mcuy = _grid(frame)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in frame["comps"]]
+
+
+def _next_marker_pos(data, pos):
+    """First non-RST, non-stuffing marker at/after ``pos`` (the scan's
+    entropy data ends there)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, frame, scan_comps, ss, se,
+                             ah, al, huff_dc, huff_ac,
+                             restart_interval, coefs):
+    """Decode one progressive scan into ``coefs``; returns the stream
+    position of the next marker. Four scan kinds (G.1.2): DC first
+    (Ah=0, Ss=0 — interleaved or single-component), DC refine (Ah>0),
+    AC first (Ss>0, Ah=0 — single-component only, EOB runs), AC refine
+    (correction bits for already-nonzero coefficients)."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _grid(frame)
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        # unit list: (ci, by, bx) in scan order
+        if len(scan_comps) > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for (ci, td, _ta) in scan_comps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append((ci, td,
+                                              my * c["v"] + by,
+                                              mx * c["h"] + bx))
+            per_restart = (len(scan_comps) and restart_interval) and \
+                restart_interval * sum(
+                    comps[ci]["h"] * comps[ci]["v"]
+                    for ci, _t, _a in scan_comps)
+        else:
+            ci, td, _ta = scan_comps[0]
+            bw_, bh_ = _blocks_in_frame(frame, comps[ci])
+            units = [(ci, td, by, bx)
+                     for by in range(bh_) for bx in range(bw_)]
+            per_restart = restart_interval
+        pred = {ci: 0 for ci, _t, _a in scan_comps}
+        count = 0
+        for (ci, td, by, bx) in units:
+            if per_restart and count == per_restart:
+                reader.restart()
+                pred = {k: 0 for k in pred}
+                count = 0
+            if ah == 0:
+                t = reader.decode_symbol(huff_dc[td])
+                diff = _extend(reader.read_bits(t), t)
+                pred[ci] += diff
+                coefs[ci][by, bx, 0] = pred[ci] << al
+            else:
+                if reader.read_bit():
+                    coefs[ci][by, bx, 0] |= (1 << al)
+            count += 1
+        return _next_marker_pos(data, reader.pos)
+
+    # AC scans: exactly one component (spec G.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("jpeg: progressive AC scan with ns != 1")
+    ci, _td, ta = scan_comps[0]
+    actab = huff_ac[ta]
+    bw_, bh_ = _blocks_in_frame(frame, comps[ci])
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    count = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            if restart_interval and count == restart_interval:
+                reader.restart()
+                eobrun = 0
+                count = 0
+            count += 1
+            blk = coefs[ci][by, bx]
+            if ah == 0:  # AC first (G.1.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(actab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index past Se")
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # AC refine (G.1.2.3): corrections for nonzero history,
+            # at most one newly-significant coefficient per symbol
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(actab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg: refinement magnitude != 1")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if reader.read_bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker_pos(data, reader.pos)
+
+
+def _prog_planes(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient stores into
+    component sample planes (the one reconstruction pass after all
+    scans)."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        bh_, bw_ = coefs[ci].shape[0], coefs[ci].shape[1]
+        plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = np.zeros(64, dtype=np.float64)
+                blk = coefs[ci][by, bx]
+                block[ZIGZAG] = blk * q[ZIGZAG]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(block.reshape(8, 8)) + 128.0
+        planes.append(plane)
+    return planes
 
 
 # -- encoder (test fixture twin: 4:4:4, Annex K tables) ---------------------
@@ -445,6 +704,63 @@ def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(max(quality, 1), 100)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _dqt_seg(tq: int, q: np.ndarray) -> bytes:
+    zz = np.zeros(64, dtype=np.uint8)
+    zz[:] = q[ZIGZAG]
+    return (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq])
+            + zz.tobytes())
+
+
+def _dht_seg(tc: int, th: int, bits, vals) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _prep_encode(pixels: bytes, width: int, height: int, channels: int,
+                 quality: int, subsampling: str):
+    """Shared encoder front end: colour transform, sampling layout,
+    MCU-grid edge padding, per-component average-pool subsampling.
+    Returns (padded planes, samp, qts, mcux, mcuy)."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 3:
+        arr = arr.reshape(height, width, 3)
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    elif channels == 1:
+        planes = [arr.reshape(height, width)]
+    else:
+        raise ValueError("encode_jpeg: channels must be 1 or 3")
+    qts = [_scale_qt(QT_LUMA, quality), _scale_qt(QT_CHROMA, quality)]
+    if channels == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "444" or channels == 1:
+        samp = [(1, 1)] * channels
+    else:
+        raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for ci, p in enumerate(planes):
+        # full-res edge-replicate pad to the MCU grid...
+        pp = np.empty((mcuy * vmax * 8, mcux * hmax * 8),
+                      dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1:width]
+        hs, vs = samp[ci]
+        fx, fy = hmax // hs, vmax // vs
+        if fx > 1 or fy > 1:
+            # ...then average-pool to the component's sampling grid
+            hh, ww = pp.shape[0] // fy, pp.shape[1] // fx
+            pp = pp.reshape(hh, fy, ww, fx).mean(axis=(1, 3))
+        padded.append(pp)
+    return padded, samp, qts, mcux, mcuy
 
 
 def _encode_block(bw, block, q, dc_tab, ac_tab, pred):
@@ -488,53 +804,28 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     layout, and the coverage for the decoder's upsample/MCU path).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (and
     exercises the decoder's resync path)."""
-    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
-    if channels == 3:
-        arr = arr.reshape(height, width, 3)
-        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        planes = [0.299 * r + 0.587 * g + 0.114 * b,
-                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
-    elif channels == 1:
-        planes = [arr.reshape(height, width)]
-    else:
-        raise ValueError("encode_jpeg: channels must be 1 or 3")
-    qts = [_scale_qt(QT_LUMA, quality), _scale_qt(QT_CHROMA, quality)]
+    padded, samp, qts, mcux, mcuy = _prep_encode(
+        pixels, width, height, channels, quality, subsampling)
+    ncomp = channels
 
     out = bytearray(b"\xFF\xD8")  # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
-
-    def dqt(tq, q):
-        zz = np.zeros(64, dtype=np.uint8)
-        zz[:] = q[ZIGZAG]
-        return (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq])
-                + zz.tobytes())
-    out += dqt(0, qts[0])
+    out += _dqt_seg(0, qts[0])
     if channels == 3:
-        out += dqt(1, qts[1])
+        out += _dqt_seg(1, qts[1])
 
-    ncomp = channels
-    if channels == 3 and subsampling == "420":
-        samp = [(2, 2), (1, 1), (1, 1)]
-    elif subsampling == "444" or channels == 1:
-        samp = [(1, 1)] * ncomp
-    else:
-        raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1],
                       0 if i == 0 else 1])
     out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
 
-    def dht(tc, th, bits, vals):
-        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_seg(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if channels == 3:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += _dht_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
@@ -553,24 +844,6 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     pred = [0] * ncomp
     mcu_count = 0
     rst = 0
-    hmax = max(h for h, _ in samp)
-    vmax = max(v for _, v in samp)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    padded = []
-    for ci, p in enumerate(planes):
-        # full-res edge-replicate pad to the MCU grid...
-        pp = np.empty((mcuy * vmax * 8, mcux * hmax * 8), dtype=np.float64)
-        pp[:height, :width] = p
-        pp[height:, :width] = p[-1:, :]
-        pp[:, width:] = pp[:, width - 1:width]
-        hs, vs = samp[ci]
-        fx, fy = hmax // hs, vmax // vs
-        if fx > 1 or fy > 1:
-            # ...then average-pool to the component's sampling grid
-            hh, ww = pp.shape[0] // fy, pp.shape[1] // fx
-            pp = pp.reshape(hh, fy, ww, fx).mean(axis=(1, 3))
-        padded.append(pp)
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count == restart_interval:
@@ -594,4 +867,313 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (test-fixture twin, T.81 Annex G / IJG style) -------
+
+# One custom AC Huffman table shared by every progressive AC scan: all
+# 176 symbols the scan script can emit (EOBn r=0..14, ZRL, (run,size)
+# for size 1..10) at a flat 8-bit code length — Kraft sum 176/256 < 1,
+# canonical codes 0..175, the all-ones code unused. A real encoder
+# optimizes per-scan tables; the fixture twin only needs a VALID stream
+# whose symbols all exist (the Annex K tables lack EOBn>1 symbols).
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                + [(run << 4) | s for run in range(16)
+                   for s in range(1, 11)])
+
+
+def _quant_grid(padded, samp, qts, mcux, mcuy):
+    """Per-component quantized-coefficient grids (zigzag order) over the
+    padded MCU grid — the shared source every progressive scan re-reads
+    (progressive is a reordering of exactly these values)."""
+    grids = []
+    for ci, pp in enumerate(padded):
+        t = 0 if ci == 0 else 1
+        q = qts[t].reshape(8, 8)
+        hs, vs = samp[ci]
+        bh_, bw_ = mcuy * vs, mcux * hs
+        g = np.zeros((bh_, bw_, 64), dtype=np.int32)
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = np.round(_dct2(block - 128.0) / q).astype(np.int32)
+                g[by, bx] = coef.reshape(64)[ZIGZAG]
+        grids.append(g)
+    return grids
+
+
+class _ProgACState:
+    """Cross-block AC-scan state: the deferred EOB run and the
+    correction bits buffered behind it (IJG's EOBRUN/BE)."""
+
+    def __init__(self, bw, actab):
+        self.bw = bw
+        self.actab = actab
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.actab[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+
+def _amp_bits(v: int, nbits: int) -> int:
+    """Amplitude bit pattern for a signed value of magnitude class
+    ``nbits`` (F.1.2.2.1): negative values one's-complement."""
+    a = abs(v)
+    return a if v >= 0 else (a ^ ((1 << nbits) - 1))
+
+
+def _emit_restart(bw, rst):
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, actab, restart_interval):
+    """AC first scan over one component's blocks (G.1.2.2 encode):
+    point transform = magnitude shift (truncation toward zero), EOB
+    runs accumulated across blocks."""
+    st = _ProgACState(bw, actab)
+    count = rst = 0
+    for blk in blocks:
+        if restart_interval and count == restart_interval:
+            st.flush_eobrun()
+            _emit_restart(bw, rst)
+            rst += 1
+            count = 0
+        count += 1
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = abs(v) >> al
+            if a == 0:
+                r += 1
+                continue
+            if st.eobrun > 0:
+                st.flush_eobrun()
+            while r > 15:
+                code, ln = actab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            nbits = a.bit_length()
+            code, ln = actab[(r << 4) | nbits]
+            bw.write(code, ln)
+            bw.write(_amp_bits(a if v >= 0 else -a, nbits), nbits)
+            r = 0
+        if r > 0:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                st.flush_eobrun()
+    st.flush_eobrun()
+    bw.flush()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, actab, restart_interval):
+    """AC refinement scan (G.1.2.3 encode, the IJG BE-buffer shape):
+    one correction bit per already-nonzero coefficient, (run,1) symbols
+    for newly-significant ones, trailing runs folded into the deferred
+    EOB run with their correction bits riding behind it."""
+    st = _ProgACState(bw, actab)
+    count = rst = 0
+    for blk in blocks:
+        if restart_interval and count == restart_interval:
+            st.flush_eobrun()
+            _emit_restart(bw, rst)
+            rst += 1
+            count = 0
+        count += 1
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        signs = [1 if int(blk[k]) >= 0 else 0
+                 for k in range(ss, se + 1)]
+        eob_idx = -1  # position of the LAST newly-significant coef
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob_idx = i
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs only when they cannot fold into the EOB run
+            while r > 15 and i <= eob_idx:
+                st.flush_eobrun()
+                code, ln = actab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if a > 1:  # already significant: buffer its correction bit
+                br.append(a & 1)
+                continue
+            # newly significant at this precision
+            st.flush_eobrun()
+            code, ln = actab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(signs[i], 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st.eobrun += 1
+            st.pending.extend(br)
+            # bound the deferred-bit buffer (IJG MAX_CORR_BITS shape)
+            if st.eobrun == 0x7FFF or len(st.pending) > 900:
+                st.flush_eobrun()
+    st.flush_eobrun()
+    bw.flush()
+
+
+def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
+                            channels: int, *, quality: int = 85,
+                            restart_interval: int = 0,
+                            subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) twin of :func:`encode_jpeg`: the SAME
+    quantized coefficients re-ordered into a 5-scan spectral-selection +
+    successive-approximation script —
+
+        1. DC first, all components interleaved, Al=1
+        2. per component: AC first, band 1..5,  Al=1
+        3. per component: AC first, band 6..63, Al=1
+        4. DC refine, interleaved, Ah=1 Al=0
+        5. per component: AC refine, band 1..63, Ah=1 Al=0
+
+    — so the decode MUST equal the baseline twin's pixels exactly
+    (pinned by test), and every progressive decode path (both DC kinds,
+    both AC kinds, EOB runs, refinement bits, per-scan restarts) is
+    exercised. ``restart_interval`` counts MCUs in the interleaved DC
+    scans and blocks in the per-component AC scans (spec semantics)."""
+    padded, samp, qts, mcux, mcuy = _prep_encode(
+        pixels, width, height, channels, quality, subsampling)
+    ncomp = channels
+    grids = _quant_grid(padded, samp, qts, mcux, mcuy)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += _dqt_seg(0, qts[0])
+    if ncomp == 3:
+        out += _dqt_seg(1, qts[1])
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1],
+                      0 if i == 0 else 1])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += _dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if ncomp == 3:
+        out += _dht_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_seg(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac = _build_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+    frame = {"w": width, "h": height,
+             "comps": [{"id": i + 1, "h": samp[i][0], "v": samp[i][1],
+                        "tq": 0 if i == 0 else 1} for i in range(ncomp)]}
+
+    def sos_seg(comps_sel, ss, se, ah, al):
+        body = bytes([len(comps_sel)])
+        for cid, td, ta in comps_sel:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", 2 + len(body)) + body
+
+    def dc_units():
+        """Interleaved MCU-order block list (ci, by, bx) — or the
+        blocks-in-frame order for a single-component frame — plus the
+        restart period in that unit count."""
+        if ncomp > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(ncomp):
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                units.append((ci, my * vs + by,
+                                              mx * hs + bx))
+            per = restart_interval * sum(
+                h * v for h, v in samp) if restart_interval else 0
+            return units, per
+        bw_, bh_ = _blocks_in_frame(frame, frame["comps"][0])
+        return [(0, by, bx) for by in range(bh_)
+                for bx in range(bw_)], restart_interval
+
+    # scan 1: DC first (Al=1)
+    out += sos_seg([(i + 1, 0 if i == 0 else 1, 0)
+                    for i in range(ncomp)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    units, per = dc_units()
+    pred = [0] * ncomp
+    count = rst = 0
+    for (ci, by, bx) in units:
+        if per and count == per:
+            _emit_restart(bw, rst)
+            rst += 1
+            pred = [0] * ncomp
+            count = 0
+        v = int(grids[ci][by, bx, 0]) >> 1  # arithmetic shift (G.1.2.1)
+        diff = v - pred[ci]
+        pred[ci] = v
+        mag = abs(diff).bit_length()
+        code, ln = enc_dc[0 if ci == 0 else 1][mag]
+        bw.write(code, ln)
+        if mag:
+            bw.write(_amp_bits(diff, mag), mag)
+        count += 1
+    bw.flush()
+    out += bw.out
+
+    # scans 2+3: AC first per component, split spectral bands, Al=1
+    for (band_ss, band_se) in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_seg([(ci + 1, 0, 0)], band_ss, band_se, 0, 1)
+            bw = _BitWriter()
+            bw_, bh_ = _blocks_in_frame(frame, frame["comps"][ci])
+            blocks = [grids[ci][by, bx] for by in range(bh_)
+                      for bx in range(bw_)]
+            _enc_ac_first(bw, blocks, band_ss, band_se, 1, prog_ac,
+                          restart_interval)
+            out += bw.out
+
+    # scan 4: DC refine (Ah=1, Al=0)
+    out += sos_seg([(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    units, per = dc_units()
+    count = rst = 0
+    for (ci, by, bx) in units:
+        if per and count == per:
+            _emit_restart(bw, rst)
+            rst += 1
+            count = 0
+        bw.write(int(grids[ci][by, bx, 0]) & 1, 1)
+        count += 1
+    bw.flush()
+    out += bw.out
+
+    # scan 5: AC refine per component (Ah=1, Al=0)
+    for ci in range(ncomp):
+        out += sos_seg([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        bw_, bh_ = _blocks_in_frame(frame, frame["comps"][ci])
+        blocks = [grids[ci][by, bx] for by in range(bh_)
+                  for bx in range(bw_)]
+        _enc_ac_refine(bw, blocks, 1, 63, 0, prog_ac, restart_interval)
+        out += bw.out
+
+    out += b"\xFF\xD9"
     return bytes(out)

@@ -109,7 +109,7 @@ def _decode_real_image(payload: bytes) -> dict | None:
     unfiltering, from-spec Huffman+IDCT; no PIL). Returns the same dict
     shape as ``_parse_header`` with decoded pixels as the body, or None
     if the payload is not a decodable file (palette/16-bit PNG, RLE
-    BMP, progressive JPEG, truncated stream) — one bad row must not
+    BMP, arithmetic-coded JPEG, truncated stream) — one bad row must not
     abort a million-row mapInPandas task. Formats still needing external
     codec libraries raise NotImplementedError inside
     ``codecs.decode_image`` when called DIRECTLY; through this bulk
