@@ -97,7 +97,12 @@ def apply_filter_flags(cfg, args):
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="dexscraper_spark")
+    # allow_abbrev=False: `pipeline --config` detects explicitly-passed
+    # flags from the raw argv tokens, and a prefix abbreviation
+    # (--min-qual) would parse but evade that detection, letting the
+    # config silently override an explicit flag. Exact spellings only.
+    p = argparse.ArgumentParser(prog="dexscraper_spark",
+                                allow_abbrev=False)
     p.add_argument("command",
                    choices=list(PRESETS) + ["stream", "curate", "bars",
                                             "pack", "zorder", "ann",
@@ -1025,6 +1030,9 @@ def _run_pipeline(args, spark) -> int:
         raw = getattr(args, "_raw_argv", []) or []
 
         def _explicit(dest: str) -> bool:
+            # exact spellings only — the parser runs with
+            # allow_abbrev=False, so every accepted flag token appears
+            # here verbatim
             opt = "--" + dest.replace("_", "-")
             return any(tok == opt or tok.startswith(opt + "=")
                        for tok in raw)

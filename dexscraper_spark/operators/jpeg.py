@@ -364,6 +364,9 @@ def decode_jpeg(data: bytes) -> dict:
             for i in range(ns):
                 cs = seg[1 + 2 * i]
                 td_ta = seg[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"jpeg: scan selects undeclared component {cs}")
                 scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0x0F))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
@@ -385,14 +388,8 @@ def decode_jpeg(data: bytes) -> dict:
 
 def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
                  restart_interval):
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2 or any(
-            c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
-        raise NotImplementedError("jpeg: sampling factors beyond 2x2")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _grid(frame)
     planes = []
     for c in comps:
         planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
@@ -543,16 +540,22 @@ def _decode_progressive_scan(data, pos, frame, scan_comps, ss, se,
                                 units.append((ci, td,
                                               my * c["v"] + by,
                                               mx * c["h"] + bx))
-            per_restart = (len(scan_comps) and restart_interval) and \
-                restart_interval * sum(
-                    comps[ci]["h"] * comps[ci]["v"]
-                    for ci, _t, _a in scan_comps)
+            # restart_interval counts MCUs in interleaved scans → unit
+            # count = MCUs × blocks-per-MCU (0 disables)
+            per_restart = restart_interval * sum(
+                comps[ci]["h"] * comps[ci]["v"]
+                for ci, _t, _a in scan_comps)
         else:
             ci, td, _ta = scan_comps[0]
             bw_, bh_ = _blocks_in_frame(frame, comps[ci])
             units = [(ci, td, by, bx)
                      for by in range(bh_) for bx in range(bw_)]
             per_restart = restart_interval
+        if ah == 0:
+            for _ci, td, _ta in scan_comps:
+                if td not in huff_dc:
+                    raise ValueError(f"jpeg: scan uses undefined DC "
+                                     f"table {td}")
         pred = {ci: 0 for ci, _t, _a in scan_comps}
         count = 0
         for (ci, td, by, bx) in units:
@@ -575,6 +578,8 @@ def _decode_progressive_scan(data, pos, frame, scan_comps, ss, se,
     if len(scan_comps) != 1:
         raise ValueError("jpeg: progressive AC scan with ns != 1")
     ci, _td, ta = scan_comps[0]
+    if ta not in huff_ac:
+        raise ValueError(f"jpeg: scan uses undefined AC table {ta}")
     actab = huff_ac[ta]
     bw_, bh_ = _blocks_in_frame(frame, comps[ci])
     p1, m1 = 1 << al, -1 << al

@@ -488,10 +488,17 @@ def ivf_pq_save(spark, index, books: PqCodebooks, codes: DataFrame,
     to nprobe/nlist, the on-disk twin of the in-memory plan."""
     from dexscraper_spark.operators.similarity import ivf_save
 
+    from dexscraper_spark import fsio
+
     ivf_save(index, path)
     pq_save(spark, books, f"{path}/pq_books")
     codes.write.mode("overwrite").partitionBy("__list") \
         .parquet(f"{path}/codes")
+    # completion marker written through fsio, LAST: a witness that does
+    # not depend on Spark's _SUCCESS markers (clusters can disable
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs) — what
+    # ivf_pq_recover trusts before treating the artifact as live
+    fsio.write_text_atomic(spark, fsio.join(path, "_complete"), "1")
 
 
 def ivf_pq_load(spark, path: str, *, id_col: str = "vec_id",
@@ -563,36 +570,41 @@ def ivf_pq_recover(spark, path: str) -> str:
     A bare directory at ``path`` is NOT trusted as live: on object
     stores Hadoop rename is a copy, so a crash mid-swap can leave a
     PARTIAL ``path`` while the only complete copy sits in a sibling.
-    Completeness witness = ``_committed`` (republish) or
-    ``codes/_SUCCESS`` (any completed ivf_pq_save — codes are written
-    last). A witness-less ``path`` is treated as partial and replaced
-    from the committed tmp / rolled back to ``__old``. Best-effort by
-    nature on copy-backed renames (a partially-copied dir could carry
-    the witness file already); on HDFS renames are atomic and the
-    witness is exact."""
+    Completeness witness = ``_committed`` (republish) or ``_complete``
+    (any ivf_pq_save — both written via fsio, so they exist even on
+    clusters that disable Spark's ``_SUCCESS`` markers) or
+    ``codes/_SUCCESS`` (pre-marker artifacts). A witness-less ``path``
+    is replaced ONLY from a positively COMMITTED tmp (crashed mid-swap
+    — the tmp is this run's newer rebuild); it is NEVER rolled back to
+    ``__old``, which is by construction older than the path and could
+    silently discard vectors appended since (the marker-disabled-
+    cluster data-loss vector). With no committed tmp the function
+    refuses loudly and leaves everything in place for the operator."""
     from dexscraper_spark import fsio
 
     tmp, old = f"{path}__rebuilding", f"{path}__old"
     tmp_committed = fsio.exists(spark, fsio.join(tmp, "_committed"))
     if fsio.exists(spark, path):
-        complete = (fsio.exists(spark, fsio.join(path, "_committed"))
-                    or fsio.exists(spark,
-                                   fsio.join(path, "codes", "_SUCCESS")))
+        complete = (
+            fsio.exists(spark, fsio.join(path, "_committed"))
+            or fsio.exists(spark, fsio.join(path, "_complete"))
+            or fsio.exists(spark, fsio.join(path, "codes", "_SUCCESS")))
         if complete:
             # live artifact: any siblings are a stale crashed attempt —
             # clear them so the next republish starts clean
             fsio.delete(spark, tmp)
             fsio.delete(spark, old)
             return "ok"
-        # partial path (crashed copy-backed rename): the complete copy
-        # is in a sibling — never bless the partial. But never DELETE a
-        # witness-less path unless a recovery source actually exists
-        # (a hand-built artifact without markers must not be destroyed)
-        if not (tmp_committed or fsio.exists(spark, old)):
+        # witness-less path: replace it only from this run's COMMITTED
+        # rebuild; anything else is refused untouched — deleting a live
+        # (just marker-less) artifact or rolling back to an OLDER __old
+        # would be silent data loss, strictly worse than a loud stop
+        if not tmp_committed:
             raise ValueError(
                 f"artifact at {path} lacks a completeness witness "
-                "(_committed or codes/_SUCCESS) and no recovery sibling "
-                "exists — refusing to touch it")
+                "(_committed/_complete/codes/_SUCCESS) and no committed "
+                "rebuild sibling exists — refusing to touch it (write "
+                "the _complete marker if the artifact is known-good)")
         fsio.delete(spark, path)
     if tmp_committed:
         fsio.rename(spark, tmp, path)

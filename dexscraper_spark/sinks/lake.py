@@ -303,16 +303,21 @@ def compact_zordered(spark, path: str, *, n_files: int = 32) -> None:
     # A bare directory at `path` is not trusted as live: on object
     # stores rename is a copy, so a crash mid-swap can leave a PARTIAL
     # `path` while the complete copy sits in a sibling. Witness = the
-    # table's own `_SUCCESS` marker (every write_zordered/_write_curve
-    # table has one); a witness-less path is partial — replace it from
-    # the committed tmp / roll back to __old, never compact it.
-    if fsio.exists(spark, path) and not fsio.exists(
-            spark, fsio.join(path, "_SUCCESS")):
-        if not (fsio.exists(spark, fsio.join(tmp, "_SUCCESS"))
-                or fsio.exists(spark, old)):
+    # table's `_SUCCESS` marker or its `_zorder` spec dir (written LAST
+    # by write_zordered/compact — still present when a cluster disables
+    # Spark's success markers). A witness-less path is replaced ONLY
+    # from a positively committed tmp (this run's newer rewrite); it is
+    # NEVER rolled back to __old, which is older than the path and
+    # could silently discard rows appended since — with no committed
+    # tmp the function refuses loudly instead.
+    if fsio.exists(spark, path) \
+            and not fsio.exists(spark, fsio.join(path, "_SUCCESS")) \
+            and not fsio.exists(spark, fsio.join(path, "_zorder")):
+        if not fsio.exists(spark, fsio.join(tmp, "_SUCCESS")):
             raise ValueError(
-                f"table at {path} has no _SUCCESS marker and no "
-                "recovery sibling — refusing to compact or delete it")
+                f"table at {path} has no completeness witness "
+                "(_SUCCESS or _zorder spec) and no committed compaction "
+                "sibling — refusing to compact or delete it")
         fsio.delete(spark, path)
     if not fsio.exists(spark, path):
         # crashed mid-swap on a previous run: roll forward if the

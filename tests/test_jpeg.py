@@ -379,3 +379,22 @@ def test_progressive_encoder_streams_decode_in_libjpeg(jref, tmp_path,
     b = np.frombuffer(ref, np.uint8).astype(np.int32)
     d = np.abs(a - b)
     assert d.max() <= 2 and d.mean() < 0.5
+
+
+def test_progressive_malformed_raises_valueerror():
+    """Malformed progressive streams must raise ValueError per the
+    decode_jpeg contract, not leak KeyError (undeclared scan component,
+    undefined Huffman table)."""
+    from dexscraper_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _rand_img(np.random.default_rng(0), 16, 16, 3)
+    enc = bytearray(encode_jpeg_progressive(img.tobytes(), 16, 16, 3))
+    sos = enc.find(b"\xFF\xDA")
+    bad = bytearray(enc)
+    bad[sos + 5] = 9  # first scan component id -> undeclared
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(enc)
+    bad[sos + 6] = 0x70  # DC table 7: never defined
+    with pytest.raises(ValueError, match="undefined DC table"):
+        decode_jpeg(bytes(bad))

@@ -153,17 +153,30 @@ def test_recover_rolls_forward_and_back(spark, tmp_path):
     assert spark.read.parquet(f"{p2}/codes").count() == n_live
 
     # (d3) PARTIAL path (object-store copy-backed rename crashed
-    # mid-copy): a witness-less path is never blessed — replaced from
-    # the committed tmp, or rolled back to __old
+    # mid-copy): a witness-less path is never blessed — replaced ONLY
+    # from this run's positively COMMITTED tmp
     fsio.rename(spark, path, path + "__rebuilding")  # committed tmp
     fsio.mkdirs(spark, path)                          # partial, no marker
     fsio.write_text_atomic(spark, fsio.join(path, "junk"), "x")
     assert ivf_pq_recover(spark, path) == "rolled_forward"
     assert spark.read.parquet(f"{path}/codes").count() == n_live
-    fsio.rename(spark, path, path + "__old")
-    fsio.mkdirs(spark, path)
-    fsio.write_text_atomic(spark, fsio.join(path, "junk"), "x")
-    assert ivf_pq_recover(spark, path) == "rolled_back"
+
+    # (d3b) witness-less path + only an OLDER __old sibling: REFUSED
+    # untouched — rolling an existing path back to an older copy could
+    # silently discard vectors appended since (the marker-disabled-
+    # cluster data-loss vector)
+    fsio.mkdirs(spark, path + "__old")
+    fsio.write_text_atomic(spark, fsio.join(path + "__old", "x"), "1")
+    fsio.delete(spark, fsio.join(path, "_committed"))
+    fsio.delete(spark, fsio.join(path, "_complete"))
+    fsio.delete(spark, fsio.join(path, "codes", "_SUCCESS"))
+    with pytest.raises(ValueError, match="witness"):
+        ivf_pq_recover(spark, path)
+    assert fsio.exists(spark, fsio.join(path, "codes"))  # untouched
+    # restoring the marker makes it live again; siblings get cleaned
+    fsio.write_text_atomic(spark, fsio.join(path, "_complete"), "1")
+    assert ivf_pq_recover(spark, path) == "ok"
+    assert not fsio.exists(spark, path + "__old")
     assert spark.read.parquet(f"{path}/codes").count() == n_live
 
     # (d4) witness-less path with NO recovery sibling: refuse, never
@@ -175,8 +188,10 @@ def test_recover_rolls_forward_and_back(spark, tmp_path):
         ivf_pq_recover(spark, p3)
     assert fsio.exists(spark, fsio.join(p3, "data"))
 
-    # (e) republish's OWN entry recovery: simulate (a) again, then call
-    # republish directly — it must finish the swap and keep going
+    # (e) republish's OWN entry recovery: simulate (a) again (the tmp
+    # must carry the commit marker d3b stripped), then call republish
+    # directly — it must finish the swap and keep going
+    fsio.write_text_atomic(spark, fsio.join(path, "_committed"), "{}")
     fsio.rename(spark, path, path + "__rebuilding")
     res = ivf_pq_republish(spark, corpus, path, **PARAMS)
     assert res["published"] and res["recall_old"] is not None

@@ -253,14 +253,23 @@ def test_zorder_compact_partial_path_not_blessed(spark, tmp_path):
     shutil.copytree(path, f"{path}__compacting")
     shutil.rmtree(path)
     os.makedirs(path)
-    open(f"{path}/part-junk.parquet", "w").write("x")  # no _SUCCESS
+    open(f"{path}/part-junk.parquet", "w").write("x")  # no witness
     compact_zordered(spark, path, n_files=4)
     assert spark.read.parquet(path).count() == 2_000
 
-    # partial path + __old -> rolled back
-    os.rename(path, f"{path}__old")
-    os.makedirs(path)
-    open(f"{path}/part-junk.parquet", "w").write("x")
+    # witness-less path + only an OLDER __old sibling: REFUSED (rolling
+    # an existing table back could discard appended rows); the table's
+    # data files are left untouched
+    shutil.copytree(path, f"{path}__old")
+    os.remove(f"{path}/_SUCCESS")
+    shutil.rmtree(f"{path}/_zorder")  # kill both witnesses
+    n_files_before = len(os.listdir(path))
+    with _pytest.raises(ValueError, match="witness"):
+        compact_zordered(spark, path, n_files=4)
+    assert len(os.listdir(path)) == n_files_before  # untouched
+    # operator resolves manually (restores the pristine copy): works
+    shutil.rmtree(path)
+    os.rename(f"{path}__old", path)
     compact_zordered(spark, path, n_files=4)
     assert spark.read.parquet(path).count() == 2_000
 
@@ -268,6 +277,6 @@ def test_zorder_compact_partial_path_not_blessed(spark, tmp_path):
     p2 = str(tmp_path / "bare")
     os.makedirs(p2)
     open(f"{p2}/data.parquet", "w").write("x")
-    with _pytest.raises(ValueError, match="_SUCCESS"):
+    with _pytest.raises(ValueError, match="witness"):
         compact_zordered(spark, p2, n_files=4)
     assert os.path.exists(f"{p2}/data.parquet")
