@@ -82,6 +82,14 @@ def test_real_codec_path_decodes_bmp_png_jpeg():
     from dexscraper_spark.operators.jpeg import encode_jpeg
     jimg = _decode_real_image(encode_jpeg(bytes([128] * 64), 8, 8, 1))
     assert jimg is not None and jimg["format"] == "jpeg"
+    # PROGRESSIVE JPEG flows through the same bulk path — same pixels
+    # as its baseline twin (pure coefficient reordering)
+    from dexscraper_spark.operators.jpeg import encode_jpeg_progressive
+    px3 = bytes(range(48)) * 4  # 8x8 RGB
+    pimg = _decode_real_image(encode_jpeg_progressive(px3, 8, 8, 3))
+    bimg = _decode_real_image(encode_jpeg(px3, 8, 8, 3))
+    assert pimg is not None and pimg["format"] == "jpeg"
+    assert pimg["body"] == bimg["body"]
     with pytest.raises(NotImplementedError, match="STUB"):
         from dexscraper_spark.operators.codecs import decode_image
         decode_image(b"RIFFxxxxWEBPdata")
