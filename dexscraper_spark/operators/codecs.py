@@ -9,10 +9,14 @@ no external libraries.
   (operators/jpeg.py — from-spec Huffman decode, multi-scan progressive
   coefficient accumulation, dequantize, IDCT, subsampling, restart
   markers, JFIF YCbCr→RGB). Arithmetic-coded streams still raise.
+* WAV: RIFF PCM audio, 8/16-bit, any channel count (decode + O(1)
+  probe + encoder twin; cross-checked against the stdlib ``wave``
+  module in tests). Compressed audio genuinely needs external codecs.
 
-Decoded output is canonical row-major top-down pixel bytes, so
-``decode_image`` gives the multimodal operators a real-codec path next to
-the deterministic FAKE container.
+Decoded output is canonical row-major top-down pixel bytes (images) /
+interleaved PCM bytes (audio), so ``decode_image``/``decode_wav`` give
+the multimodal operators real-codec paths next to the deterministic
+FAKE container.
 """
 
 from __future__ import annotations
@@ -33,6 +37,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"\xFF\xD8":
         return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
@@ -282,3 +288,99 @@ def decode_image(data: bytes) -> dict:
     raise NotImplementedError(
         "STUB: only BMP/PNG/JPEG have pure-Python decoders; "
         "other formats need a real codec library")
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the real audio twin of the image codecs
+# ---------------------------------------------------------------------------
+
+def _wav_chunks(data: bytes):
+    """Yield (fourcc, payload) for each RIFF sub-chunk, honouring the
+    word-alignment pad byte after odd-sized chunks."""
+    pos = 12  # past RIFF size WAVE
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        yield cid, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def probe_audio(data: bytes) -> dict | None:
+    """O(1) WAV metadata — fmt-chunk fields + data size, no sample
+    copy. Returns {format, sample_rate, channels, sample_width,
+    n_samples} or None (never raises on truncated/foreign input)."""
+    try:
+        if sniff_format(data) != "wav":
+            return None
+        fmt = None
+        for cid, chunk in _wav_chunks(data):
+            if cid == b"fmt " and len(chunk) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            elif cid == b"data" and fmt is not None:
+                tag, ch, rate, _bps, _align, bits = fmt
+                if tag != 1 or bits not in (8, 16) or ch < 1:
+                    return None
+                width = bits // 8
+                return {"format": "wav", "sample_rate": rate,
+                        "channels": ch, "sample_width": width,
+                        "n_samples": len(chunk) // (width * ch)}
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def decode_wav(data: bytes) -> dict:
+    """RIFF PCM WAV → {format, sample_rate, channels, sample_width,
+    n_samples, samples} with ``samples`` the raw interleaved PCM bytes
+    of the data chunk (8-bit unsigned or 16-bit little-endian signed —
+    the two PCM layouts the format defines for these widths). Raises
+    ValueError on malformed input, NotImplementedError on non-PCM
+    (float/ADPCM/extensible) or 24/32-bit streams."""
+    if sniff_format(data) != "wav":
+        raise ValueError("not a WAV file")
+    fmt = None
+    for cid, chunk in _wav_chunks(data):
+        if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV: data chunk before fmt")
+            tag, ch, rate, _bps, _align, bits = fmt
+            if tag != 1:
+                raise NotImplementedError(
+                    f"WAV: only PCM (format tag 1) supported, got {tag}")
+            if bits not in (8, 16):
+                raise NotImplementedError(
+                    f"WAV: only 8/16-bit PCM supported, got {bits}")
+            if ch < 1:
+                raise ValueError("WAV: zero channels")
+            width = bits // 8
+            frame = width * ch
+            n = len(chunk) // frame
+            return {"format": "wav", "sample_rate": rate,
+                    "channels": ch, "sample_width": width,
+                    "n_samples": n, "samples": chunk[:n * frame]}
+    raise ValueError("WAV: no data chunk")
+
+
+def encode_wav(samples: bytes, *, sample_rate: int, channels: int = 1,
+               sample_width: int = 2) -> bytes:
+    """Interleaved PCM bytes → canonical 44-byte-header RIFF WAV (the
+    test-fixture twin; also cross-checked against the stdlib ``wave``
+    writer in tests)."""
+    if sample_width not in (1, 2):
+        raise ValueError("encode_wav: sample_width must be 1 or 2")
+    if channels < 1:
+        raise ValueError("encode_wav: channels must be >= 1")
+    frame = sample_width * channels
+    if len(samples) % frame:
+        raise ValueError("encode_wav: samples not a whole frame count")
+    byte_rate = sample_rate * frame
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      frame, sample_width * 8)
+    out = (b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(samples)) + samples)
+    return out

@@ -6,9 +6,11 @@ The Spark-side plumbing here is real and tested — schemas, partitioning,
 ``mapInPandas`` batch shapes, exploded frame rows, feature vectors feeding
 the similarity operators. The *codec* step has two real paths: the
 deterministic in-repo container format (``FAKE`` header) whose decode is
-exact, and pure-Python BMP/PNG decoders (operators/codecs.py — full zlib
-inflate + scanline unfiltering, no PIL needed). Only formats that
-genuinely need external codec libraries (JPEG, real audio/video) raise a
+exact, and pure-Python real codecs (operators/codecs.py + jpeg.py —
+BMP, PNG with full zlib inflate + scanline unfiltering, JPEG baseline
+AND progressive from the T.81 spec, and RIFF PCM WAV audio; no PIL, no
+audio libs). Only formats that genuinely need external codec libraries
+(WebP, arithmetic-coded JPEG, compressed audio, real video) raise a
 clearly marked ``NotImplementedError``.
 
 Scale notes:
@@ -103,6 +105,41 @@ def _probe_real_image(payload: bytes) -> dict | None:
             "body": None}
 
 
+def _probe_real_audio(payload: bytes) -> dict | None:
+    """O(1) real-audio metadata (``codecs.probe_audio`` — RIFF PCM WAV):
+    fmt-chunk fields + sample count, no sample copy. ``n_frames``
+    carries the per-channel sample count (the audio analogue of a frame
+    count); width/height stay 0 like the FAKE audio container."""
+    from dexscraper_spark.operators.codecs import probe_audio
+    meta = probe_audio(payload)
+    if meta is None:
+        return None
+    return {"format": "wav", "kind": "audio", "width": 0, "height": 0,
+            "channels": meta["channels"],
+            "sample_rate": meta["sample_rate"],
+            "n_frames": meta["n_samples"], "body": None}
+
+
+def _decode_real_audio(payload: bytes) -> dict | None:
+    """Real-audio decode path (RIFF PCM WAV): same dict shape as
+    ``_parse_header`` with the interleaved PCM bytes as the body (plus
+    ``sample_width`` so consumers can interpret them); None for
+    non-WAV/undecodable payloads — one bad row must not abort the
+    mapInPandas task."""
+    from dexscraper_spark.operators.codecs import decode_wav, sniff_format
+    if sniff_format(payload) != "wav":
+        return None
+    try:
+        wav = decode_wav(payload)
+    except Exception:
+        return None
+    return {"format": "wav", "kind": "audio", "width": 0, "height": 0,
+            "channels": wav["channels"],
+            "sample_rate": wav["sample_rate"],
+            "n_frames": wav["n_samples"], "body": wav["samples"],
+            "sample_width": wav["sample_width"]}
+
+
 def _decode_real_image(payload: bytes) -> dict | None:
     """Real-codec path: pure-Python BMP/PNG/baseline-JPEG decode
     (operators/codecs.py, operators/jpeg.py — zlib inflate + scanline
@@ -164,9 +201,10 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                                           pdf["payload"]):
                 hdr = _parse_header(bytes(payload)) if payload is not None else None
                 if hdr is None and payload is not None:
-                    # metadata stage: O(1) header probe, never a pixel
-                    # decode (that belongs to the resize/feature stages)
-                    hdr = _probe_real_image(bytes(payload))
+                    # metadata stage: O(1) header probes, never a pixel/
+                    # sample decode (that belongs to the feature stages)
+                    hdr = (_probe_real_image(bytes(payload))
+                           or _probe_real_audio(bytes(payload)))
                 out.append({
                     "media_id": int(mid), "kind": kind,
                     "format": hdr["format"] if hdr else None,
@@ -249,10 +287,12 @@ def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
     def embed(payload: bytes) -> list[float]:
         hdr = _parse_header(payload)
         if hdr is None:
-            # real-codec payloads: embed DECODED PIXELS, not container
-            # bytes — the same image as PNG vs BMP must embed identically
-            # (compressed IDAT bytes are near-uniform noise)
-            hdr = _decode_real_image(payload)
+            # real-codec payloads: embed DECODED PIXELS/SAMPLES, not
+            # container bytes — the same image as PNG vs BMP (or the
+            # same clip re-wrapped) must embed identically (compressed
+            # IDAT bytes are near-uniform noise)
+            hdr = _decode_real_image(payload) or _decode_real_audio(
+                payload)
         body = hdr["body"] if hdr else (payload or b"")
         hist = [0.0] * dim
         for i, b in enumerate(body):
@@ -268,3 +308,93 @@ def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "kind", "embedding"])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+
+def audio_features(media: DataFrame, *, n_windows: int = 8) -> DataFrame:
+    """Real audio DSP features over PCM samples — the audio twin of the
+    image feature stage, numpy-vectorized inside one ``mapInPandas``
+    (Arrow-batched, samples never leave the executor):
+
+    * ``rms``   — clip loudness (root mean square of the normalized
+      signal; multi-channel clips are mixed down by mean first);
+    * ``zcr``   — zero-crossing rate (crossings / sample), the classic
+      cheap pitch/noisiness proxy (a tone's zcr ≈ 2·f/sr, white noise
+      ≈ 0.5 — separable by orders of magnitude);
+    * ``embedding`` — per-window RMS profile (``n_windows`` equal
+      slices) concatenated with the per-window zcr profile: a
+      2·n_windows-dim vector with the exact schema/shape the
+      similarity/ANN operators consume.
+
+    Decodes REAL WAV payloads (``codecs.decode_wav``: 8-bit unsigned /
+    16-bit signed PCM, normalized to [-1, 1]) and the FAKE audio
+    container (body bytes as unsigned 8-bit, same normalization).
+    Non-audio / undecodable rows are dropped (the stage contract all
+    the media stages share)."""
+    import numpy as np
+    import pandas as pd
+
+    def pcm(payload: bytes):
+        hdr = _parse_header(payload)
+        if hdr is not None:
+            if hdr["kind"] != "audio":
+                return None, 0
+            x = np.frombuffer(hdr["body"], dtype=np.uint8)
+            return (x.astype(np.float64) - 128.0) / 128.0, \
+                hdr["sample_rate"]
+        wav = _decode_real_audio(payload)
+        if wav is None:
+            return None, 0
+        if wav["sample_width"] == 1:
+            x = np.frombuffer(wav["body"], dtype=np.uint8)
+            x = (x.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = np.frombuffer(wav["body"], dtype="<i2")
+            x = x.astype(np.float64) / 32768.0
+        if wav["channels"] > 1:  # mixdown: mean over channels
+            n = (len(x) // wav["channels"]) * wav["channels"]
+            x = x[:n].reshape(-1, wav["channels"]).mean(axis=1)
+        return x, wav["sample_rate"]
+
+    def feats(x: "np.ndarray") -> tuple:
+        n = len(x)
+        rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+            if n > 1 else 0.0
+        emb = []
+        for part in np.array_split(x, n_windows):
+            emb.append(float(np.sqrt(np.mean(part * part)))
+                       if len(part) else 0.0)
+        for part in np.array_split(x, n_windows):
+            emb.append(float(np.mean(np.signbit(part[1:])
+                                     != np.signbit(part[:-1])))
+                       if len(part) > 1 else 0.0)
+        return rms, zc, emb
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x, sr = pcm(bytes(payload))
+                if x is None:
+                    continue
+                rms, zc, emb = feats(x)
+                out.append({"media_id": int(mid), "sample_rate": int(sr),
+                            "n_samples": int(len(x)), "rms": rms,
+                            "zcr": zc, "embedding": emb})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in
+                              AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
