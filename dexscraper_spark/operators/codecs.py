@@ -12,6 +12,9 @@ no external libraries.
 * WAV: RIFF PCM audio, 8/16-bit, any channel count (decode + O(1)
   probe + encoder twin; cross-checked against the stdlib ``wave``
   module in tests). Compressed audio genuinely needs external codecs.
+* AVI: MJPEG-in-RIFF video — container chunk walk + per-frame JPEG
+  payloads decoded by the in-repo JPEG codec (decode + O(1) avih probe
+  + encoder twin). Any other video codec raises.
 
 Decoded output is canonical row-major top-down pixel bytes (images) /
 interleaved PCM bytes (audio), so ``decode_image``/``decode_wav`` give
@@ -39,6 +42,8 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -384,3 +389,130 @@ def encode_wav(samples: bytes, *, sample_rate: int, channels: int = 1,
            + b"fmt " + struct.pack("<I", 16) + fmt
            + b"data" + struct.pack("<I", len(samples)) + samples)
     return out
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) with MJPEG frames — the real video twin: the container is
+# a RIFF chunk walk (same machinery as WAV) and every frame is a JPEG
+# the in-repo codec already decodes, so video becomes real end-to-end
+# with no external library.
+# ---------------------------------------------------------------------------
+
+def _riff_lists(data: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_start, payload_end)
+    for each chunk in [pos, end) — LIST chunks report their list type."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        if cid == b"LIST" and size >= 4:
+            yield cid, data[body_start:body_start + 4], \
+                body_start + 4, body_end
+        else:
+            yield cid, None, body_start, body_end
+        pos = body_start + size + (size & 1)
+
+
+def probe_video(data: bytes) -> dict | None:
+    """O(1) AVI metadata from the avih main header (dwWidth/dwHeight at
+    offsets 32/36, dwTotalFrames at 16) — no frame walk. Returns
+    {format, width, height, n_frames} or None; never raises."""
+    try:
+        if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+            return None
+        for cid, ltype, s, e in _riff_lists(data, 12, len(data)):
+            if cid == b"LIST" and ltype == b"hdrl":
+                for cid2, _lt, s2, e2 in _riff_lists(data, s, e):
+                    if cid2 == b"avih" and e2 - s2 >= 40:
+                        nf = struct.unpack_from("<I", data, s2 + 16)[0]
+                        w = struct.unpack_from("<I", data, s2 + 32)[0]
+                        h = struct.unpack_from("<I", data, s2 + 36)[0]
+                        if w <= 0 or h <= 0:
+                            return None
+                        return {"format": "avi", "width": int(w),
+                                "height": int(h), "n_frames": int(nf)}
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def decode_avi_mjpeg(data: bytes) -> dict:
+    """MJPEG-in-AVI → {format, width, height, n_frames, frames} with
+    ``frames`` the list of per-frame JPEG byte strings from the movi
+    list (decode each with :func:`decode_image`). Raises ValueError on
+    malformed input, NotImplementedError for non-MJPEG streams (real
+    video codecs genuinely need external libraries)."""
+    if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+        raise ValueError("not an AVI file")
+    meta = probe_video(data)
+    if meta is None:
+        raise ValueError("AVI: missing/truncated avih header")
+    # stream handler check: the strh fccHandler (or strf biCompression)
+    # must be MJPG — frame payloads of any other codec are opaque
+    handler = None
+    for cid, ltype, s, e in _riff_lists(data, 12, len(data)):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for cid2, lt2, s2, e2 in _riff_lists(data, s, e):
+                if cid2 == b"LIST" and lt2 == b"strl":
+                    for cid3, _lt, s3, e3 in _riff_lists(data, s2, e2):
+                        if cid3 == b"strh" and e3 - s3 >= 8 \
+                                and data[s3:s3 + 4] == b"vids":
+                            handler = data[s3 + 4:s3 + 8]
+    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI: only MJPEG streams are decodable in-repo "
+            f"(handler {handler!r} needs an external codec)")
+    frames: list[bytes] = []
+    for cid, ltype, s, e in _riff_lists(data, 12, len(data)):
+        if cid == b"LIST" and ltype == b"movi":
+            for cid2, _lt, s2, e2 in _riff_lists(data, s, e):
+                # ##dc (compressed) / ##db (uncompressed) video chunks
+                if cid2[2:4] in (b"dc", b"db"):
+                    frames.append(data[s2:e2])
+    if not frames:
+        raise ValueError("AVI: no movi frame chunks")
+    return {"format": "avi", "width": meta["width"],
+            "height": meta["height"], "n_frames": len(frames),
+            "frames": frames}
+
+
+def encode_avi_mjpeg(frames: list, *, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Per-frame JPEG byte strings → minimal spec-shaped MJPEG AVI
+    (RIFF: LIST hdrl {avih, LIST strl {strh vids/MJPG, strf
+    BITMAPINFOHEADER}}, LIST movi {00dc...}, idx1) — the test-fixture
+    twin proving the decoder end-to-end without ffmpeg."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: no frames")
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    usec = 1_000_000 // max(fps, 1)
+    maxb = max(len(f) for f in frames)
+    avih = struct.pack("<14I", usec, maxb * fps, 0, 0x10, len(frames),
+                       0, 1, maxb, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            maxb, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: offsets are relative to the start of the movi list data
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    body = hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

@@ -120,6 +120,18 @@ def _probe_real_audio(payload: bytes) -> dict | None:
             "n_frames": meta["n_samples"], "body": None}
 
 
+def _probe_real_video(payload: bytes) -> dict | None:
+    """O(1) real-video metadata (``codecs.probe_video`` — AVI avih
+    header): dims + declared frame count, no frame walk."""
+    from dexscraper_spark.operators.codecs import probe_video
+    meta = probe_video(payload)
+    if meta is None:
+        return None
+    return {"format": "avi", "kind": "video", "width": meta["width"],
+            "height": meta["height"], "channels": 3, "sample_rate": 0,
+            "n_frames": meta["n_frames"], "body": None}
+
+
 def _decode_real_audio(payload: bytes) -> dict | None:
     """Real-audio decode path (RIFF PCM WAV): same dict shape as
     ``_parse_header`` with the interleaved PCM bytes as the body (plus
@@ -204,7 +216,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     # metadata stage: O(1) header probes, never a pixel/
                     # sample decode (that belongs to the feature stages)
                     hdr = (_probe_real_image(bytes(payload))
-                           or _probe_real_audio(bytes(payload)))
+                           or _probe_real_audio(bytes(payload))
+                           or _probe_real_video(bytes(payload)))
                 out.append({
                     "media_id": int(mid), "kind": kind,
                     "format": hdr["format"] if hdr else None,
@@ -257,22 +270,46 @@ def resize_images(media: DataFrame, *, factor: int = 2) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
-    """Video → exploded frame rows (1→N mapInPandas, UDTF shape)."""
+    """Video → exploded frame rows (1→N mapInPandas, UDTF shape).
+
+    Two payload classes: the FAKE container (raw frame bytes sliced by
+    the header's dims) and REAL MJPEG AVI (``codecs.decode_avi_mjpeg``
+    — each emitted frame is a JPEG byte string that
+    ``codecs.decode_image`` turns into pixels, composing video →
+    frames → image decode → features entirely in-repo). Non-video and
+    undecodable rows are dropped (shared media-stage contract)."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from dexscraper_spark.operators.codecs import (decode_avi_mjpeg,
+                                                       sniff_format)
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                hdr = _parse_header(bytes(payload)) if payload is not None else None
-                if not hdr or hdr["kind"] != "video":
+                if payload is None:
                     continue
-                w, h, nf = hdr["width"], hdr["height"], hdr["n_frames"]
-                frame_bytes = w * h * max(hdr["channels"], 1)
-                for fi in range(0, nf, every):
-                    start = fi * frame_bytes
-                    out.append({"media_id": int(mid), "frame_index": fi,
-                                "frame": hdr["body"][start:start + frame_bytes]})
+                raw = bytes(payload)
+                hdr = _parse_header(raw)
+                if hdr is not None:
+                    if hdr["kind"] != "video":
+                        continue
+                    w, h, nf = hdr["width"], hdr["height"], hdr["n_frames"]
+                    frame_bytes = w * h * max(hdr["channels"], 1)
+                    for fi in range(0, nf, every):
+                        start = fi * frame_bytes
+                        out.append({
+                            "media_id": int(mid), "frame_index": fi,
+                            "frame": hdr["body"][start:start + frame_bytes]})
+                    continue
+                if sniff_format(raw) == "avi":
+                    try:
+                        avi = decode_avi_mjpeg(raw)
+                    except Exception:
+                        continue
+                    for fi in range(0, avi["n_frames"], every):
+                        out.append({"media_id": int(mid),
+                                    "frame_index": fi,
+                                    "frame": avi["frames"][fi]})
             yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -312,3 +312,89 @@ def test_audio_features_fake_container_and_extract_features_wav(spark):
     emb = {r["media_id"]: r["embedding"]
            for r in extract_features(df).collect()}
     assert emb[0] == emb[1]   # byte-histogram over DECODED samples
+
+
+# ---------------------------------------------------------------------------
+# Real video: MJPEG-in-AVI container + frame-sampling composition
+
+
+def _mjpeg_avi(n_frames=5, w=16, h=12, seed=3):
+    import numpy as np
+
+    from dexscraper_spark.operators.codecs import encode_avi_mjpeg
+    from dexscraper_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)]
+    frames = [encode_jpeg(im.tobytes(), w, h, 3, quality=90)
+              for im in imgs]
+    return encode_avi_mjpeg(frames, width=w, height=h, fps=5), frames
+
+
+def test_avi_mjpeg_roundtrip_and_probe():
+    from dexscraper_spark.operators.codecs import (decode_avi_mjpeg,
+                                                   decode_image,
+                                                   probe_video,
+                                                   sniff_format)
+
+    avi, frames = _mjpeg_avi()
+    assert sniff_format(avi) == "avi"
+    assert probe_video(avi) == {"format": "avi", "width": 16,
+                                "height": 12, "n_frames": 5}
+    d = decode_avi_mjpeg(avi)
+    assert d["frames"] == frames          # byte-exact container walk
+    img = decode_image(d["frames"][2])
+    assert (img["width"], img["height"], img["channels"]) == (16, 12, 3)
+
+
+def test_avi_validation_and_foreign_codec():
+    import pytest as _pytest
+
+    from dexscraper_spark.operators.codecs import (decode_avi_mjpeg,
+                                                   encode_avi_mjpeg)
+
+    with _pytest.raises(ValueError, match="AVI"):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI ")
+    with _pytest.raises(ValueError, match="frames"):
+        encode_avi_mjpeg([], width=4, height=4)
+    # a non-MJPEG stream handler must raise, not emit opaque bytes
+    avi, _ = _mjpeg_avi(n_frames=2)
+    bad = bytearray(avi)
+    pos = bad.find(b"vidsMJPG")
+    bad[pos + 4:pos + 8] = b"H264"
+    with _pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_avi_flows_through_meta_and_frame_sampling(spark):
+    """Real video end-to-end in Spark: O(1) avih probe in the metadata
+    stage, then sample_frames explodes the MJPEG frames — each of which
+    the in-repo JPEG codec decodes to the exact pixels of a direct
+    decode of the same frame bytes (video -> frames -> image decode
+    composes entirely in-repo)."""
+    import pandas as pd
+
+    from dexscraper_spark.operators.codecs import decode_image
+    from dexscraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media_meta, sample_frames)
+
+    avi, frames = _mjpeg_avi(n_frames=6)
+    pdf = pd.DataFrame([(0, "video", avi), (1, "video", b"not a video")],
+                       columns=["media_id", "kind", "payload"])
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    metas = {r["media_id"]: r for r in decode_media_meta(df).collect()}
+    assert metas[0]["format"] == "avi" and metas[0]["n_frames"] == 6
+    assert metas[0]["width"] == 16 and metas[0]["kind"] == "video"
+    assert metas[1]["format"] is None     # bad row: null meta, no abort
+
+    rows = sample_frames(df, every=2).collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 2, 4]
+    for r in rows:
+        assert bytes(r["frame"]) == frames[r["frame_index"]]
+        img = decode_image(bytes(r["frame"]))
+        assert (img["width"], img["height"]) == (16, 12)
+    # FAKE-container videos still sample through the same stage
+    from dexscraper_spark.operators.multimodal import synthetic_media
+    fake_rows = sample_frames(synthetic_media(spark, 3), every=2).collect()
+    assert {r["media_id"] for r in fake_rows} == {2}
