@@ -13,17 +13,13 @@ check-big:
 difftest:
 	python tools/difftest.py
 
-# If the run started on a loaded machine (bench.py stamps "loaded": true
-# on the final line when start load1 > max(2, ncpu/8)), wait for idle and
-# retry ONCE — a loaded-machine artifact reads as a uniform regression.
-# stdout is captured (not piped through tee) so a crashed bench run
-# still fails the target instead of hiding behind the pipe's status.
+# bench.py self-defends against a loaded machine: main() polls load1 and
+# waits (bounded by $SPARK_GRAFT_IDLE_WAIT, default 150 s) for idle BEFORE
+# timing anything, then stamps "loaded": true / "idle_waited_sec" on the
+# final line if it never settled — so the recipe needs no retry loop (the
+# old /tmp-captured retry also clobbered concurrent invocations).
 bench:
-	@python bench.py > /tmp/bench_out.txt; rc=$$?; cat /tmp/bench_out.txt; \
-	if [ $$rc -ne 0 ]; then exit $$rc; fi; \
-	if tail -1 /tmp/bench_out.txt | grep -q '"loaded": true'; then \
-	  echo "bench: machine was loaded — retrying once after 90s idle wait"; \
-	  sleep 90; python bench.py; fi
+	python bench.py
 
 # Run the bench, save it, and alarm on any per-query regression vs the
 # prior round's BENCH_r*.json (1.5x AND >0.15s absolute). OLD is passed

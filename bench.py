@@ -71,6 +71,36 @@ def _bpe_bench(spark, sf_dir):
                                               "size(pieces) as n")
 
 
+def _idle_wait(load1: float, ncpu: int, *, budget: float = 150.0,
+               step: float = 10.0, _sleep=time.sleep,
+               _getload=lambda: os.getloadavg()[0]) -> tuple:
+    """Self-defense (VERDICT r9 §next-5): the driver invokes bench.py
+    DIRECTLY, so the loaded-machine retry must live here, not only in
+    `make bench`. If start load is above the loaded threshold
+    (max(2, ncpu/8) — the same rule the ``loaded`` stamp uses), poll
+    every ``step`` seconds up to ``budget`` total for the machine to
+    settle BEFORE any timing work, then proceed with the re-sampled
+    load. Bounded: a machine that never settles still benches, and the
+    final line carries ``loaded: true`` exactly as before — plus
+    ``idle_waited_sec`` so the artifact records that the wait happened.
+    Returns (load1, waited_sec)."""
+    if ncpu <= 0 or load1 < 0:
+        return load1, 0.0
+    thresh = max(2.0, ncpu / 8)
+    waited = 0.0
+    while load1 > thresh and waited < budget:
+        print(f"bench: start load1={load1} > {round(thresh, 2)} — "
+              f"waiting for idle ({int(waited)}/{int(budget)}s)",
+              file=sys.stderr)
+        _sleep(step)
+        waited += step
+        try:
+            load1 = round(_getload(), 2)
+        except OSError:
+            break
+    return load1, waited
+
+
 def main() -> None:
     # Environment snapshot up front: a run taken on a loaded machine
     # produces uniformly-inflated timings that read as regressions (the
@@ -81,6 +111,9 @@ def main() -> None:
     except OSError:
         load1 = -1.0
     ncpu = os.cpu_count() or -1
+    load1, idle_waited = _idle_wait(
+        load1, ncpu,
+        budget=float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "150")))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -406,6 +439,8 @@ def main() -> None:
     # meaningful on a near-idle machine, yet r8's artifact shipped from
     # load1=6.12 and nothing nudged the operator. The field lets `make
     # bench` retry once after an idle wait and readers discount the run.
+    if idle_waited:
+        out["idle_waited_sec"] = round(idle_waited, 1)
     if ncpu > 0 and load1 > max(2.0, ncpu / 8):
         out["loaded"] = True
         print(f"bench: START LOAD HIGH (load1={load1}, ncpu={ncpu}) — "
