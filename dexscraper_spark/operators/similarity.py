@@ -102,7 +102,8 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
                                margin: float = 1e-4,
                                round_to: int = 6,
                                chunk: int | None = None,
-                               verify_against: DataFrame | None = None
+                               verify_against: DataFrame | None = None,
+                               probe_col: str | None = None
                                ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold within each block — BLAS filter,
     exact verify.
@@ -135,6 +136,14 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
     would multiply candidate rows), and a pair co-assigned to two
     shared blocks is generated once per block, so the candidate set is
     deduped first (answer-sized — cheap).
+
+    ``probe_col``: name of a BOOLEAN column in ``emb`` marking PROBE
+    rows — only pairs with at least one probe endpoint are emitted
+    (both-probe pairs once, canonical id_a < id_b). Phase 1 then does
+    probe-rows × block-rows flops instead of block-rows², which is the
+    delta-curation shape: a nightly batch probes the corpus at cost
+    ∝ |delta| × |block|, never corpus². With ``probe_col=None`` (the
+    default) behaviour is bit-identical to before.
     """
     import numpy as np
     import pandas as pd
@@ -155,13 +164,25 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
         u = m / norms[:, None]
         out_a, out_b = [], []
         n = u.shape[0]
+        if probe_col is None:
+            pmask = None
+            rows = np.arange(n)
+        else:
+            pmask = pdf[probe_col].to_numpy(dtype=bool)
+            rows = np.nonzero(pmask)[0]
         # bound the Gram slab at ~25M doubles (~200 MB) per task
         step = chunk or max(64, min(4096, 25_000_000 // max(n, 1)))
-        for c0 in range(0, n, step):
-            g = u[c0:c0 + step] @ u.T
+        for c0 in range(0, len(rows), step):
+            sel = rows[c0:c0 + step]
+            g = u[sel] @ u.T
             ii, jj = np.nonzero(g >= thr)
-            gi = ii + c0
-            keep = gi < jj  # i < j in global row order
+            gi = sel[ii]
+            if pmask is None:
+                keep = gi < jj  # i < j in global row order
+            else:
+                # probe×non-probe once (from the probe side); probe×probe
+                # once via the i < j rule; never a self-pair
+                keep = (gi != jj) & (~pmask[jj] | (gi < jj))
             out_a.append(ids[gi[keep]])
             out_b.append(ids[jj[keep]])
         if not out_a:

@@ -608,3 +608,192 @@ def write_training_shards(curated: DataFrame, path: str, *,
     fsio.write_text_atomic(spark, fsio.join(path, "_manifest.json"),
                            _json.dumps(manifest, indent=1))
     return manifest
+
+
+def merge_partitioned(spark, path: str, *, partition_cols: list,
+                      add: DataFrame | None = None,
+                      remove_ids: DataFrame | None = None,
+                      remove_col: str = "doc_id",
+                      key_col: str | None = None,
+                      format: str = "parquet") -> list:
+    """In-place incremental maintenance of a partitioned table: remove
+    the rows matching ``remove_ids`` (on ``remove_col``), add the
+    ``add`` rows (which must carry the partition columns), rewriting
+    ONLY the affected partitions — the nightly shape for the published
+    corpus and the training shards, where a full rewrite would be a
+    100 TB job for a delta-sized edit.
+
+    Mechanics (all chosen for crash-replay idempotence):
+    * affected partitions = partitions receiving adds ∪ partitions
+      holding removed rows ∪ partitions already holding rows keyed by
+      ``key_col`` values being added (a crashed previous run may have
+      landed some adds — merging drops them first so a replay never
+      duplicates);
+    * the merged affected slice is STAGED to ``<path>__merge`` first,
+      then written back with Spark's dynamic partition-overwrite mode
+      (only partitions present in the write are replaced) — reading
+      and overwriting the same path in one plan is the classic
+      self-destruction hazard, the staging dir breaks the cycle;
+    * partitions whose rows are ALL removed are deleted explicitly
+      (dynamic overwrite only replaces partitions it writes rows for);
+    * a crash at any point is repaired by rerunning with the same
+      inputs: every step recomputes from the (unchanged) inputs and the
+      current table, and converges.
+
+    Returns the list of affected partition-value tuples (bounded:
+    partition keys are low-cardinality by design)."""
+    from dexscraper_spark import fsio
+
+    written = spark.read.format(format).load(path)
+    pcols = [F.col(c) for c in partition_cols]
+    aff = None
+    if add is not None:
+        aff = add.select(*pcols).distinct()
+    if remove_ids is not None:
+        hit = (written.join(remove_ids.select(remove_col), remove_col,
+                            "left_semi").select(*pcols).distinct())
+        aff = hit if aff is None else aff.unionByName(hit).distinct()
+    if add is not None and key_col is not None:
+        redo = (written.join(add.select(key_col), key_col, "left_semi")
+                .select(*pcols).distinct())
+        aff = redo if aff is None else aff.unionByName(redo).distinct()
+    if aff is None:
+        return []
+    affected = [tuple(r) for r in aff.collect()]
+    if not affected:
+        return []
+
+    def _part_pred(df):
+        from functools import reduce
+        terms = []
+        for vals in affected:
+            t = None
+            for c, v in zip(partition_cols, vals):
+                e = df[c] == F.lit(v)
+                t = e if t is None else (t & e)
+            terms.append(t)
+        return reduce(lambda a, b: a | b, terms)
+
+    merged = written.filter(_part_pred(written))
+    if remove_ids is not None:
+        merged = merged.join(remove_ids.select(remove_col), remove_col,
+                             "left_anti")
+    if add is not None:
+        if key_col is not None:
+            merged = merged.join(add.select(key_col), key_col,
+                                 "left_anti")
+        merged = merged.select(*add.columns).unionByName(
+            add.select(*add.columns))
+    else:
+        merged = merged.select(*written.columns)
+
+    staging = f"{path.rstrip('/')}__merge"
+    fsio.delete(spark, staging)
+    merged.write.mode("overwrite").format(format).save(staging)
+    # explicit schema: an all-rows-removed merge stages only _SUCCESS,
+    # and schema inference over that throws instead of returning the
+    # (valid) empty slice
+    staged = spark.read.schema(merged.schema).format(format) \
+        .load(staging)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (staged.repartition(max(len(affected), 1), *pcols)
+         .write.mode("overwrite").partitionBy(*partition_cols)
+         .format(format).save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dynamic overwrite never touches a partition it writes no rows for:
+    # fully-emptied partitions must be deleted explicitly
+    live = {tuple(r) for r in
+            staged.select(*pcols).distinct().collect()}
+    for vals in affected:
+        if tuple(vals) not in live:
+            sub = "/".join(f"{c}={v}" for c, v in
+                           zip(partition_cols, vals))
+            fsio.delete(spark, fsio.join(path, sub))
+    fsio.delete(spark, staging)
+    return affected
+
+
+def update_training_shards(spark, path: str, *,
+                           add: DataFrame | None = None,
+                           remove_ids: DataFrame | None = None,
+                           remove_col: str = "doc_id",
+                           format: str = "parquet") -> dict:
+    """The APPEND/RETRACT twin of :func:`write_training_shards` — fold a
+    delta into an existing shard layout without rewriting unaffected
+    shards. Shard parameters (n_shards, seed, id_col) come from the
+    stored ``_manifest.json``, so a delta can never shard-key rows
+    differently from the bootstrap; the manifest is recomputed for the
+    affected shards only and rewritten atomically (fsio), LAST — a
+    crash before the manifest write is repaired by rerunning the same
+    delta (the partition merge is idempotent, see
+    :func:`merge_partitioned`).
+
+    ``add`` rows must NOT carry a ``shard`` column (it is derived);
+    ``remove_ids``/``remove_col`` retract all pieces of the matching
+    rows (typically by doc_id — a retracted document's pieces scatter
+    across shards by design, which is exactly why the affected-shard
+    set is computed from the table, not guessed). Returns the updated
+    manifest dict."""
+    import json as _json
+
+    from dexscraper_spark import fsio
+
+    mpath = fsio.join(path, "_manifest.json")
+    manifest = _json.loads(fsio.read_text(spark, mpath))
+    n_shards, seed = manifest["n_shards"], manifest["seed"]
+    id_col = manifest["id_col"]
+    has_tokens = "total_tokens" in manifest
+    token_col = "n_tokens" if has_tokens else None
+
+    # capture the schema BEFORE the merge: an all-rows-retracted fold
+    # deletes every shard directory, and the recount's read below would
+    # then have nothing to infer a schema from
+    table_schema = spark.read.format(format).load(path).schema
+
+    add_sharded = None
+    if add is not None:
+        if "shard" in add.columns:
+            raise ValueError("update_training_shards: 'shard' is "
+                             "derived from the manifest params — drop "
+                             "the column from `add`")
+        add_sharded = add.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                            F.lit(n_shards)).cast("int"))
+    affected = merge_partitioned(
+        spark, path, partition_cols=["shard"], add=add_sharded,
+        remove_ids=remove_ids, remove_col=remove_col, key_col=id_col,
+        format=format)
+    if not affected:
+        return manifest
+
+    # recount ONLY the affected shards from the written table — the
+    # manifest must describe what a reader sees
+    aff_ids = [int(v[0]) for v in affected]
+    written = spark.read.schema(table_schema).format(format) \
+        .load(path).filter(F.col("shard").isin(aff_ids))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if has_tokens:
+        aggs.append(F.coalesce(F.sum(token_col), F.lit(0))
+                    .alias("n_tokens"))
+    rows = written.groupBy("shard").agg(*aggs).collect()
+    empty = {"n_docs": 0, **({"n_tokens": 0} if has_tokens else {})}
+    for k in aff_ids:
+        manifest["shards"][str(k)] = dict(empty)
+    for r in rows:
+        manifest["shards"][str(int(r["shard"]))] = {
+            k: int(r[k]) for k in r.asDict() if k != "shard"}
+    manifest["total_docs"] = sum(s["n_docs"]
+                                 for s in manifest["shards"].values())
+    if has_tokens:
+        manifest["total_tokens"] = sum(s.get("n_tokens", 0)
+                                       for s in manifest["shards"]
+                                       .values())
+    fsio.write_text_atomic(spark, mpath,
+                           _json.dumps(manifest, indent=1))
+    return manifest
