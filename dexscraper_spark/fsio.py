@@ -149,6 +149,272 @@ def rename(spark, src: str, dst: str) -> None:
         raise OSError(f"rename failed: {src} -> {dst}")
 
 
+def list_files_recursive(spark, path: str) -> dict:
+    """``{relative/file/path: size}`` for every FILE under ``path``
+    (directories themselves are not listed); {} when absent. The
+    relative keys make a manifest taken on one directory verifiable
+    against a sibling after a rename — the completeness-witness
+    contract below."""
+    lp = _local_path(path)
+    out: dict = {}
+    if lp is not None:
+        if not os.path.isdir(lp):
+            if os.path.isfile(lp):
+                raise NotADirectoryError(path)
+            return {}
+        for root, _dirs, files in os.walk(lp):
+            for f in files:
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, lp)] = os.path.getsize(full)
+        return out
+    fs, jp = _fs(spark, path)
+    if not fs.exists(jp):
+        return {}
+    base = fs.getFileStatus(jp).getPath().toString().rstrip("/")
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(base):].lstrip("/")
+        out[rel] = int(st.getLen())
+    return out
+
+
+def manifest_build(spark, path: str,
+                   skip_suffixes: tuple = (".tmp",),
+                   skip_names: tuple = ("_committed",
+                                        "_complete")) -> dict:
+    """Expected-file manifest of a just-written artifact directory:
+    relative path -> byte size, excluding transient ``skip_suffixes``
+    and the root-level completion markers themselves (``skip_names`` —
+    the marker carries the manifest, so listing it would make every
+    re-stamp self-invalidating). Written INTO the artifact's completion
+    marker so recovery can tell a complete directory from one a crashed
+    copy-backed rename left partial (object stores: Hadoop rename =
+    per-file copy+delete, and underscore markers tend to move first — a
+    bare marker is NOT proof the data files arrived)."""
+    return {rel: size
+            for rel, size in list_files_recursive(spark, path).items()
+            if not any(rel.endswith(s) for s in skip_suffixes)
+            and rel not in skip_names}
+
+
+def manifest_missing(spark, path: str, files: dict) -> list:
+    """Manifest entries absent or size-mismatched under ``path`` —
+    empty list == the artifact is complete. EXTRA files are fine
+    (appends, checksum siblings); only listed files are required."""
+    have = list_files_recursive(spark, path)
+    return sorted(rel for rel, size in files.items()
+                  if have.get(rel) != size)
+
+
+def drain_rename(spark, src: str, dst: str) -> None:
+    """Finish an interrupted ``rename(src, dst)``: move every file
+    still under ``src`` to the same relative path under ``dst``
+    (skipping files ``dst`` already has — those are the ones the
+    interrupted rename had moved), then remove ``src``. Only correct
+    when ``dst`` holds no OTHER content than the partial rename's —
+    the swap protocols guarantee that by renaming into a just-deleted
+    path."""
+    for rel in list_files_recursive(spark, src):
+        target = join(dst, *rel.split("/"))
+        if exists(spark, target):
+            continue
+        parent = target.rsplit("/", 1)[0]
+        mkdirs(spark, parent)
+        rename(spark, join(src, *rel.split("/")), target)
+    delete(spark, src)
+
+
+def create_exclusive(spark, path: str, text: str) -> bool:
+    """Best-effort create-if-absent (a lease file): True when this call
+    created ``path``, False when it already existed. Atomic on local
+    and HDFS; best-effort on eventually-consistent object stores —
+    callers use it to make concurrent-maintenance mistakes LOUD, not
+    as a distributed mutex."""
+    lp = _local_path(path)
+    if lp is not None:
+        parent = os.path.dirname(lp)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+    fs, jp = _fs(spark, path)
+    try:
+        out = fs.create(jp, False)  # overwrite=False: throws if exists
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Version-pointer publishes — reader-atomic artifact replacement.
+#
+# The 2-rename swap protocols (compact_zordered, ivf_pq_republish) have
+# a reader-visible window: between `path -> __old` and `tmp -> path`
+# the path is missing, and on object stores where rename is a per-file
+# copy that window is seconds-long for a big artifact (VERDICT r9
+# §next-3). The pointer layout removes the window entirely:
+#
+#     root/_current          <- tiny JSON {"version": "v_000007", ...}
+#     root/v_000006/...      <- previous artifact (kept for laggards)
+#     root/v_000007/...      <- live artifact
+#
+# Writers build the NEW version directory completely (with a
+# completeness marker), then flip `_current` with one atomic tiny-file
+# write; readers resolve the pointer and read a directory that is never
+# renamed or deleted while it can still be resolved (GC keeps the
+# current + `keep-1` predecessors). Crash windows: a crash before the
+# flip leaves an orphan version directory the next publish's GC sweeps;
+# a crash during the flip leaves at worst a `_current.tmp` and the old
+# pointer intact. No recovery procedure is needed — that is the point.
+# ---------------------------------------------------------------------------
+
+_VERSION_PREFIX = "v_"
+
+
+def pointer_read(spark, root: str) -> str | None:
+    """The live version's NAME from ``root/_current``; None when the
+    root has no pointer (legacy flat layout).
+
+    Reads retry briefly: the flip is one atomic replace of the data
+    file, but Hadoop's ChecksumFileSystem (local/viewfs) swaps the
+    ``.crc`` sibling NON-atomically with it, so a reader racing a flip
+    can get a transient checksum/IO error (never a torn accept — the
+    content itself is replace-atomic). A handful of millisecond
+    retries absorbs it; on HDFS/object stores the read is a single GET
+    and the loop exits first try."""
+    import json as _json
+    import time as _time
+
+    p = join(root, "_current")
+    last_err: Exception | None = None
+    for attempt in range(20):
+        if not exists(spark, p):
+            return None
+        try:
+            doc = _json.loads(read_text(spark, p))
+            break
+        except Exception as e:  # transient mid-flip read: retry
+            last_err = e
+            _time.sleep(0.005 * (attempt + 1))
+    else:
+        raise OSError(f"cannot read version pointer at {p}: "
+                      f"{last_err}")
+    name = doc.get("version")
+    if not isinstance(name, str) or "/" in name or not name:
+        raise ValueError(f"corrupt version pointer at {p}: {doc!r}")
+    return name
+
+
+def pointer_resolve(spark, root: str) -> str:
+    """The directory readers should use: ``root/<current version>``
+    under a pointer layout, else ``root`` itself (legacy flat artifact
+    — every consumer stays backward-compatible for free)."""
+    name = pointer_read(spark, root)
+    return join(root, name) if name else root
+
+
+def pointer_next_version(spark, root: str) -> str:
+    """Next unused version name (``v_000001`` ...): one past the max of
+    every existing version directory — orphans from a crashed publish
+    included, so a retry never writes into a half-written orphan."""
+    mx = 0
+    for n in list_names(spark, root):
+        if n.startswith(_VERSION_PREFIX):
+            try:
+                mx = max(mx, int(n[len(_VERSION_PREFIX):]))
+            except ValueError:
+                continue
+    return f"{_VERSION_PREFIX}{mx + 1:06d}"
+
+
+def pointer_publish(spark, root: str, version: str, *,
+                    meta: dict | None = None, keep: int = 2) -> None:
+    """Flip ``root/_current`` to ``version`` (which must already be a
+    fully-written directory under ``root``) and GC everything that is
+    neither the new current nor one of its ``keep-1`` predecessors —
+    old versions AND crashed-publish orphans. The flip is one atomic
+    tiny-file write; a reader that resolved the OLD pointer a moment
+    earlier keeps reading a directory GC retains (keep >= 2)."""
+    import json as _json
+
+    if keep < 2:
+        raise ValueError(f"keep must be >= 2 (current + the version "
+                         f"in-flight readers hold), got {keep}")
+    vdir = join(root, version)
+    if not is_dir(spark, vdir):
+        raise FileNotFoundError(f"version directory missing: {vdir}")
+    doc = {"version": version}
+    if meta:
+        doc.update(meta)
+        if doc["version"] != version:
+            raise ValueError("meta must not override 'version'")
+    prev = pointer_read(spark, root)  # what in-flight readers hold
+    write_text_atomic(spark, join(root, "_current"), _json.dumps(doc))
+    # GC: always retain the new current AND the previously-POINTED
+    # version (an in-flight reader resolved it moments ago — numeric
+    # adjacency is not enough, a crashed-publish orphan can sit
+    # between them), then the keep-2 next-highest others; everything
+    # else (older versions, orphans that never flipped) goes
+    cur_n = int(version[len(_VERSION_PREFIX):])
+    versions = []
+    for n in list_names(spark, root):
+        if n.startswith(_VERSION_PREFIX):
+            try:
+                versions.append(int(n[len(_VERSION_PREFIX):]))
+            except ValueError:
+                continue
+    live = {cur_n}
+    if prev is not None:
+        live.add(int(prev[len(_VERSION_PREFIX):]))
+    rest = sorted(v for v in versions if v not in live and v <= cur_n)
+    live.update(rest[len(rest) - (keep - len(live)):]
+                if keep > len(live) else [])
+    for v in versions:
+        if v not in live:
+            delete(spark, join(root, f"{_VERSION_PREFIX}{v:06d}"))
+
+
+def witness_verify(spark, path: str, marker_names: tuple) -> bool | None:
+    """Shared completeness-witness rule for the 2-rename swap artifacts
+    (IVF-PQ publishes, z-order compactions): the first marker of
+    ``marker_names`` present under ``path`` decides —
+
+    * marker parses as JSON with a ``files`` manifest → **verify it**:
+      True iff every listed file exists with the listed size (a marker
+      that arrived ahead of its data files in a copy-backed rename
+      fails here — the ADVICE r9 partial-path hole);
+    * marker present but legacy (no manifest) → True, trusted as
+      before (pre-manifest artifacts; documented residual exposure);
+    * no marker at all → None (caller falls back to other witnesses or
+      refuses).
+    """
+    import json as _json
+
+    for name in marker_names:
+        mp = join(path, name)
+        if not exists(spark, mp):
+            continue
+        try:
+            doc = _json.loads(read_text(spark, mp))
+        except (ValueError, OSError):
+            doc = None
+        if isinstance(doc, dict) and isinstance(doc.get("files"), dict):
+            return not manifest_missing(spark, path, doc["files"])
+        return True
+    return None
+
+
 def read_text(spark, path: str) -> str:
     lp = _local_path(path)
     if lp is not None:
@@ -185,6 +451,22 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # Prefer FileContext.rename(OVERWRITE): an ATOMIC replace on HDFS-
+    # like stores, so readers of hot control files (the version
+    # pointer) never hit even a sub-ms missing-file window. Fall back
+    # to delete+rename where the scheme has no AbstractFileSystem
+    # binding (then the window is a missing-file read, never torn).
+    try:
+        jvm = spark._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jp.toUri(), spark._jsc.hadoopConfiguration())
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(jtmp, jp, opts)
+        return
+    except Exception:
+        pass
     if fs.exists(jp):
         fs.delete(jp, False)
     if not fs.rename(jtmp, jp):

@@ -194,3 +194,201 @@ def test_training_shard_manifest_on_mockfs(spark, mockfs, tmp_path):
         (tmp_path / "shards" / "_manifest.json").read_text())
     assert on_disk == json.loads(json.dumps(man))  # int-key normalize
     assert sorted(on_disk["shards"]) == ["0", "1", "2", "3"]
+
+
+# ----------------------- manifest witnesses + drain_rename (ADVICE r9)
+
+def test_manifest_build_verify_local(tmp_path):
+    root = str(tmp_path / "art")
+    fsio.mkdirs(None, fsio.join(root, "codes", "__list=0"))
+    fsio.write_text_atomic(None, fsio.join(root, "codes", "__list=0",
+                                           "part-0"), "abc")
+    fsio.write_text_atomic(None, fsio.join(root, "top"), "xy")
+    fsio.write_text_atomic(None, fsio.join(root, "junk.tmp"), "t")
+    man = fsio.manifest_build(None, root)
+    assert man == {"codes/__list=0/part-0": 3, "top": 2}  # .tmp skipped
+    assert fsio.manifest_missing(None, root, man) == []
+    # missing file and size mismatch both reported
+    os.remove(tmp_path / "art" / "top")
+    fsio.write_text_atomic(None, fsio.join(root, "codes", "__list=0",
+                                           "part-0"), "abcdef")
+    assert fsio.manifest_missing(None, root, man) == [
+        "codes/__list=0/part-0", "top"]
+
+
+def test_witness_verify_rules_local(tmp_path):
+    root = str(tmp_path / "a")
+    fsio.mkdirs(None, root)
+    fsio.write_text_atomic(None, fsio.join(root, "data"), "d")
+    # no marker -> None (caller decides)
+    assert fsio.witness_verify(None, root, ("_committed",)) is None
+    # legacy non-JSON marker -> trusted (pre-manifest artifacts)
+    fsio.write_text_atomic(None, fsio.join(root, "_committed"), "1")
+    assert fsio.witness_verify(None, root, ("_committed",)) is True
+    # manifest marker -> verified against the listing
+    man = fsio.manifest_build(None, root)
+    fsio.write_text_atomic(None, fsio.join(root, "_committed"),
+                           json.dumps({"files": man}))
+    assert fsio.witness_verify(None, root, ("_committed",)) is True
+    os.remove(tmp_path / "a" / "data")
+    assert fsio.witness_verify(None, root, ("_committed",)) is False
+
+
+def test_drain_rename_completes_interrupted_move(spark, mockfs,
+                                                 tmp_path):
+    """Simulate a copy-backed rename that crashed half-way: some files
+    (markers first) landed at dst, the rest still sit at src —
+    drain_rename must reunite them, on the Hadoop branch."""
+    src, dst = mockfs("t__rebuilding"), mockfs("t")
+    fsio.mkdirs(spark, fsio.join(src, "codes"))
+    fsio.write_text_atomic(spark, fsio.join(src, "codes", "part-0"), "A")
+    fsio.write_text_atomic(spark, fsio.join(src, "codes", "part-1"), "BB")
+    fsio.write_text_atomic(spark, fsio.join(src, "_marker"), "m")
+    man = fsio.manifest_build(spark, src)
+    # "crash": only the marker and one data file made it across
+    fsio.mkdirs(spark, fsio.join(dst, "codes"))
+    fsio.rename(spark, fsio.join(src, "_marker"),
+                fsio.join(dst, "_marker"))
+    fsio.rename(spark, fsio.join(src, "codes", "part-0"),
+                fsio.join(dst, "codes", "part-0"))
+    assert fsio.manifest_missing(spark, dst, man) != []
+    fsio.drain_rename(spark, src, dst)
+    assert fsio.manifest_missing(spark, dst, man) == []
+    assert not fsio.exists(spark, src)
+    assert fsio.read_text(spark, fsio.join(dst, "codes", "part-1")) \
+        == "BB"
+
+
+def test_create_exclusive_local_and_mockfs(spark, mockfs, tmp_path):
+    p = str(tmp_path / "locks" / "a.lock")  # parent auto-created
+    assert fsio.create_exclusive(None, p, "one") is True
+    assert fsio.create_exclusive(None, p, "two") is False
+    assert fsio.read_text(None, p) == "one"
+    q = mockfs("b.lock")
+    assert fsio.create_exclusive(spark, q, "one") is True
+    assert fsio.create_exclusive(spark, q, "two") is False
+    assert fsio.read_text(spark, q) == "one"
+
+
+def test_compact_swap_parked_marker_not_trusted(spark, mockfs):
+    """ADVICE r9 (medium): a crash mid tmp->path rename can park the
+    commit marker at path while data files still sit in tmp — the bare
+    marker must NOT certify the table, and recovery must reunite the
+    halves instead of deleting the only copy of the remainder."""
+    from dexscraper_spark.sinks.lake import (compact_zordered,
+                                             write_zordered)
+
+    df = spark.range(400).selectExpr(
+        "cast(id as double) a", "cast(pmod(id * 31, 400) as double) b")
+    path = mockfs("ztab2")
+    write_zordered(df, path, cols=["a", "b"], n_files=4)
+    compact_zordered(spark, path, n_files=2)  # now has _committed
+    n = spark.read.parquet(path).count()
+
+    # simulate the crashed swap: path fully renamed away (old), then
+    # tmp->path interrupted after moving ONLY the underscore files
+    tmp, old = path + "__compacting", path + "__old"
+    fsio.rename(spark, path, tmp)     # pretend this is the new rewrite
+    fsio.mkdirs(spark, path)
+    for name in fsio.list_names(spark, tmp):
+        if name.startswith("_") and name != "_zorder":
+            fsio.rename(spark, fsio.join(tmp, name),
+                        fsio.join(path, name))
+    # marker is at path, data is in tmp: path must not read as complete
+    assert fsio.witness_verify(spark, path, ("_committed",)) is False
+    compact_zordered(spark, path, n_files=2)  # recovers, then compacts
+    assert spark.read.parquet(path).count() == n
+    assert not fsio.exists(spark, tmp) and not fsio.exists(spark, old)
+
+
+# ------------------------- version-pointer publishes (VERDICT r9 #3)
+
+def test_pointer_primitives_and_gc(spark, mockfs):
+    root = mockfs("ptr")
+    assert fsio.pointer_read(spark, root) is None
+    assert fsio.pointer_resolve(spark, root) == root  # legacy flat
+    assert fsio.pointer_next_version(spark, root) == "v_000001"
+    with pytest.raises(FileNotFoundError):  # version dir must exist
+        fsio.pointer_publish(spark, root, "v_000001")
+    fsio.mkdirs(spark, fsio.join(root, "v_000001"))
+    fsio.write_text_atomic(spark, fsio.join(root, "v_000001", "d"), "1")
+    with pytest.raises(ValueError, match="keep"):
+        fsio.pointer_publish(spark, root, "v_000001", keep=1)
+    fsio.pointer_publish(spark, root, "v_000001", meta={"n": 7})
+    assert fsio.pointer_read(spark, root) == "v_000001"
+    assert fsio.pointer_resolve(spark, root) \
+        == fsio.join(root, "v_000001")
+    assert json.loads(fsio.read_text(
+        spark, fsio.join(root, "_current")))["n"] == 7
+    # an ORPHAN above current (crashed publish) bumps next_version and
+    # is swept by the next successful publish's GC
+    fsio.mkdirs(spark, fsio.join(root, "v_000002"))  # orphan, no flip
+    assert fsio.pointer_next_version(spark, root) == "v_000003"
+    fsio.mkdirs(spark, fsio.join(root, "v_000003"))
+    fsio.write_text_atomic(spark, fsio.join(root, "v_000003", "d"), "3")
+    fsio.pointer_publish(spark, root, "v_000003", keep=2)
+    names = set(fsio.list_names(spark, root))
+    # keep=2: current + its predecessor; the orphan is gone
+    assert names == {"_current", "v_000001", "v_000003"}
+    # meta must not override the version key
+    fsio.mkdirs(spark, fsio.join(root, "v_000004"))
+    with pytest.raises(ValueError, match="version"):
+        fsio.pointer_publish(spark, root, "v_000004",
+                             meta={"version": "x"})
+
+
+def test_pointer_reader_never_sees_window_100_flips(spark, mockfs):
+    """The reader-atomicity guarantee (VERDICT r9 §next-3 'done'):
+    across 100 publishes on the Hadoop-branch scheme, a concurrent
+    reader that resolves the pointer then verifies + reads the
+    artifact NEVER observes a missing or partial directory. The only
+    tolerated exception is a genuine laggard — the pointer advanced by
+    >= 2 versions between the reader's resolve and its read (GC keeps
+    current + previous, exactly as documented)."""
+    import threading
+
+    root = mockfs("hot")
+    failures: list = []
+    reads = [0]
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            name = None
+            try:
+                name = fsio.pointer_read(spark, root)
+                if name is None:
+                    continue
+                live = fsio.join(root, name)
+                ok = fsio.witness_verify(spark, live, ("_committed",))
+                body = fsio.read_text(spark, fsio.join(live, "data"))
+                if ok is not True or body != name:
+                    failures.append((name, ok, body))
+                reads[0] += 1
+            except Exception as e:  # noqa: BLE001 — judged below
+                if name is None:
+                    failures.append(("pointer", "exception", repr(e)))
+                    continue
+                now = fsio.pointer_read(spark, root)
+                lag = (int(now[2:]) - int(name[2:])) if now else 99
+                if lag < 2:
+                    failures.append((name, "exception", repr(e)))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for _ in range(100):
+            v = fsio.pointer_next_version(spark, root)
+            vdir = fsio.join(root, v)
+            fsio.mkdirs(spark, vdir)
+            fsio.write_text_atomic(spark, fsio.join(vdir, "data"), v)
+            fsio.write_text_atomic(
+                spark, fsio.join(vdir, "_committed"),
+                json.dumps({"files": fsio.manifest_build(spark, vdir)}))
+            fsio.pointer_publish(spark, root, v, keep=2)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert failures == []
+    assert reads[0] > 0  # the reader really ran against the flips
+    assert fsio.pointer_read(spark, root) == "v_000100"
