@@ -490,6 +490,8 @@ def ivf_pq_save(spark, index, books: PqCodebooks, codes: DataFrame,
 
     from dexscraper_spark import fsio
 
+    import json as _json
+
     ivf_save(index, path)
     pq_save(spark, books, f"{path}/pq_books")
     codes.write.mode("overwrite").partitionBy("__list") \
@@ -497,15 +499,28 @@ def ivf_pq_save(spark, index, books: PqCodebooks, codes: DataFrame,
     # completion marker written through fsio, LAST: a witness that does
     # not depend on Spark's _SUCCESS markers (clusters can disable
     # mapreduce.fileoutputcommitter.marksuccessfuljobs) — what
-    # ivf_pq_recover trusts before treating the artifact as live
-    fsio.write_text_atomic(spark, fsio.join(path, "_complete"), "1")
+    # ivf_pq_recover trusts before treating the artifact as live. It
+    # carries the expected-file MANIFEST (name -> size) of everything
+    # just written: on object stores a Hadoop directory rename is a
+    # per-file copy+delete and the marker can arrive at the destination
+    # ahead of the data files, so marker PRESENCE alone must never be
+    # read as completeness — recovery re-verifies the manifest.
+    fsio.write_text_atomic(
+        spark, fsio.join(path, "_complete"),
+        _json.dumps({"files": fsio.manifest_build(spark, path)}))
 
 
 def ivf_pq_load(spark, path: str, *, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> tuple:
-    """(index, books, codes) from an ivf_pq_save directory."""
+    """(index, books, codes) from an ivf_pq_save directory — or from a
+    version-POINTER root (``path/_current`` names the live version
+    directory): readers resolve the pointer first, so a republish under
+    the pointer layout is invisible to them (no rename window at
+    all)."""
+    from dexscraper_spark import fsio
     from dexscraper_spark.operators.similarity import ivf_load
 
+    path = fsio.pointer_resolve(spark, path)
     index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
     books = pq_load(spark, f"{path}/pq_books")
     codes = spark.read.parquet(f"{path}/codes")
@@ -522,10 +537,30 @@ def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
     missing — a rerun after a crash between the writes (or after a
     bad-row failure in the encode) completes the orphaned ids instead
     of skipping the whole batch forever (idempotence keyed only on the
-    first write would do exactly that). Returns counts."""
+    first write would do exactly that). Returns counts.
+
+    Holds the artifact's maintenance lease for the duration: an extend
+    interleaving a concurrent :func:`ivf_pq_republish` would append
+    into a directory the swap is about to delete/rename (and the
+    republish's corpus snapshot would silently miss the appended
+    vectors). Concurrent extends of ONE artifact are likewise
+    serialized — the two appends are not atomic together."""
+    return _with_maintenance_lease(
+        spark, path, "ivf_pq_extend_saved",
+        lambda: _extend_saved_locked(spark, path, new_vectors,
+                                     id_col=id_col, vec_col=vec_col))
+
+
+def _extend_saved_locked(spark, path: str, new_vectors: DataFrame, *,
+                         id_col: str, vec_col: str) -> dict:
+    from dexscraper_spark import fsio
     from dexscraper_spark.operators.similarity import (
         _ivf_assign, ivf_load)
 
+    # pointer layout: appends land in the CURRENT version directory
+    # (in-place, like any parquet append); the lease is keyed on the
+    # ROOT so extend and republish exclude each other across versions
+    path = fsio.pointer_resolve(spark, path)
     index = ivf_load(spark, path, id_col=id_col, vec_col=vec_col)
     books = pq_load(spark, f"{path}/pq_books")
     code_ids = spark.read.parquet(f"{path}/codes").select(id_col)
@@ -557,7 +592,8 @@ def ivf_pq_extend_saved(spark, path: str, new_vectors: DataFrame, *,
     return {"appended": n_assigned, "indexed": total}
 
 
-def ivf_pq_recover(spark, path: str) -> str:
+def ivf_pq_recover(spark, path: str, *,
+                   clear_lease: bool = True) -> str:
     """Finish or undo a :func:`ivf_pq_republish` swap interrupted by a
     crash. Returns ``"ok"`` (live artifact present and complete; stale
     siblings cleaned), ``"rolled_forward"`` (the rebuilt artifact had
@@ -569,54 +605,125 @@ def ivf_pq_recover(spark, path: str) -> str:
 
     A bare directory at ``path`` is NOT trusted as live: on object
     stores Hadoop rename is a copy, so a crash mid-swap can leave a
-    PARTIAL ``path`` while the only complete copy sits in a sibling.
+    PARTIAL ``path`` while the rest of the artifact sits in a sibling.
     Completeness witness = ``_committed`` (republish) or ``_complete``
     (any ivf_pq_save — both written via fsio, so they exist even on
     clusters that disable Spark's ``_SUCCESS`` markers) or
-    ``codes/_SUCCESS`` (pre-marker artifacts). A witness-less ``path``
-    is replaced ONLY from a positively COMMITTED tmp (crashed mid-swap
-    — the tmp is this run's newer rebuild); it is NEVER rolled back to
-    ``__old``, which is by construction older than the path and could
-    silently discard vectors appended since (the marker-disabled-
-    cluster data-loss vector). With no committed tmp the function
-    refuses loudly and leaves everything in place for the operator."""
+    ``codes/_SUCCESS`` (pre-marker artifacts) — and when the marker
+    carries an expected-file MANIFEST (every save since the manifest
+    change), the witness only counts after the manifest VERIFIES
+    against the actual listing: a copy-backed rename moves the
+    underscore markers ahead of the data files, so a crash mid-rename
+    can park a bare marker on a half-filled directory (ADVICE r9). A
+    manifest-failing ``path`` with a committed sibling is repaired by
+    FINISHING the interrupted rename file-by-file (fsio.drain_rename:
+    the swap only ever renames into a just-deleted path, so the two
+    halves union to exactly the new artifact) and re-verifying; a
+    witness-less/unverifiable ``path`` with no committed sibling is
+    refused untouched — deleting a live (merely marker-less) artifact
+    or rolling back to an OLDER ``__old`` would be silent data loss,
+    strictly worse than a loud stop. Legacy manifest-less markers are
+    still trusted as before (documented residual exposure). A
+    ``__republish.lock`` lease left by the crashed run is cleared on
+    every successful recovery."""
     from dexscraper_spark import fsio
 
     tmp, old = f"{path}__rebuilding", f"{path}__old"
-    tmp_committed = fsio.exists(spark, fsio.join(tmp, "_committed"))
+    lock = f"{path}__republish.lock"
+
+    # version-pointer root: publishes are reader-atomic, so the only
+    # "recovery" is confirming the pointed-at version verifies (orphan
+    # version dirs from crashed publishes are swept by the next
+    # publish's GC, not here — they are harmless)
+    pv = fsio.pointer_read(spark, path)
+    if pv is not None:
+        live = fsio.join(path, pv)
+        ok = fsio.witness_verify(spark, live,
+                                 ("_committed", "_complete"))
+        if ok is None:
+            ok = fsio.exists(spark, fsio.join(live, "codes",
+                                              "_SUCCESS"))
+        if not ok:
+            raise ValueError(
+                f"pointer at {path} names {pv} but that version fails "
+                "its completeness witness — refusing to touch it")
+        if clear_lease:
+            fsio.delete(spark, lock)
+        return "ok"
+
+    def _done(status: str) -> str:
+        # the lease is cleared only on an EXPLICIT recover call — the
+        # automatic entry recovery inside republish passes
+        # clear_lease=False so it can never silently break a LIVE
+        # concurrent holder's exclusion
+        if clear_lease:
+            fsio.delete(spark, lock)
+        return status
+
+    tmp_witness = fsio.witness_verify(spark, tmp, ("_committed",))
     if fsio.exists(spark, path):
-        complete = (
-            fsio.exists(spark, fsio.join(path, "_committed"))
-            or fsio.exists(spark, fsio.join(path, "_complete"))
-            or fsio.exists(spark, fsio.join(path, "codes", "_SUCCESS")))
-        if complete:
+        ok = fsio.witness_verify(spark, path,
+                                 ("_committed", "_complete"))
+        if ok is None:
+            ok = fsio.exists(spark, fsio.join(path, "codes",
+                                              "_SUCCESS"))
+        if ok:
             # live artifact: any siblings are a stale crashed attempt —
             # clear them so the next republish starts clean
             fsio.delete(spark, tmp)
             fsio.delete(spark, old)
-            return "ok"
-        # witness-less path: replace it only from this run's COMMITTED
-        # rebuild; anything else is refused untouched — deleting a live
-        # (just marker-less) artifact or rolling back to an OLDER __old
-        # would be silent data loss, strictly worse than a loud stop
-        if not tmp_committed:
+            return _done("ok")
+        if tmp_witness:
+            # tmp verifies ALONE -> the swap never started moving it
+            # (crash before/mid path->old); path remnants are the old
+            # artifact's stragglers, superseded by the committed rebuild
+            fsio.delete(spark, path)
+            fsio.rename(spark, tmp, path)
+            fsio.delete(spark, old)
+            return _done("rolled_forward")
+        if fsio.exists(spark, tmp) and (
+                fsio.exists(spark, fsio.join(tmp, "_committed"))
+                or fsio.exists(spark, fsio.join(path, "_committed"))):
+            # crash mid tmp->path: files split across the two halves
+            # (path had been fully renamed away first, so it holds ONLY
+            # new-artifact files) — finish the rename, then demand the
+            # manifest verify before declaring anything live
+            fsio.drain_rename(spark, tmp, path)
+            if fsio.witness_verify(spark, path, ("_committed",)):
+                fsio.delete(spark, old)
+                return _done("rolled_forward")
             raise ValueError(
-                f"artifact at {path} lacks a completeness witness "
-                "(_committed/_complete/codes/_SUCCESS) and no committed "
-                "rebuild sibling exists — refusing to touch it (write "
-                "the _complete marker if the artifact is known-good)")
-        fsio.delete(spark, path)
-    if tmp_committed:
+                f"artifact at {path} is still incomplete after "
+                "completing the interrupted rename from "
+                f"{tmp} — manifest files are missing; refusing to "
+                "declare it live or delete siblings")
+        raise ValueError(
+            f"artifact at {path} lacks a verifiable completeness "
+            "witness (_committed/_complete manifest/codes/_SUCCESS) "
+            "and no committed rebuild sibling exists — refusing to "
+            "touch it (write the _complete marker if the artifact is "
+            "known-good)")
+    if tmp_witness:
         fsio.rename(spark, tmp, path)
         fsio.delete(spark, old)
-        return "rolled_forward"
+        return _done("rolled_forward")
+    if tmp_witness is False:
+        # committed but manifest-incomplete tmp with NO path: the swap
+        # protocol cannot produce this (files only ever drain tmp ->
+        # path, which would exist) — something external removed files
+        raise ValueError(
+            f"committed rebuild at {tmp} fails its own manifest and "
+            f"{path} is absent — data files are missing; not "
+            "recoverable automatically")
     if fsio.exists(spark, old):
         fsio.delete(spark, tmp)
         fsio.rename(spark, old, path)
-        return "rolled_back"
+        return _done("rolled_back")
     # nothing recoverable; an uncommitted tmp is a crashed FIRST publish
     # — clear it so the retry starts clean instead of wedging here again
     fsio.delete(spark, tmp)
+    if clear_lease:
+        fsio.delete(spark, lock)
     raise FileNotFoundError(
         f"no IVF-PQ artifact at {path} (nor a recoverable "
         "__old/__rebuilding sibling; any uncommitted rebuild leftovers "
@@ -630,7 +737,8 @@ def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
                      seed: int = 42, k: int = 5, n_queries: int = 32,
                      nprobe: int = 4, expand: int = 4,
                      max_drop: float = 0.05,
-                     min_recall: float | None = None) -> dict:
+                     min_recall: float | None = None,
+                     layout: str = "auto") -> dict:
     """RECALL-GATED retrain + atomic republish of an ivf_pq_save
     artifact — the periodic maintenance op that closes the drift story:
     :func:`ivf_pq_extend_saved` (and the streaming fold) keep the
@@ -667,25 +775,123 @@ def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
     budget). The rebuilt assignment is materialized once and feeds both
     the gate probe and the save (no double execution).
 
+    ``layout`` picks the publish protocol:
+
+    * ``"swap"`` — the 2-rename protocol above (flat directory at
+      ``path``; readers retry during the rename window).
+    * ``"pointer"`` — READER-ATOMIC version-pointer publish (VERDICT r9
+      §next-3): the rebuild is written completely to
+      ``path/v_NNNNNN``, then ``path/_current`` is flipped with one
+      atomic tiny-file write (:func:`dexscraper_spark.fsio.
+      pointer_publish`). There is NO window: readers resolve the
+      pointer (``ivf_pq_load``/``ivf_pq_extend_saved`` do it
+      automatically) and the previous version is retained for in-flight
+      laggards; crashed publishes leave only orphan version dirs the
+      next publish's GC sweeps — no recovery procedure exists because
+      none is needed. Use this layout on object stores, where the swap
+      rename is a seconds-long copy.
+    * ``"auto"`` (default) — ``pointer`` iff ``path/_current`` already
+      exists, else ``swap`` (full backward compatibility; opt a new
+      artifact into the pointer layout by passing ``layout="pointer"``
+      on its FIRST publish).
+
     Returns ``{"published": bool, "recall_new": .., "recall_old": ..,
     "reason": ..}`` — recall_old is None when no artifact exists yet
     (first publish: gate is min_recall only).
     """
     from dexscraper_spark import fsio
-    from dexscraper_spark.operators.similarity import (
-        cosine_topk, ivf_build_deterministic)
 
-    # entry recovery: finish/undo any interrupted prior swap first. A
-    # first-ever publish legitimately finds nothing — or only the
+    if layout not in ("auto", "swap", "pointer"):
+        raise ValueError(f"layout must be auto/swap/pointer, "
+                         f"got {layout!r}")
+    has_pointer = fsio.pointer_read(spark, path) is not None
+    pointer = layout == "pointer" or (layout == "auto" and has_pointer)
+    if pointer and not has_pointer and (
+            fsio.exists(spark, fsio.join(path, "codes"))
+            or fsio.exists(spark, fsio.join(path, "_complete"))):
+        raise ValueError(
+            f"{path} holds a FLAT ivf_pq artifact but layout='pointer' "
+            "was requested — move it to <path>/v_000001 and write the "
+            "_current pointer first, or republish with layout='swap'")
+    if layout == "swap" and has_pointer:
+        raise ValueError(
+            f"{path} is a version-pointer root but layout='swap' was "
+            "forced — refusing to overwrite the pointer layout")
+
+    # entry recovery (swap layout only — the pointer layout has no
+    # crash states to repair): finish/undo any interrupted prior swap.
+    # A first-ever publish legitimately finds nothing — or only the
     # uncommitted leftovers of its own crashed previous attempt, which
     # recover clears before raising; either way, proceed to publish.
-    if fsio.exists(spark, path) \
-            or fsio.exists(spark, f"{path}__rebuilding") \
-            or fsio.exists(spark, f"{path}__old"):
+    if not pointer and (
+            fsio.exists(spark, path)
+            or fsio.exists(spark, f"{path}__rebuilding")
+            or fsio.exists(spark, f"{path}__old")):
         try:
-            ivf_pq_recover(spark, path)
+            # clear_lease=False: entry recovery must never silently
+            # break a LIVE concurrent holder's exclusion — an orphaned
+            # crashed-run lease needs one explicit ivf_pq_recover call
+            ivf_pq_recover(spark, path, clear_lease=False)
         except FileNotFoundError:
             pass  # nothing recoverable: fresh publish
+
+    # Maintenance lease: republish must not interleave with a
+    # concurrent ivf_pq_extend_saved — vectors appended after this
+    # run's corpus snapshot would be silently absent from the rebuilt
+    # index, and the extend's two-table append can race the swap's
+    # delete/rename of the same path (ADVICE r9). The lease makes the
+    # mistake LOUD rather than being a distributed mutex (create-if-
+    # absent is best-effort on object stores); a lease orphaned by a
+    # crash is cleared by ivf_pq_recover. The caller must also ensure
+    # ``corpus`` already contains every extended vector — the rebuild
+    # is corpus-only and a stale corpus frame silently drops the rest.
+    return _with_maintenance_lease(
+        spark, path, "ivf_pq_republish",
+        lambda: _republish_locked(
+            spark, corpus, path, id_col=id_col, vec_col=vec_col,
+            nlist=nlist, m=m, ksub=ksub, seed=seed, k=k,
+            n_queries=n_queries, nprobe=nprobe, expand=expand,
+            max_drop=max_drop, min_recall=min_recall,
+            pointer=pointer))
+
+
+def _with_maintenance_lease(spark, path: str, op: str, fn):
+    """Run ``fn`` holding ``<path>__republish.lock`` — the shared
+    exclusion between republish and extend; raises loudly when held."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from dexscraper_spark import fsio
+
+    lock = f"{path}__republish.lock"
+    if not fsio.create_exclusive(spark, lock, _json.dumps(
+            {"op": op, "pid": _os.getpid(),
+             "ts": int(_time.time())})):
+        try:
+            holder = fsio.read_text(spark, lock)
+        except OSError:
+            holder = "<unreadable>"
+        raise RuntimeError(
+            f"maintenance lease {lock} is held ({holder}) — republish "
+            "and extend must not run concurrently on one artifact; if "
+            "the holder crashed, run ivf_pq_recover (which clears the "
+            "lease) or delete the lock file")
+    try:
+        return fn()
+    finally:
+        fsio.delete(spark, lock)
+
+
+def _republish_locked(spark, corpus: DataFrame, path: str, *,
+                      id_col: str, vec_col: str, nlist: int, m: int,
+                      ksub: int, seed: int, k: int, n_queries: int,
+                      nprobe: int, expand: int, max_drop: float,
+                      min_recall: float | None,
+                      pointer: bool = False) -> dict:
+    from dexscraper_spark import fsio
+    from dexscraper_spark.operators.similarity import (
+        cosine_topk, ivf_build_deterministic)
 
     vecs = corpus.select(id_col, vec_col)
     [probe_row] = vecs.select(F.size(vec_col).alias("d")) \
@@ -714,7 +920,9 @@ def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
                 nprobe=nprobe, expand=expand), k)
 
             recall_old = None
-            if fsio.exists(spark, path):
+            has_old = (fsio.pointer_read(spark, path) is not None
+                       if pointer else fsio.exists(spark, path))
+            if has_old:
                 oidx, obooks, ocodes = ivf_pq_load(
                     spark, path, id_col=id_col, vec_col=vec_col)
                 recall_old = _recall_vs(exact, ivf_pq_topk(
@@ -735,16 +943,39 @@ def ivf_pq_republish(spark, corpus: DataFrame, path: str, *,
                                   f"(max_drop {max_drop})"}
 
             import json as _json
+            gate_record = {"recall_new": recall_new,
+                           "recall_old": recall_old,
+                           "k": k, "n_queries": n_queries,
+                           "nlist": nlist, "m": m,
+                           "ksub": ksub, "seed": seed}
+            if pointer:
+                # reader-atomic publish: write the version dir fully
+                # (ivf_pq_save stamps its manifest-carrying _complete
+                # marker LAST), then flip the tiny pointer file — no
+                # rename of a live directory anywhere. pointer_publish
+                # retains the previous version for in-flight readers
+                # and sweeps older versions + crashed-publish orphans.
+                version = fsio.pointer_next_version(spark, path)
+                ivf_pq_save(spark, index, books, codes,
+                            fsio.join(path, version))
+                fsio.pointer_publish(spark, path, version,
+                                     meta=gate_record, keep=2)
+                return {"published": True, "recall_new": recall_new,
+                        "recall_old": recall_old,
+                        "reason": "gate passed", "version": version}
             tmp, old = f"{path}__rebuilding", f"{path}__old"
             fsio.delete(spark, tmp)
             ivf_pq_save(spark, index, books, codes, tmp)
+            # the gate record doubles as the commit marker AND carries
+            # the expected-file manifest (see ivf_pq_recover: a bare
+            # marker parked by a partial copy-backed rename is not
+            # proof the data files arrived). Built AFTER ivf_pq_save so
+            # it lists everything, _complete included.
             fsio.write_text_atomic(spark, fsio.join(tmp, "_committed"),
                                    _json.dumps({
-                                       "recall_new": recall_new,
-                                       "recall_old": recall_old,
-                                       "k": k, "n_queries": n_queries,
-                                       "nlist": nlist, "m": m,
-                                       "ksub": ksub, "seed": seed}))
+                                       **gate_record,
+                                       "files": fsio.manifest_build(
+                                           spark, tmp)}))
             fsio.delete(spark, old)
             if fsio.exists(spark, path):
                 fsio.rename(spark, path, old)

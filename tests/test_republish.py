@@ -228,3 +228,120 @@ def test_streaming_extend_fold_survives_republish(spark, tmp_path):
     # replay of batch 1 is a no-op (id-keyed idempotence across swap)
     fold(_vdf(spark, extra, offset=400), 1)
     assert spark.read.parquet(f"{path}/codes").count() == 500
+
+
+def test_recover_parked_marker_partial_path(spark, tmp_path):
+    """ADVICE r9 (medium): on object stores the tmp->path rename is a
+    per-file copy and the underscore markers move FIRST — a crash then
+    leaves path carrying the _committed witness while the data files
+    still sit in tmp. The bare marker must not certify the artifact
+    (the old behavior would return "ok" and DELETE tmp, destroying the
+    only copy); recovery must reunite the halves and re-verify."""
+    rng = np.random.default_rng(3)
+    day0, _ = _day0_and_drift(rng, n0=160, nd=0)
+    path = str(tmp_path / "ann")
+    corpus = _vdf(spark, day0)
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    n_live = spark.read.parquet(f"{path}/codes").count()
+
+    # simulate: swap renamed path away fully, then tmp->path crashed
+    # after moving only the root-level underscore files
+    tmp = path + "__rebuilding"
+    fsio.rename(spark, path, tmp)
+    fsio.mkdirs(spark, path)
+    for name in fsio.list_names(spark, tmp):
+        if name.startswith("_"):
+            fsio.rename(spark, fsio.join(tmp, name),
+                        fsio.join(path, name))
+    assert fsio.exists(spark, fsio.join(path, "_committed"))
+    assert not fsio.exists(spark, fsio.join(path, "codes"))
+
+    assert ivf_pq_recover(spark, path) == "rolled_forward"
+    assert not fsio.exists(spark, tmp)
+    assert spark.read.parquet(f"{path}/codes").count() == n_live
+    # the reunited artifact is fully loadable
+    idx, books, codes = ivf_pq_load(spark, path)
+    assert codes.count() == n_live
+
+
+def test_maintenance_lease_excludes_concurrent_ops(spark, tmp_path):
+    """republish/extend on one artifact are mutually exclusive via the
+    __republish.lock lease; a crashed holder is cleared by recover."""
+    from dexscraper_spark.operators.quantize import ivf_pq_extend_saved
+
+    rng = np.random.default_rng(9)
+    day0, _ = _day0_and_drift(rng, n0=120, nd=0)
+    path = str(tmp_path / "ann")
+    corpus = _vdf(spark, day0)
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    assert not fsio.exists(spark, path + "__republish.lock")  # released
+
+    # a held lease makes both ops fail LOUDLY
+    assert fsio.create_exclusive(spark, path + "__republish.lock",
+                                 '{"op": "test"}')
+    with pytest.raises(RuntimeError, match="lease"):
+        ivf_pq_extend_saved(spark, path, _vdf(spark, day0[:4], 1000))
+    with pytest.raises(RuntimeError, match="lease"):
+        ivf_pq_republish(spark, corpus, path, **PARAMS)
+
+    # recover (the documented crashed-holder repair) clears it
+    assert ivf_pq_recover(spark, path) == "ok"
+    assert not fsio.exists(spark, path + "__republish.lock")
+    res = ivf_pq_extend_saved(spark, path, _vdf(spark, day0[:4], 1000))
+    assert res["appended"] == 4
+    assert not fsio.exists(spark, path + "__republish.lock")
+
+
+def test_republish_pointer_layout_reader_atomic(spark, tmp_path):
+    """layout='pointer': publishes go to version dirs behind a
+    _current pointer — readers resolve through ivf_pq_load with NO
+    rename window; extends land in the live version; recover is a
+    no-op 'ok'; orphans from crashed publishes are swept by GC."""
+    from dexscraper_spark.operators.quantize import ivf_pq_extend_saved
+
+    rng = np.random.default_rng(21)
+    day0, drift = _day0_and_drift(rng, n0=160, nd=160)
+    root = str(tmp_path / "annroot")
+    corpus0 = _vdf(spark, day0)
+
+    r1 = ivf_pq_republish(spark, corpus0, root, layout="pointer",
+                          **PARAMS)
+    assert r1["published"] and r1["version"] == "v_000001"
+    assert fsio.pointer_read(spark, root) == "v_000001"
+    idx, books, codes = ivf_pq_load(spark, root)  # resolves pointer
+    n0 = codes.count()
+    assert n0 == 160
+
+    # extend appends into the CURRENT version (pointer-resolved)
+    res = ivf_pq_extend_saved(spark, root, _vdf(spark, drift, 1000))
+    assert res["appended"] == 160 and res["indexed"] == 320
+    assert spark.read.parquet(
+        fsio.join(root, "v_000001", "codes")).count() == 320
+
+    # crashed publish simulation: an orphan version dir that never
+    # flipped must not confuse anything and is swept by the next GC
+    fsio.mkdirs(spark, fsio.join(root, "v_000002"))
+    fsio.write_text_atomic(
+        spark, fsio.join(root, "v_000002", "junk"), "x")
+
+    full = corpus0.unionByName(_vdf(spark, drift, 1000))
+    r2 = ivf_pq_republish(spark, full, root, **PARAMS)  # auto->pointer
+    assert r2["published"] and r2["version"] == "v_000003"
+    assert fsio.pointer_read(spark, root) == "v_000003"
+    names = set(fsio.list_names(spark, root))
+    assert "v_000002" not in names          # orphan swept
+    assert "v_000001" in names              # laggard readers' copy
+    _, _, codes2 = ivf_pq_load(spark, root)
+    assert codes2.count() == 320
+    # recover on a pointer root: nothing to repair
+    from dexscraper_spark.operators.quantize import ivf_pq_recover
+    assert ivf_pq_recover(spark, root) == "ok"
+
+    # layout misuse fails loudly both ways
+    with pytest.raises(ValueError, match="pointer"):
+        ivf_pq_republish(spark, full, root, layout="swap", **PARAMS)
+    flat = str(tmp_path / "flat")
+    assert ivf_pq_republish(spark, corpus0, flat, **PARAMS)["published"]
+    with pytest.raises(ValueError, match="FLAT"):
+        ivf_pq_republish(spark, corpus0, flat, layout="pointer",
+                         **PARAMS)
