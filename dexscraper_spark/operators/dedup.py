@@ -607,10 +607,102 @@ def simhash_wide_band_pairs(fps: DataFrame, *, id_col: str,
                          band_array=band_array, max_hamming=max_hamming)
 
 
+def _sem_pairs_capped(blocked: DataFrame, *, id_col: str, vec_col: str,
+                      threshold: float, round_to: int,
+                      verify: DataFrame | None, max_cluster: int,
+                      seed: int, rounds: int = 6) -> DataFrame:
+    """Hot-cluster-bounded within-block pair discovery (VERDICT r9
+    §next-4): the plain kernel is O(n_c²) per cluster, so ONE
+    semantically-degenerate hot cluster (all-identical boilerplate —
+    common in crawl data) makes the whole stage quadratic. This caps
+    the kernel: blocks over ``max_cluster`` rows are hash-split into
+    ``ceil(n/max_cluster)`` sub-blocks before pairing, then CONTRACTED
+    — rows that already LOST (paired with a smaller id) leave the
+    working set — and re-split with a fresh hash seed next round.
+    Pairs from every round accumulate; the global min-id component
+    math downstream is untouched.
+
+    Cost: each round's flops are ≤ |survivors| × max_cluster per hot
+    cluster (every sub-block ≤ max_cluster rows) — linear in cluster
+    size, never quadratic; ≤ ``rounds`` rounds total.
+
+    Exactness: duplicate-DENSE hot clusters (the pathological case the
+    cap exists for) contract geometrically — every loser is connected
+    to its sub-block winner by an accumulated pair, winners re-pair
+    next round, so connectivity and survivors match the uncapped
+    kernel exactly (pytest pins a 90%-one-cluster corpus). For SPARSE
+    pairs inside a non-contracting oversized cluster the cap is
+    approximate-recall: a pair is missed only if its endpoints land in
+    different sub-blocks every round — independent splits per round
+    amplify recall like OR-ed LSH bands. That asymmetry (exact where
+    it is cheap to be, probabilistic where exactness costs n²) is the
+    same stance as the paper's cluster-boundary approximation.
+    """
+    from dexscraper_spark.operators.similarity import (
+        exact_cosine_pairs_blocked)
+    from dexscraper_spark.persist import materialize_artifact
+
+    blocked = tracked_persist(blocked)
+    sizes = blocked.groupBy("__sem_block") \
+        .agg(F.count(F.lit(1)).alias("__n"))
+    small = blocked.join(sizes.filter(F.col("__n") <= max_cluster),
+                         "__sem_block", "left_semi")
+    pair_frames = [exact_cosine_pairs_blocked(
+        small, id_col=id_col, vec_col=vec_col, block_col="__sem_block",
+        threshold=threshold, round_to=round_to, verify_against=verify)]
+    cur = blocked.join(sizes.filter(F.col("__n") > max_cluster),
+                       "__sem_block", "left_semi")
+    for r in range(rounds):
+        # materialize (not just persist): each round references the
+        # previous round's frame several times AND the loop nests —
+        # without a file-scan lineage cut the analyzed plan tree grows
+        # exponentially with rounds and OOMs the driver at analysis
+        # time, long before any data is big
+        cur = materialize_artifact(cur, f"semcap_r{r}")
+        csizes = cur.groupBy("__sem_block") \
+            .agg(F.count(F.lit(1)).alias("__n"))
+        fit = cur.join(csizes.filter(F.col("__n") <= max_cluster),
+                       "__sem_block", "left_semi")
+        pair_frames.append(exact_cosine_pairs_blocked(
+            fit, id_col=id_col, vec_col=vec_col,
+            block_col="__sem_block", threshold=threshold,
+            round_to=round_to, verify_against=verify))
+        cur = cur.join(csizes.filter(F.col("__n") > max_cluster),
+                       "__sem_block", "left_semi")
+        if cur.limit(1).count() == 0:
+            break
+        work = (cur.join(csizes, "__sem_block")
+                .withColumn("__sub", F.pmod(
+                    F.xxhash64(F.col(id_col),
+                               F.lit(seed + 7919 * (r + 1))),
+                    F.ceil(F.col("__n") / F.lit(max_cluster))
+                    .cast("long")))
+                .withColumn("__cap_block", F.concat_ws(
+                    "#", F.col("__sem_block").cast("string"),
+                    F.col("__sub").cast("string")))
+                .select(id_col, vec_col, "__sem_block", "__cap_block"))
+        pr = tracked_persist(exact_cosine_pairs_blocked(
+            work, id_col=id_col, vec_col=vec_col,
+            block_col="__cap_block", threshold=threshold,
+            round_to=round_to, verify_against=verify))
+        pair_frames.append(pr)
+        # contract: a row that LOST within its sub-block (some smaller
+        # id paired with it) is already wired into the component graph
+        # through that pair — drop it from the working set so the hot
+        # cluster shrinks geometrically
+        losers = pr.select(F.col("id_b").alias(id_col)).distinct()
+        cur = cur.join(losers, id_col, "left_anti")
+    out = pair_frames[0].select("id_a", "id_b")
+    for p in pair_frames[1:]:
+        out = out.unionByName(p.select("id_a", "id_b"))
+    return out.distinct()
+
+
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", nlist: int = 16,
                    threshold: float = 0.95, seed: int = 42,
-                   round_to: int = 6, assign_n: int = 1) -> DataFrame:
+                   round_to: int = 6, assign_n: int = 1,
+                   max_cluster: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): k-means cluster the embedding space,
     then WITHIN each cluster drop all but one of every group of vectors
@@ -641,19 +733,27 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     is unchanged — components are global over the union pair graph —
     at ~``assign_n²``× the within-block candidate flops (each list
     holds ~assign_n× the vectors; SCALE.md has the measured row).
+
+    ``max_cluster`` bounds the within-cluster kernel for HOT clusters
+    (all-identical boilerplate makes one cluster ≈ the whole corpus
+    and the kernel quadratic): blocks above the cap are hash-split,
+    paired, contracted, and re-split — see :func:`_sem_pairs_capped`
+    for the cost/exactness contract. ``None`` (default) keeps the
+    uncapped exact-within-cluster kernel.
     Returns the surviving rows of ``emb`` (all original columns).
     """
     return semantic_dedup_with_state(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist,
         threshold=threshold, seed=seed, round_to=round_to,
-        assign_n=assign_n)[0]
+        assign_n=assign_n, max_cluster=max_cluster)[0]
 
 
 def semantic_dedup_with_state(emb: DataFrame, *, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               nlist: int = 16, threshold: float = 0.95,
                               seed: int = 42, round_to: int = 6,
-                              assign_n: int = 1
+                              assign_n: int = 1,
+                              max_cluster: int | None = None
                               ) -> tuple[DataFrame, DataFrame]:
     """:func:`semantic_dedup` plus the SEMANTIC-DEDUP STATE — the table
     a nightly pipeline stores so :func:`semantic_dedup_delta` can fold a
@@ -691,10 +791,19 @@ def semantic_dedup_with_state(emb: DataFrame, *, id_col: str = "vec_id",
             blocked = _ivf_assign(index, emb, n=assign_n).select(
                 id_col, vec_col, F.col("__list").alias("__sem_block"))
             verify = emb.select(id_col, vec_col)
-        pairs = exact_cosine_pairs_blocked(
-            blocked, id_col=id_col, vec_col=vec_col,
-            block_col="__sem_block", threshold=threshold,
-            round_to=round_to, verify_against=verify)
+        if max_cluster is not None:
+            if max_cluster < 2:
+                raise ValueError(
+                    f"max_cluster must be >= 2, got {max_cluster}")
+            pairs = _sem_pairs_capped(
+                blocked, id_col=id_col, vec_col=vec_col,
+                threshold=threshold, round_to=round_to, verify=verify,
+                max_cluster=max_cluster, seed=seed)
+        else:
+            pairs = exact_cosine_pairs_blocked(
+                blocked, id_col=id_col, vec_col=vec_col,
+                block_col="__sem_block", threshold=threshold,
+                round_to=round_to, verify_against=verify)
         # Truncate lineage: the components frame is answer-sized
         # (pair-graph nodes only) but its plan reads the cluster-
         # assignment artifact — materialize it so the returned frames

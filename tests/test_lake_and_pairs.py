@@ -282,3 +282,45 @@ def test_ivf_build_deterministic_layout_independent_and_queryable(spark):
     got = ivf_query(a, queries, k=5, nprobe=8).collect()
     assert got and all(1 <= r["rank"] <= 5 for r in got)
     assert {r["query_id"] for r in got} == {0, 1, 2}
+
+def test_semantic_dedup_hot_cluster_cap_exact_on_degenerate(spark):
+    """VERDICT r9 §next-4: a 90%-one-cluster corpus (all-identical
+    boilerplate — the crawl pathological case) makes the within-cluster
+    kernel quadratic. max_cluster bounds it (hash-split → pair →
+    contract → re-split), and on the duplicate-dense corpus the capped
+    survivors must match the uncapped kernel EXACTLY — contraction
+    preserves connectivity because every loser is wired to its
+    sub-block winner by an accumulated pair."""
+    import numpy as np
+
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    dim = 8
+    hot = np.zeros(dim); hot[0] = 1.0
+    # 900 near-identical boilerplate vectors (pairwise cos ~ 1)
+    rows = [(i, [float(x) for x in hot + 1e-4 * rng.normal(size=dim)])
+            for i in range(900)]
+    # 100 diverse vectors in an orthogonal subspace (few/no dups)
+    for i in range(900, 1000):
+        v = rng.normal(size=dim); v[0] = 0.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+
+    kw = dict(nlist=4, threshold=0.95, seed=7)
+    uncapped = {r["vec_id"] for r in semantic_dedup(emb, **kw).collect()}
+    capped = {r["vec_id"] for r in
+              semantic_dedup(emb, max_cluster=64, **kw).collect()}
+    assert capped == uncapped
+    # the boilerplate mass really collapsed to its min id
+    assert 0 in capped and len([i for i in capped if i < 900]) == 1
+    # cap composes with the assign_n recall knob
+    capped2 = {r["vec_id"] for r in
+               semantic_dedup(emb, max_cluster=64, assign_n=2,
+                              **kw).collect()}
+    assert capped2 <= capped and 0 in capped2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(emb, max_cluster=1, **kw)
