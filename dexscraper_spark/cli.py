@@ -234,6 +234,13 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--max-drop", type=float, default=0.05,
                     help="ann republish: max recall@k regression vs the "
                          "live artifact before the swap is refused")
+    an.add_argument("--layout", default="auto",
+                    choices=["auto", "swap", "pointer"],
+                    help="ann republish: publish protocol — 'pointer' "
+                         "= reader-atomic version-pointer root (no "
+                         "rename window; use on object stores), "
+                         "'swap' = legacy 2-rename flat dir, 'auto' = "
+                         "whatever the artifact already is")
     an.add_argument("--min-recall", type=float, default=None,
                     help="ann republish: absolute recall@k floor for "
                          "publishing")
@@ -286,6 +293,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "size = disjoint windows)")
     pl.add_argument("--train-shards", type=int, default=16,
                     help="pipeline: output training shard count")
+    pl.add_argument("--max-cluster", type=int, default=None,
+                    help="pipeline: semantic-dedup hot-cluster cap — "
+                         "blocks above this size are hash-split/"
+                         "contracted so one degenerate boilerplate "
+                         "cluster cannot go quadratic")
+    pl.add_argument("--resume", action="store_true",
+                    help="pipeline: skip stages whose _stages/ marker "
+                         "matches the current flags (crash recovery; "
+                         "a changed flag invalidates that stage and "
+                         "everything downstream, loudly)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -848,7 +865,7 @@ def _run_ann(args, spark) -> int:
                 spark, corpus, args.index, nlist=args.nlist,
                 m=args.pq_m, ksub=args.pq_ksub, k=args.k,
                 nprobe=args.nprobe, max_drop=args.max_drop,
-                min_recall=args.min_recall)
+                min_recall=args.min_recall, layout=args.layout)
             _emit(_json.dumps({"mode": "republish", **res}),
                   args.output)
             # a refused gate is a failed maintenance run for the
@@ -1001,20 +1018,23 @@ def _run_pipeline(args, spark) -> int:
 
     ``--config`` is a JSON object of flag dests (e.g. {"min_quality":
     0.4, "train_shards": 64}); explicit command-line flags override it.
-    Counting strategy: every stage's frame is persisted before its
-    count + downstream read, so no stage's plan executes twice.
+
+    Operability (round 10; logic lives in plans/pipeline_driver.py):
+    * ``--resume`` — skip stages whose ``_stages/<name>.json`` marker
+      matches the current flag chain (crash recovery: a crash at stage
+      6 of 7 re-reads five artifacts instead of recomputing them; a
+      changed flag invalidates that stage and everything downstream,
+      loudly).
+    * ``--delta`` — the NIGHTLY twin: fold a new docs slice into a
+      bootstrapped --out at delta cost (curate_delta + semantic fold +
+      partition-level corpus/shard merges + delta-local pack +
+      optional ``--index`` ANN extend), publishing both state stores
+      behind one reader-atomic version pointer, LAST. Bootstrap + N
+      deltas ≡ the full rebuild row-for-row on corpus, state, shards,
+      manifest (pytest-pinned); crashed delta runs replay to the same
+      result, and an already-folded batch no-ops.
     """
     import json as _json
-
-    from pyspark.sql import functions as F
-
-    from dexscraper_spark import fsio
-    from dexscraper_spark.operators.packing import (
-        chunk_token_stream, pack_greedy, split_documents)
-    from dexscraper_spark.plans.curation import (
-        CurationConfig, curate_corpus_with_state, write_curated,
-        write_curation_state, write_training_shards)
-    from dexscraper_spark.persist import tracked_persist
 
     if args.config:
         try:
@@ -1049,191 +1069,16 @@ def _run_pipeline(args, spark) -> int:
     if not args.docs or not args.out:
         print("pipeline: --docs and --out are required", file=sys.stderr)
         return 2
-    mode = args.mode or "chunk"
-    if mode not in ("chunk", "bins"):
-        print("pipeline: --mode must be chunk or bins", file=sys.stderr)
+    from dexscraper_spark.plans.pipeline_driver import (
+        PipelineArgError, run_delta, run_full)
+
+    try:
+        summary = run_delta(spark, args) if args.delta \
+            else run_full(spark, args)
+    except PipelineArgError as e:
+        print(f"pipeline: {e}", file=sys.stderr)
         return 2
-    split_max = args.split_max_tokens
-    if split_max is None:
-        split_max = args.max_tokens
-
-    summary: dict = {"mode": "pipeline"}
-    docs = spark.read.parquet(args.docs)
-    # early contract check: the composite piece id (stage 5) needs an
-    # integral doc_id — fail HERE with a clear message, not four stages
-    # in with a bare TypeError
-    import pyspark.sql.types as _T
-    if "doc_id" not in docs.columns or not isinstance(
-            docs.schema["doc_id"].dataType,
-            (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)):
-        print("pipeline: --docs needs an integral doc_id column (the "
-              "composite piece id is doc_id*2^20 + window_id) — re-id "
-              "or cast the corpus first", file=sys.stderr)
-        return 2
-    summary["input_docs"] = docs.count()
-
-    # 1. decontamination (same shape as `curate --eval-docs`)
-    if args.eval_docs:
-        from dexscraper_spark.operators.decontaminate import decontaminate
-
-        docs, removed = decontaminate(
-            docs, spark.read.parquet(args.eval_docs))
-        removed = tracked_persist(removed)
-        summary["contaminated"] = removed.count()
-        removed.write.mode("overwrite").parquet(
-            f"{args.out}/contaminated")
-
-    # 2. quality classifier (GPT-3 Pareto keep rule)
-    if args.quality_model:
-        from dexscraper_spark.operators.classifier import (qc_filter,
-                                                           qc_load)
-
-        docs = tracked_persist(docs)
-        n_docs = docs.count()
-        qcm = qc_load(spark, args.quality_model)
-        docs = tracked_persist(
-            qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
-        summary["quality_dropped"] = n_docs - docs.count()
-
-    # 2b. DSIR selection toward the target domain (select BEFORE the
-    # dedup/curation stages spend fingerprint work on docs that would
-    # not be drawn; selection from the decontaminated+quality-kept pool
-    # so leaked/junk docs can't win draws)
-    if args.target_docs:
-        if not args.n or args.n < 1:
-            print("pipeline: --target-docs needs --n (positive sample "
-                  "size)", file=sys.stderr)
-            return 2
-        from dexscraper_spark.operators.lm import lm_train
-        from dexscraper_spark.operators.sampling import (
-            importance_resample)
-
-        docs = tracked_persist(docs)
-        target_docs = spark.read.parquet(args.target_docs)
-        target_lm = lm_train(target_docs.select("text"),
-                             n=args.lm_order)
-        raw_lm = lm_train(docs.select("text"), n=args.lm_order)
-        docs = tracked_persist(importance_resample(
-            docs, target_lm, raw_lm, n=args.n, lm_order=args.lm_order,
-            seed=args.seed, temperature=args.temperature).drop("logw"))
-        summary["selected"] = docs.count()
-
-    # 3. curation: gates + exact + near-dup dedup + split assignment
-    cfg = CurationConfig(min_quality=args.min_quality,
-                         min_tokens=args.min_tokens,
-                         fingerprint_bits=args.fingerprint_bits)
-    curated, state = curate_corpus_with_state(docs, config=cfg)
-    curated = tracked_persist(curated)
-    summary["curated"] = curated.count()
-    write_curation_state(state, f"{args.out}/state")
-
-    # 4. semantic dedup over the curated survivors (SemDeDup)
-    if args.embeddings:
-        from dexscraper_spark.operators.dedup import semantic_dedup
-
-        emb = spark.read.parquet(args.embeddings)
-        if "doc_id" not in emb.columns and "vec_id" in emb.columns:
-            emb = emb.withColumnRenamed("vec_id", "doc_id")
-        emb_cur = emb.select("doc_id", "embedding").join(
-            curated.select("doc_id"), "doc_id", "left_semi")
-        kept_emb = semantic_dedup(
-            emb_cur, id_col="doc_id", nlist=args.semantic_nlist,
-            threshold=args.semantic_threshold, assign_n=args.assign_n)
-        # drop curated docs whose embedding LOST; docs with no embedding
-        # never competed and pass through
-        dropped = emb_cur.select("doc_id").join(
-            kept_emb.select("doc_id"), "doc_id", "left_anti")
-        curated = tracked_persist(
-            curated.join(dropped, "doc_id", "left_anti"))
-        n_after = curated.count()
-        summary["semantic_dropped"] = summary["curated"] - n_after
-        summary["curated"] = n_after
-    write_curated(curated, f"{args.out}/curated")
-
-    # 5. sliding-window split -> one row per trainable piece
-    if split_max and split_max > 0:
-        pieces = split_documents(curated, max_tokens=split_max,
-                                 stride=args.stride)
-        pieces = (pieces.join(curated.select("doc_id", "split", "lang"),
-                              "doc_id")
-                  .select("doc_id", "window_id",
-                          F.col("window_text").alias("text"),
-                          F.col("n_window_tokens").alias("n_tokens"),
-                          "split", "lang"))
-    else:
-        pieces = curated.select(
-            "doc_id", F.lit(0).alias("window_id"), "text",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "split", "lang")
-    pieces = tracked_persist(pieces)
-    stats = pieces.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("window_id").alias("max_w"),
-        F.max("doc_id").alias("max_d"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok")).first()
-    summary["pieces"] = stats["n"]
-    summary["total_tokens"] = int(stats["tok"])
-    # composite numeric piece id: collision-free while window_id < 2^20
-    # and doc_id < 2^43 — checked, not assumed
-    if stats["n"] and (stats["max_w"] >= (1 << 20)
-                       or stats["max_d"] >= (1 << 43)):
-        print("pipeline: doc_id/window_id exceed the composite-id "
-              "budget (doc_id < 2^43, window_id < 2^20) — re-id the "
-              "corpus", file=sys.stderr)
-        return 2
-    pieces = pieces.withColumn(
-        "piece_id",
-        (F.col("doc_id") * F.lit(1 << 20)
-         + F.col("window_id")).cast("long"))
-
-    # 6. pack the piece token stream — PER SPLIT: one concatenated
-    # stream over all splits would let a chunk span a train piece and a
-    # test piece (eval text leaking into training sequences, right
-    # after this very run assigned the splits). chunk/bin ids restart
-    # per split; (split, chunk_id/bin_id) is the unique key.
-    packed_parts = []
-    for sp in ("train", "valid", "test"):
-        sizes = pieces.filter(F.col("split") == sp) \
-            .select("piece_id", "n_tokens")
-        if mode == "chunk":
-            pk = chunk_token_stream(sizes, id_col="piece_id",
-                                    max_tokens=args.max_tokens)
-        else:
-            pk = pack_greedy(sizes, id_col="piece_id",
-                             max_tokens=args.max_tokens,
-                             num_shards=args.num_shards)
-        packed_parts.append(pk.withColumn("split", F.lit(sp)))
-    packed = packed_parts[0]
-    for pk in packed_parts[1:]:
-        packed = packed.unionByName(pk)
-    group = ["split", "chunk_id"] if mode == "chunk" \
-        else ["split", "bin_id"]
-    fill = (F.sum(F.col("tok_end") - F.col("tok_start"))
-            if mode == "chunk"
-            else F.sum(F.when(~F.col("oversize"),
-                              F.col("n_tokens")).otherwise(0)))
-    packed = tracked_persist(packed)
-    packed.write.mode("overwrite").parquet(f"{args.out}/packed")
-    pstats = (packed.groupBy(*group).agg(fill.alias("f"))
-              .agg(F.count(F.lit(1)).alias("units"),
-                   F.avg("f").alias("avg_fill")).first())
-    summary["pack_mode"] = mode
-    summary["pack_units"] = pstats["units"]
-    summary["avg_fill"] = round(float(pstats["avg_fill"] or 0.0), 2)
-
-    # 7. hash-sharded training export + manifest
-    manifest = write_training_shards(
-        pieces.select("piece_id", "doc_id", "window_id", "text",
-                      "n_tokens", "split", "lang"),
-        f"{args.out}/shards", n_shards=args.train_shards,
-        id_col="piece_id", token_col="n_tokens")
-    summary["shards"] = manifest["n_shards"]
-    summary["shard_docs"] = manifest["total_docs"]
-
-    line = _json.dumps(summary)
-    fsio.write_text_atomic(spark, fsio.join(args.out,
-                                            "_run_summary.json"), line)
-    _emit(line, args.output)
+    _emit(_json.dumps(summary), args.output)
     return 0
 
 

@@ -1,0 +1,703 @@
+"""One-command training-data pipeline driver — full rebuild (with
+stage checkpoint/resume) and the nightly DELTA twin.
+
+The reference engine's steady state is a continuous loop
+(reference scraper.py:1491-1524 — fetch, process, export, repeat); a
+batch engine's steady state is the nightly incremental run. Round 9
+shipped the full-rebuild composition (`pipeline` subcommand); this
+module is its operable form (VERDICT r9 §next-1/2):
+
+* :func:`run_full` — the bootstrap: decontaminate → quality classifier
+  → DSIR selection → curate (+state) → SemDeDup (+state) → sliding-
+  window split → per-split pack → hash-sharded export. Every stage
+  writes its artifact THEN a `_stages/<name>.json` marker holding a
+  params CHAIN HASH (this stage's params folded over all upstream
+  stages'); ``--resume`` skips a stage iff its marker's chain matches,
+  so a crash at stage 6 of 7 re-reads five artifacts instead of
+  recomputing them, and a changed upstream flag mismatches every
+  downstream chain automatically — those stages recompute, loudly.
+  Stages are content-deterministic (seeded), which is what makes
+  marker-matching sufficient: equal params + equal inputs ⇒ equal
+  artifact.
+
+* :func:`run_delta` — the nightly operation: a NEW crawl slice folds
+  into the bootstrap's outputs at delta cost. Composition of the
+  exactness-contracted delta operators:
+  :func:`~dexscraper_spark.plans.curation.curate_delta` (gates + exact
+  + near-dup against the fingerprint store),
+  :func:`~dexscraper_spark.operators.dedup.semantic_dedup_delta`
+  (SemDeDup fold with retraction-driven resurrection), partition-level
+  corpus merge (:func:`~dexscraper_spark.plans.curation.
+  merge_partitioned`), shard append/retract (:func:`~dexscraper_spark.
+  plans.curation.update_training_shards`), a delta-local pack, and an
+  optional :func:`~dexscraper_spark.operators.quantize.
+  ivf_pq_extend_saved`. Provided ids are monotone (append-only ingest —
+  both delta operators check), bootstrap + N deltas reproduce the
+  full rebuild ROW-FOR-ROW on the corpus, both state stores, the
+  shards, and the manifest (pytest pins it; the packed/ assignment is
+  intentionally delta-local — chunk boundaries depend on global stream
+  order, and re-packing the corpus nightly would defeat the delta).
+
+Crash story of a delta run: every corpus/shard edit is idempotent on
+replay (partition merges recompute from unchanged inputs and
+converge), and the STATE publish — the only step that changes what a
+rerun would compute — happens LAST, as one reader-atomic version-
+pointer flip (:mod:`dexscraper_spark.fsio`) covering BOTH stores at
+once, stamped with the batch id. A rerun after a crash before the
+flip recomputes identical edits and converges; after the flip, the
+pointer's batch id short-circuits the rerun into a no-op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dexscraper_spark import fsio
+from dexscraper_spark.persist import tracked_persist
+
+
+class PipelineArgError(ValueError):
+    """Bad flags/inputs — the CLI turns this into rc=2 + stderr."""
+
+
+def _canon(obj) -> str:
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"))
+
+
+def _chain(prev: str, params: dict) -> str:
+    return hashlib.sha256((prev + _canon(params)).encode()).hexdigest()
+
+
+class _Stages:
+    """Marker-gated stage runner for the FULL pipeline.
+
+    A stage = (name, params, compute). ``compute()`` writes the
+    stage's artifacts and returns its summary fragment; the marker
+    (artifacts first, marker last — a crash mid-stage leaves no marker
+    and the stage reruns) records the summary and the chain hash. On
+    ``--resume`` a matching marker returns the recorded summary
+    without touching Spark; a PRESENT-but-mismatched marker means a
+    flag changed somewhere upstream — recompute, loudly.
+    """
+
+    def __init__(self, spark, out: str, *, resume: bool,
+                 root_params: dict):
+        self.spark = spark
+        self.out = out
+        self.resume = resume
+        self.chain = _chain("", root_params)
+
+    def _marker(self, name: str) -> str:
+        return fsio.join(self.out, "_stages", f"{name}.json")
+
+    def run(self, name: str, params: dict, compute) -> dict:
+        self.chain = _chain(self.chain, {"stage": name, **params})
+        mp = self._marker(name)
+        if self.resume and fsio.exists(self.spark, mp):
+            try:
+                doc = json.loads(fsio.read_text(self.spark, mp))
+            except (OSError, ValueError):
+                doc = {}
+            if doc.get("chain") == self.chain:
+                print(f"pipeline: stage {name} already complete — "
+                      "skipped (--resume)", file=sys.stderr)
+                return doc.get("summary", {})
+            print(f"pipeline: stage {name} marker is STALE (a flag "
+                  "changed here or upstream) — recomputing it and "
+                  "every downstream stage", file=sys.stderr)
+        summary = compute()
+        fsio.mkdirs(self.spark, fsio.join(self.out, "_stages"))
+        fsio.write_text_atomic(self.spark, mp, json.dumps(
+            {"stage": name, "chain": self.chain, "summary": summary}))
+        return summary
+
+
+def _check_doc_id(docs: DataFrame) -> None:
+    import pyspark.sql.types as T
+    if "doc_id" not in docs.columns or not isinstance(
+            docs.schema["doc_id"].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise PipelineArgError(
+            "--docs needs an integral doc_id column (the composite "
+            "piece id is doc_id*2^20 + window_id) — re-id or cast the "
+            "corpus first")
+
+
+def _pieces_of(curated: DataFrame, *, split_max: int,
+               stride: int | None) -> DataFrame:
+    """One row per trainable piece with the composite piece_id —
+    shared verbatim by the bootstrap and the delta so their shard
+    contents can be row-for-row comparable."""
+    from dexscraper_spark.operators.packing import split_documents
+
+    if split_max and split_max > 0:
+        pieces = (split_documents(curated, max_tokens=split_max,
+                                  stride=stride)
+                  .join(curated.select("doc_id", "split", "lang"),
+                        "doc_id")
+                  .select("doc_id", "window_id",
+                          F.col("window_text").alias("text"),
+                          F.col("n_window_tokens").alias("n_tokens"),
+                          "split", "lang"))
+    else:
+        pieces = curated.select(
+            "doc_id", F.lit(0).alias("window_id"), "text",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "split", "lang")
+    return pieces.withColumn(
+        "piece_id", (F.col("doc_id") * F.lit(1 << 20)
+                     + F.col("window_id")).cast("long"))
+
+
+def _budget_check(stats) -> None:
+    if stats["n"] and (stats["max_w"] >= (1 << 20)
+                       or stats["max_d"] >= (1 << 43)):
+        raise PipelineArgError(
+            "doc_id/window_id exceed the composite-id budget "
+            "(doc_id < 2^43, window_id < 2^20) — re-id the corpus")
+
+
+def _pack_per_split(pieces: DataFrame, *, mode: str, max_tokens: int,
+                    num_shards: int) -> DataFrame:
+    """Per-split packing (a shared stream would pack eval text into
+    training sequences); (split, chunk_id/bin_id) is the unique key."""
+    from dexscraper_spark.operators.packing import (chunk_token_stream,
+                                                    pack_greedy)
+
+    parts = []
+    for sp in ("train", "valid", "test"):
+        sizes = pieces.filter(F.col("split") == sp) \
+            .select("piece_id", "n_tokens")
+        if mode == "chunk":
+            pk = chunk_token_stream(sizes, id_col="piece_id",
+                                    max_tokens=max_tokens)
+        else:
+            pk = pack_greedy(sizes, id_col="piece_id",
+                             max_tokens=max_tokens,
+                             num_shards=num_shards)
+        parts.append(pk.withColumn("split", F.lit(sp)))
+    packed = parts[0]
+    for pk in parts[1:]:
+        packed = packed.unionByName(pk)
+    return packed
+
+
+def _pack_stats(packed: DataFrame, mode: str) -> dict:
+    group = ["split", "chunk_id"] if mode == "chunk" \
+        else ["split", "bin_id"]
+    fill = (F.sum(F.col("tok_end") - F.col("tok_start"))
+            if mode == "chunk"
+            else F.sum(F.when(~F.col("oversize"),
+                              F.col("n_tokens")).otherwise(0)))
+    st = (packed.groupBy(*group).agg(fill.alias("f"))
+          .agg(F.count(F.lit(1)).alias("units"),
+               F.avg("f").alias("avg_fill")).first())
+    return {"pack_mode": mode, "pack_units": st["units"],
+            "avg_fill": round(float(st["avg_fill"] or 0.0), 2)}
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (bootstrap)
+# ---------------------------------------------------------------------------
+
+
+def run_full(spark, args) -> dict:
+    """The full-rebuild pipeline with per-stage markers + ``--resume``.
+    Returns the summary dict (the CLI prints it as one JSON line)."""
+    from dexscraper_spark.plans.curation import (
+        CurationConfig, curate_corpus_with_state, write_curated,
+        write_curation_state, write_training_shards)
+
+    mode = args.mode or "chunk"
+    if mode not in ("chunk", "bins"):
+        raise PipelineArgError("--mode must be chunk or bins")
+    split_max = args.split_max_tokens
+    if split_max is None:
+        split_max = args.max_tokens
+    out = args.out
+    resume = bool(getattr(args, "resume", False))
+    stages = _Stages(spark, out, resume=resume,
+                     root_params={"docs": args.docs})
+
+    docs = spark.read.parquet(args.docs)
+    _check_doc_id(docs)
+    summary: dict = {"mode": "pipeline"}
+
+    # ---- stage pre: decontaminate + quality classifier + DSIR -------
+    pre_params = {k: getattr(args, k, None) for k in (
+        "eval_docs", "quality_model", "quality_alpha", "target_docs",
+        "n", "lm_order", "temperature", "seed")}
+    pre_dst = fsio.join(out, "_stages", "pre_docs")
+    has_pre = bool(args.eval_docs or args.quality_model
+                   or args.target_docs)
+
+    def _pre() -> dict:
+        frag: dict = {"input_docs": docs.count()}
+        cur = docs
+        if args.eval_docs:
+            from dexscraper_spark.operators.decontaminate import (
+                decontaminate)
+            cur, removed = decontaminate(
+                cur, spark.read.parquet(args.eval_docs))
+            removed = tracked_persist(removed)
+            frag["contaminated"] = removed.count()
+            removed.write.mode("overwrite").parquet(
+                fsio.join(out, "contaminated"))
+        if args.quality_model:
+            from dexscraper_spark.operators.classifier import (qc_filter,
+                                                               qc_load)
+            cur = tracked_persist(cur)
+            n_in = cur.count()
+            qcm = qc_load(spark, args.quality_model)
+            cur = tracked_persist(
+                qc_filter(cur, qcm, alpha=args.quality_alpha)
+                .drop("prob"))
+            frag["quality_dropped"] = n_in - cur.count()
+        if args.target_docs:
+            if not args.n or args.n < 1:
+                raise PipelineArgError(
+                    "--target-docs needs --n (positive sample size)")
+            from dexscraper_spark.operators.lm import lm_train
+            from dexscraper_spark.operators.sampling import (
+                importance_resample)
+            cur = tracked_persist(cur)
+            target_docs = spark.read.parquet(args.target_docs)
+            target_lm = lm_train(target_docs.select("text"),
+                                 n=args.lm_order)
+            raw_lm = lm_train(cur.select("text"), n=args.lm_order)
+            cur = tracked_persist(importance_resample(
+                cur, target_lm, raw_lm, n=args.n,
+                lm_order=args.lm_order, seed=args.seed,
+                temperature=args.temperature).drop("logw"))
+            frag["selected"] = cur.count()
+        if has_pre:
+            # materialize the processed pool so --resume re-reads it
+            # instead of re-running the classifiers; with no pre flags
+            # downstream reads the input path directly (no extra copy
+            # of a 100 TB corpus)
+            cur.write.mode("overwrite").parquet(pre_dst)
+            frag["src"] = pre_dst
+        else:
+            frag["src"] = args.docs
+        return frag
+
+    frag = stages.run("pre", pre_params, _pre)
+    summary.update({k: v for k, v in frag.items() if k != "src"})
+    src = frag["src"]
+
+    # ---- stage curate: gates + exact + near-dup + split -------------
+    cur_params = {"min_quality": args.min_quality,
+                  "min_tokens": args.min_tokens,
+                  "fingerprint_bits": args.fingerprint_bits}
+    curated0_dst = fsio.join(out, "_stages", "curated0")
+
+    def _curate() -> dict:
+        # a fresh bootstrap (or a flag-invalidated recompute) makes any
+        # previous DELTA history stale: drop the versioned state
+        # pointer and the batch markers so resolve_pipeline_state falls
+        # back to the flat stores this run writes, and an old batch id
+        # can never no-op a future fold against the new corpus
+        fsio.delete(spark, fsio.join(out, _STATE_ROOT))
+        fsio.delete(spark, fsio.join(out, "_delta"))
+        cfg = CurationConfig(min_quality=args.min_quality,
+                             min_tokens=args.min_tokens,
+                             fingerprint_bits=args.fingerprint_bits)
+        pool = spark.read.parquet(src)
+        curated, state = curate_corpus_with_state(pool, config=cfg)
+        curated = tracked_persist(curated)
+        n = curated.count()
+        write_curation_state(state, fsio.join(out, "state"))
+        curated.write.mode("overwrite").parquet(curated0_dst)
+        return {"curated": n}
+
+    summary.update(stages.run("curate", cur_params, _curate))
+
+    # ---- stage semantic: SemDeDup over the curated survivors --------
+    sem_params = {"embeddings": args.embeddings,
+                  "semantic_threshold": args.semantic_threshold,
+                  "semantic_nlist": args.semantic_nlist,
+                  "assign_n": args.assign_n,
+                  "max_cluster": getattr(args, "max_cluster", None)}
+
+    def _semantic() -> dict:
+        # recomputing this stage (without curate) also stales delta
+        # history — the semantic state the pointer versions descend
+        # from is being replaced
+        fsio.delete(spark, fsio.join(out, _STATE_ROOT))
+        fsio.delete(spark, fsio.join(out, "_delta"))
+        curated = spark.read.parquet(curated0_dst)
+        frag: dict = {}
+        if args.embeddings:
+            from dexscraper_spark.operators.dedup import (
+                semantic_dedup_with_state)
+            emb = spark.read.parquet(args.embeddings)
+            if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+                emb = emb.withColumnRenamed("vec_id", "doc_id")
+            emb_cur = emb.select("doc_id", "embedding").join(
+                curated.select("doc_id"), "doc_id", "left_semi")
+            kept_emb, sem_state = semantic_dedup_with_state(
+                emb_cur, id_col="doc_id", nlist=args.semantic_nlist,
+                threshold=args.semantic_threshold,
+                assign_n=args.assign_n,
+                max_cluster=getattr(args, "max_cluster", None))
+            dropped = emb_cur.select("doc_id").join(
+                kept_emb.select("doc_id"), "doc_id", "left_anti")
+            dropped = tracked_persist(dropped)
+            survivors = tracked_persist(
+                curated.join(dropped, "doc_id", "left_anti"))
+            n_after = survivors.count()
+            frag["semantic_dropped"] = \
+                curated.count() - n_after
+            frag["curated"] = n_after
+            # sem-state + the DROPPED DOCS' full rows: the delta twin
+            # needs both — a retraction can RESURRECT a dropped doc,
+            # and its text only lives here (losers keep their place in
+            # the search universe through sem_state's embeddings)
+            sem_state.write.mode("overwrite").parquet(
+                fsio.join(out, "sem_state"))
+            (curated.join(dropped, "doc_id", "left_semi")
+             .write.mode("overwrite").partitionBy("split", "lang")
+             .parquet(fsio.join(out, "sem_dropped")))
+            write_curated(survivors, fsio.join(out, "curated"))
+        else:
+            write_curated(curated, fsio.join(out, "curated"))
+        return frag
+
+    summary.update(stages.run("semantic", sem_params, _semantic))
+
+    # ---- stage pieces: sliding-window split --------------------------
+    pieces_dst = fsio.join(out, "_stages", "pieces")
+
+    def _pieces() -> dict:
+        curated = spark.read.parquet(fsio.join(out, "curated"))
+        pieces = tracked_persist(_pieces_of(
+            curated, split_max=split_max, stride=args.stride))
+        st = pieces.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("window_id").alias("max_w"),
+            F.max("doc_id").alias("max_d"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok")).first()
+        _budget_check(st)
+        pieces.write.mode("overwrite").parquet(pieces_dst)
+        return {"pieces": st["n"], "total_tokens": int(st["tok"])}
+
+    summary.update(stages.run(
+        "pieces", {"split_max_tokens": split_max,
+                   "stride": args.stride}, _pieces))
+
+    # ---- stage pack ---------------------------------------------------
+    def _pack() -> dict:
+        pieces = spark.read.parquet(pieces_dst)
+        packed = tracked_persist(_pack_per_split(
+            pieces, mode=mode, max_tokens=args.max_tokens,
+            num_shards=args.num_shards))
+        packed.write.mode("overwrite").parquet(fsio.join(out, "packed"))
+        return _pack_stats(packed, mode)
+
+    summary.update(stages.run(
+        "pack", {"mode": mode, "max_tokens": args.max_tokens,
+                 "num_shards": args.num_shards}, _pack))
+
+    # ---- stage shards ---------------------------------------------------
+    def _shards() -> dict:
+        pieces = spark.read.parquet(pieces_dst)
+        manifest = write_training_shards(
+            pieces.select("piece_id", "doc_id", "window_id", "text",
+                          "n_tokens", "split", "lang"),
+            fsio.join(out, "shards"), n_shards=args.train_shards,
+            id_col="piece_id", token_col="n_tokens")
+        return {"shards": manifest["n_shards"],
+                "shard_docs": manifest["total_docs"]}
+
+    summary.update(stages.run(
+        "shards", {"train_shards": args.train_shards}, _shards))
+
+    fsio.write_text_atomic(spark, fsio.join(out, "_run_summary.json"),
+                           json.dumps(summary))
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# Delta pipeline (nightly)
+# ---------------------------------------------------------------------------
+
+_STATE_ROOT = "state_versions"
+
+
+def resolve_pipeline_state(spark, out: str) -> tuple:
+    """(curation_state_path, semantic_state_path_or_None): from the
+    ``state_versions`` pointer when a delta has published, else the
+    bootstrap's flat ``state``/``sem_state`` dirs."""
+    root = fsio.join(out, _STATE_ROOT)
+    name = fsio.pointer_read(spark, root)
+    if name is not None:
+        vdir = fsio.join(root, name)
+        sem = fsio.join(vdir, "semantic")
+        return (fsio.join(vdir, "curation"),
+                sem if fsio.exists(spark, sem) else None)
+    legacy = fsio.join(out, "state")
+    sem = fsio.join(out, "sem_state")
+    return legacy, sem if fsio.exists(spark, sem) else None
+
+
+def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
+    """Read a parquet dir that may hold zero data files (a partitioned
+    write of an empty frame leaves only ``_SUCCESS``) with ``like``'s
+    schema, or an empty frame when absent entirely."""
+    if fsio.exists(spark, path):
+        try:
+            return spark.read.schema(like.schema).parquet(path)
+        except Exception:
+            pass
+    return spark.createDataFrame([], like.schema)
+
+
+def run_delta(spark, args) -> dict:
+    """Fold a NEW crawl slice into a bootstrapped pipeline output dir.
+    See the module docstring for the composition and the crash story.
+    """
+    from dexscraper_spark.operators.dedup import semantic_dedup_delta
+    from dexscraper_spark.plans.curation import (
+        CurationConfig, apply_state_updates, curate_delta,
+        merge_partitioned, read_curation_state, update_training_shards)
+
+    out = args.out
+    if args.target_docs:
+        raise PipelineArgError(
+            "--delta cannot combine with --target-docs: DSIR draws "
+            "against the WHOLE pool's raw LM, which a delta slice "
+            "cannot reproduce — run selection at bootstrap, or "
+            "re-bootstrap")
+    if args.embeddings and args.assign_n != 1:
+        raise PipelineArgError(
+            "--delta supports assign_n=1 only (the semantic delta "
+            "fold blocks with single assignment)")
+    mode = args.mode or "chunk"
+    if mode not in ("chunk", "bins"):
+        raise PipelineArgError("--mode must be chunk or bins")
+    split_max = args.split_max_tokens
+    if split_max is None:
+        split_max = args.max_tokens
+    if not fsio.exists(spark, fsio.join(out, "curated")) \
+            or not fsio.exists(spark, fsio.join(out, "shards",
+                                                "_manifest.json")):
+        raise PipelineArgError(
+            f"--delta needs a bootstrapped --out ({out} lacks curated/ "
+            "or shards/_manifest.json — run the full pipeline first)")
+
+    # batch identity: same slice + same knobs => same batch. The state
+    # pointer records which batch it folded, so a rerun after a crash
+    # that happened AFTER the state publish short-circuits to a no-op
+    # instead of tripping curate_delta's monotone-id check.
+    knobs = {k: getattr(args, k, None) for k in (
+        "docs", "eval_docs", "quality_model", "quality_alpha",
+        "min_quality", "min_tokens", "fingerprint_bits", "embeddings",
+        "semantic_threshold", "semantic_nlist", "split_max_tokens",
+        "stride", "max_tokens", "num_shards")}
+    batch = hashlib.sha256(_canon(knobs).encode()).hexdigest()[:12]
+    pub_marker = fsio.join(out, "_delta", batch, "_PUBLISHED")
+    if fsio.exists(spark, pub_marker):
+        summary = json.loads(fsio.read_text(spark, pub_marker))
+        print(f"pipeline: delta batch {batch} already folded — no-op",
+              file=sys.stderr)
+        return summary
+    state_root = fsio.join(out, _STATE_ROOT)
+    ptr = fsio.pointer_read(spark, state_root)
+    if ptr is not None:
+        meta = json.loads(fsio.read_text(
+            spark, fsio.join(state_root, "_current")))
+        if meta.get("batch") == batch:
+            # crashed between the pointer flip and the marker: the
+            # fold is complete (merges precede the flip) — finish the
+            # bookkeeping from the pointer's recorded summary
+            summary = meta.get("summary", {"mode": "pipeline-delta",
+                                           "batch": batch})
+            fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
+            fsio.write_text_atomic(spark, pub_marker,
+                                   json.dumps(summary))
+            print(f"pipeline: delta batch {batch} had already "
+                  "published its state — completed the marker",
+                  file=sys.stderr)
+            return summary
+
+    summary = {"mode": "pipeline-delta", "batch": batch}
+    docs = spark.read.parquet(args.docs)
+    _check_doc_id(docs)
+    summary["input_docs"] = docs.count()
+
+    # ---- pre-processing (per-doc deterministic => identical to the
+    # full rebuild's verdicts on the same docs) ----------------------
+    if args.eval_docs:
+        from dexscraper_spark.operators.decontaminate import decontaminate
+        docs, removed = decontaminate(
+            docs, spark.read.parquet(args.eval_docs))
+        removed = tracked_persist(removed)
+        summary["contaminated"] = removed.count()
+        removed.write.mode("overwrite").parquet(
+            fsio.join(out, "_delta", batch, "contaminated"))
+    if args.quality_model:
+        from dexscraper_spark.operators.classifier import (qc_filter,
+                                                           qc_load)
+        docs = tracked_persist(docs)
+        n_in = docs.count()
+        qcm = qc_load(spark, args.quality_model)
+        docs = tracked_persist(
+            qc_filter(docs, qcm, alpha=args.quality_alpha).drop("prob"))
+        summary["quality_dropped"] = n_in - docs.count()
+
+    # ---- curation fold against the fingerprint store ----------------
+    cur_path, sem_path = resolve_pipeline_state(spark, out)
+    state = read_curation_state(spark, cur_path)
+    cfg = CurationConfig(min_quality=args.min_quality,
+                         min_tokens=args.min_tokens,
+                         fingerprint_bits=args.fingerprint_bits)
+    delta = curate_delta(docs, state, config=cfg)
+    curated_new = tracked_persist(delta.curated_new)
+    retracted = tracked_persist(delta.retracted)
+    summary["curated_new"] = curated_new.count()
+    summary["retracted"] = retracted.count()
+
+    # ---- semantic fold ----------------------------------------------
+    curated_path = fsio.join(out, "curated")
+    curated_live = spark.read.parquet(curated_path)
+    sem_state_out = None
+    add_docs = curated_new
+    removed_docs = retracted
+    if args.embeddings:
+        if sem_path is None:
+            raise PipelineArgError(
+                "--embeddings on a --delta run needs the bootstrap's "
+                "sem_state/ (the full pipeline must also have run "
+                "with --embeddings)")
+        emb = spark.read.parquet(args.embeddings)
+        if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+            emb = emb.withColumnRenamed("vec_id", "doc_id")
+        new_emb = emb.select("doc_id", "embedding").join(
+            curated_new.select("doc_id"), "doc_id", "left_semi")
+        sem_state = spark.read.parquet(sem_path)
+        sd = semantic_dedup_delta(
+            new_emb, sem_state, removed_ids=retracted,
+            id_col="doc_id", nlist=args.semantic_nlist,
+            threshold=args.semantic_threshold)
+        dropped_new = tracked_persist(sd.dropped_new)
+        resurrected = tracked_persist(sd.resurrected)
+        demoted = tracked_persist(sd.demoted)
+        sem_state_out = sd.state
+        summary["semantic_dropped_new"] = dropped_new.count()
+        summary["resurrected"] = resurrected.count()
+        summary["demoted"] = demoted.count()
+
+        from dexscraper_spark.persist import materialize_artifact
+
+        sem_dropped_path = fsio.join(out, "sem_dropped")
+        sem_dropped = _read_or_empty(spark, sem_dropped_path,
+                                     curated_live)
+        res_rows = sem_dropped.join(resurrected, "doc_id", "left_semi")
+        # MATERIALIZE (file-backed) before any merge below: add_docs
+        # reads sem_dropped (which the sem_dropped merge rewrites) and
+        # drop_adds reads curated/ (which the corpus merge rewrites) —
+        # a lazy frame scanned after its source table was merged would
+        # silently read the post-edit state
+        add_docs = materialize_artifact(
+            curated_new.join(dropped_new, "doc_id", "left_anti")
+            .unionByName(res_rows), "delta_add_docs")
+        removed_docs = tracked_persist(
+            retracted.unionByName(demoted).distinct())
+
+        # sem_dropped bookkeeping (idempotent partition merge): demoted
+        # docs' rows enter (pulled from the live corpus BEFORE the
+        # corpus merge removes them), dropped-new docs' rows enter,
+        # resurrected + retracted leave
+        drop_adds = materialize_artifact(
+            curated_live.join(demoted, "doc_id", "left_semi")
+            .unionByName(curated_new.join(
+                dropped_new, "doc_id", "left_semi")), "delta_drop_adds")
+        drop_removals = resurrected.unionByName(retracted).distinct()
+        if fsio.exists(spark, sem_dropped_path) and (
+                fsio.list_names(spark, sem_dropped_path)):
+            merge_partitioned(
+                spark, sem_dropped_path,
+                partition_cols=["split", "lang"], add=drop_adds,
+                remove_ids=drop_removals, remove_col="doc_id",
+                key_col="doc_id")
+        else:
+            drop_adds.write.mode("overwrite") \
+                .partitionBy("split", "lang").parquet(sem_dropped_path)
+    else:
+        add_docs = tracked_persist(add_docs)
+        removed_docs = tracked_persist(removed_docs)
+    summary["corpus_added"] = add_docs.count()
+    summary["corpus_removed"] = removed_docs.count()
+
+    # ---- corpus merge (idempotent partition-level rewrite) ----------
+    merge_partitioned(
+        spark, curated_path, partition_cols=["split", "lang"],
+        add=add_docs.select(*curated_live.columns),
+        remove_ids=removed_docs, remove_col="doc_id", key_col="doc_id")
+
+    # ---- pieces + shard fold + delta-local pack ----------------------
+    pieces = tracked_persist(_pieces_of(
+        add_docs, split_max=split_max, stride=args.stride))
+    st = pieces.agg(
+        F.count(F.lit(1)).alias("n"), F.max("window_id").alias("max_w"),
+        F.max("doc_id").alias("max_d"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok")).first()
+    _budget_check(st)
+    summary["pieces_new"] = st["n"]
+    summary["tokens_new"] = int(st["tok"])
+    manifest = update_training_shards(
+        spark, fsio.join(out, "shards"),
+        add=pieces.select("piece_id", "doc_id", "window_id", "text",
+                          "n_tokens", "split", "lang"),
+        remove_ids=removed_docs, remove_col="doc_id")
+    summary["shard_docs"] = manifest["total_docs"]
+
+    packed = tracked_persist(_pack_per_split(
+        pieces, mode=mode, max_tokens=args.max_tokens,
+        num_shards=args.num_shards))
+    packed.write.mode("overwrite").parquet(
+        fsio.join(out, "_delta", batch, "packed"))
+    summary.update(_pack_stats(packed, mode))
+
+    # ---- optional ANN maintenance ------------------------------------
+    if getattr(args, "index", None):
+        from dexscraper_spark.operators.quantize import (
+            ivf_pq_extend_saved)
+        vecs = spark.read.parquet(args.embeddings) if args.embeddings \
+            else None
+        if vecs is None:
+            raise PipelineArgError(
+                "--index on a --delta run needs --embeddings")
+        if "doc_id" not in vecs.columns and "vec_id" in vecs.columns:
+            vecs = vecs.withColumnRenamed("vec_id", "doc_id")
+        keep_vecs = vecs.select("doc_id", "embedding").join(
+            add_docs.select("doc_id"), "doc_id", "left_semi")
+        res = ivf_pq_extend_saved(
+            spark, args.index,
+            keep_vecs.withColumnRenamed("doc_id", "vec_id"))
+        summary["ann_appended"] = res["appended"]
+
+    # ---- STATE PUBLISH (last; one atomic pointer flip for BOTH
+    # stores, stamped with the batch id) --------------------------------
+    new_state = apply_state_updates(state, delta)
+    version = fsio.pointer_next_version(spark, state_root)
+    vdir = fsio.join(state_root, version)
+    new_state.write.mode("overwrite").parquet(
+        fsio.join(vdir, "curation"))
+    if sem_state_out is not None:
+        sem_state_out.write.mode("overwrite").parquet(
+            fsio.join(vdir, "semantic"))
+    fsio.pointer_publish(spark, state_root, version,
+                         meta={"batch": batch, "summary": summary},
+                         keep=2)
+    fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
+    fsio.write_text_atomic(spark, pub_marker, json.dumps(summary))
+    fsio.write_text_atomic(
+        spark, fsio.join(out, "_run_summary_delta.json"),
+        json.dumps(summary))
+    return summary

@@ -1,0 +1,285 @@
+"""`pipeline --delta` + `pipeline --resume` (VERDICT r9 §next-1/2).
+
+Equivalence contract: bootstrap + N delta folds ≡ one full rebuild,
+ROW-FOR-ROW on the published corpus, the curation state, the semantic
+state, the training shards, and the shard manifest. The packed/
+assignment is intentionally delta-local (chunk boundaries depend on
+global stream order) and is not compared.
+
+Embedding geometry discipline (same as test_semantic_delta): tight
+near-orthogonal blobs, so the deterministic coarse k-means co-blocks
+every true pair in both the fold and the rebuild and the semantic
+delta's exactness contract applies.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexscraper_spark import fsio
+from dexscraper_spark.cli import run
+
+SF = "/root/testdata/sf0.001"
+FLAGS = ["--min-quality", "0.3", "--min-tokens", "3",
+         "--split-max-tokens", "64", "--max-tokens", "256",
+         "--train-shards", "4", "--semantic-threshold", "0.95",
+         "--semantic-nlist", "4"]
+CURATED_COLS = ["doc_id", "text", "lang", "quality", "n_tokens",
+                "split"]
+SHARD_COLS = ["piece_id", "doc_id", "window_id", "text", "n_tokens",
+              "split", "lang", "shard"]
+
+
+def _frames_equal(a, b, cols):
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _blob_vec(i: int) -> list:
+    """Tight blob per (doc_id % 5): pairwise within-blob cosine
+    ~cos(0.03) > 0.95, cross-blob ~0."""
+    axis = i % 5
+    j = 0.01 * (1 + (i % 4))
+    v = [0.0] * 8
+    v[axis] = math.cos(j)
+    v[(axis + 1) % 8] = math.sin(j)
+    return v
+
+
+def _prep(spark, tmp_path):
+    """day0/day1/full docs parquet + blob embeddings for 1/3 of ids."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hi, lo = docs.select(F.max("doc_id"), F.min("doc_id")).first()
+    mid = (hi + lo) // 2
+    d0 = docs.filter(F.col("doc_id") <= mid)
+    probe = docs.orderBy("doc_id").limit(2).collect()
+    extra = spark.createDataFrame(
+        [(100001, probe[0]["text"]),          # exact dup of old doc
+         (100002, probe[0]["text"] + "."),    # near dup of old doc
+         (100007, "a fresh unique sentence about entirely novel things"),
+         ],
+        "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"), F.length("text").alias("n_chars"))
+    d1 = docs.filter(F.col("doc_id") > mid).unionByName(extra)
+    full = d0.unionByName(d1)
+    p0, p1, pf = (str(tmp_path / n) for n in ("d0", "d1", "dfull"))
+    d0.write.parquet(p0)
+    d1.write.parquet(p1)
+    full.write.parquet(pf)
+    ids = [r["doc_id"] for r in full.select("doc_id").collect()]
+    emb = spark.createDataFrame(
+        [(i, _blob_vec(i)) for i in ids if i % 3 == 0],
+        "doc_id long, embedding array<float>")
+    pe = str(tmp_path / "emb")
+    emb.write.parquet(pe)
+    return p0, p1, pf, pe
+
+
+def _summary(capsys) -> dict:
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def _compare_outputs(spark, inc_out: str, full_out: str):
+    """Everything the contract covers, row-for-row."""
+    from dexscraper_spark.plans.pipeline_driver import (
+        resolve_pipeline_state)
+
+    _frames_equal(spark.read.parquet(f"{inc_out}/curated"),
+                  spark.read.parquet(f"{full_out}/curated"),
+                  CURATED_COLS)
+    _frames_equal(spark.read.parquet(f"{inc_out}/shards"),
+                  spark.read.parquet(f"{full_out}/shards"),
+                  SHARD_COLS)
+    man_i = json.loads(fsio.read_text(
+        spark, fsio.join(inc_out, "shards", "_manifest.json")))
+    man_f = json.loads(fsio.read_text(
+        spark, fsio.join(full_out, "shards", "_manifest.json")))
+    assert man_i == man_f
+    cur_i, sem_i = resolve_pipeline_state(spark, inc_out)
+    cur_f, sem_f = resolve_pipeline_state(spark, full_out)
+    _frames_equal(spark.read.parquet(cur_i),
+                  spark.read.parquet(cur_f),
+                  ["doc_id", "exact_h", "simhash", "component"])
+    if sem_f is not None:
+        _frames_equal(spark.read.parquet(sem_i),
+                      spark.read.parquet(sem_f),
+                      ["doc_id", "component"])
+
+
+def test_delta_equals_full_rebuild(spark, tmp_path, capsys):
+    p0, p1, pf, pe = _prep(spark, tmp_path)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+
+    assert run(["pipeline", "--docs", p0, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    boot = _summary(capsys)
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    ds = _summary(capsys)
+    assert ds["mode"] == "pipeline-delta"
+    assert ds["curated_new"] > 0
+    # the crafted dups really exercised the fold
+    new_ids = {r["doc_id"] for r in spark.read.parquet(f"{inc}/curated")
+               .select("doc_id").collect()}
+    assert 100001 not in new_ids and 100002 not in new_ids
+    # 100007 is unique AND has no embedding (100007 % 3 != 0): passes
+    # curation and bypasses the semantic stage
+    assert 100007 in new_ids
+
+    assert run(["pipeline", "--docs", pf, "--out", full,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    fs = _summary(capsys)
+    _compare_outputs(spark, inc, full)
+    # manifest totals line up with the full run's own summary
+    assert fs["shard_docs"] == json.loads(fsio.read_text(
+        spark, fsio.join(inc, "shards", "_manifest.json")))["total_docs"]
+    assert boot["curated"] - ds["corpus_removed"] + ds["corpus_added"] \
+        == fs["curated"]
+
+
+def test_delta_noop_rerun_and_validation(spark, tmp_path, capsys):
+    p0, p1, pf, pe = _prep(spark, tmp_path)
+    inc = str(tmp_path / "inc")
+    assert run(["pipeline", "--docs", p0, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    s1 = _summary(capsys)
+    root = fsio.join(inc, "state_versions")
+    v1 = fsio.pointer_read(spark, root)
+
+    # identical rerun: no-op, same summary, no state version bump
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    out = capsys.readouterr()
+    assert json.loads(out.out.strip().splitlines()[-1]) == s1
+    assert "already folded" in out.err
+    assert fsio.pointer_read(spark, root) == v1
+
+    # validation: DSIR in delta mode is rejected
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--target-docs", p0, "--n", "5", *FLAGS],
+               spark=spark) == 2
+    assert "--target-docs" in capsys.readouterr().err
+    # validation: delta against a non-bootstrapped out
+    assert run(["pipeline", "--delta", "--docs", p1,
+                "--out", str(tmp_path / "nothing"), *FLAGS],
+               spark=spark) == 2
+    assert "bootstrapped" in capsys.readouterr().err
+    # validation: embeddings fold needs the bootstrap's sem_state
+    noemb = str(tmp_path / "noemb")
+    assert run(["pipeline", "--docs", p0, "--out", noemb, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", noemb,
+                "--embeddings", pe, *FLAGS], spark=spark) == 2
+    assert "sem_state" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize("after_shards", [False, True])
+def test_delta_crash_replay_converges(spark, tmp_path, capsys,
+                                      monkeypatch, after_shards):
+    """Kill the delta run around the shard fold (before the state
+    publish); a plain rerun recomputes from the unchanged state and
+    CONVERGES — artifacts equal an uninterrupted twin's."""
+    import dexscraper_spark.plans.curation as curation_mod
+
+    p0, p1, pf, pe = _prep(spark, tmp_path)
+    crash, clean = str(tmp_path / "crash"), str(tmp_path / "clean")
+    for out in (crash, clean):
+        assert run(["pipeline", "--docs", p0, "--out", out,
+                    "--embeddings", pe, *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+
+    real = curation_mod.update_training_shards
+
+    def boom(*a, **kw):
+        if after_shards:
+            real(*a, **kw)
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(curation_mod, "update_training_shards", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run(["pipeline", "--delta", "--docs", p1, "--out", crash,
+             "--embeddings", pe, *FLAGS], spark=spark)
+    monkeypatch.setattr(curation_mod, "update_training_shards", real)
+
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", crash,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", clean,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    _frames_equal(spark.read.parquet(f"{crash}/curated"),
+                  spark.read.parquet(f"{clean}/curated"), CURATED_COLS)
+    _frames_equal(spark.read.parquet(f"{crash}/shards"),
+                  spark.read.parquet(f"{clean}/shards"), SHARD_COLS)
+    assert json.loads(fsio.read_text(
+        spark, fsio.join(crash, "shards", "_manifest.json"))) == \
+        json.loads(fsio.read_text(
+            spark, fsio.join(clean, "shards", "_manifest.json")))
+
+
+def test_full_resume_after_crash_and_flag_invalidation(
+        spark, tmp_path, capsys, monkeypatch):
+    """--resume: a crash at the LAST stage resumes without recomputing
+    the five before it; a changed flag invalidates its stage (and
+    anything downstream) loudly while still skipping earlier stages."""
+    import dexscraper_spark.plans.curation as curation_mod
+
+    p0, _, _, pe = _prep(spark, tmp_path)
+    out, twin = str(tmp_path / "r"), str(tmp_path / "twin")
+
+    real = curation_mod.write_training_shards
+    monkeypatch.setattr(
+        curation_mod, "write_training_shards",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        run(["pipeline", "--docs", p0, "--out", out,
+             "--embeddings", pe, *FLAGS], spark=spark)
+    monkeypatch.setattr(curation_mod, "write_training_shards", real)
+    capsys.readouterr()
+
+    assert run(["pipeline", "--docs", p0, "--out", out,
+                "--embeddings", pe, "--resume", *FLAGS],
+               spark=spark) == 0
+    res = capsys.readouterr()
+    # the five completed stages were skipped, shards recomputed
+    assert res.err.count("skipped (--resume)") == 5
+    s_resumed = json.loads(res.out.strip().splitlines()[-1])
+
+    assert run(["pipeline", "--docs", p0, "--out", twin,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    s_clean = _summary(capsys)
+    assert {k: v for k, v in s_resumed.items()} == s_clean
+    _frames_equal(spark.read.parquet(f"{out}/shards"),
+                  spark.read.parquet(f"{twin}/shards"), SHARD_COLS)
+
+    # flag change: --train-shards only touches the shards stage
+    assert run(["pipeline", "--docs", p0, "--out", out,
+                "--embeddings", pe, "--resume",
+                *FLAGS[:-6], "--train-shards", "8",
+                "--semantic-threshold", "0.95",
+                "--semantic-nlist", "4"], spark=spark) == 0
+    res = capsys.readouterr()
+    assert "STALE" in res.err
+    assert res.err.count("skipped (--resume)") == 5
+    man = json.loads(fsio.read_text(
+        spark, fsio.join(out, "shards", "_manifest.json")))
+    assert man["n_shards"] == 8
+
+    # upstream flag change: min-tokens invalidates curate AND all
+    # downstream stages (pre still skips)
+    assert run(["pipeline", "--docs", p0, "--out", out,
+                "--embeddings", pe, "--resume",
+                "--min-quality", "0.3", "--min-tokens", "4",
+                "--split-max-tokens", "64", "--max-tokens", "256",
+                "--train-shards", "8", "--semantic-threshold", "0.95",
+                "--semantic-nlist", "4"], spark=spark) == 0
+    res = capsys.readouterr()
+    assert res.err.count("skipped (--resume)") == 1  # only `pre`
+    assert res.err.count("STALE") >= 1
