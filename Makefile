@@ -41,7 +41,7 @@ recall:
 recall-gate:
 	python tools/recall.py /root/testdata/sf0.1 --out /tmp/recall_new.json
 	python tools/recall.py --gate /tmp/recall_new.json RECALL.json
-	cp /tmp/recall_new.json RECALL.json
+	python tools/recall.py --refresh /tmp/recall_new.json RECALL.json
 
 stress:
 	python tools/stress.py all 10

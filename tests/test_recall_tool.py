@@ -98,3 +98,47 @@ def test_gate_refuses_incomparable_setups(tmp_path, capsys):
     c.write_text(json.dumps({"sf_dir": "sfB", "k": 5, "n_queries": 32,
                              "recalls": {"lsh": 0.9}, "configs": {}}))
     assert recall_tool.main(["--gate", str(c), str(a)]) == 2
+
+
+def _write_hist(tmp_path, name, recalls, history):
+    p = tmp_path / name
+    p.write_text(json.dumps({"sf_dir": "x", "k": 5, "n_queries": 8,
+                             "recalls": recalls, "configs": {},
+                             "history": history}))
+    return str(p)
+
+
+def test_gate_ratchet_catches_two_slow_drops(tmp_path, capsys):
+    """VERDICT r9 §next-6: two same-direction moves each under the 0.05
+    single-step gate must still alarm once their CUMULATIVE drop from a
+    recorded round exceeds the budget."""
+    old = _write_hist(tmp_path, "old.json", {"ivf": 0.62},
+                      [{"round": 1, "recalls": {"ivf": 0.65}}])
+    new = _write(tmp_path, "new.json", {"ivf": 0.59})  # -0.03 again
+    assert recall_tool.main(["--gate", new, old]) == 1
+    assert "RATCHET ivf" in capsys.readouterr().out
+    # the same single step against a history-free baseline passes
+    old2 = _write(tmp_path, "old2.json", {"ivf": 0.62})
+    assert recall_tool.main(["--gate", new, old2]) == 0
+
+
+def test_refresh_folds_baseline_into_history(tmp_path, capsys):
+    old = _write_hist(tmp_path, "old.json", {"ivf": 0.62},
+                      [{"round": 1, "recalls": {"ivf": 0.65}}])
+    new = _write(tmp_path, "new.json", {"ivf": 0.61})
+    assert recall_tool.main(["--refresh", new, old]) == 0
+    doc = json.loads((tmp_path / "old.json").read_text())
+    assert doc["recalls"] == {"ivf": 0.61}
+    assert [h["recalls"]["ivf"] for h in doc["history"]] == [0.65, 0.62]
+    # bounded: repeated refreshes never grow past the cap
+    for _ in range(12):
+        assert recall_tool.main(["--refresh", new, old]) == 0
+    doc = json.loads((tmp_path / "old.json").read_text())
+    assert len(doc["history"]) <= 8
+
+
+def test_repo_artifact_carries_rebaseline_note_and_history():
+    doc = json.loads((REPO / "RECALL.json").read_text())
+    assert "deterministic" in doc.get("notes", "")
+    assert doc["history"], "ratchet needs at least one recorded round"
+    assert doc["history"][-1]["recalls"]["ivf_nprobe4"] == 0.6563

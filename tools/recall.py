@@ -21,6 +21,15 @@ Gate mode compares two artifacts: exit 1 if any config's recall dropped
 by more than ``--drop`` (absolute), 0 otherwise. New configs are notes;
 dropped configs alarm (a silently-lost measurement is how regressions
 hide).
+
+RATCHET (VERDICT r9 §next-6): a slow leak of just-under-``drop`` moves
+each round would never trip the single-step gate. The artifact carries
+a bounded ``history`` of previous rounds' recalls (written by
+``--refresh``, which `make recall-gate` uses instead of a bare `cp`),
+and gate mode ALSO alarms when the cumulative drop from the oldest
+recorded round to the new measurement exceeds ``drop`` — two
+same-direction moves of 0.03 each now fail even though either alone
+passes.
 """
 
 from __future__ import annotations
@@ -146,6 +155,7 @@ def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
               + "; ".join(mismatched))
         print("  re-measure the baseline at the new setup before gating")
         return 2
+    history = old.get("history", [])
     failures = []
     for name, old_r in sorted(od.items()):
         if name not in nr:
@@ -159,6 +169,20 @@ def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
             failures.append(f"  REGRESSED {name}: "
                             f"{old_r:.3f} -> {new_r:.3f}")
             marker = "  <-- REGRESSED"
+        else:
+            # ratchet: cumulative drop across the recorded history —
+            # N slow same-direction moves must not slip under the
+            # single-step gate
+            for h in history:
+                hv = h.get("recalls", {}).get(name)
+                if hv is not None and hv - new_r > drop:
+                    failures.append(
+                        f"  RATCHET {name}: {hv:.3f} (round "
+                        f"{h.get('round', '?')}) -> {new_r:.3f} — "
+                        f"cumulative drop exceeds {drop} across "
+                        "rounds")
+                    marker = "  <-- RATCHET"
+                    break
         print(f"  {name}: {old_r:.3f} -> {new_r:.3f} "
               f"({delta:+.3f}){marker}")
     for name in sorted(set(nr) - set(od)):
@@ -173,22 +197,51 @@ def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
     return 0
 
 
+def refresh(new_path: str, old_path: str, *,
+            keep_history: int = 8) -> int:
+    """Promote a PASSED measurement to the committed baseline, folding
+    the old baseline's recalls into a bounded ``history`` (newest
+    last) — the record the gate's ratchet check reads. Preserves the
+    old artifact's ``notes``."""
+    with open(new_path) as f:
+        new = json.load(f)
+    with open(old_path) as f:
+        old = json.load(f)
+    history = list(old.get("history", []))
+    history.append({"round": len(history) + 1,
+                    "recalls": old.get("recalls", {})})
+    new["history"] = history[-keep_history:]
+    if "notes" in old and "notes" not in new:
+        new["notes"] = old["notes"]
+    with open(old_path, "w") as f:
+        json.dump(new, f, indent=1)
+    print(f"recall_refresh: {old_path} <- {new_path} "
+          f"(history depth {len(new['history'])})")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="recall.py")
     ap.add_argument("paths", nargs="*",
-                    help="measure: [SF_DIR]; gate: NEW.json OLD.json")
+                    help="measure: [SF_DIR]; gate/refresh: "
+                         "NEW.json OLD.json")
     ap.add_argument("--gate", action="store_true")
+    ap.add_argument("--refresh", action="store_true",
+                    help="replace OLD.json with NEW.json, folding "
+                         "OLD's recalls into the bounded history")
     ap.add_argument("--out", default=None)
     ap.add_argument("--drop", type=float, default=0.05)
     try:
         ns = ap.parse_args(argv)
     except SystemExit as e:
         return e.code if isinstance(e.code, int) else 2
-    if ns.gate:
+    if ns.gate or ns.refresh:
         if len(ns.paths) != 2:
-            print("recall.py --gate needs NEW.json OLD.json")
+            print("recall.py --gate/--refresh need NEW.json OLD.json")
             return 2
-        return gate(ns.paths[0], ns.paths[1], drop=ns.drop)
+        if ns.gate:
+            return gate(ns.paths[0], ns.paths[1], drop=ns.drop)
+        return refresh(ns.paths[0], ns.paths[1])
     sf_dir = ns.paths[0] if ns.paths else "/root/testdata/sf0.1"
     doc = measure(sf_dir)
     line = json.dumps(doc)
