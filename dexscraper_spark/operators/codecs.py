@@ -464,12 +464,21 @@ def decode_avi_mjpeg(data: bytes) -> dict:
             f"AVI: only MJPEG streams are decodable in-repo "
             f"(handler {handler!r} needs an external codec)")
     frames: list[bytes] = []
+
+    def _collect_frames(start: int, end: int) -> None:
+        for cid2, lt2, s2, e2 in _riff_lists(data, start, end):
+            # standard interleaved AVIs wrap each frame group in a
+            # LIST 'rec ' — descend into those (ADVICE r9), they nest
+            # one level by spec but recursion costs nothing
+            if cid2 == b"LIST" and lt2 == b"rec ":
+                _collect_frames(s2, e2)
+            # ##dc (compressed) / ##db (uncompressed) video chunks
+            elif cid2[2:4] in (b"dc", b"db"):
+                frames.append(data[s2:e2])
+
     for cid, ltype, s, e in _riff_lists(data, 12, len(data)):
         if cid == b"LIST" and ltype == b"movi":
-            for cid2, _lt, s2, e2 in _riff_lists(data, s, e):
-                # ##dc (compressed) / ##db (uncompressed) video chunks
-                if cid2[2:4] in (b"dc", b"db"):
-                    frames.append(data[s2:e2])
+            _collect_frames(s, e)
     if not frames:
         raise ValueError("AVI: no movi frame chunks")
     return {"format": "avi", "width": meta["width"],

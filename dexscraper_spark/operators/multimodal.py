@@ -435,3 +435,55 @@ def audio_features(media: DataFrame, *, n_windows: int = 8) -> DataFrame:
                               AUDIO_FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def video_features(media: DataFrame, *, every: int = 2,
+                   dim: int = FEATURE_DIM) -> DataFrame:
+    """Per-VIDEO embedding: frame-sample (:func:`sample_frames`, real
+    MJPEG AVI or the fake container) → per-frame pixel-histogram
+    embedding (:func:`extract_features` over the decoded frames) →
+    mean-pool per video. The pooling is pure built-ins (posexplode →
+    per-position avg → re-assembled array): order-invariant and
+    partial-aggregatable, so the mean of a million frames never holds
+    more than dim doubles per video in the aggregation state.
+    Returns (media_id, embedding) — feeds semantic_dedup / the ANN
+    operators directly. Videos with no decodable frames emit nothing
+    (the shared media-stage drop contract)."""
+    frames = sample_frames(media, every=every)
+    per_frame = extract_features(
+        frames.select("media_id", F.lit("image").alias("kind"),
+                      F.col("frame").alias("payload")), dim=dim)
+    return (per_frame
+            .select("media_id", F.posexplode("embedding")
+                    .alias("pos", "v"))
+            .groupBy("media_id", "pos").agg(F.avg("v").alias("v"))
+            .groupBy("media_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
+                 .alias("__s"))
+            .select("media_id",
+                    F.transform("__s", lambda x: x["v"])
+                    .alias("embedding")))
+
+
+def video_dedup(media: DataFrame, *, every: int = 2,
+                threshold: float = 0.95, nlist: int = 8,
+                seed: int = 42, dim: int = FEATURE_DIM,
+                max_cluster: int | None = None) -> DataFrame:
+    """End-to-end video near-duplicate removal (the video twin of the
+    audio story): :func:`video_features` → :func:`~dexscraper_spark.
+    operators.dedup.semantic_dedup` over the pooled frame embeddings —
+    three existing operators composed, nothing new shuffles. Survivor
+    = min media_id per duplicate group (the engine-wide convention).
+    Rows that never competed — non-video media, videos with no
+    decodable frames — pass through untouched; only LOSERS are
+    dropped. Returns the surviving rows of ``media``, all columns."""
+    from dexscraper_spark.operators.dedup import semantic_dedup
+
+    feats = video_features(media, every=every, dim=dim)
+    kept = semantic_dedup(feats, id_col="media_id",
+                          vec_col="embedding", nlist=nlist,
+                          threshold=threshold, seed=seed,
+                          max_cluster=max_cluster)
+    losers = feats.select("media_id").join(
+        kept.select("media_id"), "media_id", "left_anti")
+    return media.join(losers, "media_id", "left_anti")
