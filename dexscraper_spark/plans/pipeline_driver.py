@@ -37,6 +37,15 @@ module is its operable form (VERDICT r9 §next-1/2):
   shards, and the manifest (pytest pins it; the packed/ assignment is
   intentionally delta-local — chunk boundaries depend on global stream
   order, and re-packing the corpus nightly would defeat the delta).
+  The curation leg of that equivalence is unconditional; the SEMANTIC
+  leg inherits SemDeDup's standing co-blocking proviso, which for
+  N ≥ 2 folds bites slightly harder: each intermediate fold clusters
+  over its intermediate corpus, so a near-dup pair sitting ON a
+  k-means boundary can be co-blocked in one run and split in another
+  (geometrically tight duplicate groups are assignment-stable and
+  exact round after round — the pinned N=2 test uses exactly-repeated
+  vectors for that reason; treat boundary-straddling semantic pairs as
+  approximate-recall, same as the paper).
 
 Crash story of a delta run: every corpus/shard edit is idempotent on
 replay (partition merges recompute from unchanged inputs and

@@ -283,3 +283,57 @@ def test_full_resume_after_crash_and_flag_invalidation(
     res = capsys.readouterr()
     assert res.err.count("skipped (--resume)") == 1  # only `pre`
     assert res.err.count("STALE") >= 1
+
+
+def test_two_successive_deltas_equal_full_rebuild(spark, tmp_path,
+                                                  capsys):
+    """The N-delta form of the contract: bootstrap + TWO folds ≡ one
+    full rebuild — exercises state-version succession (pointer v1 →
+    v2), label maintenance across rounds, and sem_dropped bookkeeping
+    feeding the second fold.
+
+    Embedding geometry: each blob is EXACTLY one repeated vector. With
+    N ≥ 2 folds the intermediate fold clusters over an intermediate
+    corpus whose k-means centroids differ from the full rebuild's, so
+    jittered blobs could straddle a Voronoi boundary in one run but
+    not the other (SemDeDup's documented co-blocking caveat);
+    identical vectors are assignment-tied as a unit under ANY centroid
+    set, so every true pair co-blocks in every run and the exactness
+    contract applies round after round."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hi = docs.select(F.max("doc_id")).first()[0]
+    b0 = docs.filter(F.col("doc_id") <= hi // 3)
+    b1 = docs.filter((F.col("doc_id") > hi // 3)
+                     & (F.col("doc_id") <= 2 * hi // 3))
+    b2 = docs.filter(F.col("doc_id") > 2 * hi // 3)
+    paths = {}
+    for name, df in (("b0", b0), ("b1", b1), ("b2", b2),
+                     ("full", docs)):
+        paths[name] = str(tmp_path / name)
+        df.write.parquet(paths[name])
+    def axis_vec(i: int) -> list:
+        v = [0.0] * 8
+        v[i % 5] = 1.0
+        return v
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    emb = spark.createDataFrame(
+        [(i, axis_vec(i)) for i in ids if i % 3 == 0],
+        "doc_id long, embedding array<float>")
+    pe = str(tmp_path / "emb")
+    emb.write.parquet(pe)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "fullout")
+    assert run(["pipeline", "--docs", paths["b0"], "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    assert run(["pipeline", "--delta", "--docs", paths["b1"],
+                "--out", inc, "--embeddings", pe, *FLAGS],
+               spark=spark) == 0
+    assert run(["pipeline", "--delta", "--docs", paths["b2"],
+                "--out", inc, "--embeddings", pe, *FLAGS],
+               spark=spark) == 0
+    root = fsio.join(inc, "state_versions")
+    assert fsio.pointer_read(spark, root) == "v_000002"
+    assert run(["pipeline", "--docs", paths["full"], "--out", full,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    _compare_outputs(spark, inc, full)
