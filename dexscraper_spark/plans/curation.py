@@ -615,7 +615,8 @@ def merge_partitioned(spark, path: str, *, partition_cols: list,
                       remove_ids: DataFrame | None = None,
                       remove_col: str = "doc_id",
                       key_col: str | None = None,
-                      format: str = "parquet") -> list:
+                      format: str = "parquet",
+                      schema=None) -> list:
     """In-place incremental maintenance of a partitioned table: remove
     the rows matching ``remove_ids`` (on ``remove_col``), add the
     ``add`` rows (which must carry the partition columns), rewriting
@@ -641,10 +642,20 @@ def merge_partitioned(spark, path: str, *, partition_cols: list,
       current table, and converges.
 
     Returns the list of affected partition-value tuples (bounded:
-    partition keys are low-cardinality by design)."""
+    partition keys are low-cardinality by design).
+
+    ``schema``: pass the table's schema explicitly when the target may
+    hold ZERO data files (a partitioned write of an empty frame leaves
+    only ``_SUCCESS``) — schema inference over that throws instead of
+    returning the valid empty table, and an empty store is a normal
+    state for delta-maintained side tables (e.g. a sem_dropped store
+    after a bootstrap with no semantic losers)."""
     from dexscraper_spark import fsio
 
-    written = spark.read.format(format).load(path)
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    written = reader.load(path)
     pcols = [F.col(c) for c in partition_cols]
     aff = None
     if add is not None:
@@ -751,11 +762,6 @@ def update_training_shards(spark, path: str, *,
     has_tokens = "total_tokens" in manifest
     token_col = "n_tokens" if has_tokens else None
 
-    # capture the schema BEFORE the merge: an all-rows-retracted fold
-    # deletes every shard directory, and the recount's read below would
-    # then have nothing to infer a schema from
-    table_schema = spark.read.format(format).load(path).schema
-
     add_sharded = None
     if add is not None:
         if "shard" in add.columns:
@@ -765,10 +771,22 @@ def update_training_shards(spark, path: str, *,
         add_sharded = add.withColumn(
             "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
                             F.lit(n_shards)).cast("int"))
+    # capture the schema BEFORE the merge: an all-rows-retracted fold
+    # deletes every shard directory, and the recount's read below would
+    # then have nothing to infer a schema from. A table that is ALREADY
+    # empty (bootstrap with zero survivors, or a prior full retraction)
+    # can't be inferred either — fall back to the add frame's schema,
+    # and with nothing to add or remove against an empty table, no-op.
+    try:
+        table_schema = spark.read.format(format).load(path).schema
+    except Exception:
+        if add_sharded is None:
+            return manifest
+        table_schema = add_sharded.schema
     affected = merge_partitioned(
         spark, path, partition_cols=["shard"], add=add_sharded,
         remove_ids=remove_ids, remove_col=remove_col, key_col=id_col,
-        format=format)
+        format=format, schema=table_schema)
     if not affected:
         return manifest
 

@@ -627,13 +627,15 @@ def run_delta(spark, args) -> dict:
             .unionByName(curated_new.join(
                 dropped_new, "doc_id", "left_semi")), "delta_drop_adds")
         drop_removals = resurrected.unionByName(retracted).distinct()
-        if fsio.exists(spark, sem_dropped_path) and (
-                fsio.list_names(spark, sem_dropped_path)):
+        if fsio.exists(spark, sem_dropped_path):
+            # explicit schema: a bootstrap with ZERO semantic losers
+            # writes an empty partitioned table (only _SUCCESS), which
+            # schema inference rejects — a normal state, not an error
             merge_partitioned(
                 spark, sem_dropped_path,
                 partition_cols=["split", "lang"], add=drop_adds,
                 remove_ids=drop_removals, remove_col="doc_id",
-                key_col="doc_id")
+                key_col="doc_id", schema=curated_live.schema)
         else:
             drop_adds.write.mode("overwrite") \
                 .partitionBy("split", "lang").parquet(sem_dropped_path)
@@ -647,7 +649,8 @@ def run_delta(spark, args) -> dict:
     merge_partitioned(
         spark, curated_path, partition_cols=["split", "lang"],
         add=add_docs.select(*curated_live.columns),
-        remove_ids=removed_docs, remove_col="doc_id", key_col="doc_id")
+        remove_ids=removed_docs, remove_col="doc_id", key_col="doc_id",
+        schema=curated_live.schema)
 
     # ---- pieces + shard fold + delta-local pack ----------------------
     pieces = tracked_persist(_pieces_of(

@@ -337,3 +337,43 @@ def test_two_successive_deltas_equal_full_rebuild(spark, tmp_path,
     assert run(["pipeline", "--docs", paths["full"], "--out", full,
                 "--embeddings", pe, *FLAGS], spark=spark) == 0
     _compare_outputs(spark, inc, full)
+
+
+def test_delta_with_zero_semantic_drops_at_bootstrap(spark, tmp_path,
+                                                     capsys):
+    """Regression (caught at sf0.1): a bootstrap whose semantic stage
+    drops NOTHING writes an empty sem_dropped/ (only _SUCCESS), and
+    the delta's partition merge must read it with an explicit schema
+    instead of tripping UNABLE_TO_INFER_SCHEMA — an empty side store
+    is a normal state, not an error."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hi, lo = docs.select(F.max("doc_id"), F.min("doc_id")).first()
+    mid = (hi + lo) // 2
+    p0, p1 = str(tmp_path / "d0"), str(tmp_path / "d1")
+    docs.filter(F.col("doc_id") <= mid).write.parquet(p0)
+    docs.filter(F.col("doc_id") > mid).write.parquet(p1)
+    # unique random vectors: nothing exceeds the 0.95 threshold
+    rng = np.random.default_rng(3)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)])
+         for i in ids if i % 3 == 0],
+        "doc_id long, embedding array<float>")
+    pe = str(tmp_path / "emb")
+    emb.write.parquet(pe)
+
+    inc = str(tmp_path / "inc")
+    assert run(["pipeline", "--docs", p0, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    boot = _summary(capsys)
+    assert boot["semantic_dropped"] == 0
+    # the store exists but holds zero data files
+    assert not [n for n in fsio.list_names(spark,
+                                           fsio.join(inc, "sem_dropped"))
+                if not n.startswith(("_", "."))]
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    ds = _summary(capsys)
+    assert ds["curated_new"] > 0
