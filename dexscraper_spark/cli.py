@@ -804,8 +804,11 @@ def _run_ann(args, spark) -> int:
     only, rerun-idempotent, and self-repairing after a crash between
     the two table writes (see ivf_pq_extend_saved); --mode republish:
     recall-gated retrain on --vectors (the current corpus) + atomic
-    swap — exits 1 without touching the artifact when the gate refuses
-    (see ivf_pq_republish)."""
+    publish — exits 1 without touching the artifact when the gate
+    refuses (see ivf_pq_republish). --layout pointer selects the
+    reader-atomic version-pointer publish (no rename window; the right
+    choice on object stores); query/extend resolve the pointer
+    transparently."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1012,9 +1015,13 @@ def _run_pipeline(args, spark) -> int:
       7. write_training_shards (hash-sharded pieces + manifest)
 
     Outputs under --out: contaminated/ (audit), state/ (fingerprint
-    store for later `curate --delta` runs), curated/ (split/lang-
+    store), sem_state/ + sem_dropped/ (semantic-dedup state + dropped
+    docs — the delta fold's resurrection source), curated/ (split/lang-
     partitioned docs), packed/ (pack assignment), shards/ (+ manifest),
-    and _run_summary.json (the same JSON line the command prints).
+    _stages/ (resume markers + intermediate artifacts),
+    _run_summary.json (the same JSON line the command prints); delta
+    runs add state_versions/ (pointer-versioned state) and
+    _delta/<batch>/ (batch markers, audit, delta-local pack).
 
     ``--config`` is a JSON object of flag dests (e.g. {"min_quality":
     0.4, "train_shards": 64}); explicit command-line flags override it.
