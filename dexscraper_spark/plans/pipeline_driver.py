@@ -63,6 +63,7 @@ import hashlib
 import json
 import sys
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -457,11 +458,15 @@ def resolve_pipeline_state(spark, out: str) -> tuple:
 def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
     """Read a parquet dir that may hold zero data files (a partitioned
     write of an empty frame leaves only ``_SUCCESS``) with ``like``'s
-    schema, or an empty frame when absent entirely."""
+    schema, or an empty frame when absent entirely.
+
+    Only the empty-table/analysis error maps to "empty" — a genuinely
+    unreadable store (permissions, corrupt footer at listing time) must
+    fail the fold loudly, not silently drop its rows (ADVICE r10)."""
     if fsio.exists(spark, path):
         try:
             return spark.read.schema(like.schema).parquet(path)
-        except Exception:
+        except AnalysisException:
             pass
     return spark.createDataFrame([], like.schema)
 
@@ -499,15 +504,37 @@ def run_delta(spark, args) -> dict:
             f"--delta needs a bootstrapped --out ({out} lacks curated/ "
             "or shards/_manifest.json — run the full pipeline first)")
 
-    # batch identity: same slice + same knobs => same batch. The state
-    # pointer records which batch it folded, so a rerun after a crash
-    # that happened AFTER the state publish short-circuits to a no-op
-    # instead of tripping curate_delta's monotone-id check.
+    # batch identity: same slice CONTENT + same knobs => same batch.
+    # The state pointer records which batch it folded, so a rerun after
+    # a crash that happened AFTER the state publish short-circuits to a
+    # no-op instead of tripping curate_delta's monotone-id check.
+    #
+    # The PATH alone is not identity (VERDICT r10 "what's wrong" #2): a
+    # nightly job that overwrites a stable slice path (--docs
+    # /data/latest) must fold every night, not hit night 1's _PUBLISHED
+    # marker and silently rc=0-drop the new data. Fold a cheap content
+    # fingerprint — row count + an order-independent id-hash sum +
+    # max id, one column-pruned scan of the (delta-sized) slice — into
+    # the id. Id-granular is the right level: curate_delta's monotone-id
+    # precondition already rejects re-folding an existing doc_id, so two
+    # slices with identical id sets ARE the same batch to the fold.
+    docs = spark.read.parquet(args.docs)
+    _check_doc_id(docs)
+    fp = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: order/partition-independent like sum but
+        # cannot overflow under ANSI mode
+        F.expr("bit_xor(xxhash64(doc_id))").alias("idsum"),
+        F.max("doc_id").alias("max_id")).first()
     knobs = {k: getattr(args, k, None) for k in (
         "docs", "eval_docs", "quality_model", "quality_alpha",
         "min_quality", "min_tokens", "fingerprint_bits", "embeddings",
         "semantic_threshold", "semantic_nlist", "split_max_tokens",
         "stride", "max_tokens", "num_shards")}
+    knobs["slice_fingerprint"] = {
+        "n": int(fp["n"]),
+        "idsum": None if fp["idsum"] is None else int(fp["idsum"]),
+        "max_id": None if fp["max_id"] is None else int(fp["max_id"])}
     batch = hashlib.sha256(_canon(knobs).encode()).hexdigest()[:12]
     pub_marker = fsio.join(out, "_delta", batch, "_PUBLISHED")
     if fsio.exists(spark, pub_marker):
@@ -535,9 +562,7 @@ def run_delta(spark, args) -> dict:
             return summary
 
     summary = {"mode": "pipeline-delta", "batch": batch}
-    docs = spark.read.parquet(args.docs)
-    _check_doc_id(docs)
-    summary["input_docs"] = docs.count()
+    summary["input_docs"] = int(fp["n"])
 
     # ---- pre-processing (per-doc deterministic => identical to the
     # full rebuild's verdicts on the same docs) ----------------------

@@ -182,6 +182,59 @@ def test_delta_noop_rerun_and_validation(spark, tmp_path, capsys):
     assert "sem_state" in capsys.readouterr().err
 
 
+def test_delta_same_path_new_content_folds(spark, tmp_path, capsys):
+    """VERDICT r10 §wrong-2: batch identity is CONTENT-based, so a
+    nightly job overwriting a stable slice path (--docs /data/latest)
+    folds night 2's docs instead of hitting night 1's _PUBLISHED marker
+    and silently no-opping; an identical rerun still no-ops."""
+    p0, p1, pf, pe = _prep(spark, tmp_path)
+    inc = str(tmp_path / "inc")
+    nightly = str(tmp_path / "nightly")
+    assert run(["pipeline", "--docs", p0, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+
+    # night 1: fold d1 via the stable path
+    spark.read.parquet(p1).write.mode("overwrite").parquet(nightly)
+    assert run(["pipeline", "--delta", "--docs", nightly, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    s1 = _summary(capsys)
+    root = fsio.join(inc, "state_versions")
+    v1 = fsio.pointer_read(spark, root)
+
+    # night 2: same path, NEW content (fresh monotone ids)
+    d2 = spark.createDataFrame(
+        [(200001, "a fresh nightly sentence about the glaciers and "
+                  "the sea"),
+         (200002, "this is another new sentence that talks about the "
+                  "volcanoes in the north")],
+        "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"), F.length("text").alias("n_chars"))
+    d2.write.mode("overwrite").parquet(nightly)
+    assert run(["pipeline", "--delta", "--docs", nightly, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    out = capsys.readouterr()
+    s2 = json.loads(out.out.strip().splitlines()[-1])
+    assert "already folded" not in out.err
+    assert s2["batch"] != s1["batch"]
+    assert s2["input_docs"] == 2
+    assert fsio.pointer_read(spark, root) != v1
+    corpus_ids = {r["doc_id"]
+                  for r in spark.read.parquet(f"{inc}/curated")
+                  .select("doc_id").collect()}
+    assert {200001, 200002} <= corpus_ids
+
+    # night 2 rerun, content unchanged: still a no-op
+    v2 = fsio.pointer_read(spark, root)
+    assert run(["pipeline", "--delta", "--docs", nightly, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    out = capsys.readouterr()
+    assert json.loads(out.out.strip().splitlines()[-1]) == s2
+    assert "already folded" in out.err
+    assert fsio.pointer_read(spark, root) == v2
+
+
 @pytest.mark.parametrize("after_shards", [False, True])
 def test_delta_crash_replay_converges(spark, tmp_path, capsys,
                                       monkeypatch, after_shards):
