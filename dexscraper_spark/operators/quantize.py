@@ -592,6 +592,101 @@ def _extend_saved_locked(spark, path: str, new_vectors: DataFrame, *,
     return {"appended": n_assigned, "indexed": total}
 
 
+def ivf_pq_tombstone(spark, path: str, ids: DataFrame, *,
+                     id_col: str = "vec_id") -> dict:
+    """Mark ids DELETED in a saved ivf_pq artifact without touching its
+    codes (VERDICT r10 §missing-3): the nightly delta fold appends new
+    vectors cheaply (:func:`ivf_pq_extend_saved`) but retracted/demoted
+    docs' codes stay in the list files until the next recall-gated
+    republish — until then, queries must not serve them. The tombstone
+    set is that bridge: a tiny ``(id_col)`` parquet under the LIVE
+    artifact directory, folded into every saved-artifact query's
+    ``exclude_ids`` by :func:`ivf_pq_query_saved`. A republish clears
+    it by construction — the rebuild writes a fresh version (or swap)
+    directory with no tombstone table, and the rebuilt index is
+    corpus-only so the deleted codes are gone too.
+
+    Append-idempotent (already-tombstoned ids are not re-written) and
+    serialized under the artifact's maintenance lease — a republish
+    swapping the directory mid-write would otherwise lose the marks.
+    A tombstone outranks a later same-id extend until the republish:
+    the extend's anti-join sees the id's code and skips it, and the
+    query keeps excluding it (doc ids are monotone in the pipeline, so
+    this only arises from manual misuse)."""
+    return _with_maintenance_lease(
+        spark, path, "ivf_pq_tombstone",
+        lambda: _tombstone_locked(spark, path, ids, id_col=id_col))
+
+
+def _tombstone_locked(spark, path: str, ids: DataFrame, *,
+                      id_col: str) -> dict:
+    from dexscraper_spark import fsio
+
+    path = fsio.pointer_resolve(spark, path)
+    dst = fsio.join(path, "tombstones")
+    new = ids.select(id_col).distinct()
+    if fsio.exists(spark, dst):
+        new = new.join(spark.read.parquet(dst), id_col, "left_anti")
+    # persist + count BEFORE the append: the anti-join reads dst, and
+    # the write must consume the materialized cache, not re-scan the
+    # directory it is appending into
+    new = new.persist()
+    try:
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(dst)
+    finally:
+        new.unpersist()
+    total = spark.read.parquet(dst).count() \
+        if fsio.exists(spark, dst) else 0
+    return {"tombstoned": n, "total": total}
+
+
+def ivf_pq_tombstones(spark, path: str, *,
+                      id_col: str = "vec_id") -> DataFrame | None:
+    """The artifact's live tombstone set as an ``(id_col)`` frame, or
+    ``None`` when it has none. Resolves a version pointer first; pass
+    an already-resolved directory to pin one version."""
+    from dexscraper_spark import fsio
+
+    path = fsio.pointer_resolve(spark, path)
+    dst = fsio.join(path, "tombstones")
+    if not fsio.exists(spark, dst):
+        return None
+    return spark.read.parquet(dst).select(id_col)
+
+
+def ivf_pq_query_saved(spark, path: str, queries: DataFrame, *,
+                       corpus: DataFrame | None = None,
+                       k: int = 10, nprobe: int = 4, expand: int = 4,
+                       round_to: int | None = 6,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       exclude_ids: DataFrame | None = None
+                       ) -> DataFrame:
+    """One-stop search against a SAVED artifact: resolve the pointer
+    ONCE (so index, codes and tombstones all come from the same
+    version even if a republish flips mid-call), fold the tombstone
+    set into ``exclude_ids``, and run :func:`ivf_pq_topk`. ``corpus``
+    (for the exact rerank) defaults to the artifact's own assigned
+    vectors."""
+    from dexscraper_spark import fsio
+
+    resolved = fsio.pointer_resolve(spark, path)
+    index, books, codes = ivf_pq_load(spark, resolved, id_col=id_col,
+                                      vec_col=vec_col)
+    tomb = ivf_pq_tombstones(spark, resolved, id_col=id_col)
+    excl = exclude_ids
+    if tomb is not None:
+        excl = tomb if excl is None else \
+            excl.select(id_col).unionByName(tomb).distinct()
+    if corpus is None:
+        corpus = index.assigned
+    return ivf_pq_topk(corpus, index, codes, queries, books, k=k,
+                       nprobe=nprobe, expand=expand, round_to=round_to,
+                       exclude_ids=excl)
+
+
 def ivf_pq_recover(spark, path: str, *,
                    clear_lease: bool = True) -> str:
     """Finish or undo a :func:`ivf_pq_republish` swap interrupted by a
