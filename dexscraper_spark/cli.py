@@ -303,6 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "matches the current flags (crash recovery; "
                          "a changed flag invalidates that stage and "
                          "everything downstream, loudly)")
+    pl.add_argument("--state-buckets", type=int, default=None,
+                    help="pipeline --delta: hash-bucket count for the "
+                         "layered fingerprint store (default 64; only "
+                         "read on the FIRST delta fold — afterwards "
+                         "the store's recorded layout wins)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -814,8 +819,8 @@ def _run_ann(args, spark) -> int:
     from pyspark.sql import functions as F
 
     from dexscraper_spark.operators.quantize import (
-        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_load, ivf_pq_republish,
-        ivf_pq_save, ivf_pq_topk, pq_train)
+        ivf_pq_encode, ivf_pq_extend_saved, ivf_pq_query_saved,
+        ivf_pq_republish, ivf_pq_save, pq_train)
     from dexscraper_spark.operators.similarity import ivf_build
 
     mode = args.mode or "build"
@@ -875,11 +880,14 @@ def _run_ann(args, spark) -> int:
             # orchestrator, not a silent success
             return 0 if res["published"] else 1
         else:
-            index, books, codes = ivf_pq_load(spark, args.index)
             queries = (spark.read.parquet(args.queries)
                        .select("vec_id", "embedding"))
-            out = ivf_pq_topk(index.assigned, index, codes, queries,
-                              books, k=args.k, nprobe=args.nprobe)
+            # query_saved folds the artifact's tombstone set (delta-
+            # retracted/demoted ids awaiting the next republish) into
+            # exclude_ids — a nightly-folded index must not serve
+            # deleted documents' neighbors
+            out = ivf_pq_query_saved(spark, args.index, queries,
+                                     k=args.k, nprobe=args.nprobe)
             lines = [_json.dumps({"query_id": r.query_id,
                                   "neighbor_id": r.neighbor_id,
                                   "cosine": r.cosine, "rank": r.rank})
@@ -1035,11 +1043,23 @@ def _run_pipeline(args, spark) -> int:
     * ``--delta`` — the NIGHTLY twin: fold a new docs slice into a
       bootstrapped --out at delta cost (curate_delta + semantic fold +
       partition-level corpus/shard merges + delta-local pack +
-      optional ``--index`` ANN extend), publishing both state stores
-      behind one reader-atomic version pointer, LAST. Bootstrap + N
-      deltas ≡ the full rebuild row-for-row on corpus, state, shards,
-      manifest (pytest-pinned); crashed delta runs replay to the same
-      result, and an already-folded batch no-ops.
+      optional ``--index`` ANN extend + tombstone of retracted/demoted
+      ids so the folded index never serves deleted docs), publishing
+      both state stores behind one reader-atomic version pointer,
+      LAST. Bootstrap + N deltas ≡ the full rebuild row-for-row on
+      corpus, state, shards, manifest (pytest-pinned); crashed delta
+      runs replay to the same result, and an already-folded batch
+      no-ops. Batch identity is CONTENT-based (slice fingerprint +
+      knobs), so overwriting a stable --docs path with new data folds
+      it; knobs are validated against the bootstrap's _knobs.json
+      record and a mismatch is refused naming both values.
+    * Bucketed layered state (round 11): the fingerprint store is
+      hash-bucketed (``--state-buckets``, default 64); each fold
+      rewrites only its touched buckets into the new version dir, the
+      pointer meta maps every bucket to its owning version, and the
+      manifest compacts once it spans more than 6 versions — a small
+      nightly fold writes k≪B bucket partitions instead of the whole
+      corpus-sized store.
     """
     import json as _json
 

@@ -292,14 +292,31 @@ def pointer_read(spark, root: str) -> str | None:
     can get a transient checksum/IO error (never a torn accept — the
     content itself is replace-atomic). A handful of millisecond
     retries absorbs it; on HDFS/object stores the read is a single GET
-    and the loop exits first try."""
+    and the loop exits first try.
+
+    An ABSENT pointer is also retried (briefly) when version
+    directories exist under the root: on schemes where
+    write_text_atomic falls back to delete+rename the flip has a
+    missing-file window, and returning None there would silently
+    resolve the root as a legacy FLAT layout mid-flip (ADVICE r10).
+    PERSISTENT absence with version dirs still returns None — that is
+    the legitimate crashed-before-first-flip state (an orphan version
+    dir whose publish never happened; the flat stores remain live
+    until a publish completes)."""
     import json as _json
     import time as _time
 
     p = join(root, "_current")
     last_err: Exception | None = None
+    absent_budget = 6
     for attempt in range(20):
         if not exists(spark, p):
+            if absent_budget and any(
+                    n.startswith(_VERSION_PREFIX)
+                    for n in list_names(spark, root)):
+                absent_budget -= 1
+                _time.sleep(0.01 * (attempt + 1))
+                continue
             return None
         try:
             doc = _json.loads(read_text(spark, p))
@@ -339,13 +356,25 @@ def pointer_next_version(spark, root: str) -> str:
 
 
 def pointer_publish(spark, root: str, version: str, *,
-                    meta: dict | None = None, keep: int = 2) -> None:
+                    meta: dict | None = None, keep: int = 2,
+                    retain: "set[str] | frozenset" = frozenset()) -> None:
     """Flip ``root/_current`` to ``version`` (which must already be a
     fully-written directory under ``root``) and GC everything that is
     neither the new current nor one of its ``keep-1`` predecessors —
     old versions AND crashed-publish orphans. The flip is one atomic
     tiny-file write; a reader that resolved the OLD pointer a moment
-    earlier keeps reading a directory GC retains (keep >= 2)."""
+    earlier keeps reading a directory GC retains (keep >= 2).
+
+    ``retain`` names version directories that must NEVER be swept
+    regardless of ``keep`` — the hook for layered layouts where the
+    current version's manifest still references files in older
+    versions (the bucketed state store).
+
+    GC never touches versions numbered ABOVE the new current: such a
+    directory belongs to a concurrent publisher that has fully written
+    but not yet flipped (ADVICE r10) — deleting it would destroy a
+    publish in flight; it becomes subject to GC once ITS flip makes a
+    later publish see it below current."""
     import json as _json
 
     if keep < 2:
@@ -377,11 +406,21 @@ def pointer_publish(spark, root: str, version: str, *,
     live = {cur_n}
     if prev is not None:
         live.add(int(prev[len(_VERSION_PREFIX):]))
+    for name in retain:
+        if name.startswith(_VERSION_PREFIX):
+            try:
+                live.add(int(name[len(_VERSION_PREFIX):]))
+            except ValueError:
+                continue
     rest = sorted(v for v in versions if v not in live and v <= cur_n)
-    live.update(rest[len(rest) - (keep - len(live)):]
-                if keep > len(live) else [])
+    if keep > len(live):
+        # negative-slice form: clamps at the list head when fewer
+        # predecessors exist than keep asks for (the r10 under-keep:
+        # len(rest)-(keep-len(live)) went negative and dropped the
+        # oldest instead of keeping everything)
+        live.update(rest[-(keep - len(live)):])
     for v in versions:
-        if v not in live:
+        if v not in live and v < cur_n:
             delete(spark, join(root, f"{_VERSION_PREFIX}{v:06d}"))
 
 

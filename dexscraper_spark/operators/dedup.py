@@ -859,7 +859,7 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", nlist: int = 16,
                          threshold: float = 0.95, seed: int = 42,
-                         round_to: int = 6,
+                         round_to: int = 6, assign_n: int = 1,
                          check_ids: bool = True) -> SemDeltaResult:
     """Incrementally fold a batch of NEW vectors into a stored semantic-
     dedup state (:func:`semantic_dedup_with_state`) — cost scales with
@@ -903,10 +903,22 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
       rebuild's winner because ids are monotone: a new vector can
       never displace an old winner, only bridge old groups (demotion)
       or lose (drop).
+
+    ``assign_n`` (r11, unlocking ``pipeline --delta`` for assign_n=2
+    bootstraps): every (universe ∪ delta) vector is coarse-assigned to
+    its n nearest lists — the same cross-cluster-recall knob as
+    :func:`semantic_dedup_with_state` — and the probe kernel runs per
+    list, ~assign_n²× the probe flops. The co-blocking proviso
+    weakens the same way it does in the rebuild: a boundary pair is
+    caught if ANY of the n lists is shared.
     """
     from dexscraper_spark.operators.similarity import (
-        exact_cosine_pairs_blocked, ivf_build_deterministic)
+        _ivf_assign, exact_cosine_pairs_blocked,
+        ivf_build_deterministic)
     from dexscraper_spark.persist import materialize_artifact
+
+    if assign_n < 1:
+        raise ValueError(f"assign_n must be >= 1, got {assign_n}")
 
     if check_ids:
         lo_new = new_emb.agg(F.min(F.col(id_col))).first()[0]
@@ -952,10 +964,22 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
     allv = universe.select(F.col(id_col), F.col(vec_col)).unionByName(
         new_emb.select(F.col(id_col), F.col(vec_col)))
     new_ids = new_emb.select(F.col(id_col))
+    # cache only when the index's own top-1 assignment is what we block
+    # on (same rationale as semantic_dedup_with_state)
     index = ivf_build_deterministic(allv, id_col=id_col, vec_col=vec_col,
-                                    nlist=nlist, seed=seed, cache=True)
+                                    nlist=nlist, seed=seed,
+                                    cache=(assign_n == 1))
     try:
-        blocked = (index.assigned
+        if assign_n == 1:
+            assigned = index.assigned
+            verify = None
+        else:
+            # one row per (vector, list) for the n nearest lists; the
+            # exact verify needs the unique-id frame (a duplicate-id
+            # phase-2 join would multiply candidate rows)
+            assigned = _ivf_assign(index, allv, n=assign_n)
+            verify = allv
+        blocked = (assigned
                    .join(new_ids.withColumn("__probe", F.lit(True)),
                          id_col, "left")
                    .withColumn("__probe",
@@ -964,7 +988,8 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
                    .select(id_col, vec_col, "__list", "__probe"))
         new_pairs = exact_cosine_pairs_blocked(
             blocked, id_col=id_col, vec_col=vec_col, block_col="__list",
-            threshold=threshold, round_to=round_to, probe_col="__probe")
+            threshold=threshold, round_to=round_to, probe_col="__probe",
+            verify_against=verify)
 
         # 3) contract old endpoints to their stored labels — EXCEPT
         # members of affected groups, whose labels are stale (their

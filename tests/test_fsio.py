@@ -337,6 +337,55 @@ def test_pointer_primitives_and_gc(spark, mockfs):
                              meta={"version": "x"})
 
 
+def test_pointer_gc_retain_and_concurrent_publisher(spark, mockfs):
+    """ADVICE r10 GC hardening: (a) versions ABOVE the new current are
+    a concurrent publisher's fully-written, not-yet-flipped work — GC
+    must not sweep them; (b) ``retain`` pins manifest-referenced
+    versions regardless of keep; (c) keep > available predecessors
+    keeps everything instead of under-keeping (the negative-slice
+    bug)."""
+    root = mockfs("ptr2")
+
+    def mkv(n):
+        fsio.mkdirs(spark, fsio.join(root, f"v_{n:06d}"))
+        fsio.write_text_atomic(
+            spark, fsio.join(root, f"v_{n:06d}", "d"), str(n))
+
+    for n in (1, 2, 3):
+        mkv(n)
+        fsio.pointer_publish(spark, root, f"v_{n:06d}")
+    # (c) keep=4 with only {3 cur, 2 prev, 1 orphan-predecessor}: the
+    # old slice arithmetic kept only v2 — everything must survive
+    mkv(4)
+    fsio.pointer_publish(spark, root, "v_000004", keep=4)
+    names = set(fsio.list_names(spark, root))
+    assert {"v_000002", "v_000003", "v_000004"} <= names
+    # (a) a concurrent publisher's version above current is untouched
+    mkv(6)
+    mkv(5)
+    fsio.pointer_publish(spark, root, "v_000005", keep=2)
+    names = set(fsio.list_names(spark, root))
+    assert "v_000006" in names          # not swept: above current
+    assert "v_000002" not in names      # below + beyond keep: swept
+    # (b) retain pins an old version a manifest still references
+    mkv(7)
+    fsio.pointer_publish(spark, root, "v_000007", keep=2,
+                         retain={"v_000004"})
+    names = set(fsio.list_names(spark, root))
+    assert "v_000004" in names
+    mkv(8)
+    fsio.pointer_publish(spark, root, "v_000008", keep=2)
+    assert "v_000004" not in set(fsio.list_names(spark, root))
+
+    # absent-pointer semantics: version dirs with NO pointer (crashed
+    # before the first flip) still resolve as legacy after the brief
+    # retry — the flat stores remain live until a publish completes
+    root2 = mockfs("ptr3")
+    fsio.mkdirs(spark, fsio.join(root2, "v_000001"))
+    assert fsio.pointer_read(spark, root2) is None
+    assert fsio.pointer_resolve(spark, root2) == root2
+
+
 def test_pointer_reader_never_sees_window_100_flips(spark, mockfs):
     """The reader-atomicity guarantee (VERDICT r9 §next-3 'done'):
     across 100 publishes on the Hadoop-branch scheme, a concurrent

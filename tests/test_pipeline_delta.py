@@ -87,7 +87,7 @@ def _summary(capsys) -> dict:
 def _compare_outputs(spark, inc_out: str, full_out: str):
     """Everything the contract covers, row-for-row."""
     from dexscraper_spark.plans.pipeline_driver import (
-        resolve_pipeline_state)
+        read_pipeline_state)
 
     _frames_equal(spark.read.parquet(f"{inc_out}/curated"),
                   spark.read.parquet(f"{full_out}/curated"),
@@ -100,26 +100,29 @@ def _compare_outputs(spark, inc_out: str, full_out: str):
     man_f = json.loads(fsio.read_text(
         spark, fsio.join(full_out, "shards", "_manifest.json")))
     assert man_i == man_f
-    cur_i, sem_i = resolve_pipeline_state(spark, inc_out)
-    cur_f, sem_f = resolve_pipeline_state(spark, full_out)
-    _frames_equal(spark.read.parquet(cur_i),
-                  spark.read.parquet(cur_f),
+    cur_i, sem_i = read_pipeline_state(spark, inc_out)
+    cur_f, sem_f = read_pipeline_state(spark, full_out)
+    _frames_equal(cur_i, cur_f,
                   ["doc_id", "exact_h", "simhash", "component"])
     if sem_f is not None:
-        _frames_equal(spark.read.parquet(sem_i),
-                      spark.read.parquet(sem_f),
-                      ["doc_id", "component"])
+        _frames_equal(sem_i, sem_f, ["doc_id", "component"])
 
 
-def test_delta_equals_full_rebuild(spark, tmp_path, capsys):
+@pytest.mark.parametrize("assign_n", ["1", "2"])
+def test_delta_equals_full_rebuild(spark, tmp_path, capsys, assign_n):
+    """assign_n=2 (VERDICT r10 §next-6): the delta fold supports
+    multi-assignment probing, so an assign_n=2 bootstrap has a nightly
+    path too — same equivalence contract (the blob geometry co-blocks
+    identically at either n)."""
     p0, p1, pf, pe = _prep(spark, tmp_path)
     inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    flags = [*FLAGS, "--assign-n", assign_n]
 
     assert run(["pipeline", "--docs", p0, "--out", inc,
-                "--embeddings", pe, *FLAGS], spark=spark) == 0
+                "--embeddings", pe, *flags], spark=spark) == 0
     boot = _summary(capsys)
     assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
-                "--embeddings", pe, *FLAGS], spark=spark) == 0
+                "--embeddings", pe, *flags], spark=spark) == 0
     ds = _summary(capsys)
     assert ds["mode"] == "pipeline-delta"
     assert ds["curated_new"] > 0
@@ -132,7 +135,7 @@ def test_delta_equals_full_rebuild(spark, tmp_path, capsys):
     assert 100007 in new_ids
 
     assert run(["pipeline", "--docs", pf, "--out", full,
-                "--embeddings", pe, *FLAGS], spark=spark) == 0
+                "--embeddings", pe, *flags], spark=spark) == 0
     fs = _summary(capsys)
     _compare_outputs(spark, inc, full)
     # manifest totals line up with the full run's own summary
@@ -172,14 +175,162 @@ def test_delta_noop_rerun_and_validation(spark, tmp_path, capsys):
                 "--out", str(tmp_path / "nothing"), *FLAGS],
                spark=spark) == 2
     assert "bootstrapped" in capsys.readouterr().err
-    # validation: embeddings fold needs the bootstrap's sem_state
+    # validation: a semantic fold against a non-semantic bootstrap is
+    # refused (the knob record catches it before the sem_state probe)
     noemb = str(tmp_path / "noemb")
     assert run(["pipeline", "--docs", p0, "--out", noemb, *FLAGS],
                spark=spark) == 0
     capsys.readouterr()
     assert run(["pipeline", "--delta", "--docs", p1, "--out", noemb,
                 "--embeddings", pe, *FLAGS], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "semantic" in err and "mismatch" in err
+    # the sem_state probe still guards LEGACY bootstraps with no record
+    fsio.delete(spark, fsio.join(noemb, "_knobs.json"))
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", noemb,
+                "--embeddings", pe, *FLAGS], spark=spark) == 2
     assert "sem_state" in capsys.readouterr().err
+
+
+def test_delta_retraction_tombstones_index(spark, tmp_path, capsys):
+    """VERDICT r10 §missing-3 end-to-end: a delta doc bridges two old
+    near-dup clusters → the higher-id old survivor is RETRACTED → the
+    --index fold tombstones it → a query against the nightly-folded
+    index never returns it; a republish clears the tombstone table.
+
+    Texts found by brute-force search over the real simhash: A–Z and
+    Z–B are hamming ≤3 (near), A–B is 6 (not near), so the bootstrap
+    publishes A and B separately and the delta's Z merges them."""
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_query_saved, ivf_pq_republish, ivf_pq_tombstones)
+
+    A = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river lake today")
+    B = ("the quick golden fox hops over the lazy sleepy near the "
+         "old river stream today")
+    Z = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river stream today")
+    filler = [
+        (30, "we walked to the market in the morning and bought some "
+             "fresh bread for the family"),
+        (31, "she plays the violin in a small orchestra that rehearses "
+             "every tuesday evening downtown"),
+        (32, "the committee approved the budget after a long debate "
+             "about the cost of the new library"),
+        (33, "my grandfather tells wonderful stories about his years "
+             "as a sailor on the northern seas"),
+        (34, "rain fell steadily on the roof while we watched an old "
+             "film and drank hot chocolate inside"),
+        (35, "the scientists measured the temperature of the lake "
+             "every hour during the whole experiment"),
+    ]
+    rows = [(10, A), (20, B)] + filler
+
+    def _docs(pairs):
+        return spark.createDataFrame(
+            pairs, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("syn").alias("source"),
+            F.length("text").alias("n_chars"))
+
+    pboot, pz = str(tmp_path / "boot"), str(tmp_path / "z")
+    _docs(rows).write.parquet(pboot)
+    _docs([(100, Z)]).write.parquet(pz)
+    # one-hot 16-dim embeddings: pairwise cosine 0 → the semantic
+    # stage is a no-op; the ANN index just needs real vectors
+    ids = [r[0] for r in rows]
+    emb = spark.createDataFrame(
+        [(i, [1.0 if d == j else 0.0 for d in range(16)])
+         for j, i in enumerate(ids)],
+        "vec_id long, embedding array<float>")
+    pe = str(tmp_path / "emb")
+    emb.write.parquet(pe)
+
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    boot = _summary(capsys)
+    assert boot["curated"] == len(rows)   # A and B both published
+
+    # index the bootstrap corpus' embeddings
+    idx = str(tmp_path / "index")
+    assert ivf_pq_republish(spark, emb, idx, nlist=2, m=4, ksub=8,
+                            seed=3, k=2, n_queries=4, nprobe=2,
+                            expand=8)["published"]
+    q = spark.createDataFrame(
+        [(999, [1.0 if d == 1 else 0.0 for d in range(16)])],
+        "vec_id long, embedding array<float>")  # axis of doc 20
+    pre = {r["neighbor_id"] for r in ivf_pq_query_saved(
+        spark, idx, q, corpus=emb, k=3, nprobe=2, expand=8).collect()}
+    assert 20 in pre
+
+    assert run(["pipeline", "--delta", "--docs", pz, "--out", out,
+                "--embeddings", pe, "--index", idx, *FLAGS],
+               spark=spark) == 0
+    s = _summary(capsys)
+    assert s["retracted"] == 1 and s["curated_new"] == 0
+    assert s["ann_tombstoned"] == 1
+    assert {r["vec_id"] for r in
+            ivf_pq_tombstones(spark, idx).collect()} == {20}
+    post = {r["neighbor_id"] for r in ivf_pq_query_saved(
+        spark, idx, q, corpus=emb, k=3, nprobe=2, expand=8).collect()}
+    assert 20 not in post and len(post) == 3
+    # the retraction reached the corpus too
+    corpus_ids = {r["doc_id"]
+                  for r in spark.read.parquet(f"{out}/curated")
+                  .select("doc_id").collect()}
+    assert 20 not in corpus_ids and 10 in corpus_ids
+
+    # periodic republish on the post-delta corpus clears the tombstone
+    emb_live = emb.filter("vec_id != 20")
+    assert ivf_pq_republish(spark, emb_live, idx, nlist=2, m=4,
+                            ksub=8, seed=3, k=2, n_queries=4,
+                            nprobe=2, expand=8)["published"]
+    assert ivf_pq_tombstones(spark, idx) is None
+    fresh = {r["neighbor_id"] for r in ivf_pq_query_saved(
+        spark, idx, q, corpus=emb_live, k=3, nprobe=2,
+        expand=8).collect()}
+    assert 20 not in fresh
+
+
+def test_delta_knob_mismatch_rejected(spark, tmp_path, capsys):
+    """VERDICT r10 §missing-2: the bootstrap records its delta-relevant
+    knobs; a --delta run with a differing value is refused loudly with
+    both values named (the state stores hold fingerprints computed
+    under the bootstrap's knobs), and a semantic bootstrap refuses a
+    non-semantic fold. A pre-record legacy bootstrap only warns."""
+    p0, p1, pf, pe = _prep(spark, tmp_path)
+    inc = str(tmp_path / "inc")
+    assert run(["pipeline", "--docs", p0, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+
+    flags2 = list(FLAGS)
+    flags2[flags2.index("--semantic-threshold") + 1] = "0.9"
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *flags2], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "semantic_threshold" in err
+    assert "0.95" in err and "0.9" in err
+
+    # semantic bootstrap, fold without --embeddings: would bypass the
+    # semantic stage entirely — refused
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                *FLAGS], spark=spark) == 2
+    assert "semantic" in capsys.readouterr().err
+
+    # matched knobs: the fold proceeds
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    s1 = _summary(capsys)
+    assert s1["curated_new"] > 0
+
+    # legacy bootstrap (no _knobs.json): warn, trust the caller
+    fsio.delete(spark, fsio.join(inc, "_knobs.json"))
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", inc,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    err = capsys.readouterr().err
+    assert "cannot verify" in err and "already folded" in err
 
 
 def test_delta_same_path_new_content_folds(spark, tmp_path, capsys):
@@ -390,6 +541,109 @@ def test_two_successive_deltas_equal_full_rebuild(spark, tmp_path,
     assert run(["pipeline", "--docs", paths["full"], "--out", full,
                 "--embeddings", pe, *FLAGS], spark=spark) == 0
     _compare_outputs(spark, inc, full)
+
+
+def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
+    """VERDICT r10 §missing-4: the fingerprint store is hash-bucketed;
+    after the first fold buckets it, each small fold rewrites only the
+    k≪B buckets its docs hash into (state_buckets_written pins it),
+    untouched buckets stay owned by older version dirs (the manifest
+    spans versions, owner dirs survive GC), a fold whose manifest
+    would span >_STATE_MAX_VERSIONS compacts to one version — and the
+    assembled store still equals a full rebuild's row-for-row."""
+    from dexscraper_spark.plans.pipeline_driver import (
+        _STATE_MAX_VERSIONS, read_pipeline_state)
+
+    boot_rows = [
+        (1, "we walked to the market in the morning and bought some "
+            "fresh bread for the family"),
+        (2, "she plays the violin in a small orchestra that rehearses "
+            "every tuesday evening downtown"),
+        (3, "the committee approved the budget after a long debate "
+            "about the cost of the new library"),
+        (4, "my grandfather tells wonderful stories about his years "
+            "as a sailor on the northern seas"),
+        (5, "rain fell steadily on the roof while we watched an old "
+            "film and drank hot chocolate inside"),
+        (6, "the scientists measured the temperature of the lake "
+            "every hour during the whole experiment"),
+    ]
+    # fold ids picked so pmod(xxhash64(id), 8) are pairwise DISTINCT
+    # (0,3,2,5,6,4,7): each single-doc fold supersedes a different
+    # bucket, so the owner manifest grows one version per fold until
+    # the compaction bound trips at fold 7
+    fold_rows = [
+        (100, "a gentle breeze carried the smell of pine across the "
+              "valley as the hikers reached the summit"),
+        (101, "the baker opened his shop before dawn so that the "
+              "first customers could smell the warm loaves"),
+        (102, "children gathered around the fountain in the square "
+              "to watch the puppets dance on their strings"),
+        (103, "an old map in the attic showed a road that no longer "
+              "appears in any of the modern atlases"),
+        (105, "the orchestra tuned their instruments while the "
+              "audience found their seats under the chandeliers"),
+        (107, "a lighthouse keeper wrote in his journal every night "
+              "about the ships that passed in the dark"),
+        (111, "the gardener planted rows of tulips along the path "
+              "that leads from the gate to the greenhouse"),
+    ]
+
+    def _docs(pairs):
+        return spark.createDataFrame(
+            pairs, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("syn").alias("source"),
+            F.length("text").alias("n_chars"))
+
+    flags = [f for f in FLAGS]  # no --embeddings: curation-only store
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    pboot = str(tmp_path / "boot")
+    _docs(boot_rows).write.parquet(pboot)
+    assert run(["pipeline", "--docs", pboot, "--out", inc, *flags],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    B = 8
+    root = fsio.join(inc, "state_versions")
+    written = []
+    for i, row in enumerate(fold_rows):
+        p = str(tmp_path / f"fold{i}")
+        _docs([row]).write.parquet(p)
+        assert run(["pipeline", "--delta", "--docs", p, "--out", inc,
+                    "--state-buckets", str(B), *flags],
+                   spark=spark) == 0
+        s = _summary(capsys)
+        written.append(s["state_buckets_written"])
+        meta = json.loads(fsio.read_text(
+            spark, fsio.join(root, "_current")))
+        layout = meta["state_layout"]
+        assert layout["buckets"] == B
+        owner_vers = set(layout["bucket_owners"].values())
+        assert len(owner_vers) <= _STATE_MAX_VERSIONS
+        # every owner version directory survives GC
+        for v in owner_vers:
+            assert fsio.exists(spark, fsio.join(root, v, "curation"))
+
+    # fold 1 bucketed the whole store; later folds are bucket-scoped
+    # (one new doc touches exactly its own bucket, no relabels here);
+    # the fold whose manifest would span >max versions compacted
+    assert written[0] == B
+    assert all(w <= 2 for w in written[1:] if w != B)
+    assert any(w < B for w in written[1:])   # scoped folds happened
+    assert written[-1] == B                  # the compaction fold
+    meta = json.loads(fsio.read_text(spark, fsio.join(root, "_current")))
+    assert len(set(meta["state_layout"]["bucket_owners"].values())) == 1
+
+    # the assembled layered store ≡ one full rebuild, row-for-row
+    pfull = str(tmp_path / "all")
+    _docs(boot_rows + fold_rows).write.parquet(pfull)
+    assert run(["pipeline", "--docs", pfull, "--out", full, *flags],
+               spark=spark) == 0
+    _compare_outputs(spark, inc, full)
+    cur, sem = read_pipeline_state(spark, inc)
+    assert sem is None
+    assert cur.count() == len(boot_rows) + len(fold_rows)
 
 
 def test_delta_with_zero_semantic_drops_at_bootstrap(spark, tmp_path,

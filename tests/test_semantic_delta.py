@@ -224,3 +224,58 @@ def test_two_deltas_compose(spark):
             sorted(map(tuple, state_full.collect()))
     finally:
         release_tracked()
+
+
+def test_delta_assign_n2_boundary_pair_and_rebuild_equivalence(spark):
+    """VERDICT r10 §next-6 (assign_n=2 delta support): the pinned
+    boundary-pair corpus — a near-dup pair straddling a k-means
+    boundary, MISSED at assign_n=1 and CAUGHT at assign_n=2
+    (test_lake_and_pairs pins the rebuild) — keeps that behavior when
+    the second endpoint arrives via a DELTA fold, and the folded state
+    equals the assign_n=2 full rebuild's row-for-row. The fold's
+    coarse index is built over universe ∪ delta = exactly the merged
+    corpus, so its multi-assignment co-blocking matches the rebuild's
+    deterministically."""
+    import numpy as np
+
+    from dexscraper_spark.operators.dedup import (
+        semantic_dedup_delta, semantic_dedup_with_state)
+    from dexscraper_spark.persist import release_tracked
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    anchors = np.zeros((4, dim))
+    anchors[0, 0], anchors[1, 0] = 1.0, -1.0
+    anchors[2, 2], anchors[3, 2] = 1.0, -1.0
+    blob = np.repeat(anchors, 60, axis=0) \
+        + 0.03 * rng.normal(size=(240, dim))
+    u = np.zeros(dim); u[1], u[2], u[0] = 1.0, 0.1, -0.15
+    v = np.zeros(dim); v[1], v[2], v[0] = 1.0, 0.1, 0.15
+    rows_old = [(i, [float(x) for x in w]) for i, w in enumerate(blob)]
+    rows_old.append((1000, [float(x) for x in u]))
+    old = spark.createDataFrame(rows_old,
+                                "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(1001, [float(x) for x in v])],
+        "vec_id long, embedding array<float>")
+    kw = dict(nlist=4, threshold=0.9, seed=5)
+
+    try:
+        for n, caught in ((1, False), (2, True)):
+            _, state = semantic_dedup_with_state(old, assign_n=n, **kw)
+            state_df = spark.createDataFrame(state.toPandas())
+            res = semantic_dedup_delta(new, state_df, assign_n=n, **kw)
+            if caught:
+                assert _ids(res.dropped_new) == [1001]
+                assert _ids(res.kept_new) == []
+            else:
+                assert _ids(res.kept_new) == [1001]
+                assert _ids(res.dropped_new) == []
+            # folded state ≡ the rebuild's at the same assign_n
+            merged = old.unionByName(new)
+            _, state_full = semantic_dedup_with_state(
+                merged, assign_n=n, **kw)
+            assert sorted(map(tuple, res.state.collect())) == \
+                sorted(map(tuple, state_full.collect()))
+    finally:
+        release_tracked()
