@@ -1020,9 +1020,17 @@ def _republish_locked(spark, corpus: DataFrame, path: str, *,
             if has_old:
                 oidx, obooks, ocodes = ivf_pq_load(
                     spark, path, id_col=id_col, vec_col=vec_col)
+                # measure the old artifact the way queriers actually
+                # see it: tombstoned ids (delta-retracted, awaiting
+                # this republish) are excluded by ivf_pq_query_saved,
+                # so they must not count as old-index answers here —
+                # an un-excluded deleted id deflates recall_old and
+                # makes the gate spuriously easy
                 recall_old = _recall_vs(exact, ivf_pq_topk(
                     vecs, oidx, ocodes, queries, obooks, k=k,
-                    nprobe=nprobe, expand=expand), k)
+                    nprobe=nprobe, expand=expand,
+                    exclude_ids=ivf_pq_tombstones(
+                        spark, path, id_col=id_col)), k)
 
             if min_recall is not None and recall_new < min_recall:
                 return {"published": False, "recall_new": recall_new,

@@ -22,6 +22,36 @@ def spark():
     yield s
 
 
+_TALLY = {"passed": 0, "failed": 0, "error": 0, "skipped": 0}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        if report.passed:
+            _TALLY["passed"] += 1
+        elif report.failed:
+            _TALLY["failed"] += 1
+        elif report.skipped:
+            _TALLY["skipped"] += 1
+    elif report.failed:  # setup/teardown crash
+        _TALLY["error"] += 1
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Re-print the tally AFTER everything else at interpreter exit:
+    the slow JVM/py4j teardown logs noise past pytest's own summary
+    line, so the receipt otherwise requires counting dots (VERDICT r10
+    §next-8). atexit runs after the JVM shutdown hooks' output."""
+    import atexit
+
+    def _print_tally():
+        parts = [f"{v} {k}" for k, v in _TALLY.items() if v]
+        print(f"\n[spark-graft tally] {', '.join(parts) or 'no tests'} "
+              f"(pytest exit {exitstatus})", flush=True)
+
+    atexit.register(_print_tally)
+
+
 @pytest.fixture()
 def sample_token(spark):
     """Canonical sample token (reference tests/conftest.py:19-31)."""

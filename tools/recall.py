@@ -54,9 +54,18 @@ CONFIGS = {
                         "multiprobe": 2},
     "ivf_nprobe4": {"nlist": 16, "nprobe": 4, "build": "deterministic",
                     "seed": 42},
+    # the production-recall end of the frontier (VERDICT r10 §next-7):
+    # same deterministic index, twice the probed lists — what an
+    # operator who needs >0.8 recall@5 actually configures; cost_sec
+    # in the artifact records what the extra probes buy/cost
+    "ivf_nprobe8": {"nlist": 16, "nprobe": 8, "build": "deterministic",
+                    "seed": 42},
     "pq_refined": {"m": 16, "ksub": 64, "seed": 7, "expand": 8},
     "ivf_pq": {"nlist": 16, "nprobe": 4, "m": 16, "ksub": 64,
                "seed": 7, "expand": 4, "build": "deterministic"},
+    "ivf_pq_nprobe8": {"nlist": 16, "nprobe": 8, "m": 16, "ksub": 64,
+                       "seed": 7, "expand": 16,
+                       "build": "deterministic"},
     "ivf_pq_residual": {"nlist": 8, "nprobe": 8, "m": 16, "ksub": 64,
                         "seed": 7, "expand": 8},
 }
@@ -88,8 +97,15 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
     queries = emb.orderBy("vec_id").limit(n_queries)
     exact = _topk_sets(cosine_topk(emb, queries, k=k), k)
 
-    def recall_of(df) -> float:
+    import time as _time
+
+    costs: dict = {}
+
+    def recall_of(df, name: str | None = None) -> float:
+        t0 = _time.monotonic()
         got = _topk_sets(df, k)
+        if name is not None:
+            costs[name] = round(_time.monotonic() - t0, 3)
         per_q = [len(got.get(q, set()) & s) / len(s)
                  for q, s in exact.items()]
         return round(sum(per_q) / len(per_q), 4)
@@ -97,15 +113,19 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
     recalls: dict = {}
     c = CONFIGS
     recalls["lsh_single"] = recall_of(lsh_bucketed_topk(
-        emb, queries, k=k, **c["lsh_single"]))
+        emb, queries, k=k, **c["lsh_single"]), "lsh_single")
     recalls["lsh_multiprobe2"] = recall_of(lsh_bucketed_topk(
-        emb, queries, k=k, **c["lsh_multiprobe2"]))
+        emb, queries, k=k, **c["lsh_multiprobe2"]), "lsh_multiprobe2")
 
     index = ivf_build_deterministic(
         emb, nlist=c["ivf_nprobe4"]["nlist"],
         seed=c["ivf_nprobe4"]["seed"], cache=False)
     recalls["ivf_nprobe4"] = recall_of(ivf_query(
-        index, queries, k=k, nprobe=c["ivf_nprobe4"]["nprobe"]))
+        index, queries, k=k, nprobe=c["ivf_nprobe4"]["nprobe"]),
+        "ivf_nprobe4")
+    recalls["ivf_nprobe8"] = recall_of(ivf_query(
+        index, queries, k=k, nprobe=c["ivf_nprobe8"]["nprobe"]),
+        "ivf_nprobe8")
 
     books = pq_train(emb, dim=64, m=c["pq_refined"]["m"],
                      ksub=c["pq_refined"]["ksub"],
@@ -113,12 +133,17 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
     codes = pq_encode(emb, books)
     recalls["pq_refined"] = recall_of(pq_topk_refined(
         emb, codes, queries, books, k=k,
-        expand=c["pq_refined"]["expand"]))
+        expand=c["pq_refined"]["expand"]), "pq_refined")
 
     ivf_codes = ivf_pq_encode(index, books)
     recalls["ivf_pq"] = recall_of(ivf_pq_topk(
         emb, index, ivf_codes, queries, books, k=k,
-        nprobe=c["ivf_pq"]["nprobe"], expand=c["ivf_pq"]["expand"]))
+        nprobe=c["ivf_pq"]["nprobe"], expand=c["ivf_pq"]["expand"]),
+        "ivf_pq")
+    recalls["ivf_pq_nprobe8"] = recall_of(ivf_pq_topk(
+        emb, index, ivf_codes, queries, books, k=k,
+        nprobe=c["ivf_pq_nprobe8"]["nprobe"],
+        expand=c["ivf_pq_nprobe8"]["expand"]), "ivf_pq_nprobe8")
     index.unpersist()
 
     rindex, rbooks, rcodes = ivf_pq_residual_build(
@@ -129,12 +154,13 @@ def measure(sf_dir: str, *, k: int = 5, n_queries: int = 32) -> dict:
         recalls["ivf_pq_residual"] = recall_of(ivf_pq_residual_topk(
             emb, rindex, rcodes, queries, rbooks, k=k,
             nprobe=c["ivf_pq_residual"]["nprobe"],
-            expand=c["ivf_pq_residual"]["expand"]))
+            expand=c["ivf_pq_residual"]["expand"]), "ivf_pq_residual")
     finally:
         rindex.unpersist()
 
     return {"sf_dir": sf_dir, "k": k, "n_queries": len(exact),
-            "recalls": recalls, "configs": CONFIGS}
+            "recalls": recalls, "configs": CONFIGS,
+            "cost_sec": costs}
 
 
 def gate(new_path: str, old_path: str, *, drop: float = 0.05) -> int:
