@@ -506,11 +506,13 @@ def read_pipeline_state(spark, out: str) -> tuple:
 
     * legacy flat bootstrap stores (``out/state`` + ``out/sem_state``);
     * whole-store version directories (r10 deltas);
-    * the BUCKETED layered layout (r11): the pointer meta's
-      ``state_layout.bucket_owners`` maps each hash bucket to the
-      version directory that last rewrote it; the store is the union
-      of per-owner reads, each pruned to its owned ``__bucket``
-      partitions (partition pruning keeps the read bucket-scoped).
+    * the BUCKETED layered layout (r11, merge-on-read): the pointer
+      meta's ``state_layout.bucket_owners`` maps each hash bucket to
+      the ordered LIST of version directories holding its row slices
+      (appends layer on; relabel rewrites and compactions reset the
+      list); the store is the union of per-version reads, each pruned
+      to the ``__bucket`` partitions that version contributes
+      (partition pruning keeps the read bucket-scoped).
     """
     root = fsio.join(out, _STATE_ROOT)
     name = fsio.pointer_read(spark, root)
@@ -527,11 +529,11 @@ def read_pipeline_state(spark, out: str) -> tuple:
     layout = meta.get("state_layout")
     if layout is None:
         return spark.read.parquet(fsio.join(vdir, "curation")), sem
-    owners = {int(k): v for k, v in layout["bucket_owners"].items()}
     n_buckets = int(layout["buckets"])
     by_ver: dict = {}
-    for b, v in owners.items():
-        by_ver.setdefault(v, []).append(b)
+    for b, vs in layout["bucket_owners"].items():
+        for v in vs:
+            by_ver.setdefault(v, []).append(int(b))
     parts = []
     for v, bks in sorted(by_ver.items()):
         df = spark.read.parquet(fsio.join(root, v, "curation"))
@@ -837,19 +839,30 @@ def run_delta(spark, args) -> dict:
     # ---- STATE PUBLISH (last; one atomic pointer flip for BOTH
     # stores, stamped with the batch id) --------------------------------
     #
-    # BUCKETED layered write (VERDICT r10 §missing-4): the fingerprint
-    # store is hash-bucketed on pmod(xxhash64(doc_id), B); each fold
-    # writes ONLY the buckets it touched into the new version dir, and
-    # the pointer meta's bucket_owners manifest maps every bucket to
-    # the version that last wrote it (read back by
-    # read_pipeline_state; owner versions are pinned from GC via
-    # pointer_publish's retain). A row changes only by being appended
-    # (delta.state_new) or relabeled (component ∈ relabeled old
-    # labels), so those rows' buckets are exactly the touched set —
-    # untouched buckets stay byte-identical in their old owner dirs.
-    # When the manifest would span more than _STATE_MAX_VERSIONS
-    # versions, the fold compacts: writes ALL buckets, collapsing the
-    # manifest to one version.
+    # BUCKETED layered write, merge-on-read (VERDICT r10 §missing-4):
+    # the fingerprint store is hash-bucketed on
+    # pmod(xxhash64(doc_id), B) and each bucket's contents are the
+    # UNION of its slices across version dirs — the pointer meta's
+    # bucket_owners manifest maps every bucket to the ordered LIST of
+    # versions holding its rows (read back by read_pipeline_state;
+    # every referenced version is pinned from GC via pointer_publish's
+    # retain). Per fold:
+    #   * APPENDED rows (delta.state_new) are written delta-sized into
+    #     the new version dir and their buckets' owner lists grow by
+    #     one — no old row is rewritten (slices are disjoint: ids are
+    #     monotone);
+    #   * RELABELED buckets (a row whose component merged under a
+    #     smaller label) are the only whole-bucket rewrites: the
+    #     bucket's assembled rows land relabeled in the new version
+    #     and its owner list RESETS to [version];
+    #   * when the manifest would reference more than
+    #     _STATE_MAX_VERSIONS distinct versions, the fold compacts
+    #     (writes ALL buckets, owner lists collapse to [version]).
+    # So a nightly fold's state write is |delta| rows + the
+    # relabel-affected buckets — never the corpus-sized store. (The
+    # earlier single-owner design rewrote every touched bucket wholly;
+    # measured at 5M rows / 5k-doc delta, appends alone touch all 64
+    # buckets and the "scoped" write degenerated to a full rewrite.)
     new_state = apply_state_updates(state, delta)
     version = fsio.pointer_next_version(spark, state_root)
     vdir = fsio.join(state_root, version)
@@ -865,36 +878,54 @@ def run_delta(spark, args) -> dict:
     bucket_col = F.pmod(F.xxhash64(F.col("doc_id")),
                         F.lit(n_buckets)).cast("int")
 
-    touched: list | None = None
-    if layout is not None:
-        owners = {int(k): v for k, v in
+    compact = layout is None
+    if not compact:
+        owners = {int(k): list(v) for k, v in
                   layout["bucket_owners"].items()}
-        touched_ids = delta.state_new.select("doc_id")
         if delta.relabeled.limit(1).count():
             affected_old = state.join(
                 delta.relabeled.select(
                     F.col("old_label").alias("component")),
                 "component", "left_semi").select("doc_id")
-            touched_ids = touched_ids.unionByName(affected_old)
-        touched = sorted({int(r["b"]) for r in touched_ids
-                          .select(bucket_col.alias("b"))
-                          .distinct().collect()})
-        if len(set(owners.values()) | {version}) > _STATE_MAX_VERSIONS:
-            touched = None  # compact: collapse the layers
+            rewrite = sorted({int(r["b"]) for r in affected_old
+                              .select(bucket_col.alias("b"))
+                              .distinct().collect()})
+        else:
+            rewrite = []
+        append = sorted(
+            {int(r["b"]) for r in delta.state_new
+             .select(bucket_col.alias("b")).distinct().collect()}
+            - set(rewrite))
+        refd = set().union(*owners.values()) if owners else set()
+        if len(refd | {version}) > _STATE_MAX_VERSIONS:
+            compact = True
 
-    if touched is None:
+    if compact:
         (new_state.withColumn("__bucket", bucket_col)
          .write.mode("overwrite").partitionBy("__bucket")
          .parquet(fsio.join(vdir, "curation")))
-        owners_new = {b: version for b in range(n_buckets)}
+        owners_new = {b: [version] for b in range(n_buckets)}
+        summary["state_buckets_rewritten"] = n_buckets
     else:
-        (new_state.withColumn("__bucket", bucket_col)
-         .filter(F.col("__bucket").isin(touched))
-         .write.mode("overwrite").partitionBy("__bucket")
-         .parquet(fsio.join(vdir, "curation")))
-        owners_new = {**owners, **{b: version for b in touched}}
-    summary["state_buckets_written"] = \
-        n_buckets if touched is None else len(touched)
+        rewritten_rows = new_state.withColumn("__bucket", bucket_col) \
+            .filter(F.col("__bucket").isin(rewrite)) if rewrite \
+            else None
+        appended_rows = (delta.state_new
+                         .select(*state.columns)
+                         .withColumn("__bucket", bucket_col)
+                         .filter(F.col("__bucket").isin(append)))
+        out_rows = appended_rows if rewritten_rows is None \
+            else rewritten_rows.unionByName(appended_rows)
+        out_rows.write.mode("overwrite").partitionBy("__bucket") \
+            .parquet(fsio.join(vdir, "curation"))
+        owners_new = dict(owners)
+        for b in rewrite:
+            owners_new[b] = [version]
+        for b in append:
+            owners_new[b] = owners_new.get(b, []) + [version]
+        summary["state_buckets_rewritten"] = len(rewrite)
+    summary["state_versions_referenced"] = len(
+        set().union(*owners_new.values()))
 
     if sem_state_out is not None:
         sem_state_out.write.mode("overwrite").parquet(
@@ -907,7 +938,7 @@ def run_delta(spark, args) -> dict:
                   "bucket_owners": {str(b): v for b, v
                                     in owners_new.items()}}},
         keep=2,
-        retain=set(owners_new.values()) - {version})
+        retain=set().union(*owners_new.values()) - {version})
     fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
     fsio.write_text_atomic(spark, pub_marker, json.dumps(summary))
     fsio.write_text_atomic(

@@ -606,7 +606,7 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
 
     B = 8
     root = fsio.join(inc, "state_versions")
-    written = []
+    rewrote, vrows = [], []
     for i, row in enumerate(fold_rows):
         p = str(tmp_path / f"fold{i}")
         _docs([row]).write.parquet(p)
@@ -614,26 +614,38 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
                     "--state-buckets", str(B), *flags],
                    spark=spark) == 0
         s = _summary(capsys)
-        written.append(s["state_buckets_written"])
+        rewrote.append(s["state_buckets_rewritten"])
         meta = json.loads(fsio.read_text(
             spark, fsio.join(root, "_current")))
         layout = meta["state_layout"]
         assert layout["buckets"] == B
-        owner_vers = set(layout["bucket_owners"].values())
+        owner_vers = set()
+        for vs in layout["bucket_owners"].values():
+            owner_vers.update(vs)
         assert len(owner_vers) <= _STATE_MAX_VERSIONS
-        # every owner version directory survives GC
+        assert s["state_versions_referenced"] == len(owner_vers)
+        # every referenced version directory survives GC
         for v in owner_vers:
             assert fsio.exists(spark, fsio.join(root, v, "curation"))
+        vrows.append(spark.read.parquet(fsio.join(
+            root, fsio.pointer_read(spark, root), "curation")).count())
 
-    # fold 1 bucketed the whole store; later folds are bucket-scoped
-    # (one new doc touches exactly its own bucket, no relabels here);
-    # the fold whose manifest would span >max versions compacted
-    assert written[0] == B
-    assert all(w <= 2 for w in written[1:] if w != B)
-    assert any(w < B for w in written[1:])   # scoped folds happened
-    assert written[-1] == B                  # the compaction fold
+    # fold 1 bucketed the whole store (one-time full write); the five
+    # scoped folds are MERGE-ON-READ appends — each version dir holds
+    # exactly its one new row and NO bucket is rewritten (the crafted
+    # folds have no relabels); the fold whose manifest would reference
+    # >max versions compacted (full write, owner lists collapse)
+    n_state0 = len(boot_rows)
+    assert rewrote[0] == B and vrows[0] == n_state0 + 1
+    assert rewrote[1:-1] == [0] * 5
+    assert vrows[1:-1] == [1] * 5            # delta-sized writes
+    assert rewrote[-1] == B                  # the compaction fold
+    assert vrows[-1] == n_state0 + len(fold_rows)
     meta = json.loads(fsio.read_text(spark, fsio.join(root, "_current")))
-    assert len(set(meta["state_layout"]["bucket_owners"].values())) == 1
+    owner_vers = set()
+    for vs in meta["state_layout"]["bucket_owners"].values():
+        owner_vers.update(vs)
+    assert len(owner_vers) == 1
 
     # the assembled layered store ≡ one full rebuild, row-for-row
     pfull = str(tmp_path / "all")
