@@ -846,12 +846,19 @@ class SemDeltaResult:
       smaller surviving min. Remove from the published corpus.
     * ``state`` — the COMPLETE updated semantic state (same schema as
       :func:`semantic_dedup_with_state`'s): next delta's input.
+    * ``state_changed_ids`` — ids of OLD state rows whose stored row
+      differs after the fold (relabeled under a merged component, or a
+      member of a retraction-affected group whose label re-resolved) —
+      delta-scoped, the set a layered store must rewrite; every other
+      old row is byte-identical to its stored version. New ids are not
+      included (they are appends, ``state`` ∖ old ids).
     """
     kept_new: DataFrame
     dropped_new: DataFrame
     resurrected: DataFrame
     demoted: DataFrame
     state: DataFrame
+    state_changed_ids: DataFrame
 
 
 def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
@@ -1092,6 +1099,20 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
     state_out = rewritten.unionByName(state_new_rows)
     if members_state is not None:
         state_out = state_out.unionByName(members_state)
+
+    # changed OLD rows, delta-scoped (see SemDeltaResult): relabeled
+    # unaffected rows + every affected-group member (re-resolved) +
+    # removed rows (their stored row must DISAPPEAR — a layered store
+    # rewrites their bucket without them)
+    changed = unaffected_state.join(lbl.select("component"),
+                                    "component", "left_semi") \
+        .select(F.col(id_col))
+    if members is not None:
+        changed = changed.unionByName(members.select(F.col(id_col)))
+    if removed_present is not None:
+        changed = changed.unionByName(
+            removed_present.select(F.col(id_col)))
     return SemDeltaResult(kept_new=kept_new, dropped_new=dropped_new,
                           resurrected=resurrected, demoted=demoted,
-                          state=state_out)
+                          state=state_out,
+                          state_changed_ids=changed.distinct())

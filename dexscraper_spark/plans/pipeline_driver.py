@@ -500,6 +500,97 @@ def resolve_pipeline_state(spark, out: str) -> tuple:
     return legacy, sem if fsio.exists(spark, sem) else None
 
 
+def _layered_write(spark, state_root: str, version: str, sub: str, *,
+                   full_df: DataFrame, appended_df: DataFrame,
+                   changed_ids: DataFrame | None,
+                   prev_layout: dict | None,
+                   default_buckets: int,
+                   id_col: str = "doc_id") -> tuple:
+    """One layered store's slice for ``version``, written under
+    ``<state_root>/<version>/<sub>``; returns ``(layout_doc, stats)``.
+
+    Merge-on-read semantics (see run_delta's publish comment):
+    ``appended_df`` rows land delta-sized and their buckets' owner
+    lists grow; buckets holding ``changed_ids`` are rewritten wholly
+    from ``full_df`` (owner list resets); no previous layout, or a
+    manifest that would reference more than _STATE_MAX_VERSIONS
+    versions, triggers a compacting full write."""
+    n_buckets = int(prev_layout["buckets"]) if prev_layout \
+        else default_buckets
+    bucket_col = F.pmod(F.xxhash64(F.col(id_col)),
+                        F.lit(n_buckets)).cast("int")
+    dst = fsio.join(state_root, version, sub)
+
+    compact = prev_layout is None
+    if not compact:
+        owners = {int(k): list(v) for k, v in
+                  prev_layout["bucket_owners"].items()}
+        if changed_ids is not None:
+            rewrite = sorted({int(r["b"]) for r in changed_ids
+                              .select(bucket_col.alias("b"))
+                              .distinct().collect()})
+        else:
+            rewrite = []
+        append = sorted(
+            {int(r["b"]) for r in appended_df
+             .select(bucket_col.alias("b")).distinct().collect()}
+            - set(rewrite))
+        refd = set().union(*owners.values()) if owners else set()
+        if len(refd | {version}) > _STATE_MAX_VERSIONS:
+            compact = True
+
+    if compact:
+        (full_df.withColumn("__bucket", bucket_col)
+         .write.mode("overwrite").partitionBy("__bucket")
+         .parquet(dst))
+        owners_new = {b: [version] for b in range(n_buckets)}
+        rewritten = n_buckets
+    else:
+        cols = full_df.columns
+        out_rows = (appended_df.select(*cols)
+                    .withColumn("__bucket", bucket_col)
+                    .filter(F.col("__bucket").isin(append)))
+        if rewrite:
+            out_rows = (full_df.withColumn("__bucket", bucket_col)
+                        .filter(F.col("__bucket").isin(rewrite))
+                        .unionByName(out_rows))
+        out_rows.write.mode("overwrite").partitionBy("__bucket") \
+            .parquet(dst)
+        owners_new = dict(owners)
+        for b in rewrite:
+            owners_new[b] = [version]
+        for b in append:
+            owners_new[b] = owners_new.get(b, []) + [version]
+        rewritten = len(rewrite)
+    layout = {"buckets": n_buckets,
+              "bucket_owners": {str(b): v for b, v
+                                in owners_new.items()}}
+    stats = {"buckets_rewritten": rewritten,
+             "versions_referenced": len(
+                 set().union(*owners_new.values()))}
+    return layout, stats
+
+
+def _read_layered(spark, root: str, layout: dict, sub: str) -> DataFrame:
+    """Assemble one layered store: union of per-version reads, each
+    pruned to the ``__bucket`` partitions that version contributes."""
+    n_buckets = int(layout["buckets"])
+    by_ver: dict = {}
+    for b, vs in layout["bucket_owners"].items():
+        for v in vs:
+            by_ver.setdefault(v, []).append(int(b))
+    parts = []
+    for v, bks in sorted(by_ver.items()):
+        df = spark.read.parquet(fsio.join(root, v, sub))
+        if len(bks) < n_buckets:
+            df = df.filter(F.col("__bucket").isin(bks))
+        parts.append(df)
+    cur = parts[0]
+    for p in parts[1:]:
+        cur = cur.unionByName(p)
+    return cur.drop("__bucket")
+
+
 def read_pipeline_state(spark, out: str) -> tuple:
     """(curation_state_df, semantic_state_df_or_None) — the layout-
     agnostic reader every consumer should use:
@@ -524,26 +615,17 @@ def read_pipeline_state(spark, out: str) -> tuple:
         return cur, sem
     meta = json.loads(fsio.read_text(spark, fsio.join(root, "_current")))
     vdir = fsio.join(root, name)
-    semp = fsio.join(vdir, "semantic")
-    sem = spark.read.parquet(semp) if fsio.exists(spark, semp) else None
+    sem_layout = meta.get("sem_layout")
+    if sem_layout is not None:
+        sem = _read_layered(spark, root, sem_layout, "semantic")
+    else:
+        semp = fsio.join(vdir, "semantic")
+        sem = spark.read.parquet(semp) \
+            if fsio.exists(spark, semp) else None
     layout = meta.get("state_layout")
     if layout is None:
         return spark.read.parquet(fsio.join(vdir, "curation")), sem
-    n_buckets = int(layout["buckets"])
-    by_ver: dict = {}
-    for b, vs in layout["bucket_owners"].items():
-        for v in vs:
-            by_ver.setdefault(v, []).append(int(b))
-    parts = []
-    for v, bks in sorted(by_ver.items()):
-        df = spark.read.parquet(fsio.join(root, v, "curation"))
-        if len(bks) < n_buckets:
-            df = df.filter(F.col("__bucket").isin(bks))
-        parts.append(df)
-    cur = parts[0]
-    for p in parts[1:]:
-        cur = cur.unionByName(p)
-    return cur.drop("__bucket"), sem
+    return _read_layered(spark, root, layout, "curation"), sem
 
 
 def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
@@ -863,82 +945,62 @@ def run_delta(spark, args) -> dict:
     # earlier single-owner design rewrote every touched bucket wholly;
     # measured at 5M rows / 5k-doc delta, appends alone touch all 64
     # buckets and the "scoped" write degenerated to a full rewrite.)
+    # The SAME treatment covers the SEMANTIC state (doc_id, embedding,
+    # component): at ~4·dim bytes/doc its full rewrite was the LARGER
+    # corpus-linear term per fold — embeddings dwarf the 32-40 B
+    # fingerprints. Appends = the delta's rows; rewrites =
+    # sd.state_changed_ids (relabeled ∪ affected-group members ∪
+    # removed rows, all delta-scoped).
     new_state = apply_state_updates(state, delta)
     version = fsio.pointer_next_version(spark, state_root)
-    vdir = fsio.join(state_root, version)
 
     prev_meta: dict = {}
     if fsio.pointer_read(spark, state_root) is not None:
         prev_meta = json.loads(fsio.read_text(
             spark, fsio.join(state_root, "_current")))
-    layout = prev_meta.get("state_layout")
-    n_buckets = int(layout["buckets"]) if layout \
-        else int(getattr(args, "state_buckets", None)
-                 or _STATE_BUCKETS_DEFAULT)
-    bucket_col = F.pmod(F.xxhash64(F.col("doc_id")),
-                        F.lit(n_buckets)).cast("int")
+    default_b = int(getattr(args, "state_buckets", None)
+                    or _STATE_BUCKETS_DEFAULT)
 
-    compact = layout is None
-    if not compact:
-        owners = {int(k): list(v) for k, v in
-                  layout["bucket_owners"].items()}
-        if delta.relabeled.limit(1).count():
-            affected_old = state.join(
-                delta.relabeled.select(
-                    F.col("old_label").alias("component")),
-                "component", "left_semi").select("doc_id")
-            rewrite = sorted({int(r["b"]) for r in affected_old
-                              .select(bucket_col.alias("b"))
-                              .distinct().collect()})
-        else:
-            rewrite = []
-        append = sorted(
-            {int(r["b"]) for r in delta.state_new
-             .select(bucket_col.alias("b")).distinct().collect()}
-            - set(rewrite))
-        refd = set().union(*owners.values()) if owners else set()
-        if len(refd | {version}) > _STATE_MAX_VERSIONS:
-            compact = True
-
-    if compact:
-        (new_state.withColumn("__bucket", bucket_col)
-         .write.mode("overwrite").partitionBy("__bucket")
-         .parquet(fsio.join(vdir, "curation")))
-        owners_new = {b: [version] for b in range(n_buckets)}
-        summary["state_buckets_rewritten"] = n_buckets
-    else:
-        rewritten_rows = new_state.withColumn("__bucket", bucket_col) \
-            .filter(F.col("__bucket").isin(rewrite)) if rewrite \
-            else None
-        appended_rows = (delta.state_new
-                         .select(*state.columns)
-                         .withColumn("__bucket", bucket_col)
-                         .filter(F.col("__bucket").isin(append)))
-        out_rows = appended_rows if rewritten_rows is None \
-            else rewritten_rows.unionByName(appended_rows)
-        out_rows.write.mode("overwrite").partitionBy("__bucket") \
-            .parquet(fsio.join(vdir, "curation"))
-        owners_new = dict(owners)
-        for b in rewrite:
-            owners_new[b] = [version]
-        for b in append:
-            owners_new[b] = owners_new.get(b, []) + [version]
-        summary["state_buckets_rewritten"] = len(rewrite)
-    summary["state_versions_referenced"] = len(
-        set().union(*owners_new.values()))
+    changed_cur = None
+    if delta.relabeled.limit(1).count():
+        changed_cur = state.join(
+            delta.relabeled.select(
+                F.col("old_label").alias("component")),
+            "component", "left_semi").select("doc_id")
+    cur_layout, cur_stats = _layered_write(
+        spark, state_root, version, "curation",
+        full_df=new_state,
+        appended_df=delta.state_new.select(*state.columns),
+        changed_ids=changed_cur,
+        prev_layout=prev_meta.get("state_layout"),
+        default_buckets=default_b)
+    summary["state_buckets_rewritten"] = cur_stats["buckets_rewritten"]
+    summary["state_versions_referenced"] = \
+        cur_stats["versions_referenced"]
+    meta = {"batch": batch, "summary": summary,
+            "state_layout": cur_layout}
+    retain = {v for vs in cur_layout["bucket_owners"].values()
+              for v in vs}
 
     if sem_state_out is not None:
-        sem_state_out.write.mode("overwrite").parquet(
-            fsio.join(vdir, "semantic"))
-    fsio.pointer_publish(
-        spark, state_root, version,
-        meta={"batch": batch, "summary": summary,
-              "state_layout": {
-                  "buckets": n_buckets,
-                  "bucket_owners": {str(b): v for b, v
-                                    in owners_new.items()}}},
-        keep=2,
-        retain=set().union(*owners_new.values()) - {version})
+        sem_layout, sem_stats = _layered_write(
+            spark, state_root, version, "semantic",
+            full_df=sem_state_out,
+            appended_df=sem_state_out.join(
+                new_emb.select("doc_id"), "doc_id", "left_semi"),
+            changed_ids=sd.state_changed_ids,
+            prev_layout=prev_meta.get("sem_layout"),
+            default_buckets=default_b)
+        summary["sem_buckets_rewritten"] = \
+            sem_stats["buckets_rewritten"]
+        summary["sem_versions_referenced"] = \
+            sem_stats["versions_referenced"]
+        meta["sem_layout"] = sem_layout
+        retain |= {v for vs in sem_layout["bucket_owners"].values()
+                   for v in vs}
+
+    fsio.pointer_publish(spark, state_root, version, meta=meta,
+                         keep=2, retain=retain - {version})
     fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
     fsio.write_text_atomic(spark, pub_marker, json.dumps(summary))
     fsio.write_text_atomic(
