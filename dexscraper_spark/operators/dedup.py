@@ -1101,14 +1101,20 @@ def semantic_dedup_delta(new_emb: DataFrame, state: DataFrame, *,
         state_out = state_out.unionByName(members_state)
 
     # changed OLD rows, delta-scoped (see SemDeltaResult): relabeled
-    # unaffected rows + every affected-group member (re-resolved) +
-    # removed rows (their stored row must DISAPPEAR — a layered store
-    # rewrites their bucket without them)
+    # unaffected rows + affected-group members whose re-resolved label
+    # DIFFERS from the stored one (most members of a group that loses
+    # one member re-resolve to the same component — their stored rows
+    # are byte-identical and marking them would make one retraction in
+    # a big group rewrite nearly every bucket) + removed rows (their
+    # stored row must DISAPPEAR — a layered store rewrites their
+    # bucket without them)
     changed = unaffected_state.join(lbl.select("component"),
                                     "component", "left_semi") \
         .select(F.col(id_col))
     if members is not None:
-        changed = changed.unionByName(members.select(F.col(id_col)))
+        changed = changed.unionByName(
+            member_fate.filter(F.col("__new") != F.col("__old"))
+            .select(F.col(id_col)))
     if removed_present is not None:
         changed = changed.unionByName(
             removed_present.select(F.col(id_col)))
