@@ -31,12 +31,16 @@ bench-gate:
 	  $$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
 
 # recall: re-measure approximate-ANN recall@5 at the bench SF and
-# OVERWRITE the committed RECALL.json baseline (no gate — use after an
-# intentional config change). recall-gate: measure, alarm if any config
-# dropped >0.05 vs the committed baseline (or the setups are
-# incomparable), and refresh the baseline only on PASS.
+# RE-BASELINE the committed RECALL.json without the gate (use after an
+# intentional config change) — but still through --refresh, which
+# folds the old baseline into the bounded history the ratchet gate and
+# the repo-pin test read; a bare --out overwrite would clobber it (the
+# r10 trap class). recall-gate: measure, alarm if any config dropped
+# >0.05 vs the committed baseline (or the setups are incomparable),
+# and refresh the baseline only on PASS.
 recall:
-	python tools/recall.py /root/testdata/sf0.1 --out RECALL.json
+	python tools/recall.py /root/testdata/sf0.1 --out /tmp/recall_new.json
+	python tools/recall.py --refresh /tmp/recall_new.json RECALL.json
 
 recall-gate:
 	python tools/recall.py /root/testdata/sf0.1 --out /tmp/recall_new.json
