@@ -528,10 +528,15 @@ def ann_extend_fold_builder(index_path: str, *, id_col: str = "vec_id",
     across batches). Empty batches are no-ops.
 
     Query while streaming with
-    :func:`~dexscraper_spark.operators.quantize.ivf_pq_load` +
-    ``ivf_pq_topk`` in any batch session. Centroids/codebooks are
-    day-0 frozen — retrain offline and republish when drift costs
-    recall (the recall artifact tracks it: tools/recall.py).
+    :func:`~dexscraper_spark.operators.quantize.ivf_pq_query_saved`
+    in any batch session — NOT raw ``ivf_pq_load`` + ``ivf_pq_topk``:
+    query_saved resolves the version pointer once and folds the
+    artifact's TOMBSTONE set into the exclusion, so docs a nightly
+    ``pipeline --delta`` retracted are never served even though their
+    codes stay in the list files until the next republish.
+    Centroids/codebooks are day-0 frozen — retrain offline and
+    republish when drift costs recall (the recall artifact tracks it:
+    tools/recall.py).
     """
     from pyspark.sql import functions as F
 
@@ -604,9 +609,21 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
     ivf_pq_extend_saved`). Centroids/codebooks never change on extend,
     so the probe side is replay-stable by construction.
 
-    Honesty note: the vs-corpus stage inherits IVF-PQ's recall — a
+    The corpus probe EXCLUDES the artifact's tombstones (docs a
+    nightly ``pipeline --delta`` retracted whose codes await the next
+    republish): a deleted document must not suppress its live
+    streaming near-copy as a "duplicate". The version pointer is
+    resolved once per batch so index, codes and tombstones come from
+    one version.
+
+    Honesty notes: the vs-corpus stage inherits IVF-PQ's recall — a
     true near-dup can slip through when its list isn't probed or ADC
     misranks it out of the k×expand window (tracked in RECALL.json).
+    And replay determinism is exact w.r.t. this batch's OWN appends
+    (anti-joined out); external corpus changes between run and replay
+    — another writer's extend, a nightly fold's new tombstones — were
+    never replay-invisible and still are not: the replay dedups
+    against the corpus AS IT IS, which is the correct current answer.
     Raise ``nprobe``/``expand`` (up to nprobe=nlist) to trade
     per-batch cost for dedup recall; the within-batch stage is always
     exact. Batches are micro-batch-sized by contract (the search
@@ -614,9 +631,11 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
     """
     from pyspark.sql import functions as F
 
+    from dexscraper_spark import fsio
     from dexscraper_spark.operators.dedup import dedup_components
     from dexscraper_spark.operators.quantize import (
-        ivf_pq_extend_saved, ivf_pq_load, ivf_pq_topk)
+        ivf_pq_extend_saved, ivf_pq_load, ivf_pq_tombstones,
+        ivf_pq_topk)
     from dexscraper_spark.operators.similarity import (
         exact_cosine_pairs_blocked)
 
@@ -647,11 +666,26 @@ def ann_dedup_extend_fold_builder(index_path: str, out_path: str, *,
             # list join inside ivf_pq_topk, so the list-partitioned
             # codes scan keeps its file pruning; the re-rank only ever
             # sees candidate ids, which are already exclusion-filtered.
+            #
+            # The artifact's TOMBSTONES join the exclusion set too
+            # (VERDICT r11 §wrong-1): after a nightly `pipeline
+            # --delta` retracts doc X, X's codes stay in the index
+            # until the next republish but X is DELETED — a streaming
+            # near-copy of X must survive, not be suppressed by a
+            # document the pipeline just declared gone. The pointer is
+            # resolved ONCE so index, codes and tombstones all come
+            # from the same version even if a republish flips mid-
+            # batch (same contract as ivf_pq_query_saved).
+            resolved = fsio.pointer_resolve(spark, index_path)
             index, books, codes = ivf_pq_load(
-                spark, index_path, id_col=id_col, vec_col=vec_col)
+                spark, resolved, id_col=id_col, vec_col=vec_col)
+            excl = batch.select(id_col)
+            tomb = ivf_pq_tombstones(spark, resolved, id_col=id_col)
+            if tomb is not None:
+                excl = excl.unionByName(tomb).distinct()
             hits = ivf_pq_topk(index.assigned, index, codes, fresh,
                                books, k=1, nprobe=nprobe, expand=expand,
-                               exclude_ids=batch.select(id_col))
+                               exclude_ids=excl)
             dup_ids = (hits.filter(F.col("cosine") >= threshold)
                        .select(F.col("query_id").alias(id_col))
                        .distinct())

