@@ -130,11 +130,15 @@ def test_refresh_folds_baseline_into_history(tmp_path, capsys):
     doc = json.loads((tmp_path / "old.json").read_text())
     assert doc["recalls"] == {"ivf": 0.61}
     assert [h["recalls"]["ivf"] for h in doc["history"]] == [0.65, 0.62]
-    # bounded: repeated refreshes never grow past the cap
+    # bounded: repeated refreshes never grow past the cap — but the
+    # OLDEST entry survives truncation (ADVICE r11: it is the ratchet's
+    # immutable day-0 reference; [-keep:] would evict it on the 9th
+    # re-baseline and silently re-anchor the total-drift check)
     for _ in range(12):
         assert recall_tool.main(["--refresh", new, old]) == 0
     doc = json.loads((tmp_path / "old.json").read_text())
     assert len(doc["history"]) <= 8
+    assert doc["history"][0]["recalls"]["ivf"] == 0.65
 
 
 def test_repo_artifact_carries_rebaseline_note_and_history():

@@ -236,7 +236,13 @@ def refresh(new_path: str, old_path: str, *,
     history = list(old.get("history", []))
     history.append({"round": len(history) + 1,
                     "recalls": old.get("recalls", {})})
-    new["history"] = history[-keep_history:]
+    # the OLDEST entry is exempt from truncation (ADVICE r11): it is
+    # the immutable day-0 reference point the ratchet measures total
+    # drift against — plain [-keep:] would evict it on the
+    # keep_history+1'th re-baseline and silently re-anchor the ratchet
+    if len(history) > keep_history:
+        history = history[:1] + history[-(keep_history - 1):]
+    new["history"] = history
     if "notes" in old and "notes" not in new:
         new["notes"] = old["notes"]
     with open(old_path, "w") as f:
