@@ -305,9 +305,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "everything downstream, loudly)")
     pl.add_argument("--state-buckets", type=int, default=None,
                     help="pipeline --delta: hash-bucket count for the "
-                         "layered fingerprint store (default 64; only "
-                         "read on the FIRST delta fold — afterwards "
-                         "the store's recorded layout wins)")
+                         "layered fingerprint store (default derived "
+                         "from the corpus size; only read on the "
+                         "FIRST delta fold — afterwards the store's "
+                         "recorded layout wins, and a mismatched "
+                         "explicit value is refused)")
+    pl.add_argument("--break-lease", action="store_true",
+                    help="pipeline --delta: clear a crashed fold's "
+                         "_delta/__fold.lock before starting (folds "
+                         "are serialized per --out; never use while "
+                         "the holder is alive)")
     flt = p.add_argument_group(
         "custom filters (reference cli.py:811-843; override preset bounds)")
     for flag, (field, typ) in FILTER_FLAGS.items():
@@ -893,6 +900,23 @@ def _run_ann(args, spark) -> int:
                                   "cosine": r.cosine, "rank": r.rank})
                      for r in out.collect()]
             _emit("\n".join(lines), args.output)
+            # tombstone pressure (VERDICT r11 §next-6): tell the
+            # operator when the nightly folds' deletions have made
+            # the index mostly dead weight
+            from dexscraper_spark.operators import quantize as _q
+            pres = _q.ivf_pq_tombstone_pressure(spark, args.index)
+            if pres["tombstones"]:
+                print(f"ann: tombstone_fraction={pres['fraction']} "
+                      f"({pres['tombstones']}/{pres['indexed']} "
+                      "indexed ids excluded)", file=sys.stderr)
+                if pres["fraction"] >= _q.TOMBSTONE_REPUBLISH_FRACTION:
+                    print("ann: WARNING tombstone fraction at or above "
+                          f"{_q.TOMBSTONE_REPUBLISH_FRACTION:.0%} — "
+                          "queries drag the dead ids through every "
+                          "exclusion and recall vs the live corpus "
+                          "degrades; run --mode republish on the live "
+                          "corpus to rebuild corpus-only",
+                          file=sys.stderr)
     except Exception as e:
         print(f"ann: {type(e).__name__}: {e}", file=sys.stderr)
         return 2
@@ -1096,13 +1120,14 @@ def _run_pipeline(args, spark) -> int:
     if not args.docs or not args.out:
         print("pipeline: --docs and --out are required", file=sys.stderr)
         return 2
+    from dexscraper_spark.fsio import PointerMovedError
     from dexscraper_spark.plans.pipeline_driver import (
         PipelineArgError, run_delta, run_full)
 
     try:
         summary = run_delta(spark, args) if args.delta \
             else run_full(spark, args)
-    except PipelineArgError as e:
+    except (PipelineArgError, PointerMovedError) as e:
         print(f"pipeline: {e}", file=sys.stderr)
         return 2
     _emit(_json.dumps(summary), args.output)

@@ -593,7 +593,8 @@ def _extend_saved_locked(spark, path: str, new_vectors: DataFrame, *,
 
 
 def ivf_pq_tombstone(spark, path: str, ids: DataFrame, *,
-                     id_col: str = "vec_id") -> dict:
+                     id_col: str = "vec_id",
+                     clear_ids: DataFrame | None = None) -> dict:
     """Mark ids DELETED in a saved ivf_pq artifact without touching its
     codes (VERDICT r10 §missing-3): the nightly delta fold appends new
     vectors cheaply (:func:`ivf_pq_extend_saved`) but retracted/demoted
@@ -612,34 +613,72 @@ def ivf_pq_tombstone(spark, path: str, ids: DataFrame, *,
     A tombstone outranks a later same-id extend until the republish:
     the extend's anti-join sees the id's code and skips it, and the
     query keeps excluding it (doc ids are monotone in the pipeline, so
-    this only arises from manual misuse)."""
+    this only arises from manual misuse).
+
+    ``clear_ids`` UN-tombstones ids in the same leased operation — the
+    resurrection path (ADVICE r11): a doc demoted in fold N and
+    resurrected in fold N+1 is re-published to the corpus, and its
+    still-live index code must become servable again without waiting
+    for the next republish. Clearing rewrites the (answer-sized)
+    table via a sibling-dir swap; a reader racing the swap can see the
+    table absent for a moment and transiently under-exclude — it errs
+    toward serving a deleted doc for milliseconds, never toward
+    excluding a live one."""
     return _with_maintenance_lease(
         spark, path, "ivf_pq_tombstone",
-        lambda: _tombstone_locked(spark, path, ids, id_col=id_col))
+        lambda: _tombstone_locked(spark, path, ids, id_col=id_col,
+                                  clear_ids=clear_ids))
 
 
 def _tombstone_locked(spark, path: str, ids: DataFrame, *,
-                      id_col: str) -> dict:
+                      id_col: str, clear_ids: DataFrame | None = None
+                      ) -> dict:
     from dexscraper_spark import fsio
 
     path = fsio.pointer_resolve(spark, path)
     dst = fsio.join(path, "tombstones")
-    new = ids.select(id_col).distinct()
+    # collect-and-recreate (the set is answer-sized by contract: the
+    # fold's retracted ∪ demoted ids): a lazy anti-join plan appended
+    # into the directory it scans would re-read its own output on a
+    # cache-evicted recompute (ADVICE r11) — driver-materializing the
+    # tiny id sets removes the read-cycle entirely
+    have: set = set()
     if fsio.exists(spark, dst):
-        new = new.join(spark.read.parquet(dst), id_col, "left_anti")
-    # persist + count BEFORE the append: the anti-join reads dst, and
-    # the write must consume the materialized cache, not re-scan the
-    # directory it is appending into
-    new = new.persist()
-    try:
-        n = new.count()
-        if n:
-            new.write.mode("append").parquet(dst)
-    finally:
-        new.unpersist()
-    total = spark.read.parquet(dst).count() \
-        if fsio.exists(spark, dst) else 0
-    return {"tombstoned": n, "total": total}
+        have = {r[0] for r in
+                spark.read.parquet(dst).select(id_col).collect()}
+    add = {r[0] for r in ids.select(id_col).distinct().collect()}
+    drop: set = set()
+    if clear_ids is not None:
+        drop = {r[0] for r in
+                clear_ids.select(id_col).distinct().collect()}
+    add -= drop
+    n_new = len(add - have)
+    n_cleared = len(drop & have)
+    live = (have | add) - drop
+    schema = f"{id_col} long"
+    if n_cleared:
+        # rewrite via sibling swap — never append into a directory
+        # while a plan over it could recompute (see docstring window).
+        # The tmp dir is fully written BEFORE dst is touched, so the
+        # reader-visible absent window is just the delete+rename pair.
+        # An all-cleared table stays DELETED (absent == no
+        # tombstones): an empty partition-less parquet dir holds only
+        # _SUCCESS, which schema inference on the next read rejects.
+        tmp = f"{dst}__rewrite"
+        fsio.delete(spark, tmp)
+        if live:
+            spark.createDataFrame([(int(i),) for i in sorted(live)],
+                                  schema).coalesce(1) \
+                .write.mode("overwrite").parquet(tmp)
+        fsio.delete(spark, dst)
+        if live:
+            fsio.rename(spark, tmp, dst)
+    elif n_new:
+        spark.createDataFrame([(int(i),) for i in sorted(add - have)],
+                              schema).coalesce(1) \
+            .write.mode("append").parquet(dst)
+    return {"tombstoned": n_new, "cleared": n_cleared,
+            "total": len(live)}
 
 
 def ivf_pq_tombstones(spark, path: str, *,
@@ -654,6 +693,33 @@ def ivf_pq_tombstones(spark, path: str, *,
     if not fsio.exists(spark, dst):
         return None
     return spark.read.parquet(dst).select(id_col)
+
+
+# above this share of tombstoned codes the artifact is mostly dead
+# weight: every query drags the deleted ids through its exclusion
+# anti-join, k×expand candidate windows fill with excluded codes, and
+# recall vs the LIVE corpus quietly degrades — time to republish
+# (rebuild corpus-only clears the set by construction)
+TOMBSTONE_REPUBLISH_FRACTION = 0.2
+
+
+def ivf_pq_tombstone_pressure(spark, path: str, *,
+                              id_col: str = "vec_id") -> dict:
+    """{tombstones, indexed, fraction} for a saved artifact — the
+    operator signal for WHEN to republish (VERDICT r11 §next-6). The
+    tombstone set only grows between republishes; callers print a
+    republish recommendation once ``fraction`` crosses
+    :data:`TOMBSTONE_REPUBLISH_FRACTION`. One pointer resolve, two
+    answer-sized/column-pruned counts."""
+    from dexscraper_spark import fsio
+
+    resolved = fsio.pointer_resolve(spark, path)
+    tomb = ivf_pq_tombstones(spark, resolved, id_col=id_col)
+    n_tomb = tomb.count() if tomb is not None else 0
+    n_codes = spark.read.parquet(
+        fsio.join(resolved, "codes")).select(id_col).count()
+    return {"tombstones": n_tomb, "indexed": n_codes,
+            "fraction": round(n_tomb / max(n_codes, 1), 4)}
 
 
 def ivf_pq_query_saved(spark, path: str, queries: DataFrame, *,

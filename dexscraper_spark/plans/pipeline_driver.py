@@ -443,14 +443,47 @@ def run_full(spark, args) -> dict:
 _STATE_ROOT = "state_versions"
 
 # Bucketed layered state store (VERDICT r10 §missing-4): hash-bucket
-# count for the fingerprint store's partition column, and the maximum
-# number of version directories the bucket-owner manifest may span
-# before a fold compacts (writes all buckets). 64 buckets keeps a
-# small-delta fold's write to k≪64 bucket partitions while bounding
-# file counts; at 10^11 docs raise --state-buckets so one bucket's
-# rewrite stays executor-sized.
-_STATE_BUCKETS_DEFAULT = 64
+# count for the fingerprint store's partition column, and the target
+# bound on how many version directories the bucket-owner manifest may
+# span. The bound is held by TRICKLE compaction (VERDICT r11 §next-3):
+# every fold rewrites up to ceil(B/(MAX-1)) buckets — the ones whose
+# owner lists reach back to the OLDEST versions — collapsing their
+# lists to [version]. Each bucket is therefore reset at least every
+# MAX-1 folds, so no owner list spans more than MAX versions and no
+# fold EVER writes the full store (the r11 design rewrote ALL buckets
+# on the fold that crossed the bound — an amortized corpus-linear
+# term and a latency cliff on the unlucky night; the trickle pays
+# ~the same amortized bytes as a steady per-fold slice instead).
+# versions_referenced can transiently reach MAX+1 during the store's
+# first compaction cycle (buckets start synchronized on the seed
+# version); steady state is ≤ MAX. 64 buckets keeps a small-delta
+# fold's write to k≪64 bucket partitions while bounding file counts;
+# at 10^11 docs raise --state-buckets so one bucket's rewrite stays
+# executor-sized.
+_STATE_BUCKETS_DEFAULT = 64      # legacy floor; see derivation below
 _STATE_MAX_VERSIONS = 6
+
+# When --state-buckets is not given, the FIRST fold derives the count
+# from the store's own size (VERDICT r11 §next-5): ceil(rows / target)
+# clamped to [MIN, MAX]. Each store derives from ITS full frame, so
+# the wide embeddings store gets proportionally as many buckets as
+# the 32-40 B/row fingerprint store without a byte-width model. The
+# count is frozen into the layout manifest; later folds inherit it
+# and refuse a mismatched explicit flag.
+_STATE_ROWS_PER_BUCKET = 100_000
+_STATE_BUCKETS_MIN = 16
+_STATE_BUCKETS_MAX = 4096
+
+
+def _vnum(name: str) -> int:
+    """Numeric part of a ``v_000123`` version-directory name."""
+    return int(name[2:])
+
+
+def _compact_budget(n_buckets: int) -> int:
+    """Per-fold trickle-compaction budget: enough buckets that a full
+    rotation completes within _STATE_MAX_VERSIONS - 1 folds."""
+    return max(1, -(-n_buckets // (_STATE_MAX_VERSIONS - 1)))
 
 # Knobs a delta fold MUST share with the bootstrap for the
 # bootstrap+deltas ≡ full-rebuild contract to hold: the state stores
@@ -504,7 +537,7 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
                    full_df: DataFrame, appended_df: DataFrame,
                    changed_ids: DataFrame | None,
                    prev_layout: dict | None,
-                   default_buckets: int,
+                   default_buckets: int | None,
                    id_col: str = "doc_id") -> tuple:
     """One layered store's slice for ``version``, written under
     ``<state_root>/<version>/<sub>``; returns ``(layout_doc, stats)``.
@@ -512,11 +545,27 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
     Merge-on-read semantics (see run_delta's publish comment):
     ``appended_df`` rows land delta-sized and their buckets' owner
     lists grow; buckets holding ``changed_ids`` are rewritten wholly
-    from ``full_df`` (owner list resets); no previous layout, or a
-    manifest that would reference more than _STATE_MAX_VERSIONS
-    versions, triggers a compacting full write."""
-    n_buckets = int(prev_layout["buckets"]) if prev_layout \
-        else default_buckets
+    from ``full_df`` (owner list resets); no previous layout triggers
+    the one-time seeding full write. On every later fold a bounded
+    TRICKLE of additional buckets — the ones referencing the oldest
+    versions, up to :func:`_compact_budget` per fold, relabel
+    rewrites counted against the budget — is compacted the same way,
+    which keeps the manifest's version span ≤ _STATE_MAX_VERSIONS
+    (+1 transiently in the first cycle) without any fold ever
+    rewriting the whole store (VERDICT r11 §next-3). Buckets whose
+    owner lists only reach back to the previous version are never
+    trickled — a quiet, already-compact store is not churned."""
+    if prev_layout:
+        n_buckets = int(prev_layout["buckets"])
+    elif default_buckets:
+        n_buckets = int(default_buckets)
+    else:
+        # size-derived default at seed time: one extra count over the
+        # frame that is about to be fully written anyway
+        n_rows = full_df.count()
+        n_buckets = min(_STATE_BUCKETS_MAX,
+                        max(_STATE_BUCKETS_MIN,
+                            -(-n_rows // _STATE_ROWS_PER_BUCKET)))
     bucket_col = F.pmod(F.xxhash64(F.col(id_col)),
                         F.lit(n_buckets)).cast("int")
     dst = fsio.join(state_root, version, sub)
@@ -535,9 +584,24 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
             {int(r["b"]) for r in appended_df
              .select(bucket_col.alias("b")).distinct().collect()}
             - set(rewrite))
-        refd = set().union(*owners.values()) if owners else set()
-        if len(refd | {version}) > _STATE_MAX_VERSIONS:
-            compact = True
+        # trickle compaction: rewrite up to budget additional buckets,
+        # oldest-referencing first (min owner version asc, then list
+        # length desc, then bucket id — deterministic). Buckets whose
+        # list reaches no further back than the PREVIOUS version are
+        # skipped: compacting them would churn a quiet store for no
+        # span reduction.
+        cur_v = _vnum(version)
+        budget = max(0, _compact_budget(n_buckets) - len(rewrite))
+        cand = sorted(
+            (b for b, vs in owners.items()
+             if b not in set(rewrite)
+             and min(_vnum(v) for v in vs) <= cur_v - 2),
+            key=lambda b: (min(_vnum(v) for v in owners[b]),
+                           -len(owners[b]), b))
+        trickle = cand[:budget]
+        if trickle:
+            rewrite = sorted(set(rewrite) | set(trickle))
+            append = sorted(set(append) - set(trickle))
 
     if compact:
         (full_df.withColumn("__bucket", bucket_col)
@@ -647,7 +711,44 @@ def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
 def run_delta(spark, args) -> dict:
     """Fold a NEW crawl slice into a bootstrapped pipeline output dir.
     See the module docstring for the composition and the crash story.
-    """
+
+    The whole fold runs under ``<out>/_delta/__fold.lock`` (VERDICT
+    r11 §wrong-2): two overlapping folds — a cron firing while last
+    night's long fold still runs — would both read the same state and
+    the second pointer flip would silently discard the first fold's
+    rows (and their corpus/shard merges could interleave). The lease
+    makes the overlap LOUD at fold start; a crashed holder's lock is
+    cleared with ``--break-lease``. Defense-in-depth for writers that
+    ignore the lease: the state publish itself passes
+    ``expect_current`` and refuses the flip when the pointer moved
+    since this fold read it (see :func:`fsio.pointer_publish`)."""
+    import os as _os
+    import time as _time
+
+    out = args.out
+    lock = fsio.join(out, "_delta", "__fold.lock")
+    if getattr(args, "break_lease", False):
+        fsio.delete(spark, lock)
+    if not fsio.create_exclusive(spark, lock, json.dumps(
+            {"pid": _os.getpid(), "ts": int(_time.time()),
+             "docs": getattr(args, "docs", None)})):
+        try:
+            holder = fsio.read_text(spark, lock)
+        except OSError:
+            holder = "<unreadable>"
+        raise PipelineArgError(
+            f"delta fold lease {lock} is held ({holder}) — two folds "
+            "must not run concurrently on one --out: the later "
+            "publish would silently discard the earlier fold's rows. "
+            "If the holder is live, wait for it; if it crashed, rerun "
+            "with --break-lease")
+    try:
+        return _run_delta_locked(spark, args)
+    finally:
+        fsio.delete(spark, lock)
+
+
+def _run_delta_locked(spark, args) -> dict:
     from dexscraper_spark.operators.dedup import semantic_dedup_delta
     from dexscraper_spark.plans.curation import (
         CurationConfig, apply_state_updates, curate_delta,
@@ -739,6 +840,23 @@ def run_delta(spark, args) -> dict:
     if ptr is not None:
         meta = json.loads(fsio.read_text(
             spark, fsio.join(state_root, "_current")))
+        # the bucket count is frozen at the first fold: a later fold's
+        # mismatched explicit --state-buckets was silently ignored in
+        # r11 (the layout correctly wins) — treat it like every other
+        # knob and refuse loudly, naming both values (VERDICT r11
+        # §next-5 / §missing-5)
+        req_b = getattr(args, "state_buckets", None)
+        if req_b:
+            for lay_key in ("state_layout", "sem_layout"):
+                lay = meta.get(lay_key)
+                if lay and int(lay["buckets"]) != int(req_b):
+                    raise PipelineArgError(
+                        f"--state-buckets {req_b} does not match the "
+                        f"layered store's recorded layout "
+                        f"({lay['buckets']} buckets, {lay_key}) — the "
+                        "bucket count is fixed when the store is "
+                        "seeded; drop the flag (the layout wins) or "
+                        "re-bootstrap to change it")
         if meta.get("batch") == batch:
             # crashed between the pointer flip and the marker: the
             # fold is complete (merges precede the flip) — finish the
@@ -777,6 +895,11 @@ def run_delta(spark, args) -> dict:
         summary["quality_dropped"] = n_in - docs.count()
 
     # ---- curation fold against the fingerprint store ----------------
+    # remember which pointer version the state was read from: the
+    # publish at the end passes it as expect_current, so a concurrent
+    # publish interleaving this fold's read→flip span is refused
+    # loudly instead of silently losing one fold's rows
+    state_read_ptr = fsio.pointer_read(spark, state_root)
     state, sem_state_stored = read_pipeline_state(spark, out)
     cfg = CurationConfig(min_quality=args.min_quality,
                          min_tokens=args.min_tokens,
@@ -911,12 +1034,33 @@ def run_delta(spark, args) -> dict:
             keep_vecs.withColumnRenamed("doc_id", "vec_id"))
         summary["ann_appended"] = res["appended"]
         # retracted ∪ demoted ids' codes stay in the index until the
-        # next republish — tombstone them so queriers exclude them now
+        # next republish — tombstone them so queriers exclude them
+        # now. RESURRECTED ids (demoted in a prior fold, re-promoted
+        # by this one) are UN-tombstoned in the same leased op: their
+        # codes are still in the index and must be servable again
+        # without waiting for the next republish (ADVICE r11).
         ts = ivf_pq_tombstone(
             spark, args.index,
             removed_docs.select("doc_id")
+            .withColumnRenamed("doc_id", "vec_id"),
+            clear_ids=resurrected.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"))
         summary["ann_tombstoned"] = ts["tombstoned"]
+        summary["ann_tombstones_cleared"] = ts["cleared"]
+        # tombstone pressure (VERDICT r11 §next-6): the set only grows
+        # between republishes — surface the fraction every fold and
+        # recommend a republish once the index is mostly dead weight
+        from dexscraper_spark.operators import quantize as _q
+        pres = _q.ivf_pq_tombstone_pressure(spark, args.index)
+        summary["ann_tombstone_fraction"] = pres["fraction"]
+        if pres["fraction"] >= _q.TOMBSTONE_REPUBLISH_FRACTION:
+            print(
+                f"pipeline: WARNING {pres['tombstones']} of "
+                f"{pres['indexed']} indexed vectors "
+                f"({pres['fraction']:.0%}) are tombstoned — schedule "
+                "an `ann --mode republish` on the live corpus: the "
+                "rebuild drops the dead codes and clears the "
+                "tombstone set", file=sys.stderr)
 
     # ---- STATE PUBLISH (last; one atomic pointer flip for BOTH
     # stores, stamped with the batch id) --------------------------------
@@ -937,14 +1081,20 @@ def run_delta(spark, args) -> dict:
     #     smaller label) are the only whole-bucket rewrites: the
     #     bucket's assembled rows land relabeled in the new version
     #     and its owner list RESETS to [version];
-    #   * when the manifest would reference more than
-    #     _STATE_MAX_VERSIONS distinct versions, the fold compacts
-    #     (writes ALL buckets, owner lists collapse to [version]).
+    #   * a bounded TRICKLE of additional buckets — the ones whose
+    #     owner lists reach back to the oldest versions, up to
+    #     ceil(B/(_STATE_MAX_VERSIONS-1)) per fold — is compacted
+    #     (rewritten from full_df, lists collapse to [version]),
+    #     which holds the manifest's version span at
+    #     ~_STATE_MAX_VERSIONS WITHOUT any fold ever writing the
+    #     whole store (r11 compacted ALL buckets on the fold that
+    #     crossed the bound — a latency cliff; VERDICT r11 §next-3).
     # So a nightly fold's state write is |delta| rows + the
-    # relabel-affected buckets — never the corpus-sized store. (The
-    # earlier single-owner design rewrote every touched bucket wholly;
-    # measured at 5M rows / 5k-doc delta, appends alone touch all 64
-    # buckets and the "scoped" write degenerated to a full rewrite.)
+    # relabel-affected buckets + ≤budget trickled buckets — never the
+    # corpus-sized store in one fold. (The earlier single-owner design
+    # rewrote every touched bucket wholly; measured at 5M rows /
+    # 5k-doc delta, appends alone touch all 64 buckets and the
+    # "scoped" write degenerated to a full rewrite.)
     # The SAME treatment covers the SEMANTIC state (doc_id, embedding,
     # component): at ~4·dim bytes/doc its full rewrite was the LARGER
     # corpus-linear term per fold — embeddings dwarf the 32-40 B
@@ -958,8 +1108,10 @@ def run_delta(spark, args) -> dict:
     if fsio.pointer_read(spark, state_root) is not None:
         prev_meta = json.loads(fsio.read_text(
             spark, fsio.join(state_root, "_current")))
-    default_b = int(getattr(args, "state_buckets", None)
-                    or _STATE_BUCKETS_DEFAULT)
+    # None → each store derives its own count from its size at seed
+    # time (_layered_write); an explicit flag wins at the seed and is
+    # validated against the recorded layout on every later fold
+    default_b = getattr(args, "state_buckets", None)
 
     changed_cur = None
     if delta.relabeled.limit(1).count():
@@ -999,8 +1151,22 @@ def run_delta(spark, args) -> dict:
         retain |= {v for vs in sem_layout["bucket_owners"].values()
                    for v in vs}
 
+    # ALSO retain every version the PREVIOUS manifest references
+    # (ADVICE r11): a laggard reader that resolved the old _current
+    # moments before this flip holds the old meta, whose bucket_owners
+    # span version dirs beyond the prev pointer dir itself (after a
+    # compaction, nearly none of them) — prev-dir retention alone
+    # would sweep dirs that reader is mid-union over. One extra
+    # publish cycle of retention keeps the old manifest fully
+    # readable until the NEXT flip.
+    for lay_key in ("state_layout", "sem_layout"):
+        lay = prev_meta.get(lay_key)
+        if lay:
+            retain |= {v for vs in lay["bucket_owners"].values()
+                       for v in vs}
     fsio.pointer_publish(spark, state_root, version, meta=meta,
-                         keep=2, retain=retain - {version})
+                         keep=2, retain=retain - {version},
+                         expect_current=state_read_ptr)
     fsio.mkdirs(spark, fsio.join(out, "_delta", batch))
     fsio.write_text_atomic(spark, pub_marker, json.dumps(summary))
     fsio.write_text_atomic(

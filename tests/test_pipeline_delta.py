@@ -544,15 +544,18 @@ def test_two_successive_deltas_equal_full_rebuild(spark, tmp_path,
 
 
 def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
-    """VERDICT r10 §missing-4: the fingerprint store is hash-bucketed;
-    after the first fold buckets it, each small fold rewrites only the
-    k≪B buckets its docs hash into (state_buckets_written pins it),
-    untouched buckets stay owned by older version dirs (the manifest
-    spans versions, owner dirs survive GC), a fold whose manifest
-    would span >_STATE_MAX_VERSIONS compacts to one version — and the
-    assembled store still equals a full rebuild's row-for-row."""
+    """VERDICT r10 §missing-4 + r11 §next-3: the fingerprint store is
+    hash-bucketed; the first fold seeds it (one-time full write), each
+    later fold appends delta-sized rows PLUS a bounded TRICKLE of
+    compacted buckets (≤ ceil(B/(MAX-1)) per fold, oldest-referencing
+    first) — over a 12-fold sequence NO fold after the seed ever
+    rewrites the full store, versions_referenced stays bounded, every
+    version a CURRENT OR PREVIOUS manifest references survives GC
+    (laggard readers of the pre-flip manifest keep a readable store,
+    ADVICE r11), and the assembled store still equals a full rebuild
+    row-for-row."""
     from dexscraper_spark.plans.pipeline_driver import (
-        _STATE_MAX_VERSIONS, read_pipeline_state)
+        _STATE_MAX_VERSIONS, _compact_budget, read_pipeline_state)
 
     boot_rows = [
         (1, "we walked to the market in the morning and bought some "
@@ -568,10 +571,8 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
         (6, "the scientists measured the temperature of the lake "
             "every hour during the whole experiment"),
     ]
-    # fold ids picked so pmod(xxhash64(id), 8) are pairwise DISTINCT
-    # (0,3,2,5,6,4,7): each single-doc fold supersedes a different
-    # bucket, so the owner manifest grows one version per fold until
-    # the compaction bound trips at fold 7
+    # single-doc folds over a spread of buckets: the owner manifest
+    # would grow one version per fold forever without the trickle
     fold_rows = [
         (100, "a gentle breeze carried the smell of pine across the "
               "valley as the hikers reached the summit"),
@@ -587,6 +588,16 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
               "about the ships that passed in the dark"),
         (111, "the gardener planted rows of tulips along the path "
               "that leads from the gate to the greenhouse"),
+        (113, "the ferry crossed the strait twice a day and carried "
+              "the mail between the two small harbor towns"),
+        (117, "a travelling circus raised its striped tent on the "
+              "field behind the school for the summer fair"),
+        (121, "the librarian catalogued a donated box of letters "
+              "written by settlers during the first hard winters"),
+        (125, "wind turbines on the ridge turned slowly against the "
+              "clouds while the cattle grazed in the pasture below"),
+        (131, "the night train to the coast was delayed because a "
+              "fallen branch had blocked the rails near the tunnel"),
     ]
 
     def _docs(pairs):
@@ -607,6 +618,7 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
     B = 8
     root = fsio.join(inc, "state_versions")
     rewrote, vrows = [], []
+    prev_owner_vers: set = set()
     for i, row in enumerate(fold_rows):
         p = str(tmp_path / f"fold{i}")
         _docs([row]).write.parquet(p)
@@ -622,30 +634,30 @@ def test_delta_state_store_is_bucket_scoped(spark, tmp_path, capsys):
         owner_vers = set()
         for vs in layout["bucket_owners"].values():
             owner_vers.update(vs)
-        assert len(owner_vers) <= _STATE_MAX_VERSIONS
+        # bounded span: ≤ MAX steady-state, +1 transient (first cycle)
+        assert len(owner_vers) <= _STATE_MAX_VERSIONS + 1
         assert s["state_versions_referenced"] == len(owner_vers)
-        # every referenced version directory survives GC
-        for v in owner_vers:
+        # every referenced version directory survives GC — and so does
+        # everything the PREVIOUS manifest references: a laggard reader
+        # that resolved the pre-flip pointer must still be able to
+        # assemble the old store (ADVICE r11)
+        for v in owner_vers | prev_owner_vers:
             assert fsio.exists(spark, fsio.join(root, v, "curation"))
+        prev_owner_vers = owner_vers
         vrows.append(spark.read.parquet(fsio.join(
             root, fsio.pointer_read(spark, root), "curation")).count())
 
-    # fold 1 bucketed the whole store (one-time full write); the five
-    # scoped folds are MERGE-ON-READ appends — each version dir holds
-    # exactly its one new row and NO bucket is rewritten (the crafted
-    # folds have no relabels); the fold whose manifest would reference
-    # >max versions compacted (full write, owner lists collapse)
+    # fold 1 seeded the store (the one-time full bucketing); fold 2
+    # has nothing old enough to trickle (pure delta-sized append);
+    # every later fold compacts AT MOST the budget and NEVER the full
+    # store — the r11 design's all-bucket compaction cliff is gone
     n_state0 = len(boot_rows)
+    K = _compact_budget(B)
     assert rewrote[0] == B and vrows[0] == n_state0 + 1
-    assert rewrote[1:-1] == [0] * 5
-    assert vrows[1:-1] == [1] * 5            # delta-sized writes
-    assert rewrote[-1] == B                  # the compaction fold
-    assert vrows[-1] == n_state0 + len(fold_rows)
-    meta = json.loads(fsio.read_text(spark, fsio.join(root, "_current")))
-    owner_vers = set()
-    for vs in meta["state_layout"]["bucket_owners"].values():
-        owner_vers.update(vs)
-    assert len(owner_vers) == 1
+    assert rewrote[1] == 0 and vrows[1] == 1   # merge-on-read append
+    assert all(r <= K for r in rewrote[1:])
+    assert all(r < B for r in rewrote[1:])     # no stop-the-world fold
+    assert any(r > 0 for r in rewrote[1:])     # the trickle does run
 
     # the assembled layered store ≡ one full rebuild, row-for-row
     pfull = str(tmp_path / "all")
@@ -696,3 +708,284 @@ def test_delta_with_zero_semantic_drops_at_bootstrap(spark, tmp_path,
                 "--embeddings", pe, *FLAGS], spark=spark) == 0
     ds = _summary(capsys)
     assert ds["curated_new"] > 0
+
+
+def test_delta_resurrection_clears_tombstone(spark, tmp_path, capsys,
+                                             monkeypatch):
+    """ADVICE r11 resurrection path, end-to-end: doc 25 is a SEMANTIC
+    duplicate of doc 20 (identical embedding) and loses at bootstrap;
+    an earlier maintenance fold tombstoned 25 in the shared index
+    (simulated directly — its codes are still there). The next delta's
+    bridge doc Z retracts 20 at curation level, which RESURRECTS 25:
+    the fold must re-publish 25 to the corpus, tombstone 20, and CLEAR
+    25's tombstone in the same --index maintenance op, so 25's
+    still-live index code is servable again without a republish."""
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_query_saved, ivf_pq_republish, ivf_pq_tombstone,
+        ivf_pq_tombstones)
+
+    A = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river lake today")
+    B = ("the quick golden fox hops over the lazy sleepy near the "
+         "old river stream today")
+    Z = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river stream today")
+    X = ("a completely different report about the harvest festival "
+         "and the songs we sang together")
+    filler = [
+        (30, "we walked to the market in the morning and bought some "
+             "fresh bread for the family"),
+        (31, "she plays the violin in a small orchestra that rehearses "
+             "every tuesday evening downtown"),
+        (32, "the committee approved the budget after a long debate "
+             "about the cost of the new library"),
+        (33, "my grandfather tells wonderful stories about his years "
+             "as a sailor on the northern seas"),
+        (34, "rain fell steadily on the roof while we watched an old "
+             "film and drank hot chocolate inside"),
+        (35, "the scientists measured the temperature of the lake "
+             "every hour during the whole experiment"),
+    ]
+    rows = [(10, A), (20, B), (25, X)] + filler
+
+    def _docs(pairs):
+        return spark.createDataFrame(
+            pairs, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("syn").alias("source"),
+            F.length("text").alias("n_chars"))
+
+    pboot, pz = str(tmp_path / "boot"), str(tmp_path / "z")
+    _docs(rows).write.parquet(pboot)
+    _docs([(100, Z)]).write.parquet(pz)
+    # one-hot 16-dim embeddings; doc 25 COPIES doc 20's axis (cosine
+    # 1.0 → semantic duplicate), everyone else orthogonal
+    ids = [r[0] for r in rows]
+    axis = {i: j for j, i in enumerate(ids)}
+    axis[25] = axis[20]
+    emb = spark.createDataFrame(
+        [(i, [1.0 if d == axis[i] else 0.0 for d in range(16)])
+         for i in ids],
+        "vec_id long, embedding array<float>")
+    pe = str(tmp_path / "emb")
+    emb.write.parquet(pe)
+
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    boot = _summary(capsys)
+    # 25 lost the semantic stage to 20
+    assert boot["curated"] == len(rows) - 1
+    corpus0 = {r["doc_id"] for r in spark.read
+               .parquet(f"{out}/curated").select("doc_id").collect()}
+    assert 25 not in corpus0 and 20 in corpus0
+
+    idx = str(tmp_path / "index")
+    assert ivf_pq_republish(spark, emb, idx, nlist=2, m=4, ksub=8,
+                            seed=3, k=2, n_queries=4, nprobe=2,
+                            expand=8)["published"]
+    # the earlier fold that demoted 25 left its tombstone behind
+    ivf_pq_tombstone(spark, idx,
+                     spark.createDataFrame([(25,)], "vec_id long"))
+
+    # lower the pressure threshold so the 1/9 fraction also exercises
+    # the republish recommendation (VERDICT r11 §next-6)
+    from dexscraper_spark.operators import quantize as _q
+    monkeypatch.setattr(_q, "TOMBSTONE_REPUBLISH_FRACTION", 0.1)
+    assert run(["pipeline", "--delta", "--docs", pz, "--out", out,
+                "--embeddings", pe, "--index", idx, *FLAGS],
+               spark=spark) == 0
+    cap = capsys.readouterr()
+    s = json.loads(cap.out.strip().splitlines()[-1])
+    assert s["ann_tombstone_fraction"] == round(1 / 9, 4)
+    assert "WARNING" in cap.err and "republish" in cap.err
+    assert s["retracted"] == 1          # doc 20 (bridge Z merged A+B)
+    assert s["resurrected"] == 1        # doc 25, suppressor gone
+    assert s["ann_tombstoned"] == 1     # doc 20 enters the table
+    assert s["ann_tombstones_cleared"] == 1   # doc 25 leaves it
+    assert {r["vec_id"] for r in
+            ivf_pq_tombstones(spark, idx).collect()} == {20}
+    corpus1 = {r["doc_id"] for r in spark.read
+               .parquet(f"{out}/curated").select("doc_id").collect()}
+    assert 25 in corpus1 and 20 not in corpus1
+
+    # 25 is servable again on its axis; 20 is not
+    q = spark.createDataFrame(
+        [(999, [1.0 if d == axis[25] else 0.0 for d in range(16)])],
+        "vec_id long, embedding array<float>")
+    got = {r["neighbor_id"] for r in ivf_pq_query_saved(
+        spark, idx, q, corpus=emb, k=3, nprobe=2, expand=8).collect()}
+    assert 25 in got and 20 not in got
+
+
+def _tiny_boot(spark, tmp_path):
+    """Bootstrap a small curation-only pipeline; returns (out, docs1,
+    docs2) where docs1/docs2 are two distinct delta slices."""
+    boot_rows = [
+        (1, "we walked to the market in the morning and bought some "
+            "fresh bread for the family"),
+        (2, "she plays the violin in a small orchestra that rehearses "
+            "every tuesday evening downtown"),
+        (3, "the committee approved the budget after a long debate "
+            "about the cost of the new library"),
+    ]
+    d1 = [(50, "a gentle breeze carried the smell of pine across the "
+               "valley as the hikers reached the summit")]
+    d2 = [(60, "the baker opened his shop before dawn so that the "
+               "first customers could smell the warm loaves")]
+
+    def _docs(pairs):
+        return spark.createDataFrame(
+            pairs, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("syn").alias("source"),
+            F.length("text").alias("n_chars"))
+
+    out = str(tmp_path / "out")
+    pboot, p1, p2 = (str(tmp_path / n) for n in ("boot", "d1", "d2"))
+    _docs(boot_rows).write.parquet(pboot)
+    _docs(d1).write.parquet(p1)
+    _docs(d2).write.parquet(p2)
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    return out, p1, p2
+
+
+def test_delta_fold_lease_serializes(spark, tmp_path, capsys):
+    """VERDICT r11 §wrong-2: folds are serialized per --out by
+    _delta/__fold.lock — a second fold starting while one runs is
+    refused loudly at fold START (before any merge), a crashed
+    holder's lock is cleared with --break-lease, and a successful fold
+    releases the lease."""
+    out, p1, p2 = _tiny_boot(spark, tmp_path)
+    capsys.readouterr()
+
+    lock = fsio.join(out, "_delta", "__fold.lock")
+    assert fsio.create_exclusive(spark, lock, '{"pid": 0}')
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", out,
+                *FLAGS], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "lease" in err and "--break-lease" in err
+    # nothing was folded — no marker, no state pointer
+    assert not fsio.exists(spark, fsio.join(out, "state_versions",
+                                            "_current"))
+
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", out,
+                "--break-lease", *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["curated_new"] == 1
+    assert not fsio.exists(spark, lock)      # released on success
+    # and the next fold needs no flag at all
+    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
+                *FLAGS], spark=spark) == 0
+    assert _summary(capsys)["curated_new"] == 1
+
+
+def test_delta_publish_cas_refuses_interleaved_publish(
+        spark, tmp_path, capsys, monkeypatch):
+    """VERDICT r11 §wrong-2 defense-in-depth: a writer that bypasses
+    the fold lease and flips the state pointer between this fold's
+    state READ and its PUBLISH is detected by expect_current — the
+    fold refuses loudly (rc 2, both versions named), writes no
+    _PUBLISHED marker, and a rerun on fresh state folds the same slice
+    successfully with no rows lost."""
+    from dexscraper_spark.plans import curation as curation_mod
+
+    out, p1, p2 = _tiny_boot(spark, tmp_path)
+    capsys.readouterr()
+    # seed the layered store with a first fold
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", out,
+                *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+    root = fsio.join(out, "state_versions")
+    v_before = fsio.pointer_read(spark, root)
+
+    real = curation_mod.apply_state_updates
+    fired = {"n": 0}
+
+    def rogue_then_real(state, delta):
+        # simulate a concurrent fold's publish landing mid-span: a
+        # content-identical manifest under a fresh version name
+        # (owner lists unchanged → same rows), flipped directly,
+        # ignoring the lease this fold holds
+        if fired["n"] == 0:
+            fired["n"] = 1
+            meta = json.loads(fsio.read_text(
+                spark, fsio.join(root, "_current")))
+            vney = fsio.pointer_next_version(spark, root)
+            fsio.mkdirs(spark, fsio.join(root, vney))
+            fsio.write_text_atomic(
+                spark, fsio.join(root, vney, "_rogue"), "1")
+            retain = {v for vs in
+                      meta["state_layout"]["bucket_owners"].values()
+                      for v in vs}
+            fsio.pointer_publish(
+                spark, root, vney,
+                meta={"batch": "rogue",
+                      "state_layout": meta["state_layout"]},
+                keep=2, retain=retain)
+        return real(state, delta)
+
+    monkeypatch.setattr(curation_mod, "apply_state_updates",
+                        rogue_then_real)
+    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
+                *FLAGS], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "pointer now names" in err and v_before in err
+    v_rogue = fsio.pointer_read(spark, root)
+    assert v_rogue != v_before
+    # no marker for the refused batch → the rerun is a real fold
+    monkeypatch.setattr(curation_mod, "apply_state_updates", real)
+    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
+                *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["curated_new"] == 1
+    # both deltas' rows are in the corpus — nothing was lost
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/curated")
+           .select("doc_id").collect()}
+    assert {50, 60} <= ids
+
+
+def test_delta_state_buckets_mismatch_rejected(spark, tmp_path,
+                                               capsys):
+    """VERDICT r11 §next-5: a fold whose explicit --state-buckets
+    disagrees with the store's frozen layout is refused loudly naming
+    both values (r11 silently ignored the flag); dropping the flag —
+    or passing the matching value — folds normally."""
+    out, p1, p2 = _tiny_boot(spark, tmp_path)
+    capsys.readouterr()
+    assert run(["pipeline", "--delta", "--docs", p1, "--out", out,
+                "--state-buckets", "8", *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+
+    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
+                "--state-buckets", "16", *FLAGS], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "16" in err and "8 buckets" in err
+    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
+                "--state-buckets", "8", *FLAGS], spark=spark) == 0
+    assert _summary(capsys)["curated_new"] == 1
+
+
+def test_state_buckets_derived_from_store_size(spark, tmp_path,
+                                               monkeypatch):
+    """VERDICT r11 §next-5: with no --state-buckets, the seeding fold
+    derives the bucket count from the store's own row count (ceil of
+    rows/target, clamped), so two corpora of different sizes get
+    proportionate layouts instead of one fixed 64."""
+    from dexscraper_spark.plans import pipeline_driver as pd
+
+    monkeypatch.setattr(pd, "_STATE_ROWS_PER_BUCKET", 10)
+
+    def _seed(n_rows, name):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64("id").alias("fingerprint"))
+        layout, stats = pd._layered_write(
+            spark, str(tmp_path / name), "v_000001", "curation",
+            full_df=df, appended_df=df, changed_ids=None,
+            prev_layout=None, default_buckets=None)
+        return layout["buckets"]
+
+    assert _seed(100, "small") == 16          # min clamp
+    assert _seed(400, "large") == 40          # ceil(400/10)

@@ -56,10 +56,10 @@ def test_tombstone_excludes_until_republish(spark, tmp_path, layout):
 
     one = spark.createDataFrame([(int(victim),)], "vec_id long")
     assert ivf_pq_tombstone(spark, path, one) \
-        == {"tombstoned": 1, "total": 1}
+        == {"tombstoned": 1, "cleared": 0, "total": 1}
     # append-idempotent
     assert ivf_pq_tombstone(spark, path, one) \
-        == {"tombstoned": 0, "total": 1}
+        == {"tombstoned": 0, "cleared": 0, "total": 1}
 
     hits2 = ivf_pq_query_saved(spark, path, q, corpus=corpus, k=5,
                                nprobe=8, expand=4)
@@ -124,3 +124,91 @@ def test_query_saved_merges_caller_exclusions(spark, tmp_path):
                               exclude_ids=caller).collect()}
     assert base[0] not in got and base[1] not in got
     assert len(got) == 4
+
+
+def test_tombstone_clear_and_retombstone(spark, tmp_path):
+    """ADVICE r11: resurrected ids must be clearable from the
+    tombstone table (same leased op), an id added and cleared in one
+    call errs toward live (clear wins), an all-cleared table is
+    deleted (absent == none), and a cleared id can be re-tombstoned
+    later (demoted → resurrected → demoted again)."""
+    rng = np.random.default_rng(9)
+    corpus = _vdf(spark, rng.normal(size=(80, 16)))
+    path = str(tmp_path / "ann")
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+
+    def _ids_df(vals):
+        return spark.createDataFrame([(int(v),) for v in vals],
+                                     "vec_id long")
+
+    empty = spark.createDataFrame([], "vec_id long")
+    assert ivf_pq_tombstone(spark, path, _ids_df([1, 2])) \
+        == {"tombstoned": 2, "cleared": 0, "total": 2}
+    # add 3, resurrect 1 — one leased op
+    assert ivf_pq_tombstone(spark, path, _ids_df([3]),
+                            clear_ids=_ids_df([1])) \
+        == {"tombstoned": 1, "cleared": 1, "total": 2}
+    assert _ids(ivf_pq_tombstones(spark, path)) == {2, 3}
+    # same id added AND cleared: clear wins (errs toward serving);
+    # clearing an absent id is a no-op
+    assert ivf_pq_tombstone(spark, path, _ids_df([4]),
+                            clear_ids=_ids_df([4])) \
+        == {"tombstoned": 0, "cleared": 0, "total": 2}
+    # all-cleared table is deleted, not left empty
+    assert ivf_pq_tombstone(spark, path, empty,
+                            clear_ids=_ids_df([2, 3])) \
+        == {"tombstoned": 0, "cleared": 2, "total": 0}
+    assert ivf_pq_tombstones(spark, path) is None
+    # re-tombstone after a clear (demoted again after resurrection)
+    assert ivf_pq_tombstone(spark, path, _ids_df([2])) \
+        == {"tombstoned": 1, "cleared": 0, "total": 1}
+    assert _ids(ivf_pq_tombstones(spark, path)) == {2}
+
+
+def test_tombstone_pressure_signal(spark, tmp_path, capsys):
+    """VERDICT r11 §next-6: the tombstone set grows until a republish;
+    ivf_pq_tombstone_pressure reports the dead-weight fraction, and
+    `ann --mode query` surfaces it on stderr with a republish
+    recommendation once it crosses TOMBSTONE_REPUBLISH_FRACTION."""
+    from dexscraper_spark.cli import run
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_tombstone_pressure)
+
+    rng = np.random.default_rng(13)
+    corpus = _vdf(spark, rng.normal(size=(150, 16)))
+    path = str(tmp_path / "ann")
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    assert ivf_pq_tombstone_pressure(spark, path) \
+        == {"tombstones": 0, "indexed": 150, "fraction": 0.0}
+
+    qp = str(tmp_path / "q")
+    corpus.limit(2).write.parquet(qp)
+
+    def _ids_df(vals):
+        return spark.createDataFrame([(int(v),) for v in vals],
+                                     "vec_id long")
+
+    # 10/150 = 6.7%: fraction reported, no recommendation yet
+    ivf_pq_tombstone(spark, path, _ids_df(range(10)))
+    assert run(["ann", "--mode", "query", "--index", path,
+                "--queries", qp, "--k", "3", "--nprobe", "8"],
+               spark=spark) == 0
+    err = capsys.readouterr().err
+    assert "tombstone_fraction=0.0667" in err
+    assert "WARNING" not in err
+
+    # 40/150 = 26.7% ≥ 20%: loud republish recommendation
+    ivf_pq_tombstone(spark, path, _ids_df(range(40)))
+    assert ivf_pq_tombstone_pressure(spark, path)["fraction"] == 0.2667
+    assert run(["ann", "--mode", "query", "--index", path,
+                "--queries", qp, "--k", "3", "--nprobe", "8"],
+               spark=spark) == 0
+    err = capsys.readouterr().err
+    assert "tombstone_fraction=0.2667" in err
+    assert "WARNING" in err and "republish" in err
+
+    # a republish on the live corpus resets the signal
+    live = corpus.filter("vec_id >= 40")
+    assert ivf_pq_republish(spark, live, path, **PARAMS)["published"]
+    assert ivf_pq_tombstone_pressure(spark, path) \
+        == {"tombstones": 0, "indexed": 110, "fraction": 0.0}
