@@ -310,6 +310,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "FIRST delta fold — afterwards the store's "
                          "recorded layout wins, and a mismatched "
                          "explicit value is refused)")
+    pl.add_argument("--upsert", action="store_true",
+                    help="pipeline --delta: the slice is a RE-CRAWL — "
+                         "ids the store knows are compared by content "
+                         "hash; unchanged docs no-op, changed docs are "
+                         "retracted under their old content (stale "
+                         "index codes tombstoned sticky) and re-enter "
+                         "the fold under the new; previously-gated-"
+                         "out ids may reappear")
     pl.add_argument("--break-lease", action="store_true",
                     help="pipeline --delta: clear a crashed fold's "
                          "_delta/__fold.lock before starting (folds "

@@ -594,7 +594,8 @@ def _extend_saved_locked(spark, path: str, new_vectors: DataFrame, *,
 
 def ivf_pq_tombstone(spark, path: str, ids: DataFrame, *,
                      id_col: str = "vec_id",
-                     clear_ids: DataFrame | None = None) -> dict:
+                     clear_ids: DataFrame | None = None,
+                     sticky_ids: DataFrame | None = None) -> dict:
     """Mark ids DELETED in a saved ivf_pq artifact without touching its
     codes (VERDICT r10 §missing-3): the nightly delta fold appends new
     vectors cheaply (:func:`ivf_pq_extend_saved`) but retracted/demoted
@@ -623,40 +624,74 @@ def ivf_pq_tombstone(spark, path: str, ids: DataFrame, *,
     table via a sibling-dir swap; a reader racing the swap can see the
     table absent for a moment and transiently under-exclude — it errs
     toward serving a deleted doc for milliseconds, never toward
-    excluding a live one."""
+    excluding a live one.
+
+    ``sticky_ids`` are tombstoned STICKY: immune to every later
+    ``clear_ids`` (a clear that hits one is ignored for it), removed
+    only by a republish's corpus-only rebuild. This is the upsert
+    (re-crawl) contract: a changed doc's indexed code encodes its OLD
+    text — unlike a demotion's (still-correct) code it must NEVER be
+    re-exposed, even if the doc is later demoted and then resurrected
+    (the resurrection clear would otherwise serve stale geometry as a
+    dedup witness). Ids in both ``ids`` and ``sticky_ids`` end up
+    sticky; re-tombstoning an existing plain id as sticky upgrades
+    it."""
     return _with_maintenance_lease(
         spark, path, "ivf_pq_tombstone",
         lambda: _tombstone_locked(spark, path, ids, id_col=id_col,
-                                  clear_ids=clear_ids))
+                                  clear_ids=clear_ids,
+                                  sticky_ids=sticky_ids))
 
 
 def _tombstone_locked(spark, path: str, ids: DataFrame, *,
-                      id_col: str, clear_ids: DataFrame | None = None
-                      ) -> dict:
+                      id_col: str, clear_ids: DataFrame | None = None,
+                      sticky_ids: DataFrame | None = None) -> dict:
     from dexscraper_spark import fsio
 
     path = fsio.pointer_resolve(spark, path)
     dst = fsio.join(path, "tombstones")
     # collect-and-recreate (the set is answer-sized by contract: the
-    # fold's retracted ∪ demoted ids): a lazy anti-join plan appended
-    # into the directory it scans would re-read its own output on a
-    # cache-evicted recompute (ADVICE r11) — driver-materializing the
-    # tiny id sets removes the read-cycle entirely
-    have: set = set()
+    # fold's retracted ∪ demoted ∪ upsert-changed ids): a lazy
+    # anti-join plan appended into the directory it scans would
+    # re-read its own output on a cache-evicted recompute (ADVICE
+    # r11) — driver-materializing the tiny id sets removes the
+    # read-cycle entirely
+    have: dict = {}           # id -> sticky
+    had_sticky_col = False
     if fsio.exists(spark, dst):
-        have = {r[0] for r in
-                spark.read.parquet(dst).select(id_col).collect()}
+        tdf = spark.read.parquet(dst)
+        had_sticky_col = "sticky" in tdf.columns
+        if had_sticky_col:
+            have = {r[0]: bool(r[1]) for r in
+                    tdf.select(id_col, "sticky").collect()}
+        else:
+            # pre-sticky table (r11 format): every mark is plain
+            have = {r[0]: False for r in
+                    tdf.select(id_col).collect()}
     add = {r[0] for r in ids.select(id_col).distinct().collect()}
+    sticky = set()
+    if sticky_ids is not None:
+        sticky = {r[0] for r in
+                  sticky_ids.select(id_col).distinct().collect()}
     drop: set = set()
     if clear_ids is not None:
         drop = {r[0] for r in
                 clear_ids.select(id_col).distinct().collect()}
-    add -= drop
-    n_new = len(add - have)
-    n_cleared = len(drop & have)
-    live = (have | add) - drop
-    schema = f"{id_col} long"
-    if n_cleared:
+    # precedence: sticky > clear > plain add. A clear only removes
+    # PLAIN marks — sticky ones (stale-content codes) stay excluded.
+    add = (add - drop) | sticky
+    drop = {i for i in drop if not have.get(i, False)} - sticky
+    n_new = len(set(add) - set(have))
+    n_cleared = len(drop & set(have))
+    upgraded = {i for i in sticky if i in have and not have[i]}
+    new_map = {i: s for i, s in have.items() if i not in drop}
+    for i in add:
+        new_map[i] = new_map.get(i, False) or i in sticky
+    schema = f"{id_col} long, sticky boolean"
+    rewrite = bool(n_cleared or upgraded or
+                   (n_new and fsio.exists(spark, dst)
+                    and not had_sticky_col))
+    if rewrite:
         # rewrite via sibling swap — never append into a directory
         # while a plan over it could recompute (see docstring window).
         # The tmp dir is fully written BEFORE dst is touched, so the
@@ -664,21 +699,28 @@ def _tombstone_locked(spark, path: str, ids: DataFrame, *,
         # An all-cleared table stays DELETED (absent == no
         # tombstones): an empty partition-less parquet dir holds only
         # _SUCCESS, which schema inference on the next read rejects.
+        # Also the upgrade path for pre-sticky tables: appending
+        # two-column rows into a one-column parquet dir would leave
+        # readers schema-dependent on file order.
         tmp = f"{dst}__rewrite"
         fsio.delete(spark, tmp)
-        if live:
-            spark.createDataFrame([(int(i),) for i in sorted(live)],
-                                  schema).coalesce(1) \
+        if new_map:
+            spark.createDataFrame(
+                [(int(i), bool(s)) for i, s in sorted(new_map.items())],
+                schema).coalesce(1) \
                 .write.mode("overwrite").parquet(tmp)
         fsio.delete(spark, dst)
-        if live:
+        if new_map:
             fsio.rename(spark, tmp, dst)
     elif n_new:
-        spark.createDataFrame([(int(i),) for i in sorted(add - have)],
-                              schema).coalesce(1) \
+        fresh = sorted(set(add) - set(have))
+        spark.createDataFrame(
+            [(int(i), i in sticky) for i in fresh],
+            schema).coalesce(1) \
             .write.mode("append").parquet(dst)
     return {"tombstoned": n_new, "cleared": n_cleared,
-            "total": len(live)}
+            "sticky": sum(1 for s in new_map.values() if s),
+            "total": len(new_map)}
 
 
 def ivf_pq_tombstones(spark, path: str, *,

@@ -226,6 +226,10 @@ def run_full(spark, args) -> dict:
     mode = args.mode or "chunk"
     if mode not in ("chunk", "bins"):
         raise PipelineArgError("--mode must be chunk or bins")
+    if getattr(args, "upsert", False):
+        raise PipelineArgError(
+            "--upsert is a --delta mode (a full run re-ingests "
+            "everything anyway)")
     split_max = args.split_max_tokens
     if split_max is None:
         split_max = args.max_tokens
@@ -708,6 +712,60 @@ def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
     return spark.createDataFrame([], like.schema)
 
 
+def _upsert_feasibility_check(spark, state, changed_ids, cfg) -> None:
+    """Refuse an upsert whose OLD-content removal would need a text we
+    never retained (VERDICT r11 §next-4 scope boundary).
+
+    Removing a changed doc's old fingerprint row is only safe when
+    every REMAINING member of its near-dup component still resolves to
+    the component's ORIGINAL survivor: the stored labels then remain
+    a correct summary of stored connectivity and nothing unpublished
+    needs promoting. Two situations break that — the changed doc WAS
+    the survivor of a multi-member cluster (a loser must be promoted,
+    but simhash losers' texts are not retained, only their 32-40 B
+    fingerprints), or it was a connectivity BRIDGE whose removal
+    splits the cluster (the split-off side needs its own survivor).
+    Both are detected exactly from the stored fingerprints alone: the
+    affected components' remaining members are re-paired with the
+    same banded join the bootstrap used (cost: affected components
+    only) and re-labeled; any member whose label moves is a needed
+    promotion → refuse loudly, naming examples. The general fix —
+    retaining gated-out texts in a side store the way sem_dropped
+    retains semantic losers — is documented in README's day-2 notes.
+    """
+    from dexscraper_spark.operators.dedup import dedup_components
+    from dexscraper_spark.plans.curation import _near_pairs
+
+    aff = state.join(changed_ids, "doc_id", "left_semi") \
+        .select("component").distinct()
+    members = state.join(aff, "component", "left_semi")
+    remaining = tracked_persist(
+        members.join(changed_ids, "doc_id", "left_anti"))
+    try:
+        fps = remaining.select("doc_id",
+                               *[F.col(c) for c in cfg.fp_cols])
+        pairs = _near_pairs(fps, cfg, id_col="doc_id")
+        comps = dedup_components(pairs, id_a="id_a", id_b="id_b") \
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("__c"))
+        relabeled = (remaining.join(comps, "doc_id", "left")
+                     .withColumn("__new", F.coalesce(F.col("__c"),
+                                                     F.col("doc_id")))
+                     .filter(F.col("__new") != F.col("component")))
+        bad = relabeled.select("doc_id").limit(5).collect()
+    finally:
+        remaining.unpersist()
+    if bad:
+        ids = ", ".join(str(r["doc_id"]) for r in bad)
+        raise PipelineArgError(
+            "--upsert cannot remove the changed doc(s)' old content: "
+            f"near-dup cluster member(s) {ids} would need a new "
+            "published survivor, and simhash losers' texts are not "
+            "retained (only fingerprints). Re-bootstrap on the "
+            "updated corpus for this slice, or re-crawl the affected "
+            "cluster's members in the same slice")
+
+
 def run_delta(spark, args) -> dict:
     """Fold a NEW crawl slice into a bootstrapped pipeline output dir.
     See the module docstring for the composition and the crash story.
@@ -813,12 +871,22 @@ def _run_delta_locked(spark, args) -> dict:
     # slices with identical id sets ARE the same batch to the fold.
     docs = spark.read.parquet(args.docs)
     _check_doc_id(docs)
-    fp = docs.agg(
+    upsert = bool(getattr(args, "upsert", False))
+    fp_aggs = [
         F.count(F.lit(1)).alias("n"),
         # bit_xor, not sum: order/partition-independent like sum but
         # cannot overflow under ANSI mode
         F.expr("bit_xor(xxhash64(doc_id))").alias("idsum"),
-        F.max("doc_id").alias("max_id")).first()
+        F.max("doc_id").alias("max_id")]
+    if upsert:
+        # an upsert's identity is (id, content) pairs, not ids: the
+        # whole point is re-folding a slice whose ids are unchanged
+        # but whose texts moved (VERDICT r11 §missing-3). Non-upsert
+        # folds keep the id-granular fingerprint so existing batch
+        # ids (and their _PUBLISHED markers) stay valid.
+        fp_aggs.append(
+            F.expr("bit_xor(xxhash64(doc_id, text))").alias("content"))
+    fp = docs.agg(*fp_aggs).first()
     knobs = {k: getattr(args, k, None) for k in (
         "docs", "eval_docs", "quality_model", "quality_alpha",
         "min_quality", "min_tokens", "fingerprint_bits", "embeddings",
@@ -828,6 +896,10 @@ def _run_delta_locked(spark, args) -> dict:
         "n": int(fp["n"]),
         "idsum": None if fp["idsum"] is None else int(fp["idsum"]),
         "max_id": None if fp["max_id"] is None else int(fp["max_id"])}
+    if upsert:
+        knobs["upsert"] = True
+        knobs["slice_fingerprint"]["content"] = \
+            None if fp["content"] is None else int(fp["content"])
     batch = hashlib.sha256(_canon(knobs).encode()).hexdigest()[:12]
     pub_marker = fsio.join(out, "_delta", batch, "_PUBLISHED")
     if fsio.exists(spark, pub_marker):
@@ -874,6 +946,62 @@ def _run_delta_locked(spark, args) -> dict:
     summary = {"mode": "pipeline-delta", "batch": batch}
     summary["input_docs"] = int(fp["n"])
 
+    # ---- state read (before anything else consults or edits it) ----
+    # remember which pointer version the state was read from: the
+    # publish at the end passes it as expect_current, so a concurrent
+    # publish interleaving this fold's read→flip span is refused
+    # loudly instead of silently losing one fold's rows
+    state_read_ptr = fsio.pointer_read(spark, state_root)
+    state, sem_state_stored = read_pipeline_state(spark, out)
+    cfg = CurationConfig(min_quality=args.min_quality,
+                         min_tokens=args.min_tokens,
+                         fingerprint_bits=args.fingerprint_bits)
+
+    # ---- upsert split (VERDICT r11 §next-4 / §missing-3) -----------
+    # A re-crawled slice carries ids the store already knows. Split on
+    # stored identity BEFORE any gate runs (a changed doc whose new
+    # text now fails decontamination/quality must still be REMOVED,
+    # exactly as a rebuild on the updated corpus would drop it):
+    #   * unchanged (stored exact_h == xxhash64(new text)) — no-op;
+    #   * changed  (stored row, different hash) — retract the old
+    #     content (state row leaves, published row/shards retract,
+    #     stale index code tombstoned) and re-enter the NEW content
+    #     through the normal fold;
+    #   * revived  (no stored row, id ≤ stored max) — a doc the
+    #     bootstrap gated out, re-crawled: no removal, re-enters;
+    #   * truly new (id > stored max) — the normal delta path.
+    upsert_changed_ids = None
+    if upsert:
+        hi_stored = state.agg(F.max("doc_id")).first()[0]
+        docs_h = docs.withColumn("__h", F.xxhash64(F.col("text")))
+        jd = tracked_persist(docs_h.join(
+            state.select("doc_id", F.col("exact_h").alias("__old_h")),
+            "doc_id", "left"))
+        slice_cols = docs.columns
+        changed_docs = tracked_persist(
+            jd.filter(F.col("__old_h").isNotNull()
+                      & (F.col("__old_h") != F.col("__h")))
+            .select(*slice_cols))
+        fresh_docs = jd.filter(F.col("__old_h").isNull()) \
+            .select(*slice_cols)
+        n_changed = changed_docs.count()
+        summary["upsert_unchanged"] = jd.filter(
+            F.col("__old_h") == F.col("__h")).count()
+        summary["upsert_changed"] = n_changed
+        summary["upsert_revived"] = 0 if hi_stored is None else \
+            fresh_docs.filter(F.col("doc_id") <= hi_stored).count()
+        if n_changed:
+            upsert_changed_ids = changed_docs.select("doc_id")
+            _upsert_feasibility_check(spark, state, upsert_changed_ids,
+                                      cfg)
+            # the fold's working state is the store MINUS the changed
+            # rows: their old fingerprints leave the search universe
+            # (the new content re-enters below), and the layered write
+            # rewrites their buckets so no old row survives the merge
+            state = state.join(upsert_changed_ids, "doc_id",
+                               "left_anti")
+        docs = tracked_persist(fresh_docs.unionByName(changed_docs))
+
     # ---- pre-processing (per-doc deterministic => identical to the
     # full rebuild's verdicts on the same docs) ----------------------
     if args.eval_docs:
@@ -895,16 +1023,35 @@ def _run_delta_locked(spark, args) -> dict:
         summary["quality_dropped"] = n_in - docs.count()
 
     # ---- curation fold against the fingerprint store ----------------
-    # remember which pointer version the state was read from: the
-    # publish at the end passes it as expect_current, so a concurrent
-    # publish interleaving this fold's read→flip span is refused
-    # loudly instead of silently losing one fold's rows
-    state_read_ptr = fsio.pointer_read(spark, state_root)
-    state, sem_state_stored = read_pipeline_state(spark, out)
-    cfg = CurationConfig(min_quality=args.min_quality,
-                         min_tokens=args.min_tokens,
-                         fingerprint_bits=args.fingerprint_bits)
-    delta = curate_delta(docs, state, config=cfg)
+    # Upsert folds carry ids at or below the stored watermark by
+    # design (changed + revived), so curate_delta's blanket monotone
+    # check is replaced by the one targeted guard it stands for here:
+    # the exact-hash shortcut ("a stored keeper never loses") must
+    # not invert — a fold doc whose text equals a stored doc's with a
+    # LARGER id would, in a rebuild, displace that keeper, which the
+    # shortcut cannot express; refused loudly. Near-dup math needs no
+    # guard: contraction + min-id components already handle a
+    # small-id fold doc winning a merged cluster — that is the
+    # ordinary relabel/retract path.
+    if upsert:
+        inv = docs.withColumn("__h", F.xxhash64(F.col("text"))).join(
+            state.select(F.col("exact_h").alias("__h"),
+                         F.col("doc_id").alias("__sid")), "__h") \
+            .filter(F.col("__sid") > F.col("doc_id")) \
+            .select("doc_id", "__sid").limit(5).collect()
+        if inv:
+            pairs = ", ".join(f"{r['doc_id']}<-{r['__sid']}"
+                              for r in inv)
+            raise PipelineArgError(
+                "--upsert exact-hash inversion: fold doc(s) share a "
+                f"text with a LARGER stored id ({pairs}); a rebuild "
+                "would displace the stored keeper, which the "
+                "incremental fold cannot — re-bootstrap or re-crawl "
+                "under the larger id")
+        delta = curate_delta(docs, state, config=cfg,
+                             check_ids=False)
+    else:
+        delta = curate_delta(docs, state, config=cfg)
     curated_new = tracked_persist(delta.curated_new)
     retracted = tracked_persist(delta.retracted)
     summary["curated_new"] = curated_new.count()
@@ -913,9 +1060,27 @@ def _run_delta_locked(spark, args) -> dict:
     # ---- semantic fold ----------------------------------------------
     curated_path = fsio.join(out, "curated")
     curated_live = spark.read.parquet(curated_path)
+    # upsert: changed docs whose OLD content was published leave the
+    # corpus/shards (and their stale index codes get tombstoned); the
+    # NEW content re-enters through add_docs if it wins the fold —
+    # same-id remove+add resolves to the new row in the partition
+    # merges. Changed-but-never-published ids need no removal actions.
+    changed_pub = None
+    if upsert_changed_ids is not None:
+        from dexscraper_spark.persist import materialize_artifact
+
+        # MATERIALIZE file-backed, not persist: this frame scans
+        # curated/, which the corpus merge below rewrites — a cache
+        # miss after the merge would recompute over deleted files
+        changed_pub = materialize_artifact(
+            upsert_changed_ids.join(curated_live.select("doc_id"),
+                                    "doc_id", "left_semi"),
+            "delta_changed_pub")
     sem_state_out = None
     add_docs = curated_new
     removed_docs = retracted
+    if changed_pub is not None:
+        removed_docs = removed_docs.unionByName(changed_pub).distinct()
     if args.embeddings:
         if sem_state_stored is None:
             raise PipelineArgError(
@@ -928,11 +1093,21 @@ def _run_delta_locked(spark, args) -> dict:
         new_emb = emb.select("doc_id", "embedding").join(
             curated_new.select("doc_id"), "doc_id", "left_semi")
         sem_state = sem_state_stored
+        # upsert: the changed docs' OLD embeddings leave the semantic
+        # universe exactly like retractions (their groups re-resolve,
+        # suppressed members resurrect); the NEW embeddings re-enter
+        # via new_emb. Upsert ids sit at/below the stored watermark,
+        # so the blanket monotone check yields to the curation-side
+        # guards (see the curate_delta call above).
+        sem_removed = retracted
+        if upsert_changed_ids is not None:
+            sem_removed = sem_removed.unionByName(
+                upsert_changed_ids).distinct()
         sd = semantic_dedup_delta(
-            new_emb, sem_state, removed_ids=retracted,
+            new_emb, sem_state, removed_ids=sem_removed,
             id_col="doc_id", nlist=args.semantic_nlist,
             threshold=args.semantic_threshold,
-            assign_n=args.assign_n)
+            assign_n=args.assign_n, check_ids=not upsert)
         dropped_new = tracked_persist(sd.dropped_new)
         resurrected = tracked_persist(sd.resurrected)
         demoted = tracked_persist(sd.demoted)
@@ -955,8 +1130,10 @@ def _run_delta_locked(spark, args) -> dict:
         add_docs = materialize_artifact(
             curated_new.join(dropped_new, "doc_id", "left_anti")
             .unionByName(res_rows), "delta_add_docs")
-        removed_docs = tracked_persist(
-            retracted.unionByName(demoted).distinct())
+        removed_docs = retracted.unionByName(demoted)
+        if changed_pub is not None:
+            removed_docs = removed_docs.unionByName(changed_pub)
+        removed_docs = tracked_persist(removed_docs.distinct())
 
         # sem_dropped bookkeeping (idempotent partition merge): demoted
         # docs' rows enter (pulled from the live corpus BEFORE the
@@ -966,7 +1143,14 @@ def _run_delta_locked(spark, args) -> dict:
             curated_live.join(demoted, "doc_id", "left_semi")
             .unionByName(curated_new.join(
                 dropped_new, "doc_id", "left_semi")), "delta_drop_adds")
-        drop_removals = resurrected.unionByName(retracted).distinct()
+        drop_removals = resurrected.unionByName(retracted)
+        if upsert_changed_ids is not None:
+            # a changed doc's stale sem_dropped row (old text) must
+            # not linger — a later resurrection would republish the
+            # superseded content
+            drop_removals = drop_removals.unionByName(
+                upsert_changed_ids)
+        drop_removals = drop_removals.distinct()
         if fsio.exists(spark, sem_dropped_path):
             # explicit schema: a bootstrap with ZERO semantic losers
             # writes an empty partitioned table (only _SUCCESS), which
@@ -1039,14 +1223,23 @@ def _run_delta_locked(spark, args) -> dict:
         # by this one) are UN-tombstoned in the same leased op: their
         # codes are still in the index and must be servable again
         # without waiting for the next republish (ADVICE r11).
+        # Upsert-CHANGED published ids are tombstoned STICKY: their
+        # indexed code encodes the SUPERSEDED text (the extend above
+        # anti-joins on vec_id, so the new embedding only enters at
+        # the next republish) — a later demote→resurrect cycle must
+        # not re-expose it via the clear path.
         ts = ivf_pq_tombstone(
             spark, args.index,
             removed_docs.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"),
             clear_ids=resurrected.select("doc_id")
+            .withColumnRenamed("doc_id", "vec_id"),
+            sticky_ids=None if changed_pub is None else
+            changed_pub.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"))
         summary["ann_tombstoned"] = ts["tombstoned"]
         summary["ann_tombstones_cleared"] = ts["cleared"]
+        summary["ann_tombstones_sticky"] = ts["sticky"]
         # tombstone pressure (VERDICT r11 §next-6): the set only grows
         # between republishes — surface the fraction every fold and
         # recommend a republish once the index is mostly dead weight
@@ -1119,6 +1312,12 @@ def _run_delta_locked(spark, args) -> dict:
             delta.relabeled.select(
                 F.col("old_label").alias("component")),
             "component", "left_semi").select("doc_id")
+    if upsert_changed_ids is not None:
+        # the changed ids' OLD rows live in older version dirs: their
+        # buckets must be rewritten from the new full state or the
+        # merge-on-read union would yield both rows per doc
+        changed_cur = upsert_changed_ids if changed_cur is None else \
+            changed_cur.unionByName(upsert_changed_ids).distinct()
     cur_layout, cur_stats = _layered_write(
         spark, state_root, version, "curation",
         full_df=new_state,

@@ -989,3 +989,275 @@ def test_state_buckets_derived_from_store_size(spark, tmp_path,
 
     assert _seed(100, "small") == 16          # min clamp
     assert _seed(400, "large") == 40          # ceil(400/10)
+
+
+# ---------------------------------------------------------------------------
+# --upsert (VERDICT r11 §next-4): same-id content-update re-crawl folds
+# ---------------------------------------------------------------------------
+
+_UP_TEXTS = {
+    10: "we walked to the market in the morning and bought some "
+        "fresh bread for the family",
+    20: "she plays the violin in a small orchestra that rehearses "
+        "every tuesday evening downtown",
+    30: "the committee approved the budget after a long debate "
+        "about the cost of the new library",
+    # 40/41: a verified simhash near-pair (hamming 3 on the repo's own
+    # simhash; playbook: craft near-dups by measuring, not guessing) —
+    # cluster {40, 41}, survivor 40
+    40: "the quick golden fox jumps over the lazy drowsy near the "
+        "old river lake today",
+    41: "the quick golden fox jumps over the lazy drowsy near the "
+        "old river stream today",
+    50: "my grandfather tells wonderful stories about his years "
+        "as a sailor on the northern seas",
+}
+_UP_NEW = {
+    10: "rain fell steadily on the roof while we watched an old "
+        "film and drank hot chocolate inside",
+    30: "the scientists measured the temperature of the lake "
+        "every hour during the whole experiment",
+    41: "a gentle breeze carried the smell of pine across the "
+        "valley as the hikers reached the summit",
+    60: "the baker opened his shop before dawn so that the "
+        "first customers could smell the warm loaves",
+}
+
+
+def _up_docs(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"),
+        F.length("text").alias("n_chars"))
+
+
+def _up_emb(spark, axes):
+    return spark.createDataFrame(
+        [(i, [1.0 if d == a else 0.0 for d in range(16)])
+         for i, a in axes.items()],
+        "doc_id long, embedding array<float>")
+
+
+def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
+    """The full --upsert story, checked against a rebuild on the
+    updated corpus: unchanged docs no-op; a changed published doc is
+    replaced (old row out of corpus/state/shards, stale index code
+    tombstoned, new content re-published); a changed doc whose new
+    embedding duplicates an older doc re-enters and loses the
+    SEMANTIC stage (lands in sem_dropped under its NEW text); a
+    changed never-published cluster loser re-enters and wins; a truly
+    new doc folds normally; an exact copy of stored text drops. The
+    incremental outputs equal the full rebuild row-for-row."""
+    from dexscraper_spark.operators.quantize import (
+        ivf_pq_republish, ivf_pq_tombstones)
+
+    boot = _up_docs(spark, list(_UP_TEXTS.items()))
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    emb_v1 = _up_emb(spark, {10: 0, 20: 1, 30: 2, 40: 3, 41: 4, 50: 5})
+    pe1 = str(tmp_path / "emb1")
+    emb_v1.write.parquet(pe1)
+
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out,
+                "--embeddings", pe1, *FLAGS], spark=spark) == 0
+    bs = _summary(capsys)
+    assert bs["curated"] == 5                 # 41 lost to 40
+
+    # index over the PUBLISHED bootstrap embeddings (the real flow)
+    idx = str(tmp_path / "idx")
+    pub_emb = emb_v1.filter("doc_id != 41") \
+        .withColumnRenamed("doc_id", "vec_id")
+    assert ivf_pq_republish(spark, pub_emb, idx, nlist=2, m=4, ksub=8,
+                            seed=3, k=2, n_queries=4, nprobe=2,
+                            expand=8)["published"]
+
+    # the re-crawl: 50 unchanged; 10/30/41 changed; 60 new; 61 an
+    # exact copy of stored doc 20's text (must drop, keeper stays)
+    slice_rows = [(50, _UP_TEXTS[50]), (10, _UP_NEW[10]),
+                  (30, _UP_NEW[30]), (41, _UP_NEW[41]),
+                  (60, _UP_NEW[60]), (61, _UP_TEXTS[20])]
+    pup = str(tmp_path / "up")
+    _up_docs(spark, slice_rows).write.parquet(pup)
+    # updated embeddings: 10 moves to a fresh axis; 30's NEW embedding
+    # duplicates 20's (semantic loser); 41/60 fresh axes
+    emb_v2 = _up_emb(spark, {10: 6, 20: 1, 30: 1, 40: 3, 41: 7,
+                             50: 5, 60: 8})
+    pe2 = str(tmp_path / "emb2")
+    emb_v2.write.parquet(pe2)
+
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, "--embeddings", pe2, "--index", idx,
+                *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_unchanged"] == 1         # 50
+    assert s["upsert_changed"] == 3           # 10, 30, 41
+    assert s["upsert_revived"] == 0
+    assert s["semantic_dropped_new"] == 1     # 30 loses to 20
+    assert s["ann_tombstoned"] == 2           # 10, 30 (published ones)
+    assert s["ann_tombstones_sticky"] == 2    # stale-content marks
+
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[10] == _UP_NEW[10]          # replaced
+    assert 30 not in corpus                   # semantic loser now
+    assert corpus[41] == _UP_NEW[41]          # freed loser published
+    assert corpus[60] == _UP_NEW[60]
+    assert 61 not in corpus                   # exact dup dropped
+    assert corpus[20] == _UP_TEXTS[20] and corpus[50] == _UP_TEXTS[50]
+    assert {r["vec_id"] for r in
+            ivf_pq_tombstones(spark, idx).collect()} == {10, 30}
+    # the changed docs' marks are STICKY: their indexed codes encode
+    # the SUPERSEDED text, so a later fold's resurrection clear (which
+    # correctly re-exposes a demoted doc's still-valid code) must not
+    # re-expose these — only a republish removes them
+    from dexscraper_spark.operators.quantize import ivf_pq_tombstone
+    ivf_pq_tombstone(
+        spark, idx, spark.createDataFrame([], "vec_id long"),
+        clear_ids=spark.createDataFrame([(10,), (30,)],
+                                        "vec_id long"))
+    assert {r["vec_id"] for r in
+            ivf_pq_tombstones(spark, idx).collect()} == {10, 30}
+    drops = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{out}/sem_dropped").collect()}
+    assert drops[30] == _UP_NEW[30]           # NEW text, not stale
+
+    # state rows: exactly one per id, content-hash current
+    from dexscraper_spark.plans.pipeline_driver import (
+        read_pipeline_state)
+    cur, sem = read_pipeline_state(spark, out)
+    per_id = {r["doc_id"]: r["n"] for r in
+              cur.groupBy("doc_id").agg(F.count("*").alias("n"))
+              .collect()}
+    assert all(n == 1 for n in per_id.values())
+    assert set(per_id) == {10, 20, 30, 40, 41, 50, 60}
+
+    # rebuild on the updated corpus ≡ the upsert fold
+    updated = dict(_UP_TEXTS)
+    updated.update({k: v for k, v in _UP_NEW.items() if k != 60})
+    updated[60] = _UP_NEW[60]
+    pfull = str(tmp_path / "full_docs")
+    _up_docs(spark, sorted(updated.items())).write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full,
+                "--embeddings", pe2, *FLAGS], spark=spark) == 0
+    _compare_outputs(spark, out, full)
+
+    # identical re-crawl: content-aware batch id makes it a no-op
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, "--embeddings", pe2, "--index", idx,
+                *FLAGS], spark=spark) == 0
+    cap = capsys.readouterr()
+    assert "already folded" in cap.err
+
+
+def test_upsert_refuses_orphaning_removal(spark, tmp_path, capsys):
+    """Scope boundary: a changed doc that is the SURVIVOR of a
+    multi-member simhash cluster cannot be removed (the loser's text
+    was never retained) — the fold refuses loudly BEFORE any side
+    effect, and the out dir is untouched."""
+    boot = _up_docs(spark, list(_UP_TEXTS.items()))
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    flags = [f for f in FLAGS]
+    assert run(["pipeline", "--docs", pboot, "--out", out, *flags],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    # 40 is {40,41}'s survivor; moving its content away would need 41
+    # promoted, whose text is not retained
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(40, _UP_NEW[10])]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *flags], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "--upsert cannot remove" in err and "41" in err
+    # nothing happened: corpus intact, no state version published
+    assert spark.read.parquet(f"{out}/curated").count() == 5
+    assert fsio.pointer_read(
+        spark, fsio.join(out, "state_versions")) is None
+
+
+def test_upsert_exact_hash_inversion_refused(spark, tmp_path, capsys):
+    """A fold doc whose new text equals a stored doc's with a LARGER
+    id would displace that keeper in a rebuild — the incremental
+    shortcut cannot express it, so the fold refuses loudly."""
+    boot = _up_docs(spark, list(_UP_TEXTS.items()))
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(10, _UP_TEXTS[50])]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 2
+    assert "inversion" in capsys.readouterr().err
+
+
+def test_upsert_all_unchanged_noop_and_full_mode_rejected(
+        spark, tmp_path, capsys):
+    """An all-unchanged re-crawl folds to a zero-change summary; the
+    flag is refused outside --delta."""
+    boot = _up_docs(spark, list(_UP_TEXTS.items()))
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pboot,
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_unchanged"] == len(_UP_TEXTS)
+    assert s["upsert_changed"] == 0 and s["curated_new"] == 0
+    assert s["corpus_removed"] == 0
+    assert spark.read.parquet(f"{out}/curated").count() == 5
+
+    assert run(["pipeline", "--docs", pboot, "--out",
+                str(tmp_path / "o2"), "--upsert", *FLAGS],
+               spark=spark) == 2
+    assert "--upsert is a --delta mode" in capsys.readouterr().err
+
+
+def test_upsert_small_id_wins_near_dup_cluster(spark, tmp_path,
+                                               capsys):
+    """The min-id math end-to-end: a changed doc's NEW text becomes a
+    near-dup of a stored doc with a LARGER id — the rebuild keeps the
+    smaller (changed) id and retracts the stored keeper, and the
+    incremental fold reproduces exactly that through the ordinary
+    relabel/retract path."""
+    A = _UP_TEXTS[40]                          # doc 20's stored text
+    Z = _UP_TEXTS[41]                          # near-dup of A
+    boot = _up_docs(spark, [(10, _UP_TEXTS[10]), (20, A),
+                            (30, _UP_TEXTS[30])])
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(10, Z)]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_changed"] == 1
+    assert s["retracted"] == 1                 # doc 20 lost to 10
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[10] == Z and 20 not in corpus
+
+    updated = _up_docs(spark, [(10, Z), (20, A), (30, _UP_TEXTS[30])])
+    pfull = str(tmp_path / "full_docs")
+    updated.write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
+               spark=spark) == 0
+    _compare_outputs(spark, out, full)

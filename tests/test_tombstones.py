@@ -56,10 +56,10 @@ def test_tombstone_excludes_until_republish(spark, tmp_path, layout):
 
     one = spark.createDataFrame([(int(victim),)], "vec_id long")
     assert ivf_pq_tombstone(spark, path, one) \
-        == {"tombstoned": 1, "cleared": 0, "total": 1}
+        == {"tombstoned": 1, "cleared": 0, "sticky": 0, "total": 1}
     # append-idempotent
     assert ivf_pq_tombstone(spark, path, one) \
-        == {"tombstoned": 0, "cleared": 0, "total": 1}
+        == {"tombstoned": 0, "cleared": 0, "sticky": 0, "total": 1}
 
     hits2 = ivf_pq_query_saved(spark, path, q, corpus=corpus, k=5,
                                nprobe=8, expand=4)
@@ -143,25 +143,25 @@ def test_tombstone_clear_and_retombstone(spark, tmp_path):
 
     empty = spark.createDataFrame([], "vec_id long")
     assert ivf_pq_tombstone(spark, path, _ids_df([1, 2])) \
-        == {"tombstoned": 2, "cleared": 0, "total": 2}
+        == {"tombstoned": 2, "cleared": 0, "sticky": 0, "total": 2}
     # add 3, resurrect 1 — one leased op
     assert ivf_pq_tombstone(spark, path, _ids_df([3]),
                             clear_ids=_ids_df([1])) \
-        == {"tombstoned": 1, "cleared": 1, "total": 2}
+        == {"tombstoned": 1, "cleared": 1, "sticky": 0, "total": 2}
     assert _ids(ivf_pq_tombstones(spark, path)) == {2, 3}
     # same id added AND cleared: clear wins (errs toward serving);
     # clearing an absent id is a no-op
     assert ivf_pq_tombstone(spark, path, _ids_df([4]),
                             clear_ids=_ids_df([4])) \
-        == {"tombstoned": 0, "cleared": 0, "total": 2}
+        == {"tombstoned": 0, "cleared": 0, "sticky": 0, "total": 2}
     # all-cleared table is deleted, not left empty
     assert ivf_pq_tombstone(spark, path, empty,
                             clear_ids=_ids_df([2, 3])) \
-        == {"tombstoned": 0, "cleared": 2, "total": 0}
+        == {"tombstoned": 0, "cleared": 2, "sticky": 0, "total": 0}
     assert ivf_pq_tombstones(spark, path) is None
     # re-tombstone after a clear (demoted again after resurrection)
     assert ivf_pq_tombstone(spark, path, _ids_df([2])) \
-        == {"tombstoned": 1, "cleared": 0, "total": 1}
+        == {"tombstoned": 1, "cleared": 0, "sticky": 0, "total": 1}
     assert _ids(ivf_pq_tombstones(spark, path)) == {2}
 
 
@@ -212,3 +212,97 @@ def test_tombstone_pressure_signal(spark, tmp_path, capsys):
     assert ivf_pq_republish(spark, live, path, **PARAMS)["published"]
     assert ivf_pq_tombstone_pressure(spark, path) \
         == {"tombstones": 0, "indexed": 110, "fraction": 0.0}
+
+
+def test_sticky_tombstone_survives_clear(spark, tmp_path):
+    """Round 12 upsert contract: a changed doc's indexed code encodes
+    SUPERSEDED text, so its tombstone is STICKY — a later resurrection
+    clear (which correctly re-exposes a demoted doc's still-valid
+    code) must NOT re-expose the stale one. Only a republish's
+    corpus-only rebuild removes it. Also pins the sticky upgrade of an
+    existing plain mark and clear-vs-sticky precedence in one call."""
+    rng = np.random.default_rng(21)
+    corpus = _vdf(spark, rng.normal(size=(80, 16)))
+    path = str(tmp_path / "ann")
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+
+    def _ids_df(vals):
+        return spark.createDataFrame([(int(v),) for v in vals],
+                                     "vec_id long")
+
+    empty = spark.createDataFrame([], "vec_id long")
+    # plain demotion mark + sticky upsert mark in one leased op
+    assert ivf_pq_tombstone(spark, path, _ids_df([1]),
+                            sticky_ids=_ids_df([2])) \
+        == {"tombstoned": 2, "cleared": 0, "sticky": 1, "total": 2}
+    # resurrection clears BOTH: the plain mark goes, the sticky stays
+    assert ivf_pq_tombstone(spark, path, empty,
+                            clear_ids=_ids_df([1, 2])) \
+        == {"tombstoned": 0, "cleared": 1, "sticky": 1, "total": 1}
+    assert _ids(ivf_pq_tombstones(spark, path)) == {2}
+    # clearing it again alone is still a no-op (idempotent immunity)
+    assert ivf_pq_tombstone(spark, path, empty,
+                            clear_ids=_ids_df([2]))["total"] == 1
+    # an id in both sticky_ids and clear_ids in ONE call: sticky wins
+    # (stale-content mark outranks the resurrection)
+    assert ivf_pq_tombstone(spark, path, empty,
+                            sticky_ids=_ids_df([3]),
+                            clear_ids=_ids_df([3])) \
+        == {"tombstoned": 1, "cleared": 0, "sticky": 2, "total": 2}
+    # upgrading an existing plain mark to sticky: a later clear no
+    # longer removes it
+    assert ivf_pq_tombstone(spark, path, _ids_df([4]))["total"] == 3
+    assert ivf_pq_tombstone(spark, path, empty,
+                            sticky_ids=_ids_df([4]))["sticky"] == 3
+    assert ivf_pq_tombstone(spark, path, empty,
+                            clear_ids=_ids_df([4]))["total"] == 3
+    assert _ids(ivf_pq_tombstones(spark, path)) == {2, 3, 4}
+    # the query path excludes sticky ids like any tombstone
+    q = corpus.filter("vec_id = 2")
+    hits = ivf_pq_query_saved(spark, path, q, corpus=corpus, k=5,
+                              nprobe=8, expand=4)
+    assert 2 not in {r["neighbor_id"] for r in hits.collect()}
+    # republish drops the whole set, sticky included
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+    assert ivf_pq_tombstones(spark, path) is None
+
+
+def test_sticky_tombstone_upgrades_presticky_table(spark, tmp_path):
+    """A tombstone table written by the r11 (single-column) format is
+    upgraded in place on the first write that needs stickiness: the
+    one-column dir is rewritten two-column via the sibling swap (an
+    APPEND of two-column files would leave readers schema-dependent on
+    file order), existing marks stay plain, and both formats read back
+    through ivf_pq_tombstones identically."""
+    rng = np.random.default_rng(22)
+    corpus = _vdf(spark, rng.normal(size=(40, 16)))
+    path = str(tmp_path / "ann")
+    assert ivf_pq_republish(spark, corpus, path, **PARAMS)["published"]
+
+    from dexscraper_spark import fsio
+    resolved = fsio.pointer_resolve(spark, path)
+    dst = fsio.join(resolved, "tombstones")
+    # hand-write the r11 format: (vec_id) only
+    spark.createDataFrame([(5,), (6,)], "vec_id long") \
+        .coalesce(1).write.parquet(dst)
+    assert _ids(ivf_pq_tombstones(spark, path)) == {5, 6}
+
+    def _ids_df(vals):
+        return spark.createDataFrame([(int(v),) for v in vals],
+                                     "vec_id long")
+
+    # plain append onto the old format forces the schema upgrade too
+    assert ivf_pq_tombstone(spark, path, _ids_df([7])) \
+        == {"tombstoned": 1, "cleared": 0, "sticky": 0, "total": 3}
+    tdf = spark.read.parquet(dst)
+    assert set(tdf.columns) == {"vec_id", "sticky"}
+    assert {r["vec_id"] for r in tdf.filter("sticky").collect()} \
+        == set()
+    # old marks stayed plain: a clear removes them
+    empty = spark.createDataFrame([], "vec_id long")
+    assert ivf_pq_tombstone(spark, path, empty,
+                            clear_ids=_ids_df([5]))["total"] == 2
+    # sticky add now appends in the new format without a rewrite
+    assert ivf_pq_tombstone(spark, path, empty,
+                            sticky_ids=_ids_df([8]))["sticky"] == 1
+    assert _ids(ivf_pq_tombstones(spark, path)) == {6, 7, 8}
