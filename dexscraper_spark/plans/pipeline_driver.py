@@ -327,6 +327,19 @@ def run_full(spark, args) -> dict:
         n = curated.count()
         write_curation_state(state, fsio.join(out, "state"))
         curated.write.mode("overwrite").parquet(curated0_dst)
+        # retained-loser store: every gated doc that lost a dedup
+        # stage keeps its full gated row, so a later --upsert can
+        # PROMOTE the new min-id survivor instead of refusing (and an
+        # exact-dup loser — which has no state row at all — can
+        # re-surface when its keeper's content changes). One extra
+        # gate pass over the pool; the anti-join is id-only.
+        from dexscraper_spark.plans.curation import _gate
+        gated = _gate(pool, "doc_id", "text", cfg)
+        (_dropped_with_range(
+            gated.join(curated.select("doc_id"), "doc_id",
+                       "left_anti"))
+         .write.mode("overwrite").partitionBy("id_range")
+         .parquet(fsio.join(out, _DROPPED_SUB)))
         return {"curated": n}
 
     summary.update(stages.run("curate", cur_params, _curate))
@@ -760,10 +773,154 @@ def _upsert_feasibility_check(spark, state, changed_ids, cfg) -> None:
         raise PipelineArgError(
             "--upsert cannot remove the changed doc(s)' old content: "
             f"near-dup cluster member(s) {ids} would need a new "
-            "published survivor, and simhash losers' texts are not "
-            "retained (only fingerprints). Re-bootstrap on the "
-            "updated corpus for this slice, or re-crawl the affected "
-            "cluster's members in the same slice")
+            "published survivor, and this output dir predates the "
+            "dedup_dropped loser-text store, so their texts were "
+            "never retained (only fingerprints). Re-bootstrap on the "
+            "updated corpus for this slice (new bootstraps write the "
+            "store and later upserts PROMOTE instead of refusing), "
+            "or re-crawl the affected cluster's members in the same "
+            "slice")
+
+
+# ---- retained-loser store (dedup_dropped/) --------------------------
+# Every gated doc that LOST a dedup stage (exact: a larger-id copy of
+# a kept text; near: a simhash-cluster loser) keeps its full gated row
+# — (doc_id, text, lang, quality, n_tokens) — in an id-range-
+# partitioned side table, the curation-stage analogue of sem_dropped.
+# Two consumers:
+#   * --upsert PROMOTION: removing a changed doc's old content can
+#     make a stored loser the new min-id survivor of its cluster (or
+#     of its exact-hash group) — exactly what a rebuild on the updated
+#     corpus publishes. The store holds the text the promotion needs,
+#     so the fold promotes instead of refusing (the r11 scope
+#     boundary, now closed for store-bearing dirs).
+#   * exact-copy continuity: exact-dup losers have NO state row (they
+#     never reach the fingerprint graph), so without the store an
+#     upsert removing a doc that had exact copies would silently
+#     diverge from the rebuild (the copy should re-surface). The
+#     store makes those copies discoverable by content hash.
+# Partitioning is by monotone id RANGE (doc_id div 1e6), not hash:
+# ids are append-only, so a nightly fold's added losers land in the
+# newest range partitions and never rewrite old ones — removals
+# (upsert-changed + promoted ids, answer-sized) touch only their own
+# ranges. A hash layout would spread every delta across all buckets.
+_DROPPED_SUB = "dedup_dropped"
+_DROPPED_RANGE = 1_000_000
+
+
+def _dropped_with_range(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "id_range", F.expr(f"doc_id div {_DROPPED_RANGE}"))
+
+
+def _upsert_apply_removals(spark, state, changed_docs, slice_ids,
+                           dropped_path, cfg, persist_dir):
+    """State surgery for an upsert's CHANGED docs, against the
+    retained-loser store: returns ``(new_state, surgery_ids,
+    pending_labels)``.
+
+    Mirrors what a rebuild on the updated corpus computes, restricted
+    to the affected rows (everything else is provably unchanged —
+    gates are per-doc, and near-dup edges never cross components):
+
+    * the changed rows leave the fingerprint graph;
+    * each changed doc that had EXACT copies (same text hash, retained
+      in the store, not themselves re-crawled in this slice) is
+      REPLACED in the graph by the smallest such copy — identical
+      text ⇒ identical fingerprint ⇒ identical connectivity, so the
+      replacement inherits the changed doc's fingerprint columns;
+    * the affected components' remaining members (plus replacements)
+      are re-paired with the same banded join the bootstrap used
+      (component-sized, not store-sized) and re-labeled min-id;
+    * labels that are no longer an already-published member are
+      PENDING PROMOTIONS — returned as a set; the caller finalizes
+      them after curate_delta (the re-entering new content may win a
+      merged cluster back, in which case the pending label is merged
+      under it and nothing is promoted — the relabel/retract path).
+
+    ``surgery_ids`` (changed ∪ affected members incl. replacements)
+    feeds the layered write's changed-bucket set: every touched row's
+    bucket is rewritten from the new full state, so no stale row
+    survives the merge-on-read union.
+
+    The re-labeled member rows + the pending set are written ONCE
+    under ``persist_dir`` (batch-scoped) and reused by a crash-replay:
+    the surgery reads the dedup_dropped store, which this very fold's
+    later store merge rewrites (removing promoted texts), so a replay
+    recomputing from live sources would both race the rewrite
+    (FILE_NOT_EXIST mid-plan) and resolve differently. Everything
+    downstream therefore reads the state pointer (stable until the
+    final publish) plus this frozen artifact.
+    """
+    from dexscraper_spark.operators.dedup import dedup_components
+    from dexscraper_spark.plans.curation import _near_pairs
+
+    changed_rows = tracked_persist(
+        state.join(changed_docs.select("doc_id"), "doc_id",
+                   "left_semi"))
+    changed_ids = changed_rows.select("doc_id")
+    aff = changed_rows.select("component").distinct()
+    members_dst = fsio.join(persist_dir, "members_new")
+    meta_dst = fsio.join(persist_dir, "meta.json")
+
+    if not fsio.exists(spark, meta_dst):
+        # exact-copy replacements, by content hash against the store
+        # (explicit schema: a bootstrap with zero dedup losers leaves
+        # a _SUCCESS-only partitioned dir schema inference rejects)
+        try:
+            store = spark.read.schema("doc_id long, text string") \
+                .parquet(dropped_path)
+        except AnalysisException:
+            store = spark.createDataFrame(
+                [], "doc_id long, text string")
+        copies = (store
+                  .select("doc_id",
+                          F.xxhash64(F.col("text")).alias("exact_h"))
+                  .join(slice_ids, "doc_id", "left_anti")
+                  .groupBy("exact_h")
+                  .agg(F.min("doc_id").alias("__new_id")))
+        replacements = (
+            changed_rows.join(copies, "exact_h")
+            .withColumn("doc_id", F.col("__new_id")).drop("__new_id")
+            .select(*state.columns))
+
+        members = tracked_persist(
+            state.join(changed_ids, "doc_id", "left_anti")
+            .join(aff, "component", "left_semi")
+            .unionByName(replacements))
+        fps = members.select("doc_id",
+                             *[F.col(c) for c in cfg.fp_cols])
+        pairs = _near_pairs(fps, cfg, id_col="doc_id")
+        comps = dedup_components(pairs, id_a="id_a", id_b="id_b") \
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("__c"))
+        (members.join(comps, "doc_id", "left")
+         .withColumn("component",
+                     F.coalesce(F.col("__c"), F.col("doc_id")))
+         .drop("__c").select(*state.columns)
+         .write.mode("overwrite").parquet(members_dst))
+
+        members_new = spark.read.schema(state.schema) \
+            .parquet(members_dst)
+        published = {int(r["component"]) for r in aff.collect()} - \
+            {int(r["doc_id"]) for r in changed_ids.collect()}
+        pending = sorted(
+            {int(r["component"]) for r in
+             members_new.select("component").distinct().collect()}
+            - published)
+        fsio.write_text_atomic(spark, meta_dst,
+                               json.dumps({"pending": pending}))
+    members_new = spark.read.schema(state.schema).parquet(members_dst)
+    pending = set(json.loads(
+        fsio.read_text(spark, meta_dst))["pending"])
+
+    surgery_ids = (changed_ids
+                   .unionByName(members_new.select("doc_id"))
+                   .distinct())
+    new_state = (state.join(changed_ids, "doc_id", "left_anti")
+                 .join(aff, "component", "left_anti")
+                 .unionByName(members_new))
+    return new_state, tracked_persist(surgery_ids), pending
 
 
 def run_delta(spark, args) -> dict:
@@ -971,6 +1128,10 @@ def _run_delta_locked(spark, args) -> dict:
     #     bootstrap gated out, re-crawled: no removal, re-enters;
     #   * truly new (id > stored max) — the normal delta path.
     upsert_changed_ids = None
+    upsert_surgery_ids = None
+    upsert_pending: set = set()
+    dropped_path = fsio.join(out, _DROPPED_SUB)
+    has_dropped_store = fsio.exists(spark, dropped_path)
     if upsert:
         hi_stored = state.agg(F.max("doc_id")).first()[0]
         docs_h = docs.withColumn("__h", F.xxhash64(F.col("text")))
@@ -992,14 +1153,32 @@ def _run_delta_locked(spark, args) -> dict:
             fresh_docs.filter(F.col("doc_id") <= hi_stored).count()
         if n_changed:
             upsert_changed_ids = changed_docs.select("doc_id")
-            _upsert_feasibility_check(spark, state, upsert_changed_ids,
-                                      cfg)
-            # the fold's working state is the store MINUS the changed
-            # rows: their old fingerprints leave the search universe
-            # (the new content re-enters below), and the layered write
-            # rewrites their buckets so no old row survives the merge
-            state = state.join(upsert_changed_ids, "doc_id",
-                               "left_anti")
+            if has_dropped_store:
+                # the general path: graph surgery + pending promotions
+                # against the retained-loser store — the fold's
+                # working state loses the changed rows, gains exact-
+                # copy replacements, and the affected components'
+                # members carry re-resolved min-id labels (what a
+                # rebuild on the updated corpus computes, restricted
+                # to the affected rows)
+                state, upsert_surgery_ids, upsert_pending = \
+                    _upsert_apply_removals(
+                        spark, state, changed_docs,
+                        docs.select("doc_id"), dropped_path, cfg,
+                        fsio.join(out, "_delta", batch, "surgery"))
+                state = tracked_persist(state)
+            else:
+                # legacy dir (pre-store bootstrap): loser texts were
+                # never retained — refuse removals that would need one
+                _upsert_feasibility_check(spark, state,
+                                          upsert_changed_ids, cfg)
+                # the fold's working state is the store MINUS the
+                # changed rows: their old fingerprints leave the
+                # search universe (the new content re-enters below),
+                # and the layered write rewrites their buckets so no
+                # old row survives the merge
+                state = state.join(upsert_changed_ids, "doc_id",
+                                   "left_anti")
         docs = tracked_persist(fresh_docs.unionByName(changed_docs))
 
     # ---- pre-processing (per-doc deterministic => identical to the
@@ -1056,6 +1235,62 @@ def _run_delta_locked(spark, args) -> dict:
     retracted = tracked_persist(delta.retracted)
     summary["curated_new"] = curated_new.count()
     summary["retracted"] = retracted.count()
+
+    # ---- upsert promotions (finalized AFTER curate_delta) -----------
+    # A pending label is promoted only if it SURVIVED the fold: the
+    # re-entering changed content can win its old cluster back (its id
+    # is the historical min), in which case curate_delta relabels the
+    # pending label under it — the ordinary relabel/retract path, and
+    # nothing unpublished is promoted (matching the rebuild, where the
+    # new text simply stays the cluster's survivor). Promotion rows
+    # are the retained gated rows + the deterministic split — exactly
+    # what the rebuild's curation stage emits for them. The rows are
+    # written batch-scoped BEFORE the store removals below, so a
+    # crash-replay re-reads them even though the store no longer
+    # holds the texts.
+    merged_pending: set = set()
+    promoted_ids: list = []
+    if upsert_pending:
+        lblmap = {int(r["old_label"]) for r in
+                  delta.relabeled.select("old_label").collect()}
+        merged_pending = upsert_pending & lblmap
+        promoted_ids = sorted(upsert_pending - merged_pending)
+    if promoted_ids:
+        from dexscraper_spark.operators.dedup import split_assignment
+        from dexscraper_spark.plans.curation import _gate
+        promo_dst = fsio.join(out, "_delta", batch, "promoted")
+        dropped_schema = _dropped_with_range(
+            _gate(docs.limit(0), "doc_id", "text", cfg)).schema
+        if not fsio.exists(spark, promo_dst):
+            store = spark.read.schema(dropped_schema) \
+                .parquet(dropped_path)
+            texts = store.filter(
+                F.col("doc_id").isin(promoted_ids)).drop("id_range")
+            texts.write.mode("overwrite").parquet(promo_dst)
+        promoted_rows = spark.read.parquet(promo_dst)
+        got = {int(r["doc_id"]) for r in
+               promoted_rows.select("doc_id").collect()}
+        missing = sorted(set(promoted_ids) - got)
+        if missing:
+            raise PipelineArgError(
+                "--upsert promotion needs retained loser text(s) for "
+                f"doc_id(s) {missing[:5]} but the dedup_dropped store "
+                "does not hold them — the store is out of sync with "
+                "the fingerprint state; re-bootstrap this output dir")
+        promoted_rows = promoted_rows.withColumn(
+            "split", split_assignment(F.col("doc_id"),
+                                      train_pct=cfg.train_pct,
+                                      valid_pct=cfg.valid_pct))
+        summary["upsert_promoted"] = len(promoted_ids)
+        # from here on promoted docs ride the normal new-survivor
+        # path: semantic dedup (new_emb), corpus add, shards, ANN
+        # extend — and can still lose the SEMANTIC stage, exactly as
+        # the rebuild's curation output would
+        curated_new = tracked_persist(
+            curated_new.unionByName(
+                promoted_rows.select(*curated_new.columns)))
+    elif upsert:
+        summary["upsert_promoted"] = 0
 
     # ---- semantic fold ----------------------------------------------
     curated_path = fsio.join(out, "curated")
@@ -1169,6 +1404,42 @@ def _run_delta_locked(spark, args) -> dict:
     summary["corpus_added"] = add_docs.count()
     summary["corpus_removed"] = removed_docs.count()
 
+    # ---- retained-loser store fold (dedup_dropped/) ------------------
+    # Adds: the slice's gated docs that did not survive curation (exact
+    # + near losers, under their CURRENT text) plus this fold's
+    # retracted old survivors (they are losers of the merged cluster
+    # now — their rows come from curated/ BEFORE the corpus merge
+    # rewrites it, written batch-scoped so a crash-replay after the
+    # merge still has them). Removals: every slice id (its fate is
+    # recomputed this fold; if it is still a loser its fresh row is in
+    # the adds) plus promoted ids (published now). Id-range
+    # partitioning keeps the rewrite to the delta's own ranges — old
+    # ranges are touched only by answer-sized removals.
+    if has_dropped_store:
+        from dexscraper_spark.plans.curation import _gate
+        gated_slice = _gate(docs, "doc_id", "text", cfg)
+        dropped_schema = _dropped_with_range(gated_slice).schema
+        adds_dst = fsio.join(out, "_delta", batch, "dropped_adds")
+        if not fsio.exists(spark, adds_dst):
+            (_dropped_with_range(
+                gated_slice.join(curated_new.select("doc_id"),
+                                 "doc_id", "left_anti")
+                .unionByName(
+                    curated_live.join(retracted, "doc_id", "left_semi")
+                    .select(*gated_slice.columns)))
+             .write.mode("overwrite").parquet(adds_dst))
+        store_adds = spark.read.schema(dropped_schema).parquet(adds_dst)
+        store_rm = docs.select("doc_id")
+        if promoted_ids:
+            store_rm = store_rm.unionByName(
+                spark.createDataFrame([(int(i),) for i in promoted_ids],
+                                      "doc_id long"))
+        merge_partitioned(
+            spark, dropped_path, partition_cols=["id_range"],
+            add=store_adds, remove_ids=store_rm, remove_col="doc_id",
+            key_col="doc_id", schema=dropped_schema)
+        summary["dedup_dropped_added"] = store_adds.count()
+
     # ---- corpus merge (idempotent partition-level rewrite) ----------
     merge_partitioned(
         spark, curated_path, partition_cols=["split", "lang"],
@@ -1228,9 +1499,17 @@ def _run_delta_locked(spark, args) -> dict:
         # anti-joins on vec_id, so the new embedding only enters at
         # the next republish) — a later demote→resurrect cycle must
         # not re-expose it via the clear path.
+        # merged-pending labels (an upsert promotion that the re-
+        # entering content won back) were never published, so they
+        # have no index code — tombstoning them would only inflate
+        # pressure and block a future same-id extend
+        tomb_ids = removed_docs
+        if merged_pending:
+            tomb_ids = tomb_ids.filter(
+                ~F.col("doc_id").isin(sorted(merged_pending)))
         ts = ivf_pq_tombstone(
             spark, args.index,
-            removed_docs.select("doc_id")
+            tomb_ids.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"),
             clear_ids=resurrected.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"),
@@ -1315,9 +1594,14 @@ def _run_delta_locked(spark, args) -> dict:
     if upsert_changed_ids is not None:
         # the changed ids' OLD rows live in older version dirs: their
         # buckets must be rewritten from the new full state or the
-        # merge-on-read union would yield both rows per doc
-        changed_cur = upsert_changed_ids if changed_cur is None else \
-            changed_cur.unionByName(upsert_changed_ids).distinct()
+        # merge-on-read union would yield both rows per doc. With the
+        # loser store, the surgery set (changed ∪ exact-copy
+        # replacements ∪ re-labeled members) is the full touched-row
+        # set — every one of its buckets rewrites.
+        touched = upsert_surgery_ids if upsert_surgery_ids is not None \
+            else upsert_changed_ids
+        changed_cur = touched if changed_cur is None else \
+            changed_cur.unionByName(touched).distinct()
     cur_layout, cur_stats = _layered_write(
         spark, state_root, version, "curation",
         full_df=new_state,

@@ -107,6 +107,20 @@ def _compare_outputs(spark, inc_out: str, full_out: str):
     if sem_f is not None:
         _frames_equal(sem_i, sem_f, ["doc_id", "component"])
 
+    # the retained-loser store is part of the contract too: folds must
+    # leave it exactly as a rebuild's bootstrap writes it
+    def _dropped(out):
+        try:
+            return spark.read.parquet(
+                f"{out}/dedup_dropped").drop("id_range")
+        except Exception:
+            return None
+
+    dd_i, dd_f = _dropped(inc_out), _dropped(full_out)
+    if dd_i is not None or dd_f is not None:
+        assert dd_i is not None and dd_f is not None
+        _frames_equal(dd_i, dd_f, ["doc_id", "text"])
+
 
 @pytest.mark.parametrize("assign_n", ["1", "2"])
 def test_delta_equals_full_rebuild(spark, tmp_path, capsys, assign_n):
@@ -1133,10 +1147,14 @@ def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
     assert all(n == 1 for n in per_id.values())
     assert set(per_id) == {10, 20, 30, 40, 41, 50, 60}
 
-    # rebuild on the updated corpus ≡ the upsert fold
+    # rebuild on the updated corpus ≡ the upsert fold. The corpus
+    # includes 61 (the slice's exact dup of 20): it left no trace
+    # before the retained-loser store, but the store DOES keep it, so
+    # the honest rebuild input carries it too.
     updated = dict(_UP_TEXTS)
     updated.update({k: v for k, v in _UP_NEW.items() if k != 60})
     updated[60] = _UP_NEW[60]
+    updated[61] = _UP_TEXTS[20]
     pfull = str(tmp_path / "full_docs")
     _up_docs(spark, sorted(updated.items())).write.parquet(pfull)
     full = str(tmp_path / "full")
@@ -1152,26 +1170,192 @@ def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
     assert "already folded" in cap.err
 
 
-def test_upsert_refuses_orphaning_removal(spark, tmp_path, capsys):
-    """Scope boundary: a changed doc that is the SURVIVOR of a
-    multi-member simhash cluster cannot be removed (the loser's text
-    was never retained) — the fold refuses loudly BEFORE any side
-    effect, and the out dir is untouched."""
+def test_upsert_promotes_cluster_loser(spark, tmp_path, capsys):
+    """The r11 scope boundary, closed by the retained-loser store: a
+    changed doc that is the SURVIVOR of a multi-member simhash cluster
+    is removed and the cluster's new min-id member is PROMOTED —
+    published under its retained text with the deterministic split,
+    entering the corpus and shards exactly as a rebuild on the updated
+    corpus would publish it."""
     boot = _up_docs(spark, list(_UP_TEXTS.items()))
     pboot = str(tmp_path / "boot")
     boot.write.parquet(pboot)
     out = str(tmp_path / "out")
-    flags = [f for f in FLAGS]
-    assert run(["pipeline", "--docs", pboot, "--out", out, *flags],
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
                spark=spark) == 0
     capsys.readouterr()
 
-    # 40 is {40,41}'s survivor; moving its content away would need 41
-    # promoted, whose text is not retained
+    # 40 is {40,41}'s survivor; moving its content away frees 41,
+    # whose text the bootstrap retained in dedup_dropped/
     pup = str(tmp_path / "up")
     _up_docs(spark, [(40, _UP_NEW[10])]).write.parquet(pup)
     assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
-                "--out", out, *flags], spark=spark) == 2
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_changed"] == 1
+    assert s["upsert_promoted"] == 1
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[41] == _UP_TEXTS[41]         # promoted, old text
+    assert corpus[40] == _UP_NEW[10]
+    # the promoted text left the loser store (it is published now)
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{out}/dedup_dropped").count()
+
+    updated = dict(_UP_TEXTS)
+    updated[40] = _UP_NEW[10]
+    pfull = str(tmp_path / "full_docs")
+    _up_docs(spark, sorted(updated.items())).write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
+               spark=spark) == 0
+    _compare_outputs(spark, out, full)
+
+
+def test_upsert_promotes_exact_copy(spark, tmp_path, capsys):
+    """Exact-dup losers have NO fingerprint-state row, so without the
+    retained-loser store a changed keeper's copies would silently
+    vanish from the rebuild-equivalence contract. With it: the
+    smallest retained copy REPLACES the changed doc in the near-dup
+    graph (identical text ⇒ identical fingerprint ⇒ identical
+    connectivity), is promoted under the old text, and the remaining
+    copies stay its exact losers."""
+    A = _UP_TEXTS[20]
+    boot = _up_docs(spark, [(20, A), (25, A), (27, A),
+                            (50, _UP_TEXTS[50])])
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(20, _UP_NEW[10])]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_promoted"] == 1
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[25] == A                     # copy re-surfaced
+    assert corpus[20] == _UP_NEW[10]
+    # 27 remains 25's exact loser in the store
+    store = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/dedup_dropped").collect()}
+    assert store == {27}
+
+    pfull = str(tmp_path / "full_docs")
+    _up_docs(spark, [(20, _UP_NEW[10]), (25, A), (27, A),
+                     (50, _UP_TEXTS[50])]).write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
+               spark=spark) == 0
+    _compare_outputs(spark, out, full)
+
+
+def test_upsert_bridge_split_promotes_far_side(spark, tmp_path,
+                                               capsys):
+    """A changed LOSER that was the connectivity BRIDGE of its cluster
+    (A~B and B~C band-match, A~C does not — verified hammings 3/3/6):
+    removing B splits the cluster; the half holding the published
+    survivor stays, the far half's min member is promoted."""
+    A = _UP_TEXTS[40]
+    B = _UP_TEXTS[41]
+    C = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river stream tonight")
+    boot = _up_docs(spark, [(40, A), (41, B), (42, C),
+                            (50, _UP_TEXTS[50])])
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    boot_s = _summary(capsys)
+    assert boot_s["curated"] == 2              # {40,41,42} → 40; 50
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(41, _UP_NEW[10])]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_promoted"] == 1
+    assert s["corpus_removed"] == 0            # 41 was never published
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[42] == C and corpus[40] == A
+    assert corpus[41] == _UP_NEW[10]
+
+    pfull = str(tmp_path / "full_docs")
+    _up_docs(spark, [(40, A), (41, _UP_NEW[10]), (42, C),
+                     (50, _UP_TEXTS[50])]).write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
+               spark=spark) == 0
+    _compare_outputs(spark, out, full)
+
+
+def test_upsert_rejoining_content_wins_back(spark, tmp_path, capsys):
+    """A pending promotion is finalized only AFTER curate_delta: when
+    the changed survivor's NEW text still near-matches its old cluster
+    (verified hamming 2 to the loser's text), the re-entering content
+    wins the merged cluster back (its id is the historical min), the
+    pending label is merged under it, and NOTHING is promoted — the
+    loser stays a loser, as the rebuild keeps it."""
+    NEW40 = ("a quick golden fox jumps over the lazy drowsy near the "
+             "old river stream today")
+    boot = _up_docs(spark, [(40, _UP_TEXTS[40]), (41, _UP_TEXTS[41]),
+                            (50, _UP_TEXTS[50])])
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(40, NEW40)]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["upsert_promoted"] == 0
+    assert s["retracted"] == 1                 # pending 41, merged back
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert corpus[40] == NEW40 and 41 not in corpus
+    store = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/dedup_dropped").collect()}
+    assert store == {41}                       # still a loser
+
+    pfull = str(tmp_path / "full_docs")
+    _up_docs(spark, [(40, NEW40), (41, _UP_TEXTS[41]),
+                     (50, _UP_TEXTS[50])]).write.parquet(pfull)
+    full = str(tmp_path / "full")
+    assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
+               spark=spark) == 0
+    _compare_outputs(spark, out, full)
+
+
+def test_upsert_refuses_orphaning_removal_legacy(spark, tmp_path,
+                                                 capsys):
+    """Pre-store dirs keep the r11 scope boundary: without
+    dedup_dropped/ the loser's text was never retained, so the fold
+    refuses loudly BEFORE any side effect and the out dir is
+    untouched."""
+    boot = _up_docs(spark, list(_UP_TEXTS.items()))
+    pboot = str(tmp_path / "boot")
+    boot.write.parquet(pboot)
+    out = str(tmp_path / "out")
+    assert run(["pipeline", "--docs", pboot, "--out", out, *FLAGS],
+               spark=spark) == 0
+    capsys.readouterr()
+    # simulate a dir bootstrapped before the store existed
+    fsio.delete(spark, fsio.join(out, "dedup_dropped"))
+
+    pup = str(tmp_path / "up")
+    _up_docs(spark, [(40, _UP_NEW[10])]).write.parquet(pup)
+    assert run(["pipeline", "--delta", "--upsert", "--docs", pup,
+                "--out", out, *FLAGS], spark=spark) == 2
     err = capsys.readouterr().err
     assert "--upsert cannot remove" in err and "41" in err
     # nothing happened: corpus intact, no state version published
