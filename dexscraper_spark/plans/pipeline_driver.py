@@ -808,6 +808,28 @@ _DROPPED_SUB = "dedup_dropped"
 _DROPPED_RANGE = 1_000_000
 
 
+def _batch_scan(spark, out: str, batch: str, name: str,
+                df: DataFrame) -> DataFrame:
+    """Write ``df`` ONCE under ``<out>/_delta/<batch>/<name>`` and
+    return a scan of it (reuse the file when it already exists).
+
+    The fold's crash-replay contract needs this for every frame that
+    is DERIVED from a mutable table and CONSUMED by a later mutation
+    of that same table (or of a table ordered after it): e.g.
+    ``add_docs`` carries resurrected docs' rows pulled from
+    sem_dropped/, which the sem_dropped merge then REMOVES — a replay
+    recomputing add_docs from live sources after that merge (but
+    before the corpus merge that consumes it) would silently lose the
+    resurrection rows. The batch-scoped file freezes the frame at
+    first computation; replays converge by construction. (The
+    session-scoped materialize_artifact only gives within-run plan
+    stability — its tmp dir does not survive the crash.)"""
+    dst = fsio.join(out, "_delta", batch, name)
+    if not fsio.exists(spark, dst):
+        df.write.mode("overwrite").parquet(dst)
+    return spark.read.schema(df.schema).parquet(dst)
+
+
 def _dropped_with_range(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "id_range", F.expr(f"doc_id div {_DROPPED_RANGE}"))
@@ -1302,15 +1324,15 @@ def _run_delta_locked(spark, args) -> dict:
     # merges. Changed-but-never-published ids need no removal actions.
     changed_pub = None
     if upsert_changed_ids is not None:
-        from dexscraper_spark.persist import materialize_artifact
-
-        # MATERIALIZE file-backed, not persist: this frame scans
-        # curated/, which the corpus merge below rewrites — a cache
-        # miss after the merge would recompute over deleted files
-        changed_pub = materialize_artifact(
+        # batch-scoped file, not persist or a session tmp: this frame
+        # scans curated/, which the corpus merge below rewrites — a
+        # recompute after the merge (cache eviction within the run, or
+        # a crash-replay) would read the post-edit table and lose the
+        # set
+        changed_pub = _batch_scan(
+            spark, out, batch, "changed_pub",
             upsert_changed_ids.join(curated_live.select("doc_id"),
-                                    "doc_id", "left_semi"),
-            "delta_changed_pub")
+                                    "doc_id", "left_semi"))
     sem_state_out = None
     add_docs = curated_new
     removed_docs = retracted
@@ -1351,20 +1373,22 @@ def _run_delta_locked(spark, args) -> dict:
         summary["resurrected"] = resurrected.count()
         summary["demoted"] = demoted.count()
 
-        from dexscraper_spark.persist import materialize_artifact
-
         sem_dropped_path = fsio.join(out, "sem_dropped")
         sem_dropped = _read_or_empty(spark, sem_dropped_path,
                                      curated_live)
         res_rows = sem_dropped.join(resurrected, "doc_id", "left_semi")
-        # MATERIALIZE (file-backed) before any merge below: add_docs
-        # reads sem_dropped (which the sem_dropped merge rewrites) and
+        # BATCH-SCOPED files before any merge below: add_docs reads
+        # sem_dropped (which the sem_dropped merge rewrites) and
         # drop_adds reads curated/ (which the corpus merge rewrites) —
         # a lazy frame scanned after its source table was merged would
-        # silently read the post-edit state
-        add_docs = materialize_artifact(
+        # silently read the post-edit state, and a crash-replay that
+        # recomputes them between the two merges would lose the
+        # resurrection/demotion rows for good (the first attempt's
+        # merge already removed them from the source table)
+        add_docs = _batch_scan(
+            spark, out, batch, "add_docs",
             curated_new.join(dropped_new, "doc_id", "left_anti")
-            .unionByName(res_rows), "delta_add_docs")
+            .unionByName(res_rows))
         removed_docs = retracted.unionByName(demoted)
         if changed_pub is not None:
             removed_docs = removed_docs.unionByName(changed_pub)
@@ -1374,10 +1398,11 @@ def _run_delta_locked(spark, args) -> dict:
         # docs' rows enter (pulled from the live corpus BEFORE the
         # corpus merge removes them), dropped-new docs' rows enter,
         # resurrected + retracted leave
-        drop_adds = materialize_artifact(
+        drop_adds = _batch_scan(
+            spark, out, batch, "drop_adds",
             curated_live.join(demoted, "doc_id", "left_semi")
             .unionByName(curated_new.join(
-                dropped_new, "doc_id", "left_semi")), "delta_drop_adds")
+                dropped_new, "doc_id", "left_semi")))
         drop_removals = resurrected.unionByName(retracted)
         if upsert_changed_ids is not None:
             # a changed doc's stale sem_dropped row (old text) must
@@ -1399,7 +1424,10 @@ def _run_delta_locked(spark, args) -> dict:
             drop_adds.write.mode("overwrite") \
                 .partitionBy("split", "lang").parquet(sem_dropped_path)
     else:
-        add_docs = tracked_persist(add_docs)
+        # the non-semantic add set still carries upsert promotions
+        # pulled from dedup_dropped/ (rewritten by the store merge
+        # below) — freeze it batch-scoped like the semantic twin
+        add_docs = _batch_scan(spark, out, batch, "add_docs", add_docs)
         removed_docs = tracked_persist(removed_docs)
     summary["corpus_added"] = add_docs.count()
     summary["corpus_removed"] = removed_docs.count()

@@ -1445,3 +1445,67 @@ def test_upsert_small_id_wins_near_dup_cluster(spark, tmp_path,
     assert run(["pipeline", "--docs", pfull, "--out", full, *FLAGS],
                spark=spark) == 0
     _compare_outputs(spark, out, full)
+
+
+@pytest.mark.parametrize("crash_at", [2, 3])
+def test_delta_crash_between_merges_keeps_resurrection(
+        spark, tmp_path, capsys, monkeypatch, crash_at):
+    """The narrowest replay window: the sem_dropped merge REMOVES a
+    resurrected doc's retained row, and only the later corpus merge
+    re-publishes it — a crash in between (injected at merge call 2 =
+    the dedup_dropped fold, and 3 = the corpus merge) used to leave a
+    replay unable to recover the text from any live table. add_docs
+    is frozen batch-scoped at first computation, so the rerun
+    converges to an uninterrupted twin's outputs."""
+    import dexscraper_spark.plans.curation as curation_mod
+
+    A = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river lake today")
+    B = ("the quick golden fox hops over the lazy sleepy near the "
+         "old river stream today")
+    Z = ("the quick golden fox jumps over the lazy drowsy near the "
+         "old river stream today")
+    X = ("a completely different report about the harvest festival "
+         "and the songs we sang together")
+    rows = [(10, A), (20, B), (25, X), (30, _UP_TEXTS[50])]
+    pboot, pz = str(tmp_path / "boot"), str(tmp_path / "z")
+    _up_docs(spark, rows).write.parquet(pboot)
+    _up_docs(spark, [(100, Z)]).write.parquet(pz)
+    ids = [r[0] for r in rows] + [100]
+    axis = {i: j for j, i in enumerate(ids)}
+    axis[25] = axis[20]                  # 25 = semantic dup of 20
+    pe = str(tmp_path / "emb")
+    _up_emb(spark, axis).write.parquet(pe)
+
+    crash, clean = str(tmp_path / "crash"), str(tmp_path / "clean")
+    for out in (crash, clean):
+        assert run(["pipeline", "--docs", pboot, "--out", out,
+                    "--embeddings", pe, *FLAGS], spark=spark) == 0
+    capsys.readouterr()
+
+    real = curation_mod.merge_partitioned
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= crash_at:
+            raise RuntimeError("injected crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(curation_mod, "merge_partitioned", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run(["pipeline", "--delta", "--docs", pz, "--out", crash,
+             "--embeddings", pe, *FLAGS], spark=spark)
+    monkeypatch.setattr(curation_mod, "merge_partitioned", real)
+
+    assert run(["pipeline", "--delta", "--docs", pz, "--out", crash,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    s = _summary(capsys)
+    assert s["resurrected"] == 1
+    assert run(["pipeline", "--delta", "--docs", pz, "--out", clean,
+                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    # the resurrected doc's text survived the window
+    cor = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(f"{crash}/curated").collect()}
+    assert cor[25] == X
+    _compare_outputs(spark, crash, clean)
