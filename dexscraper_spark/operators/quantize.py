@@ -650,24 +650,20 @@ def _tombstone_locked(spark, path: str, ids: DataFrame, *,
 
     path = fsio.pointer_resolve(spark, path)
     dst = fsio.join(path, "tombstones")
-    # collect-and-recreate (the set is answer-sized by contract: the
-    # fold's retracted ∪ demoted ∪ upsert-changed ids): a lazy
-    # anti-join plan appended into the directory it scans would
-    # re-read its own output on a cache-evicted recompute (ADVICE
-    # r11) — driver-materializing the tiny id sets removes the
-    # read-cycle entirely
-    have: dict = {}           # id -> sticky
-    had_sticky_col = False
-    if fsio.exists(spark, dst):
-        tdf = spark.read.parquet(dst)
-        had_sticky_col = "sticky" in tdf.columns
-        if had_sticky_col:
-            have = {r[0]: bool(r[1]) for r in
-                    tdf.select(id_col, "sticky").collect()}
-        else:
-            # pre-sticky table (r11 format): every mark is plain
-            have = {r[0]: False for r in
-                    tdf.select(id_col).collect()}
+    tmp = f"{dst}__rewrite"
+    # crash recovery: the swap below deletes dst only AFTER tmp is
+    # fully written, so dst-missing + tmp-present can only mean a
+    # crash between the delete and the rename — finish the rename.
+    # (ivf_pq_tombstones falls back to reading tmp in that window.)
+    if not fsio.exists(spark, dst) and fsio.exists(spark, tmp):
+        fsio.rename(spark, tmp, dst)
+
+    # Only the per-fold DELTAS (add/clear/sticky — answer-sized by
+    # contract) are collected to the driver; the CUMULATIVE table
+    # stays distributed: it legitimately grows toward 20% of the
+    # index between republishes, which at the documented design point
+    # is far beyond driver memory. Existing marks for the delta ids
+    # are probed with one id-filtered scan (≤ |delta| rows back).
     add = {r[0] for r in ids.select(id_col).distinct().collect()}
     sticky = set()
     if sticky_ids is not None:
@@ -680,60 +676,100 @@ def _tombstone_locked(spark, path: str, ids: DataFrame, *,
     # precedence: sticky > clear > plain add. A clear only removes
     # PLAIN marks — sticky ones (stale-content codes) stay excluded.
     add = (add - drop) | sticky
-    drop = {i for i in drop if not have.get(i, False)} - sticky
-    n_new = len(set(add) - set(have))
-    n_cleared = len(drop & set(have))
-    upgraded = {i for i in sticky if i in have and not have[i]}
-    new_map = {i: s for i, s in have.items() if i not in drop}
-    for i in add:
-        new_map[i] = new_map.get(i, False) or i in sticky
+    touched = sorted(add | drop)
+
     schema = f"{id_col} long, sticky boolean"
+    table = None
+    had_sticky_col = False
+    n_total = n_sticky = 0
+    hits: dict = {}           # delta id -> stored stickiness
+    if fsio.exists(spark, dst):
+        tdf = spark.read.parquet(dst)
+        had_sticky_col = "sticky" in tdf.columns
+        if not had_sticky_col:
+            # pre-sticky table (r11 format): every mark is plain
+            tdf = tdf.withColumn("sticky", F.lit(False))
+        table = tdf.select(F.col(id_col), F.col("sticky"))
+        tot = table.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("sticky").cast("int")).alias("s")).first()
+        n_total, n_sticky = int(tot["n"]), int(tot["s"] or 0)
+        if touched:
+            hits = {r[0]: bool(r[1]) for r in
+                    table.filter(F.col(id_col).isin(touched))
+                    .collect()}
+    drop = {i for i in drop if not hits.get(i, False)} - sticky
+    new_ids = sorted(add - set(hits))
+    n_new = len(new_ids)
+    n_cleared = len(drop & set(hits))
+    upgraded = sorted(i for i in sticky if i in hits and not hits[i])
+    new_total = n_total + n_new - n_cleared
+    new_sticky = n_sticky + len(upgraded) \
+        + sum(1 for i in new_ids if i in sticky)
+
     rewrite = bool(n_cleared or upgraded or
-                   (n_new and fsio.exists(spark, dst)
+                   (n_new and table is not None
                     and not had_sticky_col))
     if rewrite:
         # rewrite via sibling swap — never append into a directory
-        # while a plan over it could recompute (see docstring window).
-        # The tmp dir is fully written BEFORE dst is touched, so the
-        # reader-visible absent window is just the delete+rename pair.
-        # An all-cleared table stays DELETED (absent == no
-        # tombstones): an empty partition-less parquet dir holds only
-        # _SUCCESS, which schema inference on the next read rejects.
-        # Also the upgrade path for pre-sticky tables: appending
-        # two-column rows into a one-column parquet dir would leave
-        # readers schema-dependent on file order.
-        tmp = f"{dst}__rewrite"
+        # while a plan over it could recompute (ADVICE r11 window).
+        # The tmp dir is fully written BEFORE dst is touched, so a
+        # crash either leaves dst intact (tmp partial, rewritten next
+        # time) or leaves the COMPLETE tmp for the recovery rename
+        # above. An all-cleared table stays DELETED (absent == no
+        # tombstones). Also the upgrade path for pre-sticky tables:
+        # appending two-column rows into a one-column parquet dir
+        # would leave readers schema-dependent on file order. All
+        # edits are distributed (filter/when over the scan) — only
+        # the answer-sized new rows originate on the driver.
+        out_tbl = table
+        cleared = sorted(drop & set(hits))
+        if cleared:
+            out_tbl = out_tbl.filter(~F.col(id_col).isin(cleared))
+        if upgraded:
+            out_tbl = out_tbl.withColumn(
+                "sticky",
+                F.when(F.col(id_col).isin(upgraded), F.lit(True))
+                .otherwise(F.col("sticky")))
+        if new_ids:
+            out_tbl = out_tbl.unionByName(spark.createDataFrame(
+                [(int(i), i in sticky) for i in new_ids], schema))
         fsio.delete(spark, tmp)
-        if new_map:
-            spark.createDataFrame(
-                [(int(i), bool(s)) for i, s in sorted(new_map.items())],
-                schema).coalesce(1) \
-                .write.mode("overwrite").parquet(tmp)
+        if new_total:
+            out_tbl.write.mode("overwrite").parquet(tmp)
         fsio.delete(spark, dst)
-        if new_map:
+        if new_total:
             fsio.rename(spark, tmp, dst)
     elif n_new:
-        fresh = sorted(set(add) - set(have))
         spark.createDataFrame(
-            [(int(i), i in sticky) for i in fresh],
+            [(int(i), i in sticky) for i in new_ids],
             schema).coalesce(1) \
             .write.mode("append").parquet(dst)
     return {"tombstoned": n_new, "cleared": n_cleared,
-            "sticky": sum(1 for s in new_map.values() if s),
-            "total": len(new_map)}
+            "sticky": new_sticky, "total": new_total}
 
 
 def ivf_pq_tombstones(spark, path: str, *,
                       id_col: str = "vec_id") -> DataFrame | None:
     """The artifact's live tombstone set as an ``(id_col)`` frame, or
     ``None`` when it has none. Resolves a version pointer first; pass
-    an already-resolved directory to pin one version."""
+    an already-resolved directory to pin one version.
+
+    When the live table is mid-swap (a rewriting maintenance op
+    deleted it but has not renamed the fully-written replacement in
+    yet — or crashed in that gap), the replacement sibling is read
+    instead: dst-missing + sibling-present implies the sibling is
+    complete (the swap only deletes dst after the sibling's write
+    finishes), so the reader never under-excludes across the window."""
     from dexscraper_spark import fsio
 
     path = fsio.pointer_resolve(spark, path)
     dst = fsio.join(path, "tombstones")
     if not fsio.exists(spark, dst):
-        return None
+        tmp = f"{dst}__rewrite"
+        if not fsio.exists(spark, tmp):
+            return None
+        dst = tmp
     return spark.read.parquet(dst).select(id_col)
 
 

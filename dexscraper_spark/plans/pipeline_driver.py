@@ -565,13 +565,17 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
     from ``full_df`` (owner list resets); no previous layout triggers
     the one-time seeding full write. On every later fold a bounded
     TRICKLE of additional buckets — the ones referencing the oldest
-    versions, up to :func:`_compact_budget` per fold, relabel
-    rewrites counted against the budget — is compacted the same way,
-    which keeps the manifest's version span ≤ _STATE_MAX_VERSIONS
-    (+1 transiently in the first cycle) without any fold ever
-    rewriting the whole store (VERDICT r11 §next-3). Buckets whose
-    owner lists only reach back to the previous version are never
-    trickled — a quiet, already-compact store is not churned."""
+    versions, up to :func:`_compact_budget` per fold; only relabel
+    rewrites that themselves reset an old-reaching list count against
+    the budget (a relabel of a fresh bucket is rotation-neutral) — is
+    compacted the same way, which keeps the manifest's version span
+    ≤ _STATE_MAX_VERSIONS (+1 transiently in the first cycle) without
+    any fold ever rewriting the whole store (VERDICT r11 §next-3): a
+    relabel storm cannot starve the rotation, and a hard backstop
+    force-compacts any bucket whose list falls behind the MAX-version
+    window regardless of budget. Buckets whose owner lists only reach
+    back to the previous version are never trickled — a quiet,
+    already-compact store is not churned."""
     if prev_layout:
         n_buckets = int(prev_layout["buckets"])
     elif default_buckets:
@@ -608,7 +612,17 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
         # skipped: compacting them would churn a quiet store for no
         # span reduction.
         cur_v = _vnum(version)
-        budget = max(0, _compact_budget(n_buckets) - len(rewrite))
+        # relabel rewrites count against the trickle budget ONLY when
+        # they themselves advance the rotation (reset a list reaching
+        # back ≥2 versions). A relabel of an already-fresh bucket is
+        # rotation-neutral, and deducting it would let sustained
+        # relabel-heavy folds starve the rotation entirely — the
+        # quiet buckets' lists (and the version span) then grow until
+        # the overdue backstop fires a near-full rewrite.
+        rotating = [b for b in rewrite
+                    if b in owners
+                    and min(_vnum(v) for v in owners[b]) <= cur_v - 2]
+        budget = max(0, _compact_budget(n_buckets) - len(rotating))
         cand = sorted(
             (b for b, vs in owners.items()
              if b not in set(rewrite)
@@ -616,6 +630,19 @@ def _layered_write(spark, state_root: str, version: str, sub: str, *,
             key=lambda b: (min(_vnum(v) for v in owners[b]),
                            -len(owners[b]), b))
         trickle = cand[:budget]
+        # hard span backstop: relabel-heavy folds can consume the
+        # whole budget on buckets that were already fresh, starving
+        # the rotation — without this, owner lists of quiet buckets
+        # grow without bound (and with them versions_referenced, GC
+        # retention, and the read fan-in). Any bucket whose list
+        # reaches beyond the MAX-version window is force-compacted
+        # regardless of budget; the set is empty whenever the normal
+        # rotation kept up, so steady-state folds pay nothing extra.
+        overdue = [b for b, vs in owners.items()
+                   if b not in set(rewrite) and b not in set(trickle)
+                   and min(_vnum(v) for v in vs)
+                   <= cur_v - _STATE_MAX_VERSIONS]
+        trickle = sorted(set(trickle) | set(overdue))
         if trickle:
             rewrite = sorted(set(rewrite) | set(trickle))
             append = sorted(set(append) - set(trickle))
@@ -744,7 +771,14 @@ def _upsert_feasibility_check(spark, state, changed_ids, cfg) -> None:
     only) and re-labeled; any member whose label moves is a needed
     promotion → refuse loudly, naming examples. The general fix —
     retaining gated-out texts in a side store the way sem_dropped
-    retains semantic losers — is documented in README's day-2 notes.
+    retains semantic losers — ships as dedup_dropped/ (new bootstraps
+    PROMOTE instead of refusing; this check is the legacy path).
+
+    Known blind spot, inherent to store-less dirs: EXACT-dup losers
+    have no fingerprint-state row at all, so a changed keeper whose
+    copies should re-surface in a rebuild is undetectable here — the
+    fold proceeds and silently diverges on those copies. Re-bootstrap
+    (which writes the store) before relying on re-crawl folds.
     """
     from dexscraper_spark.operators.dedup import dedup_components
     from dexscraper_spark.plans.curation import _near_pairs
@@ -823,10 +857,18 @@ def _batch_scan(spark, out: str, batch: str, name: str,
     resurrection rows. The batch-scoped file freezes the frame at
     first computation; replays converge by construction. (The
     session-scoped materialize_artifact only gives within-run plan
-    stability — its tmp dir does not survive the crash.)"""
+    stability — its tmp dir does not survive the crash.)
+
+    Reuse is gated on a marker written atomically AFTER the data, not
+    on the directory existing: Spark creates the destination (and may
+    commit some part files) before a crash, so a bare existence check
+    would hand the replay a partial frame with the right schema —
+    silently dropping the very rows this freeze protects."""
     dst = fsio.join(out, "_delta", batch, name)
-    if not fsio.exists(spark, dst):
+    done = f"{dst}.__done"
+    if not fsio.exists(spark, done):
         df.write.mode("overwrite").parquet(dst)
+        fsio.write_text_atomic(spark, done, "1")
     return spark.read.schema(df.schema).parquet(dst)
 
 
@@ -958,7 +1000,18 @@ def run_delta(spark, args) -> dict:
     cleared with ``--break-lease``. Defense-in-depth for writers that
     ignore the lease: the state publish itself passes
     ``expect_current`` and refuses the flip when the pointer moved
-    since this fold read it (see :func:`fsio.pointer_publish`)."""
+    since this fold read it (see :func:`fsio.pointer_publish`).
+
+    The lock is released on success and on PRE-MUTATION refusals
+    (arg/knob validation, upsert feasibility) — those leave the out
+    dir untouched, so the next fold may proceed. Once the fold has
+    started editing shared tables, a propagating exception KEEPS the
+    lock (stamped ``failed``): the tables carry this fold's partial,
+    replay-idempotent merges, and a different slice folding onto them
+    silently would bake the orphaned rows into its own outputs. The
+    operator reruns the SAME batch with ``--break-lease`` (the replay
+    converges — same recovery as a process kill, which also leaves
+    the lock behind)."""
     import os as _os
     import time as _time
 
@@ -977,15 +1030,28 @@ def run_delta(spark, args) -> dict:
             f"delta fold lease {lock} is held ({holder}) — two folds "
             "must not run concurrently on one --out: the later "
             "publish would silently discard the earlier fold's rows. "
-            "If the holder is live, wait for it; if it crashed, rerun "
-            "with --break-lease")
+            "If the holder is live, wait for it; if it crashed (or "
+            "failed mid-merge), rerun the SAME slice with "
+            "--break-lease")
+    fold_state = {"mutated": False}
+    ok = False
     try:
-        return _run_delta_locked(spark, args)
+        result = _run_delta_locked(spark, args, fold_state)
+        ok = True
+        return result
     finally:
-        fsio.delete(spark, lock)
+        if ok or not fold_state["mutated"]:
+            fsio.delete(spark, lock)
+        else:
+            fsio.write_text_atomic(spark, lock, json.dumps(
+                {"pid": _os.getpid(), "ts": int(_time.time()),
+                 "docs": getattr(args, "docs", None),
+                 "failed": "fold raised after shared-table merges "
+                           "began; rerun the same slice with "
+                           "--break-lease to replay-converge"}))
 
 
-def _run_delta_locked(spark, args) -> dict:
+def _run_delta_locked(spark, args, fold_state=None) -> dict:
     from dexscraper_spark.operators.dedup import semantic_dedup_delta
     from dexscraper_spark.plans.curation import (
         CurationConfig, apply_state_updates, curate_delta,
@@ -1202,6 +1268,12 @@ def _run_delta_locked(spark, args) -> dict:
                 state = state.join(upsert_changed_ids, "doc_id",
                                    "left_anti")
         docs = tracked_persist(fresh_docs.unionByName(changed_docs))
+    # pre-filter id set: the dedup_dropped removals below must cover
+    # every folding doc, including ones decontamination/quality drop
+    # from `docs` — a re-crawled loser whose NEW text fails a filter
+    # leaves the universe entirely (as the rebuild would drop it), so
+    # its stale OLD-text store row must not linger as promotable
+    slice_fold_ids = tracked_persist(docs.select("doc_id"))
 
     # ---- pre-processing (per-doc deterministic => identical to the
     # full rebuild's verdicts on the same docs) ----------------------
@@ -1280,16 +1352,13 @@ def _run_delta_locked(spark, args) -> dict:
     if promoted_ids:
         from dexscraper_spark.operators.dedup import split_assignment
         from dexscraper_spark.plans.curation import _gate
-        promo_dst = fsio.join(out, "_delta", batch, "promoted")
         dropped_schema = _dropped_with_range(
             _gate(docs.limit(0), "doc_id", "text", cfg)).schema
-        if not fsio.exists(spark, promo_dst):
-            store = spark.read.schema(dropped_schema) \
-                .parquet(dropped_path)
-            texts = store.filter(
-                F.col("doc_id").isin(promoted_ids)).drop("id_range")
-            texts.write.mode("overwrite").parquet(promo_dst)
-        promoted_rows = spark.read.parquet(promo_dst)
+        promoted_rows = _batch_scan(
+            spark, out, batch, "promoted",
+            spark.read.schema(dropped_schema).parquet(dropped_path)
+            .filter(F.col("doc_id").isin(promoted_ids))
+            .drop("id_range"))
         got = {int(r["doc_id"]) for r in
                promoted_rows.select("doc_id").collect()}
         missing = sorted(set(promoted_ids) - got)
@@ -1411,6 +1480,10 @@ def _run_delta_locked(spark, args) -> dict:
             drop_removals = drop_removals.unionByName(
                 upsert_changed_ids)
         drop_removals = drop_removals.distinct()
+        if fold_state is not None:
+            # first shared-table edit: from here a propagating
+            # exception keeps the fold lease (see run_delta)
+            fold_state["mutated"] = True
         if fsio.exists(spark, sem_dropped_path):
             # explicit schema: a bootstrap with ZERO semantic losers
             # writes an empty partitioned table (only _SUCCESS), which
@@ -1432,6 +1505,11 @@ def _run_delta_locked(spark, args) -> dict:
     summary["corpus_added"] = add_docs.count()
     summary["corpus_removed"] = removed_docs.count()
 
+    if fold_state is not None:
+        # first shared-table edit on the non-semantic path (the store
+        # merge below, then the corpus merge)
+        fold_state["mutated"] = True
+
     # ---- retained-loser store fold (dedup_dropped/) ------------------
     # Adds: the slice's gated docs that did not survive curation (exact
     # + near losers, under their CURRENT text) plus this fold's
@@ -1447,17 +1525,15 @@ def _run_delta_locked(spark, args) -> dict:
         from dexscraper_spark.plans.curation import _gate
         gated_slice = _gate(docs, "doc_id", "text", cfg)
         dropped_schema = _dropped_with_range(gated_slice).schema
-        adds_dst = fsio.join(out, "_delta", batch, "dropped_adds")
-        if not fsio.exists(spark, adds_dst):
-            (_dropped_with_range(
+        store_adds = _batch_scan(
+            spark, out, batch, "dropped_adds",
+            _dropped_with_range(
                 gated_slice.join(curated_new.select("doc_id"),
                                  "doc_id", "left_anti")
                 .unionByName(
                     curated_live.join(retracted, "doc_id", "left_semi")
-                    .select(*gated_slice.columns)))
-             .write.mode("overwrite").parquet(adds_dst))
-        store_adds = spark.read.schema(dropped_schema).parquet(adds_dst)
-        store_rm = docs.select("doc_id")
+                    .select(*gated_slice.columns))))
+        store_rm = slice_fold_ids
         if promoted_ids:
             store_rm = store_rm.unionByName(
                 spark.createDataFrame([(int(i),) for i in promoted_ids],
@@ -1522,11 +1598,15 @@ def _run_delta_locked(spark, args) -> dict:
         # by this one) are UN-tombstoned in the same leased op: their
         # codes are still in the index and must be servable again
         # without waiting for the next republish (ADVICE r11).
-        # Upsert-CHANGED published ids are tombstoned STICKY: their
-        # indexed code encodes the SUPERSEDED text (the extend above
-        # anti-joins on vec_id, so the new embedding only enters at
-        # the next republish) — a later demote→resurrect cycle must
-        # not re-expose it via the clear path.
+        # EVERY upsert-changed id is tombstoned STICKY — not just the
+        # currently-published ones: a doc published in an earlier fold
+        # and since demoted still has its (now superseded) code in the
+        # index under a CLEARABLE plain mark, and a later
+        # demote→resurrect cycle of its re-entered content would
+        # re-expose that stale geometry via the clear path. The extend
+        # above anti-joins on vec_id, so the new embedding only enters
+        # at the next republish; sticky marks for never-indexed ids
+        # exclude nothing and the republish clears them.
         # merged-pending labels (an upsert promotion that the re-
         # entering content won back) were never published, so they
         # have no index code — tombstoning them would only inflate
@@ -1541,8 +1621,8 @@ def _run_delta_locked(spark, args) -> dict:
             .withColumnRenamed("doc_id", "vec_id"),
             clear_ids=resurrected.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"),
-            sticky_ids=None if changed_pub is None else
-            changed_pub.select("doc_id")
+            sticky_ids=None if upsert_changed_ids is None else
+            upsert_changed_ids.select("doc_id")
             .withColumnRenamed("doc_id", "vec_id"))
         summary["ann_tombstoned"] = ts["tombstoned"]
         summary["ann_tombstones_cleared"] = ts["cleared"]

@@ -428,8 +428,17 @@ def test_delta_crash_replay_converges(spark, tmp_path, capsys,
              "--embeddings", pe, *FLAGS], spark=spark)
     monkeypatch.setattr(curation_mod, "update_training_shards", real)
 
+    # the failed fold died AFTER shared-table merges began, so it
+    # kept its lease (stamped failed): a plain rerun refuses loudly
+    # instead of silently folding onto half-merged tables, and the
+    # documented recovery is an explicit --break-lease replay
     assert run(["pipeline", "--delta", "--docs", p1, "--out", crash,
-                "--embeddings", pe, *FLAGS], spark=spark) == 0
+                "--embeddings", pe, *FLAGS], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "lease" in err and "--break-lease" in err
+    assert run(["pipeline", "--delta", "--break-lease", "--docs", p1,
+                "--out", crash, "--embeddings", pe, *FLAGS],
+               spark=spark) == 0
     assert run(["pipeline", "--delta", "--docs", p1, "--out", clean,
                 "--embeddings", pe, *FLAGS], spark=spark) == 0
     _frames_equal(spark.read.parquet(f"{crash}/curated"),
@@ -948,10 +957,12 @@ def test_delta_publish_cas_refuses_interleaved_publish(
     assert "pointer now names" in err and v_before in err
     v_rogue = fsio.pointer_read(spark, root)
     assert v_rogue != v_before
-    # no marker for the refused batch → the rerun is a real fold
+    # no marker for the refused batch → the rerun is a real fold.
+    # The refusal fired AFTER merges began, so the lease survived the
+    # failure (stamped) — the documented recovery is --break-lease.
     monkeypatch.setattr(curation_mod, "apply_state_updates", real)
-    assert run(["pipeline", "--delta", "--docs", p2, "--out", out,
-                *FLAGS], spark=spark) == 0
+    assert run(["pipeline", "--delta", "--break-lease", "--docs", p2,
+                "--out", out, *FLAGS], spark=spark) == 0
     s = _summary(capsys)
     assert s["curated_new"] == 1
     # both deltas' rows are in the corpus — nothing was lost
@@ -1109,8 +1120,13 @@ def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
     assert s["upsert_changed"] == 3           # 10, 30, 41
     assert s["upsert_revived"] == 0
     assert s["semantic_dropped_new"] == 1     # 30 loses to 20
-    assert s["ann_tombstoned"] == 2           # 10, 30 (published ones)
-    assert s["ann_tombstones_sticky"] == 2    # stale-content marks
+    # ALL changed ids are marked sticky — 10/30 (published, stale
+    # codes live in the index) and 41 (never indexed: the mark
+    # excludes nothing, but a changed id whose code entered the index
+    # in an earlier fold and was since demoted carries exactly this
+    # shape, and its stale code must not be resurrection-clearable)
+    assert s["ann_tombstoned"] == 3
+    assert s["ann_tombstones_sticky"] == 3
 
     corpus = {r["doc_id"]: r["text"]
               for r in spark.read.parquet(f"{out}/curated").collect()}
@@ -1121,7 +1137,7 @@ def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
     assert 61 not in corpus                   # exact dup dropped
     assert corpus[20] == _UP_TEXTS[20] and corpus[50] == _UP_TEXTS[50]
     assert {r["vec_id"] for r in
-            ivf_pq_tombstones(spark, idx).collect()} == {10, 30}
+            ivf_pq_tombstones(spark, idx).collect()} == {10, 30, 41}
     # the changed docs' marks are STICKY: their indexed codes encode
     # the SUPERSEDED text, so a later fold's resurrection clear (which
     # correctly re-exposes a demoted doc's still-valid code) must not
@@ -1129,10 +1145,10 @@ def test_upsert_fold_equals_rebuild(spark, tmp_path, capsys):
     from dexscraper_spark.operators.quantize import ivf_pq_tombstone
     ivf_pq_tombstone(
         spark, idx, spark.createDataFrame([], "vec_id long"),
-        clear_ids=spark.createDataFrame([(10,), (30,)],
+        clear_ids=spark.createDataFrame([(10,), (30,), (41,)],
                                         "vec_id long"))
     assert {r["vec_id"] for r in
-            ivf_pq_tombstones(spark, idx).collect()} == {10, 30}
+            ivf_pq_tombstones(spark, idx).collect()} == {10, 30, 41}
     drops = {r["doc_id"]: r["text"] for r in
              spark.read.parquet(f"{out}/sem_dropped").collect()}
     assert drops[30] == _UP_NEW[30]           # NEW text, not stale
@@ -1498,8 +1514,11 @@ def test_delta_crash_between_merges_keeps_resurrection(
              "--embeddings", pe, *FLAGS], spark=spark)
     monkeypatch.setattr(curation_mod, "merge_partitioned", real)
 
-    assert run(["pipeline", "--delta", "--docs", pz, "--out", crash,
-                "--embeddings", pe, *FLAGS], spark=spark) == 0
+    # mutations began → the lease survived the failure; replay with
+    # the documented --break-lease
+    assert run(["pipeline", "--delta", "--break-lease", "--docs", pz,
+                "--out", crash, "--embeddings", pe, *FLAGS],
+               spark=spark) == 0
     s = _summary(capsys)
     assert s["resurrected"] == 1
     assert run(["pipeline", "--delta", "--docs", pz, "--out", clean,
@@ -1509,3 +1528,54 @@ def test_delta_crash_between_merges_keeps_resurrection(
            spark.read.parquet(f"{crash}/curated").collect()}
     assert cor[25] == X
     _compare_outputs(spark, crash, clean)
+
+
+def test_layered_write_span_backstop_under_relabel_storm(
+        spark, tmp_path):
+    """Relabel-heavy folds consume the whole trickle budget on buckets
+    that are already fresh; without the backstop the quiet buckets'
+    owner lists (and versions_referenced, GC retention, read fan-in)
+    grow without bound. Any bucket referencing beyond the MAX-version
+    window is force-compacted regardless of budget — and no fold ever
+    rewrites the full store."""
+    from dexscraper_spark.plans.pipeline_driver import (
+        _layered_write, _read_layered, _STATE_MAX_VERSIONS)
+
+    B = 16
+    root = str(tmp_path / "sv")
+
+    def mk(lo, hi):
+        return (spark.range(lo, hi).toDF("doc_id")
+                .withColumn("exact_h", F.xxhash64("doc_id"))
+                .withColumn("simhash", F.xxhash64("doc_id"))
+                .withColumn("component", F.col("doc_id")))
+
+    n = 1600
+    layout, _ = _layered_write(
+        spark, root, "v_000000", "curation", full_df=mk(0, n),
+        appended_df=mk(0, n), changed_ids=None, prev_layout=None,
+        default_buckets=B)
+    # storm: every fold relabels the SAME few ids, whose buckets cover
+    # ≥ the trickle budget (ceil(16/5)=4) — pick ids spanning 4+
+    # buckets deterministically by probing the hash
+    ids = spark.range(0, 200).toDF("doc_id").withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(B)).cast("int"))
+    storm = [r["doc_id"] for r in ids.dropDuplicates(["b"])
+             .limit(5).collect()]
+    spans, rewrites = [], []
+    for i in range(1, 13):
+        v = f"v_{i:06d}"
+        app = mk(n, n + 10)
+        full = mk(0, n + 10)
+        changed = spark.createDataFrame(
+            [(int(x),) for x in storm], "doc_id long")
+        layout, stats = _layered_write(
+            spark, root, v, "curation", full_df=full,
+            appended_df=app, changed_ids=changed, prev_layout=layout,
+            default_buckets=None)
+        n += 10
+        spans.append(stats["versions_referenced"])
+        rewrites.append(stats["buckets_rewritten"])
+    assert max(spans) <= _STATE_MAX_VERSIONS + 1
+    assert all(r < B for r in rewrites)       # never the full store
+    assert _read_layered(spark, root, layout, "curation").count() == n

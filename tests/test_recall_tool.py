@@ -153,3 +153,24 @@ def test_repo_artifact_carries_rebaseline_note_and_history():
     assert doc["history"][0]["recalls"]["ivf_nprobe4"] == 0.6563
     assert any(h["recalls"].get("ivf_nprobe4") == 0.6563
                for h in doc["history"])
+
+
+def test_refresh_keep_history_one_degenerates_to_oldest(tmp_path):
+    """keep_history=1 must keep exactly the oldest entry: the naive
+    `history[-0:]` tail is the WHOLE list and would duplicate the
+    oldest entry on every re-baseline, growing without bound."""
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({
+        "recalls": {"ivf": 0.60},
+        "history": [{"round": 1, "recalls": {"ivf": 0.65}},
+                    {"round": 2, "recalls": {"ivf": 0.62}}]}))
+    new.write_text(json.dumps({"recalls": {"ivf": 0.61}}))
+    recall_tool.refresh(str(new), str(old), keep_history=1)
+    doc = json.loads(old.read_text())
+    assert [h["recalls"]["ivf"] for h in doc["history"]] == [0.65]
+    # and it stays bounded under repeated re-baselines
+    new.write_text(json.dumps({"recalls": {"ivf": 0.59}}))
+    recall_tool.refresh(str(new), str(old), keep_history=1)
+    doc = json.loads(old.read_text())
+    assert [h["recalls"]["ivf"] for h in doc["history"]] == [0.65]

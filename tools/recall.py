@@ -241,7 +241,10 @@ def refresh(new_path: str, old_path: str, *,
     # drift against — plain [-keep:] would evict it on the
     # keep_history+1'th re-baseline and silently re-anchor the ratchet
     if len(history) > keep_history:
-        history = history[:1] + history[-(keep_history - 1):]
+        # keep_history=1 degenerates to the oldest entry alone —
+        # [-0:] would be the WHOLE list and duplicate history[0]
+        tail = history[-(keep_history - 1):] if keep_history > 1 else []
+        history = history[:1] + tail
     new["history"] = history
     if "notes" in old and "notes" not in new:
         new["notes"] = old["notes"]
