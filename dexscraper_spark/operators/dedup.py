@@ -127,7 +127,8 @@ def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
 
 def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,
                            num_bands: int = 8,
-                           num_hashes: int = 32) -> DataFrame:
+                           num_hashes: int = 32,
+                           persist_signatures: bool = True) -> DataFrame:
     """LSH banding: split each signature into ``num_bands`` rows keyed by
     (band_id, hash(band slice)); docs sharing any band bucket become a
     candidate pair. Equi-join on the bucket key — linear shuffle.
@@ -139,12 +140,22 @@ def minhash_lsh_candidates(sigs: DataFrame, *, id_col: str,
     degenerating the linear-shuffle plan into the full O(n²) cross
     product this operator exists to avoid.
 
+    ``persist_signatures`` materializes ``sigs`` so the self-join's two
+    branches don't each re-run the shingle-explode + 32-min aggregation
+    (Catalyst does not share subtrees) — the same discipline
+    :func:`simhash_near_pairs` applies to its fingerprints, and the same
+    ~(8·num_hashes) bytes/doc table a corpus-scale run would write to
+    disk anyway. Measured: the duplicated signature aggregation was the
+    dominant first-run cost of the whole MinHash pipeline.
+
     Returns distinct candidate pairs (id_a < id_b).
     """
     if num_bands > num_hashes or num_hashes % num_bands:
         raise ValueError(
             f"num_bands ({num_bands}) must divide num_hashes "
             f"({num_hashes}) with band width >= 1")
+    if persist_signatures:
+        sigs = tracked_persist(sigs)
     n = num_bands
     banded = sigs.select(
         F.col(id_col),

@@ -80,15 +80,28 @@ def assign_roles(joined: DataFrame, *, left_key: str, left_pos: str,
     pivot rank 1..n onto role columns; rows of ``quote_type`` map to
     ``quote_address`` instead (scraper.py:369-394), deduplicated by value.
 
-    One shuffle TOTAL: the explicit repartition on ``left_key`` below is
-    the only exchange — every downstream clustering requirement (the
-    (key, value) dedup window, the key rank window, both groupBys, and
-    the final key equi-join) is satisfied by hash(left_key), since rows
-    equal on (key, value) are co-located whenever rows equal on key are.
+    One shuffle AND one pass TOTAL: the explicit repartition on
+    ``left_key`` below is the only exchange — every downstream clustering
+    requirement (the (key, value) dedup window, the key rank window, and
+    the single groupBy) is satisfied by hash(left_key), since rows equal
+    on (key, value) are co-located whenever rows equal on key are.
     Without it Catalyst inserts a fresh exchange per step (~5 shuffles of
-    the same rows); with it the whole role pivot is one shuffle + in-
-    partition sorts. No iterative driver logic; deterministic refinement
-    of the reference's first-wins mutation order (SURVEY §7.4 risk 1).
+    the same rows). Role pivot and quote pick are CONDITIONAL aggregates
+    of one groupBy rather than two filtered branches full-outer-joined
+    back together: the branch form re-evaluates the whole upstream
+    subtree per branch (a second decode + band join at scale — Catalyst
+    does not share subtrees) and re-shuffles the join output, for three
+    exchanges and two subtree copies where one of each suffices. The
+    quote rank sorts non-quote rows first (flag 0 < 1) so non-quote rows
+    keep ranks 1..m exactly as the filtered ranking produced; rows whose
+    ``type_col`` is NULL sort last (flag 2) and match no conditional
+    aggregate — the same rows the old ``~is_quote`` / ``is_quote``
+    filter pair dropped — and keys with ONLY null-type rows are dropped
+    before grouping to keep the old full-outer key set. ``min_by``
+    ignores rows whose ordering expression is NULL (probed + pinned by
+    test), so the when-wrapped ordering restricts it to quote rows. No
+    iterative driver logic; deterministic refinement of the reference's
+    first-wins mutation order (SURVEY §7.4 risk 1).
     """
     joined = joined.repartition(F.col(left_key))
     dist = F.abs(F.col(left_pos) - F.col(right_pos))
@@ -97,18 +110,21 @@ def assign_roles(joined: DataFrame, *, left_key: str, left_pos: str,
     uniq = (joined.withColumn("__dup", F.row_number().over(dedup_w))
             .filter(F.col("__dup") == 1).drop("__dup"))
     is_quote = F.col(type_col) == quote_type
+    # 0 = role candidate, 1 = quote, NULL type → dropped (matches the
+    # former filter pair, where NULL failed both ~is_quote and is_quote)
+    flag = F.when(is_quote, 1).otherwise(0)
+    uniq = uniq.filter(is_quote.isNotNull()).withColumn("__q", flag)
     rank_w = Window.partitionBy(left_key).orderBy(
-        dist.asc(), F.col(right_pos).asc(), F.col(value_col).asc())
-    ranked = uniq.filter(~is_quote).withColumn("__rn", F.row_number().over(rank_w))
+        F.col("__q").asc(), dist.asc(), F.col(right_pos).asc(),
+        F.col(value_col).asc())
+    ranked = uniq.withColumn("__rn", F.row_number().over(rank_w))
     role_cols = [
-        F.max(F.when(F.col("__rn") == i + 1, F.col(value_col))).alias(role)
+        F.max(F.when((F.col("__q") == 0) & (F.col("__rn") == i + 1),
+                     F.col(value_col))).alias(role)
         for i, role in enumerate(roles)
     ]
-    assigned = ranked.groupBy(left_key).agg(*role_cols)
-    quotes = (
-        uniq.filter(is_quote)
-        .groupBy(left_key)
-        .agg(F.min_by(F.col(value_col), F.struct(dist, F.col(right_pos)))
-             .alias("quote_address"))
-    )
-    return assigned.join(quotes, left_key, "full_outer")
+    quote_col = F.min_by(
+        F.when(F.col("__q") == 1, F.col(value_col)),
+        F.when(F.col("__q") == 1, F.struct(dist, F.col(right_pos)))
+    ).alias("quote_address")
+    return ranked.groupBy(left_key).agg(*role_cols, quote_col)

@@ -354,3 +354,43 @@ def test_importance_resample_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan_of(out, "simple").count("Window") == 2
+
+
+def test_assign_roles_single_pass(spark):
+    """r12 optimization: the role pivot + quote pick must be ONE
+    aggregation over ONE copy of the upstream subtree — the former
+    two-branch form full-outer-joined two filtered aggregates, which
+    re-evaluated the whole decode + band join per branch (two MapInPandas
+    decodes and three Exchanges where one of each suffices)."""
+    from dexscraper_spark.operators.proximity import assign_roles
+    joined = spark.createDataFrame(
+        [(1, 100.0, 130.0, "AAA", "potential_contract"),
+         (1, 100.0, 105.0, "So1", "SOL_token"),
+         (2, 50.0, 60.0, "BBB", None)],  # NULL type: dropped, key 2 gone
+        "tok int, tpos double, mpos double, addr string, atype string")
+    out = assign_roles(joined, left_key="tok", left_pos="tpos",
+                       right_pos="mpos", value_col="addr", type_col="atype",
+                       quote_type="SOL_token")
+    plan = plan_of(out)
+    # single aggregation pass: no join between role and quote branches
+    assert "Join" not in plan
+    # one exchange total (the explicit left_key repartition)
+    assert plan_of(out, "simple").count("Exchange") == 1
+    rows = {r["tok"]: r for r in out.collect()}
+    assert set(rows) == {1}  # key 2 had only a NULL-type row -> dropped
+    assert rows[1]["token_address"] == "AAA"
+    assert rows[1]["quote_address"] == "So1"
+    assert rows[1]["pair_address"] is None
+
+
+def test_min_by_ignores_null_ordering(spark):
+    """Pin the Spark semantic the single-pass assign_roles relies on:
+    min_by skips rows whose ORDERING expression is NULL, so a
+    when-wrapped ordering restricts the aggregate to the quote subset."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", None)], "k int, v string, o double")
+    out = df.groupBy("k").agg(
+        F.min_by(F.when(F.col("o") > 2, F.col("v")),
+                 F.when(F.col("o") > 2, F.col("o"))).alias("m")).collect()
+    assert out[0]["m"] == "a"
