@@ -194,17 +194,27 @@ def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
     # 1) metrics + gates
     scored = _gate(docs, id_col, text_col, cfg)
 
-    # 2) exact dedup: identical text keeps the minimum id. Hash groupBy on
-    # the content hash; min() is partial-aggregatable. (64-bit content
-    # hash: a cross-text collision wrongly drops one doc with p ≈ n²/2⁶⁵
-    # — at a billion docs that is ~3%, so switch the key to
-    # md5(text) [128-bit] there; xxhash64 keeps the hot path cheap here.)
-    exact_keep = (
-        scored.groupBy(F.xxhash64(text).alias("__h"))
-        .agg(F.min(F.col(id_col)).alias(id_col))
-        .select(id_col)
-    )
-    deduped = scored.join(exact_keep, id_col, "left_semi")
+    # 2) exact dedup: identical text keeps the minimum id — one
+    # row_number window over the content hash. The former groupBy(min id)
+    # + left_semi join form evaluated the gate subtree TWICE (Catalyst
+    # shares no subtrees: once under the aggregate, once on the join's
+    # probe side — the gate's lang/quality HOFs are the scan stage's
+    # dominant CPU) and shuffled the corpus twice (the hash agg plus the
+    # id-keyed semi join, whose right side is corpus-sized and thus
+    # never broadcastable at scale). The window form evaluates the gate
+    # once and shuffles the corpus once, keyed by the hash; identical
+    # survivors — rn=1 at min id per hash IS the group's min id row.
+    # (64-bit content hash: a cross-text collision wrongly drops one doc
+    # with p ≈ n²/2⁶⁵ — at a billion docs that is ~3%, so switch the key
+    # to md5(text) [128-bit] there; xxhash64 keeps the hot path cheap.)
+    # ``__h`` rides along on the persisted frame so the state build
+    # reuses it instead of rehashing the full text; dropped before the
+    # published corpus below.
+    from pyspark.sql import Window
+    dedup_w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    deduped = (scored.withColumn("__h", F.xxhash64(text))
+               .withColumn("__rn", F.row_number().over(dedup_w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
 
     # 3) near-dup clusters: SimHash banding (production xxhash64 hash) →
     # pairs → connected components → every cluster keeps min id.
@@ -226,7 +236,7 @@ def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
     # left_anti with no broadcast hint: the loser set is answer-sized on
     # ordinary corpora (AQE broadcasts it), but a dup-heavy crawl can make
     # it a large fraction of the corpus — let the optimizer decide.
-    survivors = deduped.join(losers, id_col, "left_anti")
+    survivors = deduped.drop("__h").join(losers, id_col, "left_anti")
 
     # 4) deterministic split on the surviving ids
     curated = survivors.withColumn(
@@ -236,7 +246,7 @@ def curate_corpus_with_state(docs: DataFrame, *, id_col: str = "doc_id",
     # 5) the incremental state: every deduped doc's hashes + cluster
     # label (singleton docs label themselves)
     state = (
-        deduped.select(F.col(id_col), F.xxhash64(text).alias("exact_h"))
+        deduped.select(F.col(id_col), F.col("__h").alias("exact_h"))
         .join(fps, id_col)
         .join(comps.withColumnRenamed("node", id_col), id_col, "left")
         .withColumn("component",
@@ -335,16 +345,20 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
                 f"monotone ids (re-id the batch or run curate_corpus)")
     text = F.col(text_col)
 
-    # gates + within-batch exact dedup, then drop texts the store has
+    # gates + within-batch exact dedup (min id per content hash as ONE
+    # row_number window — the former groupBy + semi-join form evaluated
+    # the gate subtree twice and shuffled the batch twice, see
+    # curate_corpus_with_state), then drop texts the store has. ``__h``
+    # rides along on the persisted frame so state_new reuses it instead
+    # of rehashing the full text.
+    from pyspark.sql import Window
     scored = _gate(new_docs, id_col, text_col, cfg)
     hashed = scored.withColumn("__h", F.xxhash64(text))
-    batch_keep = (hashed.groupBy("__h")
-                  .agg(F.min(F.col(id_col)).alias(id_col))
-                  .select(id_col))
-    fresh = (hashed.join(batch_keep, id_col, "left_semi")
+    batch_w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    fresh = (hashed.withColumn("__rn", F.row_number().over(batch_w))
+             .filter(F.col("__rn") == 1).drop("__rn")
              .join(state.select(F.col("exact_h").alias("__h")),
-                   "__h", "left_anti")
-             .drop("__h"))
+                   "__h", "left_anti"))
     fresh = tracked_persist(fresh)
 
     # delta fingerprints, banded against (store ∪ delta)
@@ -384,7 +398,7 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
         fresh.join(node_comp, id_col, "left")
         .filter(F.col("component").isNull()
                 | (F.col("component") == F.col(id_col)))
-        .drop("component")
+        .drop("component", "__h")
     )
     curated_new = survivors_new.withColumn(
         "split", split_assignment(F.col(id_col), train_pct=cfg.train_pct,
@@ -401,7 +415,7 @@ def curate_delta(new_docs: DataFrame, state: DataFrame, *,
     # state rows for the delta: resolved component (merged label if the
     # doc joined/bridged clusters, else itself)
     state_new = (
-        fresh.select(F.col(id_col), F.xxhash64(text).alias("exact_h"))
+        fresh.select(F.col(id_col), F.col("__h").alias("exact_h"))
         .join(fps_new, id_col)
         .join(node_comp, id_col, "left")
         .withColumn("component",
