@@ -63,6 +63,12 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("embedding", T.ArrayType(T.DoubleType())),
 ])
 
+# decode_media_meta's columns minus the payload passthrough, plus the
+# feature vector — the output of the fused single-pass kernel.
+META_FEATURE_SCHEMA = T.StructType(
+    [f for f in META_SCHEMA.fields if f.name != "payload"]
+    + [T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+
 _MAGIC = b"FAKE"
 # container header: magic | kind u8 | width u16 | height u16 | channels u8 |
 # sample_rate u32 | n_frames u16
@@ -315,36 +321,94 @@ def sample_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def _feature_body(payload: bytes) -> bytes:
+    """The byte sequence a payload embeds over: the decoded body.
+    Real-codec payloads embed DECODED PIXELS/SAMPLES, not container
+    bytes — the same image as PNG vs BMP (or the same clip re-wrapped)
+    must embed identically (compressed IDAT bytes are near-uniform
+    noise)."""
+    hdr = _parse_header(payload)
+    if hdr is None:
+        hdr = _decode_real_image(payload) or _decode_real_audio(payload)
+    return hdr["body"] if hdr else (payload or b"")
+
+
+def _embed_body(body: bytes, dim: int) -> list[float]:
+    """Normalized byte histogram of a decoded body — the deterministic
+    embedding stand-in shared by extract_features and the fused kernel."""
+    hist = [0.0] * dim
+    for b in body:
+        hist[b % dim] += 1.0
+    total = sum(hist) or 1.0
+    return [v / total for v in hist]
+
+
 def extract_features(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
     """payload → deterministic feature vector (byte-histogram projection) —
     a stand-in with the exact schema/batch shape of a real embedding model;
     output feeds operators.similarity directly."""
     import pandas as pd
 
-    def embed(payload: bytes) -> list[float]:
-        hdr = _parse_header(payload)
-        if hdr is None:
-            # real-codec payloads: embed DECODED PIXELS/SAMPLES, not
-            # container bytes — the same image as PNG vs BMP (or the
-            # same clip re-wrapped) must embed identically (compressed
-            # IDAT bytes are near-uniform noise)
-            hdr = _decode_real_image(payload) or _decode_real_audio(
-                payload)
-        body = hdr["body"] if hdr else (payload or b"")
-        hist = [0.0] * dim
-        for i, b in enumerate(body):
-            hist[b % dim] += 1.0
-        total = sum(hist) or 1.0
-        return [v / total for v in hist]
-
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = [{"media_id": int(m), "kind": k,
-                    "embedding": embed(bytes(p) if p is not None else b"")}
+                    "embedding": _embed_body(
+                        _feature_body(bytes(p) if p is not None else b""),
+                        dim)}
                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])]
             yield pd.DataFrame(out, columns=["media_id", "kind", "embedding"])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_media_meta_features(media: DataFrame, *,
+                               dim: int = FEATURE_DIM) -> DataFrame:
+    """:func:`decode_media_meta` + :func:`extract_features` fused into ONE
+    payload pass (guide §4.1/§8): the two-kernel form ships every payload
+    across the JVM→Python boundary twice — and decode_media_meta ships it
+    BACK a third time as its passthrough column — to produce a few scalar
+    meta fields and a dim-float vector. The fused kernel crosses the
+    boundary once and returns only the small columns (no payload
+    passthrough), so at corpus scale the payload bytes move exactly once.
+
+    Field-for-field identical to the two kernels it fuses: the meta
+    fields use the same header parse + O(1) probes as decode_media_meta,
+    and the embedding uses the same ``_feature_body``/``_embed_body``
+    helpers as extract_features (one shared ``_parse_header`` call feeds
+    both — same bytes, same result)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                raw = bytes(payload) if payload is not None else None
+                hdr = _parse_header(raw) if raw is not None else None
+                meta_hdr = hdr
+                if meta_hdr is None and raw is not None:
+                    meta_hdr = (_probe_real_image(raw)
+                                or _probe_real_audio(raw)
+                                or _probe_real_video(raw))
+                if hdr is not None:
+                    body = hdr["body"]
+                else:
+                    body = _feature_body(raw if raw is not None else b"")
+                out.append({
+                    "media_id": int(mid), "kind": kind,
+                    "format": meta_hdr["format"] if meta_hdr else None,
+                    "width": meta_hdr["width"] if meta_hdr else None,
+                    "height": meta_hdr["height"] if meta_hdr else None,
+                    "channels": meta_hdr["channels"] if meta_hdr else None,
+                    "sample_rate": meta_hdr["sample_rate"] if meta_hdr else None,
+                    "n_frames": meta_hdr["n_frames"] if meta_hdr else None,
+                    "payload_bytes": len(raw) if raw is not None else 0,
+                    "embedding": _embed_body(body, dim),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in META_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=META_FEATURE_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType([

@@ -1642,24 +1642,32 @@ def similarity_lsh_bucketed(spark, sf_dir):
     survey_ref="northstar-multimodal,D1",
 )
 def multimodal_pipeline(spark, sf_dir):
+    # r12 optimization (guide §4.1/§8): the former two-kernel form
+    # (decode_media_meta + extract_features, aggregated separately and
+    # joined on kind) shipped every payload into Python twice — and back
+    # out once via meta's passthrough column — then paid a join of the
+    # two per-kind aggregates. The fused kernel crosses the boundary
+    # once, returns only small columns, and ONE groupBy computes all
+    # five aggregates (count/sum/max/max/sum_money are all one-pass,
+    # partial-aggregatable): MapInPandas 2 → 1, the kind join gone.
+    # Results identical: same meta/header fields, same embedding helpers,
+    # and sum_money is order-independent (integer-cents accumulator).
     from dexscraper_spark.operators.multimodal import (
-        decode_media_meta, extract_features, synthetic_media)
+        decode_media_meta_features, synthetic_media)
     tune_session(spark)
     media = synthetic_media(spark, 24).coalesce(1)
-    meta = decode_media_meta(media)
-    feats = extract_features(media)
-    meta_stats = meta.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("payload_bytes").alias("total_bytes"),
-        F.max("width").alias("max_width"),
-        F.max("n_frames").alias("max_frames"),
-    )
-    feat_stats = feats.select(
-        "kind", F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
-        .alias("mass"))
-    feat_agg = feat_stats.groupBy("kind").agg(
-        sum_money(F.col("mass"), 6).alias("total_mass"))
-    return meta_stats.join(feat_agg, "kind").orderBy("kind")
+    fused = decode_media_meta_features(media)
+    return (fused.select(
+                "kind", "payload_bytes", "width", "n_frames",
+                F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+                .alias("mass"))
+            .groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("payload_bytes").alias("total_bytes"),
+                F.max("width").alias("max_width"),
+                F.max("n_frames").alias("max_frames"),
+                sum_money(F.col("mass"), 6).alias("total_mass"))
+            .orderBy("kind"))
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,21 @@ def synthetic_metadata(spark: SparkSession, n_frames: int) -> DataFrame:
         rows, "msg_id long, kind string, value string, position long, mtype string")
 
 
-def extract_tokens(raw_frames: DataFrame, metadata: DataFrame) -> DataFrame:
-    """decode → enrich (J1 band join + J3 role pivot) → score (A7/A9)."""
+def extract_tokens(raw_frames: DataFrame, metadata: DataFrame, *,
+                   persist_decoded: bool = True) -> DataFrame:
+    """decode → enrich (J1 band join + J3 role pivot) → score (A7/A9).
+
+    ``persist_decoded`` (default on) materializes the decoded token
+    projection once: the band-join lane and the enrichment-join lane
+    below both consume ``tokens``, and Catalyst shares no subtrees, so
+    without the persist the whole MapInPandas frame decode runs once per
+    lane — two decodes of every frame at scale. The persisted frame is
+    the narrow scalar projection (no payloads), i.e. the decoded-tokens
+    table a corpus-scale run would write to storage anyway (guide §8
+    step 1: decode once, move the decision columns); tracked_persist
+    registers the handle so registry.clear_plan_cache() releases it."""
+    from dexscraper_spark.persist import tracked_persist
+
     decoded = decode_messages(raw_frames)
 
     addr = metadata.filter(F.col("kind") == "address").select(
@@ -57,6 +70,8 @@ def extract_tokens(raw_frames: DataFrame, metadata: DataFrame) -> DataFrame:
         "price_usd", "volume_h24", "liquidity_usd", "fdv", "created_at",
         F.col("record_position").alias("tpos"),
     ).withColumn("token_key", F.concat_ws("#", "msg_id", "tpos"))
+    if persist_decoded:
+        tokens = tracked_persist(tokens)
 
     # co-locate on msg_id INSIDE the band join (hash key = (msg, bin)) —
     # post-filtering frames after a global position join would shuffle

@@ -469,3 +469,42 @@ def test_video_dedup_composes_frames_features_semdedup(spark):
     kept = video_dedup(media, every=1, threshold=0.95, nlist=2)
     ids = sorted(r["media_id"] for r in kept.collect())
     assert ids == [1, 3, 9]             # 2 lost to 1; 3 and 9 untouched
+
+
+def test_fused_meta_features_matches_two_kernels(spark):
+    """r12 optimization: decode_media_meta_features (ONE payload pass, no
+    payload passthrough) must be field-for-field identical to joining
+    decode_media_meta with extract_features — across the FAKE container,
+    real codecs (BMP, WAV), a None payload, and a corrupt payload."""
+    import pandas as pd
+    from dexscraper_spark.operators.codecs import encode_bmp, encode_wav
+    from dexscraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA, META_FEATURE_SCHEMA, decode_media_meta,
+        decode_media_meta_features)
+
+    px = bytes((x * 7) % 251 for x in range(4 * 4 * 3))
+    pcm = bytes((x * 11) % 253 for x in range(64))
+    extra = pd.DataFrame(
+        [(100, "image", encode_bmp(4, 4, px, channels=3)),
+         (101, "audio", encode_wav(pcm, sample_rate=8000,
+                                   channels=1, sample_width=1)),
+         (102, "image", None),
+         (103, "image", b"NOTFAKE123456789")],
+        columns=["media_id", "kind", "payload"])
+    media = synthetic_media(spark, 9).unionByName(
+        spark.createDataFrame(extra, schema=MEDIA_SCHEMA))
+
+    fused = {r["media_id"]: r
+             for r in decode_media_meta_features(media).collect()}
+    meta = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+
+    assert set(fused) == set(meta) == set(feats)
+    meta_fields = [f.name for f in META_FEATURE_SCHEMA.fields
+                   if f.name != "embedding"]
+    for mid, row in fused.items():
+        for f in meta_fields:
+            assert row[f] == meta[mid][f], (mid, f, row[f], meta[mid][f])
+        assert row["embedding"] == feats[mid]["embedding"], mid
+    # the fused schema must not ship the payload back out of Python
+    assert "payload" not in fused[0].asDict()

@@ -394,3 +394,38 @@ def test_min_by_ignores_null_ordering(spark):
         F.min_by(F.when(F.col("o") > 2, F.col("v")),
                  F.when(F.col("o") > 2, F.col("o"))).alias("m")).collect()
     assert out[0]["m"] == "a"
+
+
+def test_tokens_pipeline_decodes_frames_once(spark):
+    """r12 optimization: the decoded token projection is persisted, so
+    the band-join lane and the enrichment lane share ONE MapInPandas
+    decode (Catalyst shares no subtrees — without the persist each lane
+    re-ran the whole frame decode)."""
+    import re
+
+    from dexscraper_spark.persist import release_tracked
+    from dexscraper_spark.plans.tokens_pipeline import trending_top_tokens
+    try:
+        out = trending_top_tokens(spark, n_frames=2, limit=3,
+                                  tiebreak="token_address")
+        plan = plan_of(out)
+        # exactly one decode NODE in the numbered operator details
+        # (the cached subtree is scanned by both lanes)
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+        assert plan.count("InMemoryTableScan") >= 2
+        assert out.count() == 3  # the persisted form still computes
+    finally:
+        release_tracked()
+
+
+def test_multimodal_pipeline_single_payload_pass(spark):
+    """r12 optimization: multimodal_pipeline runs the fused
+    meta+features kernel — ONE MapInPandas over the payloads and one
+    grouped aggregation, no join of separate meta/feature aggregates."""
+    import re
+
+    from dexscraper_spark.plans.registry import queries
+    df = queries()["multimodal_pipeline"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Join" not in plan
