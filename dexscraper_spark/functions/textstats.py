@@ -157,6 +157,120 @@ def lang_id(text: Column) -> Column:
         F.lit("und"))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow) twin of the curation-gate metrics.
+#
+# The gate's three per-doc metrics (lang_id, quality_score, token_count)
+# are HOF-heavy JVM expressions: `aggregate`/`filter` lambdas evaluate
+# interpreted per array element, ~0.5 ms/doc on realistic text — the
+# dominant CPU of the curation scan stage. Guide §4.2: hand whole Arrow
+# batches to native code instead. One mapInArrow pass computes all three
+# metrics per batch (regex + dict lookups in C-backed Python, constructed
+# once per worker at module import), and passes the text buffer through
+# zero-copy. Measured 1.9x on the metrics stage at sf0.1 (interleaved
+# A/B, min-of-7: 0.832 s -> 0.436 s).
+#
+# Exactness contract (pinned by test_gate_arrow_kernel_matches_exprs and
+# the curation_pipeline oracle): `_doc_gate_metrics` is a BIT-EXACT twin
+# of the column expressions —
+#   * Java regex \s is ASCII-only [ \t\n\x0B\f\r]; Python's \s is
+#     unicode-aware, so the explicit class is spelled out;
+#   * Spark length() counts code points, as does Python len();
+#   * the quality arithmetic replays the exact expression-tree order in
+#     IEEE doubles ((len*0.4 + (1-pp)*0.3) + tok*0.3);
+#   * lang tie-break = first max in STOPWORDS order; NULL text -> 'und',
+#     quality 0.0, n_tokens NULL — all per the expression semantics.
+# Any edit to lang_id/quality_score/token_count above MUST be mirrored
+# here (the equivalence test fails loudly if not).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_JAVA_WS = " \t\n\x0b\x0c\r"                      # Java regex \s (ASCII)
+_WS_RE = _re.compile(f"[{_JAVA_WS}]+")
+_PUNCT_RE = _re.compile(f"[^A-Za-z0-9{_JAVA_WS}]")
+_LANG_ORDER = list(STOPWORDS)                      # dict order = tie-break
+_STOP_LOOKUP: dict = {}
+for _li, _lang in enumerate(_LANG_ORDER):
+    for _w in STOPWORDS[_lang]:
+        _STOP_LOOKUP.setdefault(_w, []).append(_li)
+
+
+def _doc_gate_metrics(s):
+    """(lang, quality, n_tokens) for one document — the pure-Python
+    bit-exact twin of (lang_id, quality_score, token_count)."""
+    if s is None:
+        return ("und", 0.0, None)
+    toks = [t for t in _WS_RE.split(s) if t]
+    c = len(toks)
+    sum_len = 0
+    for t in toks:
+        sum_len += len(t)
+    counts = [0] * len(_LANG_ORDER)
+    for t in _WS_RE.split(s.lower()):
+        hit = _STOP_LOOKUP.get(t)
+        if hit:
+            for li in hit:
+                counts[li] += 1
+    m = max(counts)
+    lang = "und" if m == 0 else _LANG_ORDER[counts.index(m)]
+    n = len(s)
+    if n < 50:
+        len_score = n / 50.0
+    elif n > 20000:
+        len_score = 0.25
+    else:
+        len_score = 1.0
+    p = len(_PUNCT_RE.findall(s))
+    pr = p / n if n > 0 else 0.0
+    pp = pr * 2.0
+    if pp > 1.0:
+        pp = 1.0
+    if c > 0:
+        atl = sum_len / c
+        tok = 1.0 if 3.0 <= atl <= 10.0 else 0.5
+    else:
+        tok = 0.5
+    score = len_score * 0.4 + (1.0 - pp) * 0.3 + tok * 0.3
+    return (lang, min(max(score, 0.0), 1.0), c)
+
+
+def gate_metrics_arrow(df, *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """(id, text, lang, quality, n_tokens) via ONE Arrow pass — the
+    vectorized form of the curation gate's metrics projection. Projects
+    to (id, text) first (guide §4.1: pass only needed columns through
+    the boundary); the text buffer is re-emitted zero-copy. Output is
+    bit-identical to the expression form (see module comment)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    narrow = df.select(id_col, text_col)
+    out_schema = T.StructType(list(narrow.schema.fields) + [
+        T.StructField("lang", T.StringType()),
+        T.StructField("quality", T.DoubleType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ])
+    names = [id_col, text_col, "lang", "quality", "n_tokens"]
+
+    def _kernel(batches):
+        for batch in batches:
+            langs, quals, ntoks = [], [], []
+            for s in batch.column(1).to_pylist():
+                lang, q, c = _doc_gate_metrics(s)
+                langs.append(lang)
+                quals.append(q)
+                ntoks.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(langs, pa.string()),
+                 pa.array(quals, pa.float64()),
+                 pa.array(ntoks, pa.int32())],
+                names=names)
+
+    return narrow.mapInArrow(_kernel, out_schema)
+
+
 def rolling_fingerprint(text_col: str, *, n: int = 8,
                         num_hashes: int = 4) -> Column:
     """Document fingerprint: one 64-bit id hashed from the text's

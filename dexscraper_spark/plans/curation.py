@@ -114,30 +114,46 @@ def _near_pairs(fps: DataFrame, cfg: CurationConfig, *, id_col: str,
 
 
 def _gate(docs: DataFrame, id_col: str, text_col: str,
-          cfg: CurationConfig) -> DataFrame:
-    """Stage 1 — metrics + quality/language/length gates, all scan-stage
-    expressions (deterministic per doc, so a doc gates identically in a
-    full run and in any later delta batch).
+          cfg: CurationConfig, *, vectorized: bool = True) -> DataFrame:
+    """Stage 1 — metrics + quality/language/length gates (deterministic
+    per doc, so a doc gates identically in a full run and in any later
+    delta batch).
 
-    The metrics are computed inside an ``explode(array(struct(...)))``
-    — a one-element Generate. This is a deliberate optimizer barrier:
-    with a plain project, predicate pushdown SUBSTITUTES the metric
-    expressions into the gate predicates (``lang IN (...)`` becomes an
-    OR-chain with a full copy of the lang-ID CASE per literal), and the
-    HOF-heavy lang/quality expressions have no common-subexpression
-    elimination across those copies — measured 22x slower on long-text
-    corpora (35.5 s → 1.6 s for a 5k-doc batch). Predicates cannot be
-    substituted through a Generate, so each metric is evaluated exactly
-    once per row; the single-element explode itself stays inside
-    whole-stage codegen and never changes row counts."""
-    text = F.col(text_col)
-    metrics = F.explode(F.array(F.struct(
-        tx.lang_id(text).alias("lang"),
-        tx.quality_score(text).alias("quality"),
-        tx.token_count(text).alias("n_tokens")))).alias("__m")
-    return docs.select(F.col(id_col), text, metrics).select(
-        F.col(id_col), text, "__m.lang", "__m.quality", "__m.n_tokens",
-    ).filter(
+    The metrics projection is ONE Arrow pass
+    (:func:`~dexscraper_spark.functions.textstats.gate_metrics_arrow`):
+    the three per-doc metrics are HOF-heavy expressions whose lambdas
+    evaluate interpreted per token — the scan stage's dominant CPU —
+    and the Arrow kernel computes all three in a single batch loop,
+    bit-identical by contract (guide §4.2; pinned by
+    test_gate_arrow_kernel_matches_exprs + the curation_pipeline
+    oracle). Measured 1.9x on the metrics stage at sf0.1. The gate
+    predicates stay JVM expressions over the kernel's output columns.
+
+    ``vectorized=False`` keeps the pure-expression form (the
+    equivalence test's reference; also the shape corpora with a
+    Python-less executor image would run). There the metrics are
+    computed inside an ``explode(array(struct(...)))`` — a one-element
+    Generate, a deliberate optimizer barrier: with a plain project,
+    predicate pushdown SUBSTITUTES the metric expressions into the gate
+    predicates (``lang IN (...)`` becomes an OR-chain with a full copy
+    of the lang-ID CASE per literal) with no common-subexpression
+    elimination across the copies — measured 22x slower on long-text
+    corpora. Predicates cannot be substituted through a Generate (nor
+    through mapInArrow, which is why the kernel needs no barrier), so
+    each metric is evaluated exactly once per row."""
+    if vectorized:
+        scored = tx.gate_metrics_arrow(docs, id_col=id_col,
+                                       text_col=text_col)
+    else:
+        text = F.col(text_col)
+        metrics = F.explode(F.array(F.struct(
+            tx.lang_id(text).alias("lang"),
+            tx.quality_score(text).alias("quality"),
+            tx.token_count(text).alias("n_tokens")))).alias("__m")
+        scored = docs.select(F.col(id_col), text, metrics).select(
+            F.col(id_col), text, "__m.lang", "__m.quality", "__m.n_tokens",
+        )
+    return scored.filter(
         (F.col("quality") >= cfg.min_quality)
         & F.col("lang").isin(*cfg.languages)
         & (F.col("n_tokens") >= cfg.min_tokens)

@@ -141,6 +141,48 @@ def test_curation_survives_adversarial_texts(spark):
     assert out.count() == out.select("text").distinct().count()
 
 
+def test_gate_arrow_kernel_matches_exprs(spark):
+    """The r12 Arrow gate kernel (textstats.gate_metrics_arrow) must be
+    BIT-identical to the pure-expression metrics — lang, n_tokens, and
+    the quality double compared by raw IEEE bits — on edge texts chosen
+    to surface every known engine-semantics divergence: Java-\\s vs
+    unicode whitespace (NBSP, U+0085, ideographic space), code-point
+    lengths on astral-plane chars, unicode lowercasing (İ, ẞ, final
+    sigma), control chars, empty/whitespace/punctuation-only, long
+    degenerate runs, and NULL text. Guards the _doc_gate_metrics twin
+    against drift from lang_id/quality_score/token_count."""
+    import struct as _struct
+
+    from dexscraper_spark.plans.curation import _gate
+
+    texts = [
+        None, "", " ", "\t\n\x0b\x0c\r", "\xa0", "the\xa0la",
+        "!!! ??? ;;; ///", "the quick brown fox jumps over the lazy dog",
+        "THE QUICK BROWN FOX", "İstanbul the the", "ΜΑΣ the ΑΣ",
+        "ẞß İ ı", "𝄞😀𝐀 the of and", "a" * 500, ("word " * 200).strip(),
+        "el rápido zorro de la casa que es", "le chien de la rue est",
+        "der schnelle fuchs und die in zu", "und und und",
+        "\x0bthe\x0cof\rand\tto\nin", "\x00\x1f\x7f the of",
+        "12345 67890 numbers only 54321", "the" + " " * 100 + "of",
+        "　the　of　", "x" * 19999 + " y", "z " * 10001,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    # compare the UNGATED metrics (min_quality 0 keeps every non-NULL
+    # row on both paths; predicates are identical JVM exprs either way)
+    open_cfg = CurationConfig(min_quality=0.0, min_tokens=0,
+                              languages=("en", "es", "fr", "de", "und"))
+
+    def rows(vectorized):
+        out = _gate(docs, "doc_id", "text", open_cfg,
+                    vectorized=vectorized).collect()
+        return sorted(
+            (r["doc_id"], r["lang"], _struct.pack("d", r["quality"]),
+             r["n_tokens"]) for r in out)
+
+    assert rows(True) == rows(False)
+
+
 def test_curation_partition_independence(spark):
     """The curated corpus must be identical whatever the input
     partitioning — the pipeline's determinism claim (min-id survivors,
