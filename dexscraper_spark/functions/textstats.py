@@ -235,6 +235,95 @@ def _doc_gate_metrics(s):
     return (lang, min(max(score, 0.0), 1.0), c)
 
 
+_ALNUM_SPLIT_RE = _re.compile("[^A-Za-z0-9]+")
+
+
+def _doc_text_metrics(s):
+    """(measured_chars, n_tokens, avg_token_len, punct_ratio,
+    n_bpe_tokens, quality) for one document — the pure-Python bit-exact
+    twin of the text_metrics row's expression columns (same exactness
+    contract as :func:`_doc_gate_metrics`; pinned by
+    test_text_metrics_arrow_matches_exprs). NULL text follows the
+    expression semantics exactly: measured_chars/n_tokens/n_bpe_tokens
+    NULL, avg_token_len/punct_ratio 0.0 (their ``when(size > 0, ...)
+    .otherwise(0.0)`` guards take the otherwise branch on NULL), and
+    quality 0.0 via the explicit isNull guard."""
+    import math
+
+    if s is None:
+        return (None, None, 0.0, 0.0, None, 0.0)
+    n = len(s)
+    toks = [t for t in _WS_RE.split(s) if t]
+    c = len(toks)
+    sum_len = 0
+    for t in toks:
+        sum_len += len(t)
+    atl = (sum_len / c) if c > 0 else 0.0
+    p = len(_PUNCT_RE.findall(s))
+    pr = p / n if n > 0 else 0.0
+    subword = 0
+    for t in _ALNUM_SPLIT_RE.split(s):
+        if t:
+            q = math.ceil(len(t) / 4.0)
+            subword += q if q > 1 else 1
+    n_bpe = subword + p
+    if n < 50:
+        len_score = n / 50.0
+    elif n > 20000:
+        len_score = 0.25
+    else:
+        len_score = 1.0
+    pp = pr * 2.0
+    if pp > 1.0:
+        pp = 1.0
+    tok = 1.0 if 3.0 <= atl <= 10.0 else 0.5
+    score = len_score * 0.4 + (1.0 - pp) * 0.3 + tok * 0.3
+    return (n, c, atl, pr, n_bpe, min(max(score, 0.0), 1.0))
+
+
+def text_metrics_arrow(docs, *, id_col: str = "doc_id",
+                       chars_col: str = "n_chars",
+                       text_col: str = "text"):
+    """The text_metrics row's per-document feature family via ONE Arrow
+    pass — (id, n_chars, measured_chars, n_tokens, avg_token_len,
+    punct_ratio, n_bpe_tokens, quality), bit-identical to the layered
+    expression form (see :func:`_doc_text_metrics`). The text column is
+    consumed inside the kernel and NOT re-emitted — unlike the gate,
+    this row's output is metrics-only, so no payload crosses back."""
+    import pyarrow as pa
+
+    narrow = docs.select(
+        F.col(id_col),
+        F.col(chars_col).cast("long").alias(chars_col),
+        F.col(text_col))
+    names = [id_col, chars_col, "measured_chars", "n_tokens",
+             "avg_token_len", "punct_ratio", "n_bpe_tokens", "quality"]
+
+    def _kernel(batches):
+        for batch in batches:
+            mc, nt, al, prr, nb, qq = [], [], [], [], [], []
+            for s in batch.column(2).to_pylist():
+                a, b, c, d, e, f = _doc_text_metrics(s)
+                mc.append(a)
+                nt.append(b)
+                al.append(c)
+                prr.append(d)
+                nb.append(e)
+                qq.append(f)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(mc, pa.int64()), pa.array(nt, pa.int64()),
+                 pa.array(al, pa.float64()), pa.array(prr, pa.float64()),
+                 pa.array(nb, pa.int32()), pa.array(qq, pa.float64())],
+                names=names)
+
+    return narrow.mapInArrow(
+        _kernel,
+        f"{id_col} long, {chars_col} long, measured_chars long, "
+        f"n_tokens long, avg_token_len double, punct_ratio double, "
+        f"n_bpe_tokens int, quality double")
+
+
 def gate_metrics_arrow(df, *, id_col: str = "doc_id",
                        text_col: str = "text"):
     """(id, text, lang, quality, n_tokens) via ONE Arrow pass — the

@@ -842,18 +842,29 @@ def ohlc_snapshot_compat(spark, sf_dir):
 def text_metrics(spark, sf_dir):
     """The per-document text-analysis family in one scan: length/token
     stats, whitespace + BPE-ish token counts, punctuation ratio, and the
-    blended quality score — every column a codegen'd JVM expression.
-
-    Layered projections share the expensive intermediates (the token
-    array, the word-piece array, the punctuation count): the one-select
-    form re-ran ``split``/``regexp_replace`` once per output column
-    because HOF lambdas defeat Spark's subexpression elimination —
-    measured ~40%% of the whole query on the repeated regex work. Same
-    arithmetic in the same order, so results stay bit-identical to the
-    oracle's CTE form (which shares the same way).
-    """
+    blended quality score — computed in ONE Arrow pass
+    (:func:`~dexscraper_spark.functions.textstats.text_metrics_arrow`,
+    r12 change #9): the token/piece folds are HOF expressions whose
+    lambdas evaluate interpreted per element, and the kernel computes
+    the whole family per batch, bit-identically (guide §4.2; pinned by
+    ``test_text_metrics_arrow_matches_exprs`` + this row's oracle).
+    Unlike the curation gate, no payload crosses back — the output is
+    metrics-only. The layered expression form below
+    (:func:`_text_metrics_exprs`) remains the equivalence reference."""
     from dexscraper_spark.functions import textstats as tx
-    docs = _t(spark, sf_dir, "documents")
+    return tx.text_metrics_arrow(_t(spark, sf_dir, "documents"))
+
+
+def _text_metrics_exprs(docs):
+    """Pure-expression text_metrics (pre-r12-#9 registered form, kept as
+    the pinned equivalence reference): layered projections share the
+    expensive intermediates (the token array, the word-piece array, the
+    punctuation count) — the one-select form re-ran
+    ``split``/``regexp_replace`` once per output column because HOF
+    lambdas defeat Spark's subexpression elimination — measured ~40% of
+    the whole query on the repeated regex work. Same arithmetic in the
+    same order as the oracle's CTE form."""
+    from dexscraper_spark.functions import textstats as tx
     text = F.col("text")
     shared = docs.select(
         "doc_id",

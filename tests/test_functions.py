@@ -163,6 +163,44 @@ def test_lang_id_and_quality(spark):
     assert all(0.0 <= r["q"] <= 1.0 for r in out)
 
 
+def test_text_metrics_arrow_matches_exprs(spark):
+    """The r12 Arrow text_metrics kernel (textstats.text_metrics_arrow,
+    the registered row's implementation) must be BIT-identical to the
+    layered expression form (catalog._text_metrics_exprs, the pinned
+    reference) — every double compared by raw IEEE bits — on the same
+    engine-semantics edge corpus the gate-kernel test uses: Java-\\s vs
+    unicode whitespace, astral-plane code points, control chars,
+    empty/whitespace/punctuation-only, 20k-boundary lengths, NULL."""
+    import struct as _struct
+
+    from dexscraper_spark.functions import textstats as tx
+    from dexscraper_spark.plans.catalog import _text_metrics_exprs
+
+    texts = [
+        None, "", " ", "\t\n\x0b\x0c\r", "\xa0", "the\xa0la",
+        "!!! ??? ;;; ///", "the quick brown fox jumps over the lazy dog",
+        "İstanbul the the", "ΜΑΣ the ΑΣ", "𝄞😀𝐀 the of and", "a" * 500,
+        ("word " * 200).strip(), "supercalifragilistic expialidocious",
+        "\x0bthe\x0cof\rand\tto\nin", "\x00\x1f\x7f the of",
+        "12 345 67890", "　the　of　", "x" * 19999 + " y", "z " * 10001,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t) if t else 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long")
+
+    def rows(df):
+        cols = ("doc_id", "n_chars", "measured_chars", "n_tokens",
+                "n_bpe_tokens")
+        dbls = ("avg_token_len", "punct_ratio", "quality")
+        return sorted(
+            tuple(r[c] for c in cols)
+            + tuple(_struct.pack("d", r[c]) for c in dbls)
+            for r in df.collect())
+
+    assert rows(tx.text_metrics_arrow(docs)) == rows(
+        _text_metrics_exprs(docs))
+
+
 def test_base58_address_validation(spark):
     """F13/D2: rlike pre-filter + decode-length confirmation."""
     from dexscraper_spark.functions.lookups import (

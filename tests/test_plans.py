@@ -429,3 +429,28 @@ def test_multimodal_pipeline_single_payload_pass(spark):
     plan = plan_of(df)
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "Join" not in plan
+
+
+def test_curation_gate_single_arrow_pass(spark):
+    """r12 change #8: the curation gate computes its three metrics in
+    ONE MapInArrow node (no Generate explode barrier, no HOF metric
+    forest) and the gate predicates stay JVM filters above it."""
+    import re
+
+    from dexscraper_spark.plans.curation import CurationConfig, _gate
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(_gate(docs, "doc_id", "text", CurationConfig()))
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1
+    assert "Generate" not in plan
+    assert "Filter" in plan  # gate predicates still JVM-side
+
+
+def test_text_metrics_single_arrow_pass(spark):
+    """r12 change #9: the registered text_metrics row is ONE MapInArrow
+    pass (metrics-only output, no payload re-emitted, no HOF folds)."""
+    import re
+
+    from dexscraper_spark.plans.registry import queries
+    plan = plan_of(queries()["text_metrics"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1
+    assert "aggregate(" not in plan  # no HOF token folds remain
