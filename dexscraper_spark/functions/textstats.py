@@ -238,6 +238,219 @@ def _doc_gate_metrics(s):
 _ALNUM_SPLIT_RE = _re.compile("[^A-Za-z0-9]+")
 
 
+# ---------------------------------------------------------------------------
+# r13: byte-level vectorized kernel bodies (guide §4.2 — the r12 kernels
+# moved the JVM→Python boundary to Arrow but still looped per document in
+# interpreted Python; the 8-vs-32-core scaling ratio of text_metrics (0.80)
+# showed per-worker kernel CPU dominating). Every character class these
+# metrics use is ASCII, and in UTF-8 an ASCII byte never occurs inside a
+# multi-byte sequence — so token/whitespace/punct/piece counting runs as
+# numpy lookup-table + cumsum passes DIRECTLY over the Arrow string value
+# buffer, one O(bytes) vectorized pass per metric instead of a Python loop
+# per document per token. The scalar `_doc_gate_metrics`/`_doc_text_metrics`
+# twins above remain the pinned equivalence references (and the bit-exact
+# contract vs the JVM expressions is unchanged — same pinned tests).
+#
+# Per-metric mapping (validated bit-for-bit on sf0.1 + the unicode fuzz):
+#   * n            = code points  = count of non-continuation bytes
+#                    (pyarrow's utf8_length — already a C++ kernel);
+#   * n_tokens     = count of non-ws bytes whose predecessor (within the
+#                    document) is ws-or-document-start;
+#   * sum_token_len= n − count(ws bytes)   (ws is ASCII, 1 byte = 1 cp);
+#   * punct        = count of code-point-start bytes that are neither
+#                    ASCII alnum nor ws (any non-ASCII lead byte counts,
+#                    exactly like the `[^A-Za-z0-9\s]` class);
+#   * Σ ceil(len(piece)/4) over alnum pieces = count of alnum bytes whose
+#                    offset within their alnum run is ≡ 0 (mod 4);
+#   * stopword hits: tokens of the Python-str.lower()ed text (NOT
+#                    pyarrow's utf8_lower — utf8proc simple-lowers İ to
+#                    "i" where Python/Java full-lower yields "i̇", so a
+#                    token "İN" would falsely match stopword "in"),
+#                    matched by packing ≤4-byte tokens into uint32s and
+#                    binary-searching the packed stopword table.
+# The float arithmetic (avg_token_len, punct_ratio, quality) is elementwise
+# numpy float64 with the same per-element operation order as the scalar
+# twin, so it is IEEE-bit-identical by construction; the only reductions
+# (counts, byte sums) are integer and therefore exact.
+# ---------------------------------------------------------------------------
+
+import numpy as _npx
+
+_WS_BYTES = _JAVA_WS.encode("ascii")
+_LUT_WS = _npx.zeros(256, _npx.bool_)
+_LUT_WS[list(_WS_BYTES)] = True
+_LUT_ALNUM = _npx.zeros(256, _npx.bool_)
+for _b in (b"0123456789"
+           b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"):
+    _LUT_ALNUM[_b] = True
+# code-point-start byte that the `[^A-Za-z0-9\s]` punct class matches:
+# ASCII non-alnum non-ws, or any UTF-8 lead byte (non-ASCII is never
+# alnum/ws); continuation bytes (0x80-0xBF) are not code points.
+_LUT_PUNCT = _npx.zeros(256, _npx.bool_)
+for _b in range(0x80):
+    _LUT_PUNCT[_b] = not (_LUT_ALNUM[_b] or _LUT_WS[_b])
+for _b in range(0xC0, 0x100):
+    _LUT_PUNCT[_b] = True
+
+# packed stopword table: every stopword is ASCII and ≤4 bytes, so a
+# little-endian uint32 of the token bytes is a collision-free key.
+_SW_MAXW = max(len(w) for ws in STOPWORDS.values() for w in ws)
+assert _SW_MAXW <= 4, "packed stopword match assumes words fit a uint32"
+_SW_WORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _pack_word(w: str) -> int:
+    v = 0
+    for j, ch in enumerate(w.encode("ascii")):
+        v |= ch << (8 * j)
+    return v
+
+
+_SW_ORDER = _npx.argsort([_pack_word(w) for w in _SW_WORDS])
+_SW_PACKED = _npx.array(sorted(_pack_word(w) for w in _SW_WORDS),
+                        _npx.uint32)
+_SW_LANGMAT = _npx.zeros((len(_SW_WORDS), len(_LANG_ORDER)), _npx.int64)
+for _wi, _w in enumerate(_SW_WORDS):
+    for _li in _STOP_LOOKUP[_w]:
+        _SW_LANGMAT[_wi, _li] = 1
+_SW_LANGMAT = _SW_LANGMAT[_SW_ORDER]
+_LANG_CHOICES = _npx.array(_LANG_ORDER + ["und"])
+
+
+def _str_buffers(arr):
+    """(data_bytes, offsets_int64) numpy views of a pyarrow string array,
+    offset-slice aware. Works for string and large_string."""
+    import pyarrow as pa
+
+    bufs = arr.buffers()
+    otype = _npx.int64 if pa.types.is_large_string(arr.type) else _npx.int32
+    offs = _npx.frombuffer(bufs[1], otype)[arr.offset:
+                                           arr.offset + len(arr) + 1]
+    offs = offs.astype(_npx.int64, copy=False)
+    data = (_npx.frombuffer(bufs[2], _npx.uint8) if bufs[2] is not None
+            else _npx.zeros(0, _npx.uint8))
+    return data, offs
+
+
+def _segsum(flags, offs):
+    """Per-document sums of a byte-flag array: csum[end] − csum[start].
+    Safe for empty documents (unlike reduceat)."""
+    csum = _npx.concatenate(
+        ([0], _npx.cumsum(flags, dtype=_npx.int64)))
+    return csum[offs[1:]] - csum[offs[:-1]]
+
+
+def _batch_int_metrics(texts):
+    """Vectorized integer metrics for one Arrow string array:
+    (valid, n, n_tokens, sum_token_len, punct, bpe_blocks), numpy int64,
+    zeros at null slots (callers mask)."""
+    import pyarrow.compute as pc
+
+    data, offs = _str_buffers(texts)
+    valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+    n = pc.utf8_length(texts).cast("int64").fill_null(0).to_numpy()
+
+    ws = _LUT_WS[data]
+    # predecessor flag, document-start aware: position offs[i] has no
+    # in-document predecessor, so force "previous is ws" there
+    prev_ws = _npx.empty_like(ws)
+    if len(ws):
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        # masked, NOT clipped: a trailing empty/null document's offset
+        # equals len(data) and clipping it would mark the buffer's last
+        # byte (possibly mid-token of the previous doc) as a token start
+        ds = offs[:-1]
+        prev_ws[ds[ds < len(ws)]] = True
+    token_start = ~ws & prev_ws
+    c = _segsum(token_start, offs)
+    sum_len = n - _segsum(ws, offs)
+    p = _segsum(_LUT_PUNCT[data], offs)
+
+    # Σ ceil(len/4) over alnum pieces = alnum bytes at run offset ≡ 0 mod 4
+    al = _LUT_ALNUM[data]
+    prev_al = _npx.empty_like(al)
+    if len(al):
+        prev_al[0] = False
+        prev_al[1:] = al[:-1]
+        ds = offs[:-1]  # masked, not clipped — see prev_ws above
+        prev_al[ds[ds < len(al)]] = False
+    run_start = al & ~prev_al
+    idx = _npx.arange(len(al), dtype=_npx.int64)
+    last_start = _npx.maximum.accumulate(
+        _npx.where(run_start, idx, -1)) if len(al) else idx
+    block = al & (((idx - last_start) & 3) == 0)
+    bpe = _segsum(block, offs)
+
+    z = _npx.where(valid, 1, 0)
+    return valid, n * z, c * z, sum_len * z, p * z, bpe * z
+
+
+def _batch_quality(valid, n, c, sum_len, p):
+    """(avg_token_len, punct_ratio, quality) — elementwise float64 in the
+    scalar twin's exact operation order; quality 0.0 at null slots."""
+    atl = _npx.where(c > 0, sum_len / _npx.where(c > 0, c, 1), 0.0)
+    pr = _npx.where(n > 0, p / _npx.where(n > 0, n, 1), 0.0)
+    len_score = _npx.where(n < 50, n / 50.0,
+                           _npx.where(n > 20000, 0.25, 1.0))
+    pp = _npx.minimum(pr * 2.0, 1.0)
+    tok = _npx.where((atl >= 3.0) & (atl <= 10.0), 1.0, 0.5)
+    score = len_score * 0.4 + (1.0 - pp) * 0.3 + tok * 0.3
+    q = _npx.minimum(_npx.maximum(score, 0.0), 1.0)
+    return atl, pr, _npx.where(valid, q, 0.0)
+
+
+def _batch_lang(texts, valid):
+    """Per-document lang via packed-token stopword counting on the
+    Python-lowered text (see module comment for why not utf8_lower).
+    Returns a numpy array of language codes ('und' at null slots)."""
+    import pyarrow as pa
+
+    lowered = pa.array(
+        [s.lower() if s is not None else None for s in texts.to_pylist()],
+        pa.string())
+    data, offs = _str_buffers(lowered)
+    ws = _LUT_WS[data]
+    nonws = ~ws
+    prev_ws = _npx.empty_like(ws)
+    nxt_ws = _npx.empty_like(ws)
+    if len(ws):
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        nxt_ws[-1] = True
+        nxt_ws[:-1] = ws[1:]
+        # masked, NOT clipped: clipping maps a leading/trailing
+        # empty-or-null document's boundary onto a real byte and splits
+        # or truncates a token there (ts/te misalign and the subtract
+        # below raises on shape mismatch — caught by difftest's edge
+        # corpus)
+        ds = offs[:-1]
+        prev_ws[ds[ds < len(ws)]] = True
+        de = offs[1:] - 1
+        nxt_ws[de[de >= 0]] = True
+    ts = _npx.nonzero(nonws & prev_ws)[0]
+    te = _npx.nonzero(nonws & nxt_ws)[0]
+    lens = te - ts + 1
+    counts = _npx.zeros((len(texts), len(_LANG_ORDER)), _npx.int64)
+    sel = lens <= _SW_MAXW
+    if sel.any():
+        tss, lns = ts[sel], lens[sel]
+        vals = _npx.zeros(len(tss), _npx.uint32)
+        for j in range(_SW_MAXW):
+            m = lns > j
+            vals[m] |= data[tss[m] + j].astype(_npx.uint32) << (8 * j)
+        pos = _npx.searchsorted(_SW_PACKED, vals)
+        pos_c = pos.clip(max=len(_SW_PACKED) - 1)
+        hit = _SW_PACKED[pos_c] == vals
+        if hit.any():
+            doc = _npx.searchsorted(offs, tss[hit], side="right") - 1
+            _npx.add.at(counts, doc, _SW_LANGMAT[pos_c[hit]])
+    m = counts.max(axis=1)
+    am = counts.argmax(axis=1)  # first max in STOPWORDS order
+    lang_idx = _npx.where(valid & (m > 0), am, len(_LANG_ORDER))
+    return _LANG_CHOICES[lang_idx]
+
+
 def _doc_text_metrics(s):
     """(measured_chars, n_tokens, avg_token_len, punct_ratio,
     n_bpe_tokens, quality) for one document — the pure-Python bit-exact
@@ -300,21 +513,23 @@ def text_metrics_arrow(docs, *, id_col: str = "doc_id",
              "avg_token_len", "punct_ratio", "n_bpe_tokens", "quality"]
 
     def _kernel(batches):
+        # r13: byte-level numpy passes over the Arrow buffer instead of a
+        # per-document Python loop (see the vectorized-kernel block
+        # comment); outputs stay bit-identical to _doc_text_metrics.
         for batch in batches:
-            mc, nt, al, prr, nb, qq = [], [], [], [], [], []
-            for s in batch.column(2).to_pylist():
-                a, b, c, d, e, f = _doc_text_metrics(s)
-                mc.append(a)
-                nt.append(b)
-                al.append(c)
-                prr.append(d)
-                nb.append(e)
-                qq.append(f)
+            texts = batch.column(2)
+            valid, n, c, sum_len, p, bpe = _batch_int_metrics(texts)
+            atl, prr, q = _batch_quality(valid, n, c, sum_len, p)
+            inval = ~valid
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
-                 pa.array(mc, pa.int64()), pa.array(nt, pa.int64()),
-                 pa.array(al, pa.float64()), pa.array(prr, pa.float64()),
-                 pa.array(nb, pa.int32()), pa.array(qq, pa.float64())],
+                 pa.array(n, pa.int64(), mask=inval),
+                 pa.array(c, pa.int64(), mask=inval),
+                 pa.array(_npx.where(valid, atl, 0.0), pa.float64()),
+                 pa.array(_npx.where(valid, prr, 0.0), pa.float64()),
+                 pa.array((bpe + p).astype(_npx.int32), pa.int32(),
+                          mask=inval),
+                 pa.array(q, pa.float64())],
                 names=names)
 
     return narrow.mapInArrow(
@@ -343,18 +558,20 @@ def gate_metrics_arrow(df, *, id_col: str = "doc_id",
     names = [id_col, text_col, "lang", "quality", "n_tokens"]
 
     def _kernel(batches):
+        # r13: vectorized like text_metrics_arrow's kernel; lang comes
+        # from the packed-token stopword counter (_batch_lang). n_tokens
+        # is NULL for NULL text, matching the expression semantics the
+        # scalar twin pinned.
         for batch in batches:
-            langs, quals, ntoks = [], [], []
-            for s in batch.column(1).to_pylist():
-                lang, q, c = _doc_gate_metrics(s)
-                langs.append(lang)
-                quals.append(q)
-                ntoks.append(c)
+            texts = batch.column(1)
+            valid, n, c, sum_len, p, _ = _batch_int_metrics(texts)
+            _, _, q = _batch_quality(valid, n, c, sum_len, p)
+            langs = _batch_lang(texts, valid)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
                  pa.array(langs, pa.string()),
-                 pa.array(quals, pa.float64()),
-                 pa.array(ntoks, pa.int32())],
+                 pa.array(q, pa.float64()),
+                 pa.array(c.astype(_npx.int32), pa.int32(), mask=~valid)],
                 names=names)
 
     return narrow.mapInArrow(_kernel, out_schema)

@@ -57,6 +57,67 @@ def _safe_div(num, denom):
     return F.when(denom != 0.0, num / denom).otherwise(F.lit(0.0))
 
 
+def _cosine_rerank_arrow(scored_in, *, round_to: int | None):
+    """(id_a, id_b, __qv, __nv, __qn, __nn) → (id_a, id_b, cosine) via ONE
+    mapInArrow pass — the r13 vectorized twin of the per-pair JVM fold
+    (guide §4.2).
+
+    Bit-exactness contract (same discipline as the textstats kernels):
+    the JVM form is ``aggregate(zip_with(qv, nv, x·y), 0.0, acc+x)`` — a
+    sequential left-to-right float64 fold per pair — followed by
+    ``when(qn·nn ≠ 0, dot/(qn·nn)).otherwise(0)`` and optionally
+    ``floor(cos·10^r + 0.5)/10^r``. The kernel replays the SAME per-pair
+    operation order, vectorized ACROSS pairs instead of within one: the
+    accumulator loop runs over dimensions (acc = acc + x[:,d]·y[:,d]),
+    so each pair's additions associate left-to-right exactly like the
+    fold; element casts (float→double), the divide and the fixed-point
+    rounding are elementwise IEEE-754 ops identical to the JVM's (floor
+    of a |v|≤10^r double is exactly representable, so the JVM's
+    long-floor-then-divide equals numpy's float floor). No reduction is
+    reordered — numpy never sees a cross-pair sum. Pinned by
+    test_lsh_arrow_rerank_matches_fold; the registered consumers' DuckDB
+    oracles hash the output, so any drift fails the round gate loudly.
+
+    Nulls: embeddings in every consumer are non-null fixed-dim arrays
+    (schema contract); asserted per batch so a violation fails loudly
+    rather than misaligning the flatten."""
+    import numpy as np
+    import pyarrow as pa
+
+    fields = scored_in.schema.fields
+    out_schema = (f"{fields[0].name} {fields[0].dataType.simpleString()}, "
+                  f"{fields[1].name} {fields[1].dataType.simpleString()}, "
+                  "cosine double")
+    names = [fields[0].name, fields[1].name, "cosine"]
+    p = float(10 ** round_to) if round_to is not None else None
+
+    def _kernel(batches):
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            qv, nv = b.column(2), b.column(3)
+            assert qv.null_count == 0 and nv.null_count == 0, \
+                "cosine rerank: null embedding"
+            x = np.asarray(qv.flatten(), dtype=np.float64).reshape(nrows, -1)
+            y = np.asarray(nv.flatten(), dtype=np.float64).reshape(nrows, -1)
+            assert x.shape == y.shape, "cosine rerank: ragged embeddings"
+            acc = np.zeros(nrows, np.float64)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * y[:, d]
+            den = (np.asarray(b.column(4), dtype=np.float64)
+                   * np.asarray(b.column(5), dtype=np.float64))
+            nz = den != 0.0
+            cos = np.where(nz, acc / np.where(nz, den, 1.0), 0.0)
+            if p is not None:
+                cos = np.floor(cos * p + 0.5) / p
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), pa.array(cos, pa.float64())],
+                names=names)
+
+    return scored_in.mapInArrow(_kernel, out_schema)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
                 vec_col: str = "embedding", k: int = 10,
                 round_to: int | None = 6, dim: int = DEFAULT_DIM) -> DataFrame:
@@ -75,18 +136,16 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id"
                                  F.col(vec_col).alias("__qv"),
                                  _norm(F.col(vec_col), dim).alias("__qn")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"),
-                      _norm(F.col(vec_col), dim).alias("__cn"))
-    cos = _safe_div(_dot(F.col("__qv"), F.col("__cv"), dim),
-                    F.col("__qn") * F.col("__cn"))
-    if round_to is not None:
-        p = float(10 ** round_to)
-        cos = F.floor(cos * p + F.lit(0.5)) / p
-    scored = (
+                      F.col(vec_col).alias("__nv"),
+                      _norm(F.col(vec_col), dim).alias("__nn"))
+    # r13: same vectorized rerank as lsh_bucketed_topk — the per-pair
+    # interpreted fold was this row's dominant CPU; the kernel replays
+    # the identical per-pair operation order (see _cosine_rerank_arrow).
+    scored = _cosine_rerank_arrow(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+        .select("query_id", "neighbor_id", "__qv", "__nv", "__qn", "__nn"),
+        round_to=round_to)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -204,15 +263,13 @@ def exact_cosine_pairs_blocked(emb: DataFrame, *, id_col: str = "vec_id",
     b = base.select(F.col(id_col).alias("id_b"),
                     F.col(vec_col).alias("__b"),
                     _norm(F.col(vec_col)).alias("__bn"))
-    cos_raw = _safe_div(_dot(F.col("__a"), F.col("__b")),
-                        F.col("__an") * F.col("__bn"))
-    p = float(10 ** round_to)
-    cos = F.floor(cos_raw * p + F.lit(0.5)) / p
-    return (
+    # r13: exact verify fold runs in _cosine_rerank_arrow — identical
+    # per-pair operation order, vectorized across pairs (see docstring)
+    return _cosine_rerank_arrow(
         cands.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+        .select("id_a", "id_b", "__a", "__b", "__an", "__bn"),
+        round_to=round_to,
+    ).filter(F.col("cosine") >= threshold)
 
 
 _LSH_PLANES_CACHE: dict = {}
@@ -401,18 +458,18 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, *,
                         vc.alias("__qv"), _norm(vc, dim).alias("__qn"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        vc.alias("__nv"), _norm(vc, dim).alias("__nn"))
-    cos = _safe_div(_dot(F.col("__qv"), F.col("__nv"), dim),
-                    F.col("__qn") * F.col("__nn"))
-    if round_to is not None:
-        # same half-up fixed-point rounding as cosine_topk, so an
-        # exhaustive-probe configuration is bit-comparable to the
-        # brute-force path (and its oracle)
-        p = float(10 ** round_to)
-        cos = F.floor(cos * p + F.lit(0.5)) / p
     # no broadcast hint: the query side is usually tiny (AQE broadcasts
-    # it), but the API does not bound it — let the optimizer decide
-    scored = (pairs.join(qv, "query_id").join(cv, "neighbor_id")
-              .select("query_id", "neighbor_id", cos.alias("cosine")))
+    # it), but the API does not bound it — let the optimizer decide.
+    # r13: the per-pair 64-term interpreted JVM fold was the row's
+    # dominant CPU (the candidate set is |queries|·|corpus| in the
+    # exactness-twin config); _cosine_rerank_arrow computes the same
+    # fold order vectorized across pairs — bit-identical by construction
+    # (see its docstring), ~1 MB/1k-pairs through the Arrow boundary.
+    scored = _cosine_rerank_arrow(
+        pairs.join(qv, "query_id").join(cv, "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     "__qv", "__nv", "__qn", "__nn"),
+        round_to=round_to)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -678,21 +735,21 @@ def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
     )
     cand = probes.join(
         index.assigned.select(F.col(index.id_col).alias("neighbor_id"),
-                              F.col(index.vec_col).alias("__cv"),
-                              F.col("__vnorm").alias("__cn"), "__list"),
+                              F.col(index.vec_col).alias("__nv"),
+                              F.col("__vnorm").alias("__nn"), "__list"),
         "__list")
     # norms come precomputed from each side (index.__vnorm, probe.__qn):
-    # one fold per pair, same dot/(qn*cn) association → bit-identical
-    cos = _safe_div(_dot(F.col("__qv"), F.col("__cv")),
-                    F.col("__qn") * F.col("__cn"))
-    if round_to is not None:
-        p = float(10 ** round_to)
-        cos = F.floor(cos * p + F.lit(0.5)) / p
+    # one fold per pair, same dot/(qn*cn) association → bit-identical.
+    # r13: the fold runs in _cosine_rerank_arrow (vectorized across
+    # pairs, same per-pair operation order — see its docstring).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        cand.filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        _cosine_rerank_arrow(
+            cand.filter(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id",
+                        "__qv", "__nv", "__qn", "__nn"),
+            round_to=round_to)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -201,6 +201,45 @@ def test_text_metrics_arrow_matches_exprs(spark):
         _text_metrics_exprs(docs))
 
 
+def test_textstats_batch_kernels_doc_boundaries():
+    """The r13 byte-level batch kernels (_batch_int_metrics/_batch_lang)
+    index token boundaries via document-start offsets; an empty or NULL
+    document at the batch edge has an offset equal to the data-buffer
+    length (or 0), and clipping it onto a real byte split/truncated a
+    neighboring doc's token (regression: difftest curation ValueError,
+    shapes (210,) vs (209,)). Pin the masked-indexing fix against the
+    scalar twins, including sliced (non-zero-offset) arrays."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from dexscraper_spark.functions import textstats as tx
+
+    cases = [
+        ["hello world", ""], ["hello", None], ["ab cd", "", None],
+        [None, "abc def"], ["", "abc"], [None, None], ["", ""],
+        ["token", "", "", None, "x yz"],
+        ["the and of in le la el un", "", None, "İN THE end"],
+    ]
+    for texts in cases:
+        arr = pa.array(texts, pa.string())
+        for a in {0: arr, 1: arr.slice(1)}.values():
+            valid, n, c, sl, p, bpe = tx._batch_int_metrics(a)
+            atl, pr, q = tx._batch_quality(valid, n, c, sl, p)
+            langs = tx._batch_lang(a, valid)
+            for i, s in enumerate(a.to_pylist()):
+                mc, nt, al2, prr, nb, qq = tx._doc_text_metrics(s)
+                lang, _, _ = tx._doc_gate_metrics(s)
+                assert langs[i] == lang, (s, langs[i], lang)
+                assert n[i] == (mc or 0) and c[i] == (nt or 0), (s,)
+                if s is not None:
+                    assert int(bpe[i] + p[i]) == nb, (s,)
+                    for got, want in ((atl[i], al2), (pr[i], prr),
+                                      (q[i], qq)):
+                        assert (_struct.pack("d", got)
+                                == _struct.pack("d", want)), (s,)
+
+
 def test_base58_address_validation(spark):
     """F13/D2: rlike pre-filter + decode-length confirmation."""
     from dexscraper_spark.functions.lookups import (

@@ -515,6 +515,54 @@ def test_exact_cosine_pairs_blocked_equals_naive_join(spark):
         assert gm[key(r)] == r["cosine"]  # bit-identical scores
 
 
+def test_lsh_arrow_rerank_matches_fold(spark):
+    """The r13 Arrow cosine rerank (_cosine_rerank_arrow) must be
+    BIT-identical to the sequential JVM fold it replaces — float32
+    element casts, left-to-right accumulation order, zero-norm guard and
+    half-up fixed-point rounding — on real embeddings (float arrays)
+    plus degenerate rows (zero vector, exact-duplicate pair), with and
+    without rounding. Guards the kernel against any reassociation (BLAS,
+    pairwise summation) that would drift last-ulp from the oracle."""
+    import struct as _struct
+
+    from dexscraper_spark.operators.similarity import (
+        _cosine_rerank_arrow, _dot, _norm, _safe_div)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    extra = spark.createDataFrame(
+        [(90001, [0.0] * 64), (90002, [1.5] * 64), (90003, [1.5] * 64)],
+        "vec_id long, embedding array<float>").withColumn(
+            "label", F.lit(0))
+    emb = emb.select("vec_id", "embedding", "label").unionByName(extra)
+    q = emb.filter((F.col("vec_id") < 6) | (F.col("vec_id") > 90000))
+    vc = F.col("embedding")
+    qv = q.select(F.col("vec_id").alias("query_id"), vc.alias("__qv"),
+                  _norm(vc).alias("__qn"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), vc.alias("__nv"),
+                    _norm(vc).alias("__nn"))
+    scored_in = (qv.crossJoin(cv)
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id",
+                         "__qv", "__nv", "__qn", "__nn"))
+    for round_to in (None, 6):
+        cos = _safe_div(_dot(F.col("__qv"), F.col("__nv")),
+                        F.col("__qn") * F.col("__nn"))
+        if round_to is not None:
+            p = float(10 ** round_to)
+            cos = F.floor(cos * p + F.lit(0.5)) / p
+        want = {(r["query_id"], r["neighbor_id"]):
+                _struct.pack("d", r["cosine"])
+                for r in scored_in.select(
+                    "query_id", "neighbor_id",
+                    cos.alias("cosine")).collect()}
+        got = {(r["query_id"], r["neighbor_id"]):
+               _struct.pack("d", r["cosine"])
+               for r in _cosine_rerank_arrow(
+                   scored_in, round_to=round_to).collect()}
+        assert got == want
+        assert len(got) > 100
+
+
 def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     """Query-side multiprobe (flip weakest-margin bit per band) must
     strictly contain the single-probe candidate set and lift recall@5;
