@@ -1,8 +1,15 @@
 """Text analysis for training-data pipelines (BASELINE.json north star):
 language ID, quality scoring, token counting, document fingerprinting.
 
-All built-in expressions (split/regexp/length/xxhash) — these run inside
-the scan stage; on 100 TB of documents the cost is one codegen'd pass.
+Two implementation families live here:
+
+* built-in expressions (split/regexp/length/xxhash) — run inside the
+  scan stage; on 100 TB of documents the cost is one codegen'd pass;
+* ``mapInArrow`` batch kernels (``gate_metrics_arrow``,
+  ``text_metrics_arrow``) — vectorized twins of the expression forms.
+  These require pyarrow+numpy on the Python executors; the expression
+  forms remain the equivalence reference (and, for the gate, the
+  ``vectorized=False`` escape hatch for Python-less executor images).
 """
 
 from __future__ import annotations

@@ -94,10 +94,11 @@ def assign_roles(joined: DataFrame, *, left_key: str, left_pos: str,
     exchanges and two subtree copies where one of each suffices. The
     quote rank sorts non-quote rows first (flag 0 < 1) so non-quote rows
     keep ranks 1..m exactly as the filtered ranking produced; rows whose
-    ``type_col`` is NULL sort last (flag 2) and match no conditional
-    aggregate — the same rows the old ``~is_quote`` / ``is_quote``
-    filter pair dropped — and keys with ONLY null-type rows are dropped
-    before grouping to keep the old full-outer key set. ``min_by``
+    ``type_col`` is NULL are dropped by the ``is_quote.isNotNull()``
+    filter before ranking/grouping — the same rows the old
+    ``~is_quote`` / ``is_quote`` filter pair dropped — so keys with
+    ONLY null-type rows never reach the groupBy, keeping the old
+    full-outer key set. ``min_by``
     ignores rows whose ordering expression is NULL (probed + pinned by
     test), so the when-wrapped ordering restricts it to quote rows. No
     iterative driver logic; deterministic refinement of the reference's

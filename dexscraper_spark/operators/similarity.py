@@ -57,6 +57,32 @@ def _safe_div(num, denom):
     return F.when(denom != 0.0, num / denom).otherwise(F.lit(0.0))
 
 
+def _cosine_score_fold(scored_in, *, round_to: int | None):
+    """JVM-fold twin of :func:`_cosine_rerank_arrow` — same 6-column
+    input (id_a, id_b, qv, nv, qn, nn), same (id_a, id_b, cosine)
+    output, scored by the sequential ``aggregate(zip_with(...))`` fold
+    in the scan stage instead of a ``mapInArrow`` hop.
+
+    Which twin to use is a PAIR-COUNT call (r13 interleaved A/B): the
+    Arrow kernel amortizes its JVM→Python boundary only past ~10⁴–10⁵
+    pairs per invocation (lsh_bucketed's exactness-twin config, blocked
+    exact pairs) and LOSES ~15-40% under it (brute-force top-k and the
+    IVF probe at bench scale: ~5k pairs, where the two worker hops cost
+    more than the fold), so the small-pair consumers keep the fold.
+    Both forms are bit-identical by construction (the kernel replays the
+    fold's per-pair operation order; pinned by
+    test_lsh_arrow_rerank_matches_fold and the shared DuckDB oracles).
+    """
+    fields = scored_in.schema.fields
+    ida, idb = fields[0].name, fields[1].name
+    qv, nv, qn, nn = (fields[i].name for i in range(2, 6))
+    cos = _safe_div(_dot(F.col(qv), F.col(nv)), F.col(qn) * F.col(nn))
+    if round_to is not None:
+        p = float(10 ** round_to)
+        cos = F.floor(cos * p + F.lit(0.5)) / p
+    return scored_in.select(ida, idb, cos.alias("cosine"))
+
+
 def _cosine_rerank_arrow(scored_in, *, round_to: int | None):
     """(id_a, id_b, __qv, __nv, __qn, __nn) → (id_a, id_b, cosine) via ONE
     mapInArrow pass — the r13 vectorized twin of the per-pair JVM fold
@@ -138,10 +164,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id"
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"),
                       _norm(F.col(vec_col), dim).alias("__nn"))
-    # r13: same vectorized rerank as lsh_bucketed_topk — the per-pair
-    # interpreted fold was this row's dominant CPU; the kernel replays
-    # the identical per-pair operation order (see _cosine_rerank_arrow).
-    scored = _cosine_rerank_arrow(
+    # r13 NEGATIVE RESULT: the Arrow rerank twin was measured SLOWER here
+    # (interleaved A/B, 5 pairs: fold won 5/5 — at |queries|·|corpus| ≈
+    # 5k pairs the JVM→Python hop costs more than the fold). The fold
+    # stays; _cosine_score_fold documents the pair-count rule.
+    scored = _cosine_score_fold(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qv", "__nv", "__qn", "__nn"),
@@ -740,12 +767,14 @@ def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
         "__list")
     # norms come precomputed from each side (index.__vnorm, probe.__qn):
     # one fold per pair, same dot/(qn*cn) association → bit-identical.
-    # r13: the fold runs in _cosine_rerank_arrow (vectorized across
-    # pairs, same per-pair operation order — see its docstring).
+    # r13 NEGATIVE RESULT: the Arrow rerank twin measured SLOWER here
+    # (interleaved A/B, fold won 4/5 pairs — candidates ≈ corpus·nprobe/
+    # nlist is ~5k pairs at bench scale, under the kernel's break-even;
+    # see _cosine_score_fold). The fold stays.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        _cosine_rerank_arrow(
+        _cosine_score_fold(
             cand.filter(F.col("query_id") != F.col("neighbor_id"))
                 .select("query_id", "neighbor_id",
                         "__qv", "__nv", "__qn", "__nn"),

@@ -46,6 +46,8 @@ def main() -> None:
     warm = spark.range(1).toDF("msg_id")
     warm.mapInPandas(lambda it: it, schema="msg_id long").count()
 
+    from dexscraper_spark.persist import release_tracked
+
     qmap = queries()
     for name in names:
         build = qmap[name]
@@ -61,6 +63,12 @@ def main() -> None:
                 except Exception:
                     df.collect()
             ts.append(time.time() - t0)
+        # Between QUERIES (not iterations — warm iterations must keep
+        # serving the persist exactly like bench.py's warm min-of-3):
+        # release in-query tracked persists (decoded tokens, MinHash
+        # signatures) so a multi-query invocation doesn't carry one
+        # query's block-manager storage into the next query's timings.
+        release_tracked()
         ts = ts[1:]
         print(f"{name:35s} min={min(ts):.3f} med={statistics.median(ts):.3f} "
               f"max={max(ts):.3f} (n={runs}, warm-skipped)")
