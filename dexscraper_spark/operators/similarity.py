@@ -760,7 +760,14 @@ def ivf_query(index: IvfIndex, queries: DataFrame, *, k: int = 10,
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", "__qn", F.col("list_id").alias("__list"))
     )
-    cand = probes.join(
+    # broadcast the PROBES (|queries|·nprobe rows — tiny by contract),
+    # not the index side: unhinted, the planner broadcast the
+    # corpus-sized artifact scan (r13 plan audit, VERDICT #8), which
+    # caps at the broadcast limit long before a 100 TB corpus does. With
+    # the probe side broadcast the assignment table streams unshuffled
+    # at any scale (guide §3.1: broadcast the side that fits — and only
+    # the query side is *guaranteed* to fit).
+    cand = broadcast(probes).join(
         index.assigned.select(F.col(index.id_col).alias("neighbor_id"),
                               F.col(index.vec_col).alias("__nv"),
                               F.col("__vnorm").alias("__nn"), "__list"),

@@ -45,14 +45,9 @@ def _byte_conf(spark: SparkSession, key: str, default: int) -> int:
                               "g": 1 << 30, "t": 1 << 40}[m.group(2)]
 
 
-def _estimate_scan_partitions(spark: SparkSession, files: list[str],
-                              par: int) -> int | None:
-    """Spark's FilePartition sizing, re-derived: maxSplitBytes =
-    min(maxPartitionBytes, max(openCostInBytes, totalPadded/cores)),
-    partitions ≈ ceil(totalPadded / maxSplitBytes). Returns None when
-    file sizes can't be stat'ed locally (remote FS) — caller falls back
-    to the file-count proxy."""
-    import math
+def _local_sizes(files: list[str]) -> list[int] | None:
+    """Byte sizes of locally-statable scan files; None when any file is
+    on a remote FS (caller falls back to file-count proxies)."""
     import os
 
     try:
@@ -66,8 +61,21 @@ def _estimate_scan_partitions(spark: SparkSession, files: list[str],
             elif "://" in path:
                 return None
             sizes.append(os.path.getsize(path))
+        return sizes
     except OSError:
         return None
+
+
+def _estimate_scan_partitions(spark: SparkSession, files: list[str],
+                              par: int) -> int | None:
+    """Spark's FilePartition sizing, re-derived: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalPadded/cores)),
+    partitions ≈ ceil(totalPadded / maxSplitBytes). Returns None when
+    file sizes can't be stat'ed locally (remote FS) — caller falls back
+    to the file-count proxy."""
+    import math
+
+    sizes = _local_sizes(files)
     if not sizes:
         return None
     open_cost = _byte_conf(spark, "spark.sql.files.openCostInBytes",
@@ -77,6 +85,64 @@ def _estimate_scan_partitions(spark: SparkSession, files: list[str],
     total = sum(sizes) + open_cost * len(sizes)
     max_split = min(max_pb, max(open_cost, total / max(par, 1)))
     return max(1, math.ceil(total / max_split))
+
+
+# Tables smaller than this stay at Spark's own split count. Two reasons,
+# both measured (r13 interleaved A/B): (a) dimension-shaped tables
+# (region..customer) cost task scheduling, not map compute; (b) tables
+# whose consumers are Python-eval nodes (embeddings at bench SFs: 780 KB,
+# 2k rows → 62-row batches across 32 tasks) pay a per-task Python
+# round-trip that tiny batches never amortize — widening embeddings
+# measured a NET LOSS (similarity_lsh_bucketed 0.84→1.1 s min,
+# dedup_embedding_cosine +0.02 s, vs only +0.08 s won on similarity_topk).
+# The byte floor handles both and self-corrects with scale: once a table
+# is MBs+, per-task batches are thousands of rows and widening pays
+# everywhere. Env-overridable for A/B measurement, not a tuning knob.
+_WIDEN_MIN_BYTES = 1 << 20
+
+
+def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
+                       min_bytes: int | None = None) -> DataFrame:
+    """CPU-dense rows, tiny bytes (guide §2.2 fewer-idle-cores / §6 input
+    split sizing): each bench table ships as ONE parquet file far below
+    maxPartitionBytes, so the file-split rule runs every downstream map
+    stage on 1–3 tasks no matter how many cores the session has —
+    measured at sf0.1: events = 1 split for 100k rows, orders 1,
+    lineitem 3; every scalar/filter/aggregate suite over them was
+    (near-)serial on a 32-thread session, which is exactly the
+    scaling≈1.0 signature the r12 scaling block recorded. Originally
+    only ``documents`` was widened (regex/shingle/hash pipelines);
+    r13 generalizes the rule to every table above _WIDEN_MIN_BYTES,
+    because the same rows-cost-more-than-bytes argument holds for the
+    events/orders/lineitem expression suites and the embeddings fold
+    kernels. Widening is a one-time deterministic round-robin shuffle
+    of the raw bytes (sortBeforeRepartition is on) performed once per
+    (app, sf_dir, table) before the table is cached; results are
+    layout-independent by the repo's exactness discipline (integer-cent
+    money sums, decimal accumulators, pinned window tiebreaks — audited
+    r13, no float-order aggregate reads these tables). At real scale
+    the file count/size makes est >= par and this is a no-op.
+
+    Estimate the scan's actual split count the way Spark's
+    FilePartition packer does (file sizes padded by openCostInBytes
+    over maxSplitBytes) — a raw file-count check misses the
+    many-tiny-files layout, where >= cores files still pack into
+    < cores partitions. Falls back to the file-count proxy when sizes
+    aren't locally statable (remote FS URIs)."""
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES",
+                                       _WIDEN_MIN_BYTES))
+    sizes = _local_sizes(files)
+    if sizes is None or sum(sizes) < min_bytes:
+        # dimension-shaped (or remote-FS-unstatable): keep Spark's split
+        return df
+    est = _estimate_scan_partitions(spark, files, par)
+    narrow = est < par if est is not None else len(files) < par
+    return df.repartition(par) if narrow else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -90,29 +156,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "documents":
-            # CPU-dense rows, tiny bytes: documents feed regex/shingle/hash
-            # pipelines whose map-side cost is ~1000× the scan bytes, and the
-            # table ships as a handful of parquet files, so the file-split
-            # rule (maxPartitionBytes) leaves most cores idle — measured 2
-            # input splits for 50k docs, single-digit core use on every text
-            # query. Widening to the session's parallelism is a one-time
-            # shuffle of the raw bytes (trivial next to the per-row CPU) and
-            # restores linear scan scaling. At real corpus scale the file
-            # count makes this a no-op (guard below).
-            # Estimate the scan's actual split count the way Spark's
-            # FilePartition packer does (file sizes padded by
-            # openCostInBytes over maxSplitBytes) — a raw file-count
-            # check misses the many-tiny-files layout, where >= cores
-            # files still pack into < cores partitions. Falls back to
-            # the file-count proxy when sizes aren't locally statable
-            # (remote FS URIs).
-            par = spark.sparkContext.defaultParallelism
-            files = df.inputFiles()
-            est = _estimate_scan_partitions(spark, files, par)
-            narrow = est < par if est is not None else len(files) < par
-            if narrow:
-                df = df.repartition(par)
+    # documents keeps its original unconditional-when-narrow widening
+    # (CPU-dense regex/shingle/hash consumers, measured since r9) even
+    # below the generic byte floor; everything else goes through the
+    # byte-floored rule.
+    df = _widen_narrow_scan(spark, df,
+                            min_bytes=0 if name == "documents" else None)
     _TABLE_CACHE[key] = df
     return df
 

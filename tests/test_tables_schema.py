@@ -184,3 +184,34 @@ def test_scan_partition_estimate(spark, tmp_path):
 
     assert _estimate_scan_partitions(
         spark, ["hdfs://nn/x.parquet"], par) is None
+
+
+def test_fact_table_scan_widened_above_byte_floor(spark, tmp_path):
+    """r13 generalized widening: a single-file table ABOVE the byte floor
+    is repartitioned to the session's parallelism (events/orders/lineitem
+    at bench SFs were 1-3 splits — near-serial map stages on every
+    scalar/filter/aggregate suite); a table BELOW the floor keeps Spark's
+    own split count (dimension tables, and Python-eval-dense tables whose
+    tiny batches can't amortize per-task worker round-trips — measured
+    net loss on embeddings at sf0.1)."""
+    from dexscraper_spark.sources.tables import _widen_narrow_scan
+    par = spark.sparkContext.defaultParallelism
+
+    big = spark.range(60_000).selectExpr(
+        "id", "cast(id as string) || 'x' as pad",
+        "uuid() as junk")  # uuid defeats parquet compression: > 1 MiB
+    big.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "big"))
+    bdf = spark.read.parquet(str(tmp_path / "big"))
+    assert bdf.rdd.getNumPartitions() < par
+    assert _widen_narrow_scan(spark, bdf).rdd.getNumPartitions() == par
+
+    small = spark.range(100).selectExpr("id")
+    small.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "small"))
+    sdf = spark.read.parquet(str(tmp_path / "small"))
+    assert (_widen_narrow_scan(spark, sdf).rdd.getNumPartitions()
+            == sdf.rdd.getNumPartitions())
+
+    # the explicit floor override still widens a small table (the
+    # documents rule rides through this parameter)
+    assert (_widen_narrow_scan(spark, sdf, min_bytes=0)
+            .rdd.getNumPartitions() == par)
