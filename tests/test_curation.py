@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from dexscraper_spark.plans.curation import (
     CurationConfig, curate_corpus, curation_stats)
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 CFG = CurationConfig(min_quality=0.3, min_tokens=3,
@@ -27,6 +28,7 @@ def _docs(spark):
     return docs.unionByName(extra)
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_curation_invariants(spark):
     docs = _docs(spark)
     out = curate_corpus(docs, config=CFG).persist()

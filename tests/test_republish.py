@@ -21,6 +21,14 @@ from dexscraper_spark.operators.quantize import (
     ivf_pq_topk)
 
 
+# r13 (VERDICT #6): multi-second delta/maintenance integration lane — the
+# full-suite wall time (52 min measured) no longer fits the driver's
+# verify budget, and this module is the dominant cost. The default lane
+# (`-m "not slow"`, pyproject addopts) keeps every oracle-coverage and
+# unit test; run `make test-all` for the complete suite.
+pytestmark = pytest.mark.slow
+
+
 def _vdf(spark, mat, offset=0):
     rows = [(int(i + offset), [float(x) for x in v])
             for i, v in enumerate(mat)]

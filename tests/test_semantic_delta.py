@@ -15,6 +15,14 @@ import math
 
 import pytest
 
+
+# r13 (VERDICT #6): multi-second delta/maintenance integration lane — the
+# full-suite wall time (52 min measured) no longer fits the driver's
+# verify budget, and this module is the dominant cost. The default lane
+# (`-m "not slow"`, pyproject addopts) keeps every oracle-coverage and
+# unit test; run `make test-all` for the complete suite.
+pytestmark = pytest.mark.slow
+
 THRESHOLD = 0.95
 DIM = 8
 

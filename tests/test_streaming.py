@@ -9,6 +9,7 @@ import time
 
 from dexscraper_spark.schemas import RAW_MESSAGES
 from dexscraper_spark.sources.binary import make_frame, sample_pairs
+import pytest
 
 
 def _write_frame_parquet(spark, path: str, n_frames: int = 3):
@@ -17,6 +18,7 @@ def _write_frame_parquet(spark, path: str, n_frames: int = 3):
         .write.mode("overwrite").parquet(path)
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_stream_decode_foreach_batch(spark, tmp_path):
     from dexscraper_spark.streaming.pipeline import decoded_stream, run_foreach_batch
 
@@ -663,6 +665,7 @@ def test_streaming_decontamination_filter(spark, tmp_path):
     assert len(ids) >= 40                   # the rest flowed through
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_streaming_ann_maintenance_equals_batch_extend(spark, tmp_path):
     """Streamed IVF-PQ extends must leave the artifact exactly where
     one batch ivf_pq_extend_saved of the same vectors would — same
@@ -765,6 +768,7 @@ def test_ann_fold_replay_and_within_batch_dupes(spark, tmp_path):
     assert spark.read.parquet(f"{path}/assigned").count() == emb.count()
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_streaming_semantic_dedup_ingest(spark, tmp_path):
     """The online semantic-dedup filter: exact copies of indexed
     corpus vectors are dropped, novel vectors survive + get published
@@ -828,6 +832,7 @@ def test_streaming_semantic_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(f"{path}/codes").count() == n_codes0 + 2
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_streaming_semantic_dedup_ingest_real_stream(spark, tmp_path):
     """The ingest filter through an actual Structured Streaming query
     (file source, one file per trigger): corpus copies die, novel
@@ -883,6 +888,7 @@ def test_streaming_semantic_dedup_ingest_real_stream(spark, tmp_path):
     assert spark.read.parquet(f"{path}/codes").count() == n0 + 2
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_streaming_ingest_respects_tombstones(spark, tmp_path):
     """Round-12 seam (VERDICT r11 §wrong-1): after a nightly delta
     RETRACTS a corpus doc — its codes stay in the shared IVF-PQ index

@@ -35,6 +35,7 @@ def corpus(spark):
         .unionByName(planted), probe
 
 
+@pytest.mark.slow  # r13 fast-lane split (>10 s)
 def test_full_text_pipeline(spark, corpus, tmp_path):
     docs, probe = corpus
     eval_docs = spark.createDataFrame([(0, probe.text)],

@@ -19,6 +19,14 @@ from dexscraper_spark.operators.quantize import (
     ivf_pq_extend_saved, ivf_pq_query_saved, ivf_pq_republish,
     ivf_pq_tombstone, ivf_pq_tombstones)
 
+
+# r13 (VERDICT #6): multi-second delta/maintenance integration lane — the
+# full-suite wall time (52 min measured) no longer fits the driver's
+# verify budget, and this module is the dominant cost. The default lane
+# (`-m "not slow"`, pyproject addopts) keeps every oracle-coverage and
+# unit test; run `make test-all` for the complete suite.
+pytestmark = pytest.mark.slow
+
 PARAMS = dict(nlist=8, m=4, ksub=16, seed=11, k=5, n_queries=16,
               nprobe=8, expand=4)
 
