@@ -1833,6 +1833,12 @@ def streaming_ohlc_pipeline(spark, sf_dir):
     from dexscraper_spark.sources.decode import decode_messages
     tune_session(spark)
 
+    # r13 NEGATIVE RESULT: moving this ephemeral checkpoint to RAM-backed
+    # /dev/shm measured a wash (interleaved A/B 3×3: 0.82-0.85 vs
+    # 0.83-0.92 s min — the offset/commit log writes are page-cache-hot,
+    # not fsync-bound on this host), so the scratch stays at the tempfile
+    # default. The workdir cleanup below is kept: it fixes a per-
+    # invocation directory leak.
     workdir = tempfile.mkdtemp(prefix="dexstream_")
     # r13 optimization (guide §5 — the driver should do almost no data
     # work *through Spark*): the 8 synthetic frames are driver-generated
@@ -1897,6 +1903,10 @@ def streaming_ohlc_pipeline(spark, sf_dir):
                 "streaming_ohlc_pipeline availableNow batch exceeded 120s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the bounded stream is finished and the memory-sink table does
+        # not reference the files: reclaim the scratch (it may be RAM)
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
     return spark.table(name).orderBy("symbol", "bucket_ts")
 
 

@@ -100,9 +100,21 @@ def _estimate_scan_partitions(spark: SparkSession, files: list[str],
 # everywhere. Env-overridable for A/B measurement, not a tuning knob.
 _WIDEN_MIN_BYTES = 1 << 20
 
+# Target bytes per widened partition. Widening to the FULL session
+# parallelism regardless of size was a measured net loss (r13
+# interleaved A/B): expression-heavy suites over events won 1.6-2.9×,
+# but every cheap query over the same table paid ~50-100 ms of extra
+# 32-task stage scheduling (set_ops 0.24→0.55 s, rank_trending
+# 0.21→0.29 s). Sizing partitions to the DATA bounds the task count for
+# small tables (events at sf0.1: 2 MB → 8 parts) while big tables still
+# reach full parallelism — the same data-sized-not-core-sized rule the
+# bench uses for reducers (guide §2.2: fewer, larger partitions).
+_WIDEN_SPLIT_BYTES = 256 << 10
+
 
 def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
-                       min_bytes: int | None = None) -> DataFrame:
+                       min_bytes: int | None = None,
+                       full_par: bool = False) -> DataFrame:
     """CPU-dense rows, tiny bytes (guide §2.2 fewer-idle-cores / §6 input
     split sizing): each bench table ships as ONE parquet file far below
     maxPartitionBytes, so the file-split rule runs every downstream map
@@ -140,9 +152,15 @@ def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
     if sizes is None or sum(sizes) < min_bytes:
         # dimension-shaped (or remote-FS-unstatable): keep Spark's split
         return df
+    if full_par:
+        target = par
+    else:
+        split = int(os.environ.get("SPARK_GRAFT_WIDEN_SPLIT_BYTES",
+                                   _WIDEN_SPLIT_BYTES))
+        target = min(par, -(-sum(sizes) // max(split, 1)))
     est = _estimate_scan_partitions(spark, files, par)
-    narrow = est < par if est is not None else len(files) < par
-    return df.repartition(par) if narrow else df
+    narrow = est < target if est is not None else len(files) < target
+    return df.repartition(target) if narrow else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -156,12 +174,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # documents keeps its original unconditional-when-narrow widening
-    # (CPU-dense regex/shingle/hash consumers, measured since r9) even
-    # below the generic byte floor; everything else goes through the
-    # byte-floored rule.
-    df = _widen_narrow_scan(spark, df,
-                            min_bytes=0 if name == "documents" else None)
+    # documents keeps its original unconditional-when-narrow widening to
+    # FULL parallelism (CPU-dense regex/shingle/hash consumers, measured
+    # since r9) even below the generic byte floor; everything else goes
+    # through the byte-floored, data-sized rule.
+    if name == "documents":
+        df = _widen_narrow_scan(spark, df, min_bytes=0, full_par=True)
+    else:
+        df = _widen_narrow_scan(spark, df)
     _TABLE_CACHE[key] = df
     return df
 

@@ -188,13 +188,18 @@ def test_scan_partition_estimate(spark, tmp_path):
 
 def test_fact_table_scan_widened_above_byte_floor(spark, tmp_path):
     """r13 generalized widening: a single-file table ABOVE the byte floor
-    is repartitioned to the session's parallelism (events/orders/lineitem
-    at bench SFs were 1-3 splits — near-serial map stages on every
-    scalar/filter/aggregate suite); a table BELOW the floor keeps Spark's
-    own split count (dimension tables, and Python-eval-dense tables whose
-    tiny batches can't amortize per-task worker round-trips — measured
-    net loss on embeddings at sf0.1)."""
-    from dexscraper_spark.sources.tables import _widen_narrow_scan
+    is repartitioned to a DATA-SIZED partition count, capped at the
+    session's parallelism (events/orders/lineitem at bench SFs were 1-3
+    splits — near-serial map stages on every scalar/filter/aggregate
+    suite; always-par was a measured net loss on cheap queries); a table
+    BELOW the floor keeps Spark's own split count (dimension tables, and
+    Python-eval-dense tables whose tiny batches can't amortize per-task
+    worker round-trips — measured net loss on embeddings at sf0.1)."""
+    import glob
+    import os
+
+    from dexscraper_spark.sources.tables import (_WIDEN_SPLIT_BYTES,
+                                                 _widen_narrow_scan)
     par = spark.sparkContext.defaultParallelism
 
     big = spark.range(60_000).selectExpr(
@@ -203,7 +208,10 @@ def test_fact_table_scan_widened_above_byte_floor(spark, tmp_path):
     big.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "big"))
     bdf = spark.read.parquet(str(tmp_path / "big"))
     assert bdf.rdd.getNumPartitions() < par
-    assert _widen_narrow_scan(spark, bdf).rdd.getNumPartitions() == par
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(str(tmp_path / "big" / "*.parquet")))
+    expect = min(par, -(-total // _WIDEN_SPLIT_BYTES))  # data-sized cap
+    assert _widen_narrow_scan(spark, bdf).rdd.getNumPartitions() == expect
 
     small = spark.range(100).selectExpr("id")
     small.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "small"))
@@ -211,7 +219,7 @@ def test_fact_table_scan_widened_above_byte_floor(spark, tmp_path):
     assert (_widen_narrow_scan(spark, sdf).rdd.getNumPartitions()
             == sdf.rdd.getNumPartitions())
 
-    # the explicit floor override still widens a small table (the
-    # documents rule rides through this parameter)
-    assert (_widen_narrow_scan(spark, sdf, min_bytes=0)
+    # the documents rule rides through these parameters: no byte floor,
+    # full-parallelism target regardless of size
+    assert (_widen_narrow_scan(spark, sdf, min_bytes=0, full_par=True)
             .rdd.getNumPartitions() == par)
