@@ -111,10 +111,24 @@ _WIDEN_MIN_BYTES = 1 << 20
 # bench uses for reducers (guide §2.2: fewer, larger partitions).
 _WIDEN_SPLIT_BYTES = 256 << 10
 
+# documents' own split: its consumers are far CPU-denser per BYTE than
+# the fact tables (regex/shingle/MinHash pipelines, Arrow text kernels),
+# so its partitions are sized 4× smaller. The historical always-full-par
+# target overshot once the r13 kernels got cheap per row: 32 tasks of
+# ~156 docs at sf0.1 are per-task-overhead-bound — measured interleaved
+# (64 KiB split → 10 parts): text_metrics 0.26-0.28→0.17-0.18 s,
+# dedup_exact_docs 0.17-0.21→0.10-0.13 s, dedup_minhash_lsh
+# 0.45-0.47→0.39-0.45 s, nothing outside noise got slower; the generic
+# 256 KiB split (3 parts) lost the shingle-heavy rows (dedup_minhash_lsh
+# 0.51, text_lang 0.22) so it is NOT dense enough for this family. At
+# sf1+ (≥6 MB) the 64 KiB split reaches the parallelism cap anyway —
+# the constant only shapes tiny-corpus layouts.
+_WIDEN_SPLIT_BYTES_DOCS = 64 << 10
+
 
 def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
                        min_bytes: int | None = None,
-                       full_par: bool = False) -> DataFrame:
+                       split_bytes: int | None = None) -> DataFrame:
     """CPU-dense rows, tiny bytes (guide §2.2 fewer-idle-cores / §6 input
     split sizing): each bench table ships as ONE parquet file far below
     maxPartitionBytes, so the file-split rule runs every downstream map
@@ -127,7 +141,10 @@ def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
     r13 generalizes the rule to every table above _WIDEN_MIN_BYTES,
     because the same rows-cost-more-than-bytes argument holds for the
     events/orders/lineitem expression suites and the embeddings fold
-    kernels. Widening is a one-time deterministic round-robin shuffle
+    kernels. The target is data-sized — ceil(bytes / split_bytes),
+    capped at the session parallelism; ``split_bytes`` lets a
+    CPU-denser-per-byte family (documents) size its partitions smaller
+    than the generic constant. Widening is a one-time deterministic round-robin shuffle
     of the raw bytes (sortBeforeRepartition is on) performed once per
     (app, sf_dir, table) before the table is cached; results are
     layout-independent by the repo's exactness discipline (integer-cent
@@ -152,12 +169,10 @@ def _widen_narrow_scan(spark: SparkSession, df: DataFrame,
     if sizes is None or sum(sizes) < min_bytes:
         # dimension-shaped (or remote-FS-unstatable): keep Spark's split
         return df
-    if full_par:
-        target = par
-    else:
-        split = int(os.environ.get("SPARK_GRAFT_WIDEN_SPLIT_BYTES",
-                                   _WIDEN_SPLIT_BYTES))
-        target = min(par, -(-sum(sizes) // max(split, 1)))
+    split = int(os.environ.get(
+        "SPARK_GRAFT_WIDEN_SPLIT_BYTES",
+        split_bytes if split_bytes is not None else _WIDEN_SPLIT_BYTES))
+    target = min(par, -(-sum(sizes) // max(split, 1)))
     est = _estimate_scan_partitions(spark, files, par)
     narrow = est < target if est is not None else len(files) < target
     return df.repartition(target) if narrow else df
@@ -174,12 +189,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # documents keeps its original unconditional-when-narrow widening to
-    # FULL parallelism (CPU-dense regex/shingle/hash consumers, measured
-    # since r9) even below the generic byte floor; everything else goes
-    # through the byte-floored, data-sized rule.
+    # documents keeps an unconditional (no byte floor) widening — its
+    # regex/shingle/hash consumers have been CPU-dense-per-row since r9 —
+    # but r13 sizes the target to the data with the family's own denser
+    # split (_WIDEN_SPLIT_BYTES_DOCS) instead of always-full-par:
+    # 32 tasks of ~156 docs at sf0.1 were per-task-overhead-bound once
+    # the Arrow kernels got cheap per row (the 8-core-beats-32 signature
+    # VERDICT r12 flagged). Everything else goes through the
+    # byte-floored, generic data-sized rule.
     if name == "documents":
-        df = _widen_narrow_scan(spark, df, min_bytes=0, full_par=True)
+        df = _widen_narrow_scan(spark, df, min_bytes=0,
+                                split_bytes=_WIDEN_SPLIT_BYTES_DOCS)
     else:
         df = _widen_narrow_scan(spark, df)
     _TABLE_CACHE[key] = df

@@ -128,13 +128,26 @@ def test_tune_session_warns_instead_of_silent_pass(spark, caplog, monkeypatch):
     sess.tune_session(spark)  # leave the shared session actually tuned
 
 
-def test_documents_scan_widened_to_parallelism(spark):
-    """CPU-dense guard: the documents loader must hand text pipelines at
-    least the session's parallelism (the table ships as 1-2 parquet files;
-    the byte-based file-split rule alone would serialize regex/shingle
-    stages onto 2 cores — measured 4-7x on every text/dedup query)."""
+def test_documents_scan_widened_data_sized(spark):
+    """CPU-dense guard: the documents loader must widen the 1-2-file
+    table (the raw file-split rule would serialize regex/shingle stages
+    onto 1-2 cores — measured 4-7x on every text/dedup query), but to a
+    DATA-SIZED target with the family's denser 64 KiB split, capped at
+    the session parallelism (always-full-par was per-task-overhead-bound
+    at bench SFs once the r13 Arrow kernels got cheap per row)."""
+    import glob
+    import os
+
+    from dexscraper_spark.sources.tables import _WIDEN_SPLIT_BYTES_DOCS
     df = load_table(spark, SF_DIR, "documents")
-    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(f"{SF_DIR}/documents.parquet")
+                ) or os.path.getsize(f"{SF_DIR}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    expect = min(par, -(-total // _WIDEN_SPLIT_BYTES_DOCS))
+    assert df.rdd.getNumPartitions() == max(
+        expect, spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .rdd.getNumPartitions())
 
 
 def test_byte_conf_parses_spark_byte_strings(spark):
@@ -220,6 +233,7 @@ def test_fact_table_scan_widened_above_byte_floor(spark, tmp_path):
             == sdf.rdd.getNumPartitions())
 
     # the documents rule rides through these parameters: no byte floor,
-    # full-parallelism target regardless of size
-    assert (_widen_narrow_scan(spark, sdf, min_bytes=0, full_par=True)
+    # and a family-specific split constant (a 1-byte split saturates at
+    # the parallelism cap)
+    assert (_widen_narrow_scan(spark, sdf, min_bytes=0, split_bytes=1)
             .rdd.getNumPartitions() == par)
